@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+import graft.operators.Multimodal
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's registered operator surface: one entry per
+  * implemented operator family from SURVEY.md §2, each evaluated against
+  * the `/root/testdata/sf*` parquet tables. `oracleSql` carries the
+  * DuckDB twin for every SQL-expressible query (hash-compared by the
+  * driver at sf0.01); hash-based operators (MinHash/SimHash/LSH) and
+  * sketches are rows-only checked here and exactness-checked in the
+  * ScalaTest suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Multimodal plumbing query (binary payload + metadata + md5 parity). */
+  private val multimodal: Seq[(String, Q)] = Seq(
+    "q50_mm_binary" -> Q(
+      (s, d) => Multimodal.ingestText(Tables.documents(s, d), "doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          hex(col("payload").substr(lit(1), lit(8))).as("head_hex"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          md5(text) AS payload_md5,
+          hex(encode(substr(text, 1, 8))) AS head_hex
+        FROM documents
+        ORDER BY doc_id"""),
+      "Opaque binary payload + typed metadata; decode stage stubbed."))
+
+  private def registry: Seq[(String, Q)] =
+    RelationalQueries.all ++ EventQueries.all ++ SimilarityQueries.all ++
+      DedupTextQueries.all ++ multimodal
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's semantic heart: broadcast similarity match with
+    * first-match-wins and an 'Unknown' default. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q30_broadcast_match")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, q) => name -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, Q(_, Some(sql), _)) => name -> sql }.toMap
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` columns as pure Catalyst
+  * higher-order-function expressions — codegen'd, no UDF serde, and
+  * therefore usable inside joins/filters that Catalyst can still
+  * optimize around (SURVEY.md §2.6 J1, §2.12).
+  *
+  * The reference's match predicate is `norm(a-b) <= tolerance` over
+  * 128-d face encodings (/root/reference/src/prediction_producer.py:317);
+  * here the dimension comes from the data (testdata embeddings are 64-d).
+  *
+  * All folds are strict left-to-right (`aggregate` semantics), matching
+  * DuckDB's list_distance / list_inner_product loops, so both engines
+  * produce bit-identical doubles given identical (double-cast) inputs.
+  */
+object VectorFunctions {
+
+  /** Cast a float vector to double exactly (float→double is lossless). */
+  def asDoubleVec(c: Column): Column = c.cast("array<double>")
+
+  /** Sum of elementwise products, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 distance (no sqrt — cheaper for threshold predicates). */
+  def squaredL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean distance. */
+  def l2(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

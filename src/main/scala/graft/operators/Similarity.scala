@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Similarity-search operators over an embedding column — the Spark-first
+  * re-expression of the reference's broadcast face-matching stage
+  * (/root/reference/src/prediction_producer.py:305-325: every probe
+  * encoding × every broadcast known encoding, L2 <= tolerance, first
+  * match wins else "Unknown").
+  *
+  * Scale design: the target/"known" set is small by construction (it is
+  * the reference's per-query broadcast set), so every operator here is a
+  * broadcast nested-loop join — probes stream through executors, no
+  * shuffle of the big side, embarrassingly parallel at 100 TB. The
+  * brute-force top-k keeps a per-partition heap via window row_number
+  * over (probe, sim) after the broadcast join; only the k-filtered rows
+  * hit the final sort/exchange.
+  */
+object Similarity {
+
+  /** Threshold match against a broadcast target set; first match (lowest
+    * target id) wins, probes with no match keep a null label.
+    *
+    * @param probes   (idCol, vecCol) big side — never shuffled
+    * @param targets  (idCol, vecCol, labelCol) small side — broadcast
+    */
+  def thresholdMatch(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String, tLabel: String,
+      tolerance: Double): DataFrame = {
+    val joined = probes.join(
+      broadcast(targets),
+      l2(col(pVec), col(tVec)) <= tolerance)
+    joined.groupBy(col(pId))
+      .agg(min_by(col(tLabel), col(tId)).as("match_label"),
+           count(lit(1)).as("n_matches"))
+  }
+
+  /** Brute-force cosine top-k per probe against a broadcast target set.
+    * Similarity is rounded to `roundTo` decimals before ranking so that
+    * float-noise near-ties resolve deterministically by target id. */
+  def topK(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val sim = round(cosine(col(pVec), col(tVec)), roundTo).as("sim")
+    val joined = probes.crossJoin(broadcast(targets)).select(col(pId), col(tId), sim)
+    val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All embedding pairs with cosine >= threshold (near-duplicate
+    * detection by embedding). Self-join restricted to id(a) < id(b).
+    * At large scale swap the self-broadcast for [[lshBuckets]] first. */
+  def nearDupPairs(
+      vecs: DataFrame, id: String, vec: String, threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    val a = vecs.select(col(id).as("a_id"), col(vec).as("a_vec"))
+    val b = vecs.select(col(id).as("b_id"), col(vec).as("b_vec"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), roundTo).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` sign bits of projections
+    * onto deterministic pseudo-random hyperplanes form a bucket key.
+    * Candidate generation for cosine similarity at scale: equi-join on
+    * the bucket instead of a cross join. Hyperplane h[i][d] is derived
+    * from a hash of (seed, i, d) — stable across executors with no
+    * driver-side randomness to ship. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    // pseudo-random ±1 hyperplanes via xxhash64(seed, bit, dimIdx)
+    val bits = (0 until nBits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x * (when(pmod(xxhash64(lit(seed), lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed near-dup candidates: pairs that share a bucket under
+    * any of `nTables` independent hash tables, scored exactly. A recall/
+    * cost tradeoff vs [[nearDupPairs]]; at 100 TB this equi-joins on
+    * (table, bucket) and never materializes the quadratic pair space. */
+  def lshNearDup(
+      vecs: DataFrame, id: String, vec: String, dim: Int,
+      threshold: Double, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val tables = explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vec), dim, nBits, seed = 1000L + t).as("bucket"))
+    }: _*)).as("tb")
+    val bucketed = vecs.select(col(id), col(vec), tables)
+      .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col(id).as("a_id"), col(vec).as("a_vec"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(id).as("b_id"), col(vec).as("b_vec"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec")).distinct()
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Per-label centroids via posexplode + avg — dimension-exploded form
+    * (label, dim, centroid) so it stays SQL-expressible for the oracle. */
+  def labelCentroids(vecs: DataFrame, label: String, vec: String,
+      roundTo: Int = 6): DataFrame =
+    vecs.select(col(label), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(label), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v")), roundTo).as("centroid"), count(lit(1)).as("n"))
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Dedup + text-analysis queries over `documents.parquet` — the
+  * training-data-pipeline operator family (exact dedup, n-gram Jaccard,
+  * MinHash LSH, SimHash, token stats, language ID, fingerprinting).
+  */
+object DedupTextQueries {
+
+  /** DuckDB: whitespace tokens of text. */
+  private val W = "string_split(text, ' ')"
+  /** DuckDB: distinct 3-word shingles (mirrors TextFunctions.shingles). */
+  private val Shingles3 =
+    s"list_distinct(list_transform(range(1, len($W) - 1), i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2]))"
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q40: exact dedup groups ----------------------------------------
+    "q40_dedup_exact" -> Q(
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"), col("content_hash"))
+        .orderBy(col("keep_id")),
+      Some("""
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+               md5(text) AS content_hash
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_id"""),
+      "Exact dedup: one shuffle on a 16-byte digest, never on raw text."),
+
+    // ---- q41: exact n-gram Jaccard near-dup pairs ------------------------
+    "q41_jaccard_pairs" -> Q(
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc)
+        SELECT a_id, b_id, inter,
+               sa.n_sh + sb.n_sh - inter AS uni,
+               CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = a_id
+        JOIN sizes sb ON sb.doc = b_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ORDER BY a_id, b_id"""),
+      "Exact 3-shingle Jaccard, blocked by source to bound the pair space."),
+
+    // ---- q42: token statistics / quality scoring -------------------------
+    "q42_text_stats" -> Q(
+      (s, d) => {
+        val w = tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(w).as("n_tokens"),
+          size(array_distinct(w)).as("n_uniq"),
+          aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x).as("sum_len"),
+          (aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x).cast("double") /
+            size(w)).as("avg_word_len"),
+          (stopwordCount(col("text"), Seq("the", "a")).cast("double") / size(w)).as("stop_ratio"),
+          (size(array_distinct(w)).cast("double") / size(w)).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+          CAST(len($W) AS INT) AS n_tokens,
+          CAST(len(list_distinct($W)) AS INT) AS n_uniq,
+          CAST(list_aggregate(list_transform($W, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS sum_len,
+          CAST(list_aggregate(list_transform($W, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
+            / len($W) AS avg_word_len,
+          CAST(len(list_filter($W, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len($W) AS stop_ratio,
+          CAST(len(list_distinct($W)) AS DOUBLE) / len($W) AS ttr
+        FROM documents
+        ORDER BY doc_id"""),
+      "Shuffle-free per-doc quality stats via higher-order functions."),
+
+    // ---- q43: language-ID heuristic --------------------------------------
+    "q43_langid" -> Q(
+      (s, d) => {
+        val w = tokens(col("text"))
+        def score(words: Seq[String]) =
+          size(filter(w, t => t.isin(words.map(x => x: Any): _*)))
+        val sEn = score(Seq("the", "a")); val sEs = score(Seq("data", "value"))
+        val sDe = score(Seq("batch", "stream")); val sFr = score(Seq("table", "row"))
+        val sZh = score(Seq("hash", "key"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"), sZh.as("s_zh"),
+          when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+            .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+            .when(sDe >= sFr && sDe >= sZh, "de")
+            .when(sFr >= sZh, "fr")
+            .otherwise("zh").as("pred_lang"),
+          col("lang"))
+          .withColumn("correct", col("pred_lang") === col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter($W, t -> t = 'the' OR t = 'a')) AS INT) AS s_en,
+            CAST(len(list_filter($W, t -> t = 'data' OR t = 'value')) AS INT) AS s_es,
+            CAST(len(list_filter($W, t -> t = 'batch' OR t = 'stream')) AS INT) AS s_de,
+            CAST(len(list_filter($W, t -> t = 'table' OR t = 'row')) AS INT) AS s_fr,
+            CAST(len(list_filter($W, t -> t = 'hash' OR t = 'key')) AS INT) AS s_zh
+          FROM documents)
+        SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS pred_lang,
+          lang,
+          (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END) = lang AS correct
+        FROM sc
+        ORDER BY doc_id"""),
+      "Marker-token n-gram language heuristic with deterministic argmax."),
+
+    // ---- q44: document fingerprint (rolling hash) ------------------------
+    "q44_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+                col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, CAST(length(text) AS BIGINT) + 1),
+                             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+            (h, c) -> (h * 31 + c) % 1000000007) AS fp,
+          n_chars
+        FROM documents
+        ORDER BY doc_id"""),
+      "Order-sensitive polynomial rolling hash mod 1e9+7 per document."),
+
+    // ---- q45: MinHash + LSH banding (no oracle: xxhash64-specific) -------
+    "q45_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, numPerm = 32, bands = 8)
+        .orderBy(col("a_id"), col("b_id")),
+      None,
+      "MinHash(32)/8-band LSH candidates; recall vs q41 checked in tests."),
+
+    // ---- q46: SimHash hamming pairs (no oracle: xxhash64-specific) -------
+    "q46_simhash" -> Q(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          block = "source", maxHamming = 8)
+        .orderBy(col("a_id"), col("b_id")),
+      None,
+      "64-bit SimHash; near-dups at hamming<=8 within a source block."),
+
+    // ---- q47: regex (BPE-ish) tokenization -------------------------------
+    "q47_regex_tokens" -> Q(
+      (s, d) => {
+        val rt = regexTokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(rt).as("n_rtokens"),
+          size(array_distinct(rt)).as("n_uniq_rtokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_rtokens,
+          CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_uniq_rtokens
+        FROM documents
+        ORDER BY doc_id"""),
+      "Regex tokenizer (lowercase/digit/symbol classes) as a projection.")
+  )
+}

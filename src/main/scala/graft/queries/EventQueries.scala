@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+import graft.Tables.{moneySum, sqlMoneySum}
+
+/** Event-time analytics over the `events` table — the batch twins of the
+  * reference's streaming semantics (SURVEY.md §2.8, §2.11): tumbling
+  * windows, sessionization, as-of lookback ("seconds since last error",
+  * the reference's latency metric A2 generalized), pivot, percentiles.
+  *
+  * Timestamp parity: parquet `ts` is nanosecond; Spark truncates to µs on
+  * read while DuckDB keeps ns. Every oracle therefore works on
+  * `CAST(ts AS TIMESTAMP)` (µs truncation) so both engines sort and
+  * bucket identically, and epoch seconds are taken with an explicit
+  * floor() because DuckDB's ::BIGINT rounds while Spark's
+  * unix_timestamp() floors.
+  */
+object EventQueries {
+
+  /** DuckDB: µs-truncated view of events.ts. */
+  private val TS = "CAST(ts AS TIMESTAMP)"
+  /** DuckDB: floor-epoch-seconds, matching Spark's unix_timestamp(). */
+  private val EPOCH = s"CAST(floor(epoch($TS)) AS BIGINT)"
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q18: tumbling-window aggregation -------------------------------
+    "q18_events_hourly" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             moneySum(col("value")).as("sum_value"),
+             max(col("value")).as("max_value"))
+        .orderBy(col("hr"), col("event_type")),
+      Some(s"""
+        SELECT CAST(date_trunc('hour', $TS) AS TIMESTAMP) AS hr, event_type,
+               COUNT(*) AS n,
+               ${sqlMoneySum("value")} AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hr, event_type"""),
+      "Tumbling 1h event-time window (batch twin of window(ts,'1 hour'))."),
+
+    // ---- q19: sessionization (30-minute inactivity gap) ------------------
+    "q19_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val withSess = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+          .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .withColumn("sess",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withSess.groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("sess_events"),
+               (max(col("ep")) - min(col("ep"))).as("sess_dur"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(col("sess_events")).cast("long").as("n_events"),
+               max(col("sess_events")).as("max_sess_events"),
+               max(col("sess_dur")).as("max_sess_dur"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, $EPOCH AS ep, $TS AS tsu FROM events
+        ), g AS (
+          SELECT user_id, event_id, tsu, ep,
+            CASE WHEN ep - LAG(ep) OVER w IS NULL
+                   OR ep - LAG(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), sessed AS (
+          SELECT user_id, ep,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        ), per_sess AS (
+          SELECT user_id, sess, COUNT(*) AS sess_events,
+                 MAX(ep) - MIN(ep) AS sess_dur
+          FROM sessed GROUP BY user_id, sess
+        )
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(sess_events) AS BIGINT) AS n_events,
+               MAX(sess_events) AS max_sess_events,
+               MAX(sess_dur) AS max_sess_dur
+        FROM per_sess GROUP BY user_id ORDER BY user_id"""),
+      "Gap-based sessions via lag + running sum (batch twin of session_window)."),
+
+    // ---- q20: as-of lookback (last error before each event) --------------
+    "q20_since_last_error" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("last_err",
+            max(when(col("event_type") === "error", col("ep"))).over(w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  (col("ep") - col("last_err")).as("secs_since_error"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, $EPOCH AS ep, $TS AS tsu FROM events
+        )
+        SELECT event_id, user_id, event_type,
+          ep - MAX(CASE WHEN event_type = 'error' THEN ep END) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS secs_since_error
+        FROM e
+        ORDER BY event_id"""),
+      "As-of semantics via running-max over a trailing frame (J-asof twin)."),
+
+    // ---- q21: pivot -------------------------------------------------------
+    "q21_pivot_event_types" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+          COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+          COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS "view"
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      "groupBy().pivot() with pinned value list (single-pass, no re-scan)."),
+
+    // ---- q22: JSON extraction -------------------------------------------
+    "q22_json_props" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).cast("long").as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"),
+             moneySum(col("value")).as("sum_value"))
+        .orderBy(col("event_type")),
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          MIN(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
+          ${sqlMoneySum("value")} AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      "get_json_object over events.props (P3/P4 JSON envelope twin)."),
+
+    // ---- q23: percentiles ------------------------------------------------
+    "q23_value_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"),
+             min(col("value")).as("min_v"),
+             max(col("value")).as("max_v"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+          round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+          MIN(value) AS min_v,
+          MAX(value) AS max_v
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      "Exact interpolated percentiles (rounded to absorb fp noise)."),
+
+    // ---- q24: approximate distinct (no SQL oracle: HLL impls differ) ----
+    "q24_approx_distinct" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")),
+      None,
+      "HLL++ sketch vs exact; rows-only check (sketches differ by engine).")
+  )
+}

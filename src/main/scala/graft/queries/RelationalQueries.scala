@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+import graft.Tables.{moneySum, sqlMoneySum}
+
+/** The relational operator floor (SURVEY.md §2.6–§2.10 [absent] rows):
+  * scans, filters, projections, equi/semi/anti joins, hash aggregation,
+  * distinct, rollup/cube, window functions, top-k, set ops, string/date
+  * scalar functions. All pure Catalyst built-ins — predicate pushdown,
+  * column pruning, broadcast selection and whole-stage codegen come for
+  * free; at cluster scale the only shuffles are the group-by/join keys.
+  *
+  * Each query is paired with a DuckDB oracle (driver contract). Every
+  * computed column is aliased identically on both sides and every query
+  * ends in a total ORDER BY so the parquet dump is deterministic.
+  */
+object RelationalQueries {
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q01: full-scan hash aggregation (TPC-H Q1 shape) -------------
+    "q01_pricing_summary" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_base_price"),
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${sqlMoneySum("l_quantity")} AS sum_qty,
+          ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+          ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          ${sqlMoneySum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+          ${sqlMoneySum("l_quantity")} / COUNT(*) AS avg_qty,
+          ${sqlMoneySum("l_extendedprice")} / COUNT(*) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      "Hash agg over full lineitem scan; filter pushed to parquet."),
+
+    // ---- q02: selective filter, fully pushed down (TPC-H Q6 shape) ----
+    "q02_revenue_filter" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.03, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_rows")),
+      Some(s"""
+        SELECT ${sqlMoneySum("l_extendedprice * l_discount")} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24"""),
+      "Single-row aggregate; predicates all land in PushedFilters."),
+
+    // ---- q03: 3-way join + agg by segment (TPC-H Q3 shape) ------------
+    "q03_segment_revenue" -> Q(
+      (s, d) => {
+        val c  = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val o  = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+               countDistinct(col("o_orderkey")).as("n_orders"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment,
+          ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          COUNT(DISTINCT o_orderkey) AS n_orders,
+          COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      "Fact-fact shuffle join + broadcast dim; customer is broadcast."),
+
+    // ---- q04: snowflake join rollup to nation (TPC-H Q5 shape) --------
+    "q04_nation_revenue" -> Q(
+      (s, d) => {
+        val r = Tables.region(s, d)
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(moneySum(col("o_totalprice")).as("revenue"),
+               count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+          ${sqlMoneySum("o_totalprice")} AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      "Snowflake joins: region/nation broadcast, orders⋈customer shuffle."),
+
+    // ---- q05: top-k by aggregate ---------------------------------------
+    "q05_top_customers" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        o.groupBy(col("o_custkey"))
+          .agg(moneySum(col("o_totalprice")).as("spend"),
+               count(lit(1)).as("n_orders"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("spend"), col("n_orders"))
+          .orderBy(col("spend").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, spend, n_orders FROM (
+          SELECT o_custkey,
+            ${sqlMoneySum("o_totalprice")} AS spend,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ) JOIN customer ON o_custkey = c_custkey
+        ORDER BY spend DESC, c_custkey
+        LIMIT 10"""),
+      "Agg→join→global top-k; Spark plans TakeOrderedAndProject."),
+
+    // ---- q06: ranking window function ----------------------------------
+    "q06_latest_orders_ranked" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od, rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn"""),
+      "row_number over partitioned window; single shuffle on o_custkey."),
+
+    // ---- q07: running totals + lag -------------------------------------
+    "q07_running_spend" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .withColumn("delta",
+            col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("delta"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+          o_totalprice - LAG(o_totalprice, 1) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      "Cumulative frame + lag in one window; exact decimal accumulation."),
+
+    // ---- q08: distinct aggregation -------------------------------------
+    "q08_distinct_customers" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             countDistinct(col("o_orderpriority")).as("n_priorities"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus")),
+      Some("""
+        SELECT o_orderstatus,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          COUNT(DISTINCT o_orderpriority) AS n_priorities,
+          COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+      "Multi-column distinct agg (expand + two-phase in Spark)."),
+
+    // ---- q09: rollup ----------------------------------------------------
+    "q09_rollup_lineitem" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n,
+               ${sqlMoneySum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""),
+      "Hierarchical subtotals; COALESCE dodges NULL-ordering divergence."),
+
+    // ---- q10: cube ------------------------------------------------------
+    "q10_cube_orders" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      Some(s"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               ${sqlMoneySum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+      "Full cube over two dims."),
+
+    // ---- q11: semi join -------------------------------------------------
+    "q11_semi_join" -> Q(
+      (s, d) => {
+        val openOrders = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "O").select("o_custkey")
+        Tables.customer(s, d)
+          .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey"""),
+      "EXISTS as left_semi; no row duplication, build side deduped."),
+
+    // ---- q12: anti join -------------------------------------------------
+    "q12_anti_join" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""),
+      "NOT EXISTS as left_anti (customers without orders)."),
+
+    // ---- q13: set operations -------------------------------------------
+    "q13_set_ops" -> Q(
+      (s, d) => {
+        val cn = Tables.customer(s, d).select(col("c_nationkey").as("nkey")).distinct()
+        val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nkey")).distinct()
+        cn.intersect(sn).withColumn("tag", lit("both"))
+          .unionByName(cn.except(sn).withColumn("tag", lit("customer_only")))
+          .unionByName(sn.except(cn).withColumn("tag", lit("supplier_only")))
+          .select(col("tag"), col("nkey"))
+          .orderBy(col("tag"), col("nkey"))
+      },
+      Some("""
+        WITH cn AS (SELECT DISTINCT c_nationkey AS nkey FROM customer),
+             sn AS (SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        SELECT 'both' AS tag, nkey FROM (SELECT nkey FROM cn INTERSECT SELECT nkey FROM sn)
+        UNION ALL
+        SELECT 'customer_only' AS tag, nkey FROM (SELECT nkey FROM cn EXCEPT SELECT nkey FROM sn)
+        UNION ALL
+        SELECT 'supplier_only' AS tag, nkey FROM (SELECT nkey FROM sn EXCEPT SELECT nkey FROM cn)
+        ORDER BY tag, nkey"""),
+      "INTERSECT/EXCEPT/UNION with set (distinct) semantics."),
+
+    // ---- q14: string scalar functions ----------------------------------
+    "q14_string_funcs" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+          initcap(element_at(split(col("p_name"), " "), 1)).as("first_word_cap"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("type_key"),
+          length(col("p_name")).as("name_len"),
+          instr(col("p_name"), "a").as("pos_a"))
+        .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+          CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+          upper(substr(string_split(p_name, ' ')[1], 1, 1))
+            || substr(string_split(p_name, ' ')[1], 2) AS first_word_cap,
+          p_brand || '/' || p_type AS type_key,
+          CAST(length(p_name) AS INT) AS name_len,
+          CAST(instr(p_name, 'a') AS INT) AS pos_a
+        FROM part
+        ORDER BY p_partkey"""),
+      "regexp_extract / initcap / concat_ws / length / instr projection."),
+
+    // ---- q15: conditional aggregation ----------------------------------
+    "q15_conditional_agg" -> Q(
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        Tables.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(col("c_acctbal") > 0, 1).otherwise(0)).cast("long").as("n_pos"),
+            count(lit(1)).as("n_total"),
+            (sum(when(col("c_acctbal") > 0, 1).otherwise(0)).cast("double") /
+              count(lit(1))).as("pos_share"),
+            moneySum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(0.0)).as("pos_bal_sum"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+          CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pos_share,
+          ${sqlMoneySum("CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END")} AS pos_bal_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      "CASE-gated sums; share is one exact int/int division."),
+
+    // ---- q16: date/time scalar functions --------------------------------
+    "q16_date_breakdown" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+                 quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+             moneySum(col("o_totalprice")).as("revenue"),
+             date_format(min(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("first_day"),
+             date_format(max(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("last_day"),
+             datediff(max(col("o_orderdate").cast("date")),
+                      min(col("o_orderdate").cast("date"))).as("span_days"))
+        .orderBy(col("y"), col("q")),
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               COUNT(*) AS n,
+               ${sqlMoneySum("o_totalprice")} AS revenue,
+               strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,
+               strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_day,
+               CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                              MAX(CAST(o_orderdate AS DATE))) AS INT) AS span_days
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY y, q"""),
+      "year/quarter grouping + datediff; timestamps cast to DATE.")
+  )
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+import graft.operators.Similarity
+import graft.functions.VectorFunctions.asDoubleVec
+
+/** Similarity-search queries over `embeddings.parquet` (64-d unit
+  * vectors, labels 0-9). q30 is the reference's flagship semantic:
+  * "which probes match a broadcast target set, first match wins, else
+  * Unknown" (/root/reference/src/prediction_producer.py:305-325 +
+  * web/views.py:187-192).
+  *
+  * Parity note: both sides cast the float vectors to double first
+  * (lossless) so DuckDB's list_distance / list_inner_product loops and
+  * Spark's aggregate() folds run the same double arithmetic.
+  */
+object SimilarityQueries {
+
+  /** Probes with double-cast vectors. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"), col("label"))
+
+  /** First vector (min vec_id) per label 0..4 — the "broadcast known
+    * faces" stand-in. */
+  private def targets(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    e.filter(col("label") <= 4)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id").as("t_id"), col("emb").as("t_emb"), col("label").as("t_label"))
+  }
+
+  private val SqlEmb =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings"
+  private val SqlTargets = s"""
+    SELECT vec_id AS t_id, emb AS t_emb, label AS t_label FROM (
+      SELECT vec_id, emb, label,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM e WHERE label <= 4) WHERE rn = 1"""
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q30: broadcast threshold match, first-match-wins ----------------
+    "q30_broadcast_match" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val m = Similarity.thresholdMatch(
+          e, "vec_id", "emb", targets(e), "t_id", "t_emb", "t_label", tolerance = 1.2)
+        e.join(m, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+                  coalesce(concat(lit("person_"), col("match_label")), lit("Unknown")).as("match_name"),
+                  coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        t AS ($SqlTargets),
+        m AS (
+          SELECT e.vec_id,
+                 min_by(t.t_label, t.t_id) AS match_label,
+                 COUNT(*) AS n_matches
+          FROM e, t
+          WHERE list_distance(e.emb, t.t_emb) <= 1.2
+          GROUP BY e.vec_id)
+        SELECT e.vec_id,
+               COALESCE('person_' || CAST(m.match_label AS VARCHAR), 'Unknown') AS match_name,
+               COALESCE(CAST(m.n_matches AS BIGINT), 0) AS n_matches
+        FROM e LEFT JOIN m ON e.vec_id = m.vec_id
+        ORDER BY e.vec_id"""),
+      "Flagship: broadcast NLJ similarity join, L2<=tol, first match wins."),
+
+    // ---- q31: brute-force cosine top-k ----------------------------------
+    "q31_cosine_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.filter(col("label") >= 5)
+          .select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        Similarity.topK(probes, "p_id", "p_vec", tg, "t_id", "t_vec", k = 3)
+          .orderBy(col("p_id"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        sims AS (
+          SELECT p.vec_id AS p_id, t.vec_id AS t_id,
+            round(list_inner_product(p.emb, t.emb) /
+              (sqrt(list_inner_product(p.emb, p.emb)) * sqrt(list_inner_product(t.emb, t.emb))),
+              6) AS sim
+          FROM e p, e t
+          WHERE p.vec_id < 100 AND t.label >= 5),
+        ranked AS (
+          SELECT p_id, t_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM sims)
+        SELECT p_id, t_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
+      "ANN baseline: exact cosine top-3 per probe via broadcast + window."),
+
+    // ---- q32: per-label centroids ---------------------------------------
+    "q32_label_centroids" -> Q(
+      (s, d) => Similarity.labelCentroids(emb(s, d), "label", "emb")
+        .orderBy(col("label"), col("dim")),
+      Some(s"""
+        WITH e AS ($SqlEmb)
+        SELECT label, CAST(dim AS INT) AS dim,
+               round(AVG(v), 6) AS centroid, COUNT(*) AS n
+        FROM (SELECT label, unnest(emb) AS v,
+                     generate_subscripts(emb, 1) AS dim FROM e)
+        GROUP BY label, dim
+        ORDER BY label, dim"""),
+      "UDAF-shaped centroid agg, dimension-exploded for SQL parity."),
+
+    // ---- q33: embedding near-duplicate pairs -----------------------------
+    "q33_embedding_neardup" -> Q(
+      (s, d) => Similarity.nearDupPairs(emb(s, d), "vec_id", "emb", threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""
+        WITH e AS ($SqlEmb)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_inner_product(a.emb, b.emb) /
+            (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))),
+            6) AS sim
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_inner_product(a.emb, b.emb) /
+            (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)))
+            >= 0.4
+        ORDER BY a_id, b_id"""),
+      "Exact embedding near-dup pairs (cosine >= 0.4); LSH path in tests."),
+
+    // ---- q34: LSH-bucketed near-dup (no oracle: hash-dependent) ----------
+    "q34_lsh_neardup" -> Q(
+      (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb", dim = 64,
+          threshold = 0.4, nBits = 6, nTables = 6)
+        .orderBy(col("a_id"), col("b_id")),
+      None,
+      "LSH candidate generation + exact rescoring; recall vs q33 in tests.")
+  )
+}
