@@ -21,13 +21,19 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
-  /** Word n-gram shingles (distinct), space-joined. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  /** Word n-gram shingles (distinct) from a pre-tokenized words column.
+    * IMPORTANT: pass a *materialized* words column (projected in its own
+    * step), not `tokens(text)` inline — Catalyst inlines the split into
+    * every element_at of the lambda, making shingling O(words²) per doc. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(w) - n, lit(0))),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-  }
+
+  /** Word n-gram shingles (distinct), space-joined. Convenience form;
+    * hot paths should project [[tokens]] first and use
+    * [[shinglesFromWords]] (see warning there). */
+  def shingles(text: Column, n: Int): Column = shinglesFromWords(tokens(text), n)
 
   /** Polynomial rolling hash of the whole string, mod 1e9+7 — a
     * deterministic document fingerprint computable by any engine

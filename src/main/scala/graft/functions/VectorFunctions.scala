@@ -37,4 +37,23 @@ object VectorFunctions {
 
   /** Cosine similarity = dot / (||a|| * ||b||). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---- codegen'd fast path (graft.plans.VectorExpressions) -----------
+  // Same fold order and arithmetic as the HOF versions above, but as
+  // native expressions inside whole-stage codegen — use these in join
+  // hot paths. Requires VectorExpressions.register(spark) once per
+  // session (queries in this repo call ensureRegistered).
+
+  def fastDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def fastSquaredL2(a: Column, b: Column): Column = call_function("vec_sq_l2", a, b)
+
+  def fastL2(a: Column, b: Column): Column = sqrt(fastSquaredL2(a, b))
+
+  def fastNorm(a: Column): Column = sqrt(fastDot(a, a))
+
+  /** Cosine from a precomputed-norm pair: dot/(na*nb) — identical
+    * arithmetic to [[cosine]] when na/nb are [[fastNorm]] columns. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    fastDot(a, b) / (na * nb)
 }

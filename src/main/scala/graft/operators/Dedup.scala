@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.plans.TextExpressions
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash group-by), MinHash+LSH banding, SimHash hamming pairs,
@@ -32,12 +33,19 @@ object Dedup {
   }
 
   /** Exact pairwise n-gram Jaccard >= threshold, blocked by a partition
-    * column (e.g. source) so the pair space stays bounded per block. */
+    * column (e.g. source) so the pair space stays bounded per block.
+    * Shingles are hashed to 64-bit before the self-join: the shuffle
+    * carries (block, long) keys instead of full n-gram strings —
+    * identical pair counts barring a 2^-64 collision. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, block: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(id).as("doc"), col(block).as("blk"),
-        explode(shingles(col(text), n)).as("shingle"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    TextExpressions.register(docs.sparkSession)
+    // single-pass native shingle hashing (see ShingleHashes scaladoc for
+    // why the declarative transform/sequence form is quadratic)
+    val hashed = docs.select(col(id).as("doc"), col(block).as("blk"),
+      call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
+    val sh = hashed.select(col("doc"), col("blk"), explode(col("shs")).as("shingle"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
           col("a.doc") < col("b.doc"))
@@ -55,16 +63,28 @@ object Dedup {
   /** MinHash + LSH banding candidate pairs: signature of `numPerm`
     * permutations, banded into `bands` groups of numPerm/bands rows;
     * docs sharing any band bucket become candidates. Output: distinct
-    * (a_id, b_id, n_shared_bands). */
+    * (a_id, b_id, n_shared_bands).
+    *
+    * Implementation is explode + hash-agg rather than a per-row lambda
+    * fold: one (doc, shingle) row per shingle, `numPerm` seeded xxhash64
+    * columns (codegen'd), then a single groupBy(doc) of `numPerm` min()
+    * aggregates — map-side partial aggregation makes the shuffle carry
+    * one signature row per doc. Equivalent to
+    * [[graft.functions.TextFunctions.minhashSignature]] but stays inside
+    * whole-stage codegen (HOF folds don't). */
   def minhashCandidates(docs: DataFrame, id: String, text: String,
       shingleN: Int, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
-    val sig = docs.select(col(id).as("doc"),
-      minhashSignature(shingles(col(text), shingleN), numPerm).as("sig"))
+    TextExpressions.register(docs.sparkSession)
+    val sh = docs.select(col(id).as("doc"),
+      explode(call_function("shingle_hashes", col(text), lit(shingleN))).as("shingle"))
+    val sig = sh.groupBy(col("doc"))
+      .agg(min(xxhash64(lit(0), col("shingle"))).as("m0"),
+           (1 until numPerm).map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p")): _*)
     val banded = sig.select(col("doc"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)).as("bucket"))
+        md5(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as("bucket"))
     }: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
@@ -75,11 +95,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a blocking column: 64-bit signatures,
-    * pairs at hamming distance <= maxHamming. */
+    * pairs at hamming distance <= maxHamming. Signature computed via
+    * explode + 64 conditional-sum aggregates (codegen'd; see
+    * [[minhashCandidates]] for the rationale vs per-row HOF folds). */
   def simhashPairs(docs: DataFrame, id: String, text: String, block: String,
       maxHamming: Int): DataFrame = {
-    val sig = docs.select(col(id).as("doc"), col(block).as("blk"),
-      simhash64(col(text)).as("sig"))
+    val tok = docs.select(col(id).as("doc"), col(block).as("blk"),
+      explode(tokens(col(text))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = tok.groupBy(col("doc"), col("blk"))
+      .agg(sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)).as("v0"),
+           (1 until 64).map(i =>
+             sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")): _*)
+    val sig = votes.select(col("doc"), col("blk"),
+      (0 until 64).map { i =>
+        when(col(s"v$i") >= 0, lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("sig"))
     sig.as("a").join(sig.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))

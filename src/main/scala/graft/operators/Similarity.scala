@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.VectorFunctions._
+import graft.plans.VectorExpressions
 
 /** Similarity-search operators over an embedding column — the Spark-first
   * re-expression of the reference's broadcast face-matching stage
@@ -15,12 +16,15 @@ import graft.functions.VectorFunctions._
   * Scale design: the target/"known" set is small by construction (it is
   * the reference's per-query broadcast set), so every operator here is a
   * broadcast nested-loop join — probes stream through executors, no
-  * shuffle of the big side, embarrassingly parallel at 100 TB. The
-  * brute-force top-k keeps a per-partition heap via window row_number
-  * over (probe, sim) after the broadcast join; only the k-filtered rows
-  * hit the final sort/exchange.
+  * shuffle of the big side, embarrassingly parallel at 100 TB. Vector
+  * math runs through the codegen'd native expressions
+  * ([[graft.plans.VectorExpressions]]), with norms precomputed per side
+  * before the join so each candidate pair costs exactly one dot product.
   */
 object Similarity {
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    VectorExpressions.register(df.sparkSession)
 
   /** Threshold match against a broadcast target set; first match (lowest
     * target id) wins, probes with no match keep a null label.
@@ -32,9 +36,10 @@ object Similarity {
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String, tLabel: String,
       tolerance: Double): DataFrame = {
+    ensureRegistered(probes)
     val joined = probes.join(
       broadcast(targets),
-      l2(col(pVec), col(tVec)) <= tolerance)
+      sqrt(fastSquaredL2(col(pVec), col(tVec))) <= tolerance)
     joined.groupBy(col(pId))
       .agg(min_by(col(tLabel), col(tId)).as("match_label"),
            count(lit(1)).as("n_matches"))
@@ -47,22 +52,28 @@ object Similarity {
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String,
       k: Int, roundTo: Int = 6): DataFrame = {
-    val sim = round(cosine(col(pVec), col(tVec)), roundTo).as("sim")
-    val joined = probes.crossJoin(broadcast(targets)).select(col(pId), col(tId), sim)
+    ensureRegistered(probes)
+    val p = probes.withColumn("p_nrm", fastNorm(col(pVec)))
+    val t = targets.withColumn("t_nrm", fastNorm(col(tVec)))
+    val sim = round(
+      cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("t_nrm")), roundTo).as("sim")
+    val joined = p.crossJoin(broadcast(t)).select(col(pId), col(tId), sim)
     val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** All embedding pairs with cosine >= threshold (near-duplicate
     * detection by embedding). Self-join restricted to id(a) < id(b).
-    * At large scale swap the self-broadcast for [[lshBuckets]] first. */
+    * At large scale swap the self-broadcast for [[lshNearDup]]. */
   def nearDupPairs(
       vecs: DataFrame, id: String, vec: String, threshold: Double,
       roundTo: Int = 6): DataFrame = {
-    val a = vecs.select(col(id).as("a_id"), col(vec).as("a_vec"))
-    val b = vecs.select(col(id).as("b_id"), col(vec).as("b_vec"))
+    ensureRegistered(vecs)
+    val withNorm = vecs.withColumn("nrm", fastNorm(col(vec)))
+    val a = withNorm.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("sim", cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), roundTo).as("sim"))
   }
@@ -92,6 +103,7 @@ object Similarity {
   def lshNearDup(
       vecs: DataFrame, id: String, vec: String, dim: Int,
       threshold: Double, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    ensureRegistered(vecs)
     val tables = explode(array((0 until nTables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(col(vec), dim, nBits, seed = 1000L + t).as("bucket"))
     }: _*)).as("tb")
@@ -102,7 +114,8 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec")).distinct()
-      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("sim",
+        fastDot(col("a_vec"), col("b_vec")) / (fastNorm(col("a_vec")) * fastNorm(col("b_vec"))))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }

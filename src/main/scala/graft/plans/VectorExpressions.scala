@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * Spark's higher-order functions (aggregate/zip_with) don't participate
+  * in whole-stage codegen — each element evaluation walks an interpreted
+  * expression tree, which dominated the broadcast similarity joins
+  * (O(pairs × dim) lambda evals). These expressions generate a tight
+  * primitive double loop instead, keeping the join inside
+  * WholeStageCodegen. Fold order is the same strict left-to-right as the
+  * HOF versions and DuckDB's list_inner_product/list_distance loops, so
+  * results stay bit-identical (oracle parity preserved).
+  *
+  * Null array *elements* are not expected (inputs are dense embedding
+  * vectors); null top-level inputs propagate via BinaryExpression's
+  * default null handling.
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+  // inputs must already be array<double>; call sites in this repo cast
+  // the float vectors once at load (Tables/SimilarityQueries)
+  override def dataType: DataType = DoubleType
+}
+
+/** Sum of elementwise products of two double arrays. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sum of squared elementwise differences (squared L2 distance). */
+case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_sq_l2"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $dv = $a.getDouble($i) - $b.getDouble($i);
+          $s += $dv * $dv;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of the native vector expressions as SQL functions, so
+  * call sites can use the public `call_function` API (no dependence on
+  * Column↔Expression internals). Idempotent; call per SparkSession. */
+object VectorExpressions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_sq_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+  }
+}
