@@ -127,4 +127,35 @@ object Similarity {
     vecs.select(col(label), posexplode(col(vec)).as(Seq("pos", "v")))
       .groupBy(col(label), (col("pos") + 1).as("dim"))
       .agg(round(avg(col("v")), roundTo).as("centroid"), count(lit(1)).as("n"))
+
+  /** Typed UDAF form of the centroid (SURVEY.md §2.12 — the reference has
+    * no UDAF-shaped code; this covers the Aggregator[IN,BUF,OUT] surface):
+    * elementwise mean of dense vectors, usable as
+    * `ds.groupByKey(...).agg(CentroidAggregator.toColumn)`. Partial
+    * buffers merge associatively, so map-side combine applies. */
+  object CentroidAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < v.length) { acc(i) += v(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.empty else r._1.toSeq.map(_ / r._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One frame event on the display path. */
+case class FrameEvent(camera: Int, frameNum: Long, epochMs: Long, payload: String)
+
+/** Per-camera reorder state: buffered frames + high-water mark. */
+case class ReorderState(buffered: Seq[FrameEvent], nextFrame: Long)
+
+/** Per-key streaming reorder — the reference's display-path heap
+  * (SURVEY.md §2.8 O1/O2; /root/reference/src/utils.py:48-68: a min-heap
+  * per camera keyed by frame_num, draining in order once `buffer_size`
+  * frames are queued; frames older than the popped head are lost).
+  *
+  * Spark-native form: `flatMapGroupsWithState` over camera keys. Fixes
+  * the reference's two defects deliberately (SURVEY.md §7.4): state is
+  * bounded (maxBuffer cap evicts oldest-first instead of the unbounded
+  * `data_dict`), and draining uses an explicit high-water mark so late
+  * frames are dropped deterministically rather than racing the display
+  * thread. At cluster scale each camera's state is one group — state
+  * store partitions by key, no global coordination.
+  */
+object ReorderBuffer {
+
+  /** @param emitThreshold start draining once this many frames buffered
+    *                      (reference buffer_size: 180/600)
+    * @param maxBuffer     hard state cap per key; oldest frames are
+    *                      force-emitted beyond this (bounded state)
+    * @param drainTimeout  optional processing-time idle timeout after
+    *                      which a key's remaining buffer is flushed and
+    *                      its state dropped. Leave None under the default
+    *                      0ms trigger: ProcessingTimeTimeout makes each
+    *                      micro-batch request a follow-up batch to
+    *                      re-check deadlines, which with a 0ms trigger
+    *                      degenerates into continuous empty batches.
+    *                      Enable it only with a real trigger interval. */
+  def reorder(events: Dataset[FrameEvent], emitThreshold: Int, maxBuffer: Int,
+      drainTimeout: Option[String] = None): Dataset[FrameEvent] = {
+    implicit val evEnc = Encoders.product[FrameEvent]
+    implicit val stEnc = Encoders.product[ReorderState]
+    implicit val intEnc = Encoders.scalaInt
+
+    def update(camera: Int, it: Iterator[FrameEvent],
+        state: GroupState[ReorderState]): Iterator[FrameEvent] = {
+      val prev = state.getOption.getOrElse(ReorderState(Nil, Long.MinValue))
+      // drop late frames (at or before the high-water mark), add rest
+      val incoming = it.filter(_.frameNum > prev.nextFrame).toSeq
+      var buffered = (prev.buffered ++ incoming).sortBy(_.frameNum)
+      val out = Seq.newBuilder[FrameEvent]
+      var next = prev.nextFrame
+      // drain while above threshold (or hard state cap)
+      while (buffered.size > maxBuffer || buffered.size >= emitThreshold) {
+        val head = buffered.head
+        out += head
+        next = head.frameNum
+        buffered = buffered.tail
+      }
+      if (state.hasTimedOut) {
+        // idle key: flush the tail in order and drop the state
+        buffered.foreach { f => out += f; next = f.frameNum }
+        state.remove()
+      } else {
+        state.update(ReorderState(buffered, next))
+        drainTimeout.foreach(state.setTimeoutDuration)
+      }
+      out.result().iterator
+    }
+
+    val timeoutConf =
+      if (drainTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.camera)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update _)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSuite {
+
+  private def docs = Tables.documents(spark, sf("0.001"))
+
+  test("minhash LSH candidates include every high-Jaccard pair") {
+    val high = Dedup.jaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.nonEmpty, "testdata should contain planted near-duplicates")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", shingleN = 3,
+        numPerm = 32, bands = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = high -- cand
+    assert(missed.isEmpty, s"minhash LSH missed high-sim pairs: $missed")
+  }
+
+  test("ShingleHashes matches the declarative shingle form (distinct count)") {
+    graft.plans.TextExpressions.register(spark)
+    val cmp = docs.select(
+      size(call_function("shingle_hashes", col("text"), lit(3))).as("native"),
+      size(shingles(col("text"), 3)).as("declarative"))
+    assert(cmp.filter(col("native") =!= col("declarative")).count() == 0)
+  }
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(kept.count() == distinctTexts)
+  }
+
+  test("simhash pairs have small hamming distance and high token overlap") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", "source", maxHamming = 8)
+      .collect()
+    // every reported pair must be within the bound; sanity on the bound itself
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
+  }
+
+  test("fingerprint is the documented rolling hash") {
+    import spark.implicits._
+    val got = Seq(("ab", 0L)).toDF("text", "ignore")
+      .select(fingerprint(col("text")).as("fp")).head.getLong(0)
+    // ((0*31 + 'a') % M)*31 + 'b') % M with M = 1e9+7, 'a'=97, 'b'=98
+    val expect = (97L * 31 + 98) % 1000000007L
+    assert(got == expect)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{FrameEvent, FrameMessages, ReorderBuffer, SauronPipeline}
+
+/** Streaming semantics (SURVEY.md §2.11): per-key reorder with bounded
+  * state, watermarked windows on MemoryStream, and the full pipeline
+  * topology batch + stream. */
+class StreamingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mkFrames(n: Int, cameras: Int) = {
+    val rows = (0 until n).map { i =>
+      (i % cameras, i.toLong / cameras,
+        new Timestamp(1700000000000L + i * 33L),
+        s"framebytes_${i % cameras}_${i / cameras}".getBytes("UTF-8"),
+        "|u1", Seq(2, 2, 3))
+    }
+    rows.toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+  }
+
+  test("wire serde round-trips frame messages (P2/P3/P4/P11)") {
+    val frames = mkFrames(12, 3)
+    val wire = FrameMessages.toWire(frames)
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    assert(wire.filter(col("key") === "1_2").count() == 1)
+    val back = FrameMessages.fromWire(wire)
+    val orig = frames.select("camera", "frame_num", "ts", "frame").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getTimestamp(2), new String(r.getAs[Array[Byte]](3)))).toSet
+    val round = back.select("camera", "frame_num", "ts", "frame").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getTimestamp(2), new String(r.getAs[Array[Byte]](3)))).toSet
+    assert(round == orig)
+  }
+
+  test("pipeline batch: detect -> broadcast match -> predict with routing") {
+    val frames = mkFrames(30, 3)
+    // derive target encodings from the stub detector itself so some
+    // frames match exactly (distance 0)
+    val detected = SauronPipeline.detectStage(frames)
+    val someFaces = detected.select(col("camera"), explode(col("faces")).as("f"))
+      .select(col("f.enc").as("t_enc")).limit(2)
+      .withColumn("t_id", monotonically_increasing_id())
+      .withColumn("t_name", concat(lit("person_"), col("t_id")))
+    val out = SauronPipeline.process(frames, someFaces, tolerance = 0.001)
+    val rows = out.collect()
+    assert(rows.length == 30)
+    val matched = out.filter(col("prediction").startsWith("person_")).count()
+    assert(matched >= 1, "at least the frames whose faces seeded the targets must match")
+    val unknown = out.filter(col("prediction") === "Unknown").count()
+    assert(unknown >= 1, "non-seeded faces must fall back to Unknown")
+    assert(out.filter(col("topic") === "predicted_object_raw_frame_topic_2").count() == 10)
+    assert(out.filter(col("prediction").isNull).count() ==
+      out.filter(size(col("annotations")) === 0).count())
+  }
+
+  test("pipeline streaming: same topology on MemoryStream, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+    val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+    val targets = Seq((0L, "person_0", Seq.fill(64)(0.0))).toDF("t_id", "t_name", "t_enc")
+    val out = SauronPipeline.process(frames, targets, tolerance = 0.5)
+    val q = out.writeStream.format("memory").queryName("pipe_out")
+      .outputMode("append").start()
+    input.addData((0, 0L, new Timestamp(1700000000000L), "abc".getBytes, "|u1", Seq(1)),
+                  (1, 0L, new Timestamp(1700000000100L), "def".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pipe_out")
+    assert(got.count() == 2)
+    assert(got.filter(col("topic") === "predicted_object_raw_frame_topic_1").count() == 1)
+  }
+
+  test("reorder buffer emits frames in order per camera, drops late frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrameEvent]
+    val out = ReorderBuffer.reorder(input.toDS(), emitThreshold = 3, maxBuffer = 100)
+    val q = out.writeStream.format("memory").queryName("reorder_out")
+      .outputMode("append").start()
+    // out-of-order arrival on camera 0; camera 1 interleaved
+    input.addData(
+      FrameEvent(0, 2, 1000, "c0f2"), FrameEvent(0, 0, 1000, "c0f0"),
+      FrameEvent(1, 1, 1000, "c1f1"), FrameEvent(0, 1, 1000, "c0f1"),
+      FrameEvent(0, 3, 1000, "c0f3"), FrameEvent(1, 0, 1000, "c1f0"),
+      FrameEvent(1, 2, 1000, "c1f2"))
+    q.processAllAvailable()
+    // second batch: more frames + a LATE frame (0) that must be dropped
+    input.addData(
+      FrameEvent(0, 5, 2000, "c0f5"), FrameEvent(0, 0, 2000, "late"),
+      FrameEvent(0, 4, 2000, "c0f4"), FrameEvent(0, 6, 2000, "c0f6"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("reorder_out").as[FrameEvent].collect()
+    val c0 = got.filter(_.camera == 0).map(_.frameNum).toSeq
+    assert(c0 == c0.sorted, s"camera 0 out of order: $c0")
+    assert(!got.exists(_.payload == "late"), "late frame must be dropped")
+    val c1 = got.filter(_.camera == 1).map(_.frameNum).toSeq
+    assert(c1 == c1.sorted)
+  }
+
+  test("watermarked tumbling window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int, Double)]
+    val agg = input.toDF().toDF("ts", "camera", "latency")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds"), col("camera"))
+      .agg(count(lit(1)).as("n"), avg(col("latency")).as("avg_latency"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    val base = 1700000000000L
+    input.addData((new Timestamp(base), 0, 1.0), (new Timestamp(base + 1000), 0, 2.0),
+                  (new Timestamp(base + 6000), 0, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out")
+    assert(got.count() == 2, "two 5s windows expected")
+    assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+/** Native codegen vector expressions vs the declarative HOF forms:
+  * bit-identical (same fold order) — this is what guarantees DuckDB
+  * oracle parity survives the fast path. */
+class VectorSpec extends SparkSuite {
+
+  private lazy val emb = {
+    VectorExpressions.register(spark)
+    Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+  }
+
+  test("fastDot is bit-identical to the HOF dot fold") {
+    val pairs = emb.limit(50).crossJoin(
+      emb.select(col("emb").as("emb2")).limit(50))
+    val diff = pairs.select(
+      (fastDot(col("emb"), col("emb2")) - dot(col("emb"), col("emb2"))).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("fastSquaredL2 is bit-identical to the HOF fold") {
+    val pairs = emb.limit(50).crossJoin(
+      emb.select(col("emb").as("emb2")).limit(50))
+    val diff = pairs.select(
+      (fastSquaredL2(col("emb"), col("emb2")) - squaredL2(col("emb"), col("emb2"))).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("LSH near-dup is a high-recall subset of the exact pairs") {
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+    val exact = Similarity.nearDupPairs(e, "vec_id", "emb", 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDup(e, "vec_id", "emb", dim = 64,
+        threshold = 0.4, nBits = 6, nTables = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be exact-rescored (no false positives)")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("CentroidAggregator matches the exploded avg form") {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, sf("0.001"))
+      .select(col("label"), asDoubleVec(col("embedding")).as("emb"))
+      .as[(Int, Seq[Double])]
+    val byAggregator = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Similarity.CentroidAggregator.toColumn.name("centroid"))
+      .collect().toMap
+    val byAvg = Similarity.labelCentroids(
+        Tables.embeddings(spark, sf("0.001")).select(col("label"), asDoubleVec(col("embedding")).as("emb")),
+        "label", "emb", roundTo = 6)
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+    for ((label, c) <- byAggregator) {
+      val expect = byAvg(label)
+      assert(c.length == expect.length)
+      c.zip(expect).foreach { case (a, b) =>
+        assert(math.abs(BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble - b) <= 1e-6)
+      }
+    }
+  }
+}
