@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{DotProduct, ShingleHashes, SquaredL2}
+
+/** Library entry point for SQL users: registers the native expressions
+  * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
+  * created with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * (DataFrame callers don't need this — the operators in
+  * graft.operators register the functions on first use.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_sq_l2"),
+      info("vec_sq_l2", "vec_sq_l2(a, b) - squared L2 distance of two double arrays"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct xxhash64 hashes of word n-gram shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+  }
+}

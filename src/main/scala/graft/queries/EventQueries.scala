@@ -179,6 +179,35 @@ object EventQueries {
         ORDER BY event_type"""),
       "Exact interpolated percentiles (rounded to absorb fp noise)."),
 
+    // ---- q25: range (interval) join ---------------------------------------
+    "q25_range_join" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ep").as("err_ep"))
+        val follow = e.select(col("user_id"), col("event_id"), col("ep"), col("event_type"))
+        errors.join(follow,
+            col("u") === col("user_id") &&
+              col("ep") > col("err_ep") && col("ep") <= col("err_ep") + 300,
+            "left")
+          .groupBy(col("err_id"))
+          .agg(count(col("event_id")).as("n_follow"),
+               count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+          .orderBy(col("err_id"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_id, event_type, $EPOCH AS ep FROM events),
+        err AS (SELECT user_id AS u, event_id AS err_id, ep AS err_ep
+                FROM e WHERE event_type = 'error')
+        SELECT err_id,
+               COUNT(f.event_id) AS n_follow,
+               COUNT(CASE WHEN f.event_type = 'purchase' THEN 1 END) AS n_purchases
+        FROM err LEFT JOIN e f
+          ON f.user_id = err.u AND f.ep > err.err_ep AND f.ep <= err.err_ep + 300
+        GROUP BY err_id
+        ORDER BY err_id"""),
+      "Interval join: events within 5 minutes after each error, per error."),
+
     // ---- q24: approximate distinct (no SQL oracle: HLL impls differ) ----
     "q24_approx_distinct" -> Q(
       (s, d) => Tables.events(s, d)

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Multimodal
+import graft.streaming.SauronPipeline
+
+/** The eye_of_sauron topology itself and the multimodal plumbing as
+  * registered queries, driven from the `documents` table (payload =
+  * UTF-8 bytes standing in for frame tensors). The topology query is
+  * rows-only checked (the stub model is xxhash-derived, not SQL); the
+  * featurize query is oracle-checked through its md5 chunk signature.
+  */
+object PipelineQueries {
+
+  /** documents → frame messages: 6 "cameras", monotone frame numbers. */
+  private def framesFromDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      (col("doc_id") % 6).cast("int").as("camera"),
+      (col("doc_id") / lit(6)).cast("long").as("frame_num"),
+      timestamp_micros(lit(1700000000000000L) + col("doc_id") * 33000L).as("ts"),
+      encode(col("text"), "UTF-8").as("frame"),
+      lit("|u1").as("dtype"),
+      array(col("n_chars").cast("int"), lit(1)).as("shape"))
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q51: multimodal featurize (binary chunks + stub features) ------
+    "q51_mm_featurize" -> Q(
+      (s, d) => Multimodal.featurize(Tables.documents(s, d), "doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          size(col("features")).as("n_features"),
+          size(col("chunk_hashes")).as("n_chunks"),
+          concat_ws(",", col("chunk_hashes")).as("chunk_sig"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          8 AS n_features,
+          CAST(len(list_filter(list_transform([0,1,2,3],
+            i -> CASE WHEN length(text) > i*64 THEN md5(substr(text, i*64+1, 16)) END),
+            x -> x IS NOT NULL)) AS INT) AS n_chunks,
+          array_to_string(list_filter(list_transform([0,1,2,3],
+            i -> CASE WHEN length(text) > i*64 THEN md5(substr(text, i*64+1, 16)) END),
+            x -> x IS NOT NULL), ',') AS chunk_sig
+        FROM documents
+        ORDER BY doc_id"""),
+      "Binary payload chunk sampling + stub feature extraction (decode STUB)."),
+
+    // ---- q60: the full reference topology, batch form (rows-only) -------
+    "q60_pipeline_topology" -> Q(
+      (s, d) => {
+        val frames = framesFromDocs(s, d)
+        // target set = faces the stub detector finds in the first 10 docs
+        val detected = SauronPipeline.detectStage(
+          frames.filter(col("frame_num") * 6 + col("camera") < 10))
+        val targets = detected
+          .select(col("camera"), col("frame_num"), posexplode(col("faces")).as(Seq("pos", "f")))
+          .select(((col("frame_num") * 6 + col("camera")) * 4 + col("pos")).as("t_id"),
+                  col("f.enc").as("t_enc"))
+          .withColumn("t_name", concat(lit("person_"), col("t_id")))
+        SauronPipeline.process(frames, targets, tolerance = 1e-9)
+          .select(col("camera"), col("frame_num"), col("prediction"),
+                  col("topic"), size(col("annotations")).as("n_faces"),
+                  col("key"))
+          .orderBy(col("camera"), col("frame_num"))
+      },
+      None,
+      "End-to-end topology: detect(stub) -> broadcast match -> route; " +
+        "rows-only (stub model is hash-derived, not SQL-expressible).")
+  )
+}
