@@ -78,44 +78,37 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), roundTo).as("sim"))
   }
 
-  /** Random-hyperplane LSH bucketing: `nBits` sign bits of projections
-    * onto deterministic pseudo-random hyperplanes form a bucket key.
-    * Candidate generation for cosine similarity at scale: equi-join on
-    * the bucket instead of a cross join. Hyperplane h[i][d] is derived
-    * from a hash of (seed, i, d) — stable across executors with no
-    * driver-side randomness to ship. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    // pseudo-random ±1 hyperplanes via xxhash64(seed, bit, dimIdx)
-    val bits = (0 until nBits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x * (when(pmod(xxhash64(lit(seed), lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
-
-  /** LSH-bucketed near-dup candidates: pairs that share a bucket under
-    * any of `nTables` independent hash tables, scored exactly. A recall/
-    * cost tradeoff vs [[nearDupPairs]]; at 100 TB this equi-joins on
-    * (table, bucket) and never materializes the quadratic pair space. */
+  /** LSH-bucketed near-dup candidates: pairs that share a random-
+    * hyperplane bucket under any of `nTables` independent hash tables,
+    * rescored exactly. A recall/cost tradeoff vs [[nearDupPairs]]; at
+    * 100 TB this equi-joins on (table, bucket) and never materializes
+    * the quadratic pair space. Bucket keys come from the native
+    * [[graft.plans.LshBuckets]] expression (one pass, memoized sign
+    * matrix). */
   def lshNearDup(
-      vecs: DataFrame, id: String, vec: String, dim: Int,
-      threshold: Double, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+      vecs: DataFrame, id: String, vec: String,
+      threshold: Double, nBits: Int = 8, nTables: Int = 4,
+      seed: Int = 1000): DataFrame = {
     ensureRegistered(vecs)
-    val tables = explode(array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vec), dim, nBits, seed = 1000L + t).as("bucket"))
-    }: _*)).as("tb")
-    val bucketed = vecs.select(col(id), col(vec), tables)
-      .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = bucketed.select(col(id).as("a_id"), col(vec).as("a_vec"), col("tbl"), col("bucket"))
-    val b = bucketed.select(col(id).as("b_id"), col(vec).as("b_vec"), col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    val withKeys = vecs
+      .withColumn("nrm", fastNorm(col(vec)))
+      .withColumn("bks", call_function("lsh_buckets",
+        col(vec), lit(nBits), lit(nTables), lit(seed)))
+    // candidate generation carries ONLY (id, bucket) — vectors rejoin
+    // later by broadcast, so the bucket join/dedup shuffles two longs
+    // per pair instead of two full embeddings
+    val bucketed = withKeys.select(col(id),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col(id).as("a_id"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(id).as("b_id"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec")).distinct()
+      .select(col("a_id"), col("b_id")).distinct()
+    val av = withKeys.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
+    val bv = withKeys.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
+    cand.join(broadcast(av), "a_id").join(broadcast(bv), "b_id")
       .withColumn("sim",
-        fastDot(col("a_vec"), col("b_vec")) / (fastNorm(col("a_vec")) * fastNorm(col("b_vec"))))
+        cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }

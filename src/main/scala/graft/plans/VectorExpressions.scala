@@ -100,6 +100,65 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket keys for cosine similarity, all hash
+  * tables in one pass: bucket[t] = nBits sign bits of projections onto
+  * pseudo-random ±1 hyperplanes. Hyperplane signs are derived from
+  * xxhash64(seed+t, bit, dim) — deterministic across executors with no
+  * shipped randomness — and memoized per vector dimension, so each row
+  * costs only nTables × nBits × dim multiply-adds.
+  *
+  * Returns array<long> of length nTables. Row-level eval
+  * (CodegenFallback): linear work per row, like [[ShingleHashes]]. */
+case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nBits <= 63, "nBits must fit in a long")
+  override def prettyName: String = "lsh_buckets"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  // sign matrix [table][bit][dim], built once per executor per dim
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]()
+
+  private def signs(dim: Int): Array[Array[Array[Double]]] =
+    signCache.computeIfAbsent(dim, d => {
+      Array.tabulate(nTables, nBits, d) { (t, i, j) =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          j.toLong, org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            i.toLong, org.apache.spark.sql.types.LongType, seed + t))
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val s = signs(dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var i = 0
+      while (i < nBits) {
+        var proj = 0.0
+        val row = s(t)(i)
+        var j = 0
+        while (j < dim) { proj += v.getDouble(j) * row(j); j += 1 }
+        if (proj >= 0) key |= (1L << i)
+        i += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration of the native vector expressions as SQL functions, so
   * call sites can use the public `call_function` API (no dependence on
   * Column↔Expression internals). Idempotent; call per SparkSession. */
@@ -108,5 +167,8 @@ object VectorExpressions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_sq_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("lsh_buckets", exprs => LshBuckets(exprs(0),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int].toLong), "built-in")
   }
 }

@@ -136,7 +136,7 @@ object SimilarityQueries {
 
     // ---- q34: LSH-bucketed near-dup (no oracle: hash-dependent) ----------
     "q34_lsh_neardup" -> Q(
-      (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb", dim = 64,
+      (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb",
           threshold = 0.4, nBits = 6, nTables = 6)
         .orderBy(col("a_id"), col("b_id")),
       None,

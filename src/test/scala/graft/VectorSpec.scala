@@ -40,7 +40,7 @@ class VectorSpec extends SparkSuite {
       .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
     val exact = Similarity.nearDupPairs(e, "vec_id", "emb", 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshNearDup(e, "vec_id", "emb", dim = 64,
+    val lsh = Similarity.lshNearDup(e, "vec_id", "emb",
         threshold = 0.4, nBits = 6, nTables = 6)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH pairs must be exact-rescored (no false positives)")
