@@ -27,9 +27,14 @@ object Similarity {
     VectorExpressions.register(df.sparkSession)
 
   /** Threshold match against a broadcast target set; first match (lowest
-    * target id) wins, probes with no match keep a null label.
+    * target id) wins. EVERY probe comes back: unmatched probes carry a
+    * null match_label and n_matches = 0.
     *
-    * @param probes   (idCol, vecCol) big side — never shuffled
+    * Single left-outer broadcast NLJ followed by one hash aggregation on
+    * the probe id — no second join to recover unmatched probes, so the
+    * big side is shuffled exactly once (for the groupBy) at any scale.
+    *
+    * @param probes   (idCol, vecCol) big side — never broadcast
     * @param targets  (idCol, vecCol, labelCol) small side — broadcast
     */
   def thresholdMatch(
@@ -39,10 +44,11 @@ object Similarity {
     ensureRegistered(probes)
     val joined = probes.join(
       broadcast(targets),
-      sqrt(fastSquaredL2(col(pVec), col(tVec))) <= tolerance)
+      sqrt(fastSquaredL2(col(pVec), col(tVec))) <= tolerance,
+      "left")
     joined.groupBy(col(pId))
       .agg(min_by(col(tLabel), col(tId)).as("match_label"),
-           count(lit(1)).as("n_matches"))
+           count(col(tId)).cast("long").as("n_matches"))
   }
 
   /** Brute-force cosine top-k per probe against a broadcast target set.

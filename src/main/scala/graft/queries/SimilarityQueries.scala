@@ -48,12 +48,11 @@ object SimilarityQueries {
     "q30_broadcast_match" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        val m = Similarity.thresholdMatch(
-          e, "vec_id", "emb", targets(e), "t_id", "t_emb", "t_label", tolerance = 1.2)
-        e.join(m, Seq("vec_id"), "left")
+        Similarity.thresholdMatch(
+            e, "vec_id", "emb", targets(e), "t_id", "t_emb", "t_label", tolerance = 1.2)
           .select(col("vec_id"),
                   coalesce(concat(lit("person_"), col("match_label")), lit("Unknown")).as("match_name"),
-                  coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"))
+                  col("n_matches"))
           .orderBy(col("vec_id"))
       },
       Some(s"""
