@@ -362,6 +362,58 @@ object RelationalQueries {
         ORDER BY n_name"""),
       "CASE-gated sums; share is one exact int/int division."),
 
+    // ---- q26: math scalar functions --------------------------------------
+    "q26_math_funcs" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          floor(col("p_retailprice")).cast("long").as("floor_price"),
+          ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+          round(col("p_retailprice"), 4).as("round_price"),
+          pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          abs(col("p_size") - 25).as("size_dev"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod"))
+        .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+          sqrt(p_retailprice) AS sqrt_price,
+          CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+          CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+          round(p_retailprice, 4) AS round_price,
+          pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+          round(ln(p_retailprice), 6) AS ln_price,
+          CAST(abs(p_size - 25) AS INT) AS size_dev,
+          CAST(p_partkey % 7 AS BIGINT) AS key_mod
+        FROM part
+        ORDER BY p_partkey"""),
+      "Math scalar surface: sqrt/floor/ceil/round/pow/ln/abs/mod " +
+        "(ln rounded: last-ulp libm divergence)."),
+
+    // ---- q27: GROUPING SETS via the SQL API ------------------------------
+    "q27_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                 COALESCE(o_orderpriority, 'ALL') AS priority,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority"""),
+      "Explicit grouping sets through spark.sql (SQL API surface)."),
+
     // ---- q16: date/time scalar functions --------------------------------
     "q16_date_breakdown" -> Q(
       (s, d) => Tables.orders(s, d)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Kafka wiring for the pipeline (S3/S4/S5/K1/K2 in SURVEY.md §2.1-2.2).
+  *
+  * The sandbox has no broker, so these helpers are exercised indirectly
+  * (the transforms they wrap are MemoryStream-tested); against a real
+  * cluster they are the only difference between the test topology and
+  * the deployed one — the reference's consumer groups, subscribe
+  * patterns and per-message keyed producer map 1:1 onto Spark's Kafka
+  * source/sink options.
+  */
+object KafkaIO {
+
+  /** Subscribe to the raw-frame topic (S3: group-managed, earliest).
+    * Returns typed frame columns via [[FrameMessages.fromWire]]. */
+  def readFrames(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", 10000) // O4 poll cap analog
+      .load()
+    FrameMessages.fromWire(raw.select(col("value").cast("string").as("value")))
+  }
+
+  /** Subscribe to every per-camera prediction topic at once (S5). */
+  def readPredictions(spark: SparkSession, bootstrap: String, prefix: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", s"${prefix}_.*")
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** Keyed, dynamically-routed Kafka sink (K1+K2): expects `key`,
+    * `value` and per-row `topic` columns (the sink honors `topic`
+    * natively — no per-camera writer fan-out needed). Exactly-once via
+    * checkpointing replaces the reference's commit-before-produce loss
+    * window (/root/reference/src/prediction_producer.py:109-116). */
+  def writeRouted(df: DataFrame, bootstrap: String, checkpoint: String,
+      triggerMs: Long = 0L): DataStreamWriter[Row] = {
+    val base = df
+      .select(col("key").cast("string"), col("value").cast("string"), col("topic"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+    if (triggerMs > 0) base.trigger(Trigger.ProcessingTime(triggerMs)) else base
+  }
+}

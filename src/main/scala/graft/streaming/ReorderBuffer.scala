@@ -1,13 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One frame event on the display path. */
 case class FrameEvent(camera: Int, frameNum: Long, epochMs: Long, payload: String)
 
+/** Frame event with an event-time column (for the watermark variant). */
+case class FrameEventTs(camera: Int, frameNum: Long, ets: java.sql.Timestamp, payload: String)
+
 /** Per-camera reorder state: buffered frames + high-water mark. */
 case class ReorderState(buffered: Seq[FrameEvent], nextFrame: Long)
+
+/** Per-camera reorder state for the watermark variant. */
+case class ReorderStateTs(buffered: Seq[FrameEventTs], nextFrame: Long)
 
 /** Per-key streaming reorder — the reference's display-path heap
   * (SURVEY.md §2.8 O1/O2; /root/reference/src/utils.py:48-68: a min-heap
@@ -73,5 +80,46 @@ object ReorderBuffer {
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.camera)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update _)
+  }
+
+  /** Event-time variant: buffer per camera, drain in frame order once
+    * the watermark passes the newest buffered frame plus `lateness` —
+    * the production-correct replacement for the reference's fixed-size
+    * heap: state TTL and late-frame policy both derive from the
+    * watermark instead of an arbitrary buffer_size (SURVEY.md §2.11:
+    * "watermark + state TTL fixes both").
+    *
+    * Input must carry an event-time column named `ets`; a watermark of
+    * `lateness` is applied here.
+    */
+  def reorderByWatermark(events: DataFrame, latenessMs: Long): Dataset[FrameEventTs] = {
+    implicit val evEnc = Encoders.product[FrameEventTs]
+    implicit val stEnc = Encoders.product[ReorderStateTs]
+    implicit val intEnc = Encoders.scalaInt
+    val lateness = s"$latenessMs milliseconds"
+
+    def update(camera: Int, it: Iterator[FrameEventTs],
+        state: GroupState[ReorderStateTs]): Iterator[FrameEventTs] = {
+      val prev = state.getOption.getOrElse(ReorderStateTs(Nil, Long.MinValue))
+      val incoming = it.filter(_.frameNum > prev.nextFrame).toSeq
+      val buffered = (prev.buffered ++ incoming).sortBy(_.frameNum)
+      if (state.hasTimedOut || buffered.isEmpty) {
+        // watermark passed newest-buffered + lateness: flush in order
+        state.remove()
+        buffered.iterator
+      } else {
+        state.update(ReorderStateTs(buffered, prev.nextFrame))
+        val newestMs = buffered.map(_.ets.getTime).max
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(newestMs + latenessMs, wm + 1))
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ets", lateness)
+      .as[FrameEventTs]
+      .groupByKey(_.camera)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
   }
 }

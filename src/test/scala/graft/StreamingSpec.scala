@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSuite {
     assert(c1 == c1.sorted)
   }
 
+  test("watermark-driven reorder drains a camera once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameEventTs
+    val input = MemoryStream[FrameEventTs]
+    val out = ReorderBuffer.reorderByWatermark(input.toDF(), latenessMs = 2000)
+    val q = out.writeStream.format("memory").queryName("wm_reorder_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    def ev(cam: Int, fn: Long, offMs: Long) =
+      FrameEventTs(cam, fn, new Timestamp(base + offMs), s"c${cam}f$fn")
+    // camera 0 arrives out of order
+    input.addData(ev(0, 2, 2000), ev(0, 0, 0), ev(0, 1, 1000))
+    q.processAllAvailable()
+    input.addData(ev(0, 3, 60000)) // advances watermark to +58s
+    q.processAllAvailable()
+    // two more batches so the watermark passes newest(cam0)+lateness
+    input.addData(ev(1, 0, 120000))
+    q.processAllAvailable()
+    input.addData(ev(1, 1, 200000))
+    q.processAllAvailable()
+    q.stop()
+    val c0 = spark.table("wm_reorder_out").as[FrameEventTs].collect()
+      .filter(_.camera == 0).map(_.frameNum).toSeq
+    assert(c0 == Seq(0L, 1L, 2L, 3L), s"camera 0 must drain in order, got $c0")
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int, Double)]
