@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSuite {
     assert(c0 == Seq(0L, 1L, 2L, 3L), s"camera 0 must drain in order, got $c0")
   }
 
+  test("full topology: pipeline predictions feed the ordered display path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameEventTs
+    val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+    val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+    val targets = Seq((0L, "person_0", Seq.fill(64)(0.0))).toDF("t_id", "t_name", "t_enc")
+    // predict stage -> display-path shape -> watermark reorder (O1/O2)
+    val predictions = SauronPipeline.process(frames, targets, tolerance = 0.5)
+      .select(col("camera").cast("int").as("camera"),
+        col("frame_num").as("frameNum"),
+        col("ts").as("ets"),
+        coalesce(col("prediction"), lit("none")).as("payload"))
+    val replay = ReorderBuffer.reorderByWatermark(predictions, latenessMs = 1000)
+    val q = replay.writeStream.format("memory").queryName("topo_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    def frame(cam: Int, fn: Long, offMs: Long) =
+      (cam, fn, new Timestamp(base + offMs), s"f$cam-$fn".getBytes, "|u1", Seq(1))
+    input.addData(frame(0, 1, 500), frame(0, 0, 0), frame(0, 2, 900))
+    q.processAllAvailable()
+    input.addData(frame(0, 3, 30000)) // push watermark
+    q.processAllAvailable()
+    input.addData(frame(1, 0, 60000))
+    q.processAllAvailable()
+    input.addData(frame(1, 1, 90000))
+    q.processAllAvailable()
+    q.stop()
+    val c0 = spark.table("topo_out").as[FrameEventTs].collect()
+      .filter(_.camera == 0).map(_.frameNum).toSeq
+    assert(c0 == Seq(0L, 1L, 2L, 3L),
+      s"display path must replay camera 0 in frame order, got $c0")
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int, Double)]
