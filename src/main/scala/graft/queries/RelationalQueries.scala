@@ -414,6 +414,23 @@ object RelationalQueries {
         ORDER BY status, priority"""),
       "Explicit grouping sets through spark.sql (SQL API surface)."),
 
+    // ---- q28: salted (skew-safe) aggregation ------------------------------
+    "q28_salted_agg" -> Q(
+      (s, d) => graft.operators.Skew.saltedMoneySum(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          alias = "revenue", buckets = 16)
+        .orderBy(col("l_returnflag")),
+      Some(s"""
+        SELECT l_returnflag,
+               ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      "Two-phase salted aggregation; exact-decimal partials make the " +
+        "skew rewrite bit-identical to the direct GROUP BY oracle."),
+
     // ---- q16: date/time scalar functions --------------------------------
     "q16_date_breakdown" -> Q(
       (s, d) => Tables.orders(s, d)
