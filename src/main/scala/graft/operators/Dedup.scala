@@ -41,9 +41,14 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     TextExpressions.register(docs.sparkSession)
     // single-pass native shingle hashing (see ShingleHashes scaladoc for
-    // why the declarative transform/sequence form is quadratic)
+    // why the declarative transform/sequence form is quadratic).
+    // Persisted: the plan is a diamond (both self-join sides + sizes),
+    // and without reuse Spark re-scans and re-hashes the corpus per arm.
+    // The cached relation is per-doc hash signatures (~8B/shingle), two
+    // orders smaller than the raw text it replaces; spills if needed.
     val hashed = docs.select(col(id).as("doc"), col(block).as("blk"),
       call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
     val sh = hashed.select(col("doc"), col("blk"), explode(col("shs")).as("shingle"))
     val inter = sh.as("a").join(sh.as("b"),
