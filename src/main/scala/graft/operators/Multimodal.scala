@@ -54,6 +54,48 @@ object Multimodal {
         i => payload.substr(lit(1) + i * lit(chunkBytes * stride), lit(chunkBytes))),
       c => octet_length(c) > 0)
 
+  /** Partition-wise batched decode — the Scala analog of a vectorized
+    * `mapInPandas` media decoder: one expensive "model"/codec handle per
+    * partition (not per row), rows processed in batches of `batchSize`.
+    * The decoder here is the deterministic STUB (real deployments swap
+    * in an image/audio codec); the plumbing — per-partition init, batch
+    * iteration, typed output schema — is the real contract.
+    *
+    * Input must have (id: long, payload: binary); output adds a
+    * features array per row. */
+  def decodeBatched(df: DataFrame, id: String, batchSize: Int = 64,
+      dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(id).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens once, here (stub: a hasher)
+        val codec = new StubCodec(dim)
+        rows.grouped(batchSize).flatMap { batch =>
+          codec.decodeBatch(batch.map(_._2)).zip(batch).map {
+            case (features, (rowId, _)) => (rowId, features)
+          }
+        }
+      }
+      .toDF(id, "features")
+    df.join(out, id)
+  }
+
+  /** STUB codec: deterministic feature extraction standing in for a
+    * native decoder; initialized once per partition by
+    * [[decodeBatched]]. */
+  private[operators] final class StubCodec(dim: Int) extends Serializable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+      payloads.map { bytes =>
+        Array.tabulate(dim) { i =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            bytes, org.apache.spark.sql.types.BinaryType, i.toLong)
+          h.toDouble / Long.MaxValue.toDouble
+        }
+      }
+  }
+
   /** Full stub pipeline over a text-as-media corpus: ingest → decode →
     * features + chunk sample. */
   def featurize(df: DataFrame, id: String, text: String): DataFrame =

@@ -119,6 +119,52 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every target to its nearest centroid; each probe searches only its
+    * `nProbe` nearest cells. The 100 TB path besides LSH: the target
+    * assignment is a one-off narrow pass, the per-cell equi-join
+    * replaces the cross join, and recall/cost tunes via nProbe.
+    *
+    * @param centroids small (cellCol, centroidVec) DataFrame — e.g.
+    *                  [[labelCentroids]] output re-assembled, or any
+    *                  k-means result. Broadcast to both sides.
+    */
+  def ivfTopK(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String,
+      centroids: DataFrame, cellCol: String, centroidVec: String,
+      k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
+    ensureRegistered(probes)
+    def cellDist(vec: String) = fastSquaredL2(col(vec), col(centroidVec))
+    // assign each target to its single nearest cell
+    val wT = Window.partitionBy(col(tId)).orderBy(cellDist(tVec), col(cellCol))
+    val assigned = targets.withColumn("t_nrm", fastNorm(col(tVec)))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") === 1)
+      .select(col(tId), col(tVec), col("t_nrm"), col(cellCol))
+    // each probe fans out to its nProbe nearest cells
+    val wP = Window.partitionBy(col(pId)).orderBy(cellDist(pVec), col(cellCol))
+    val probeCells = probes.withColumn("p_nrm", fastNorm(col(pVec)))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
+      .select(col(pId), col(pVec), col("p_nrm"), col(cellCol))
+    // exact cosine inside the probed cells only
+    val sim = round(
+      cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("t_nrm")), roundTo).as("sim")
+    val joined = probeCells.join(broadcast(assigned), Seq(cellCol))
+      .select(col(pId), col(tId), sim)
+    val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Convenience: build an IVF coarse quantizer from [[labelCentroids]]
+    * output (cell = label, centroid re-assembled from exploded dims). */
+  def centroidsAsQuantizer(vecs: DataFrame, label: String, vec: String): DataFrame =
+    labelCentroids(vecs, label, vec, roundTo = 9)
+      .groupBy(col(label).as("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+      .select(col("cell"), expr("transform(dc, x -> x.centroid)").as("centroid_vec"))
+
   /** Per-label centroids via posexplode + avg — dimension-exploded form
     * (label, dim, centroid) so it stays SQL-expressible for the oracle. */
   def labelCentroids(vecs: DataFrame, label: String, vec: String,

@@ -133,6 +133,22 @@ object SimilarityQueries {
         ORDER BY a_id, b_id"""),
       "Exact embedding near-dup pairs (cosine >= 0.4); LSH path in tests."),
 
+    // ---- q35: IVF approximate top-k (no oracle: quantizer-dependent) -----
+    "q35_ivf_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        val quantizer = Similarity.centroidsAsQuantizer(e, "label", "emb")
+        Similarity.ivfTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+            quantizer, "cell", "centroid_vec", k = 3, nProbe = 4)
+          .orderBy(col("p_id"), col("rank"))
+      },
+      None,
+      "IVF scale path: coarse-quantized cells, nProbe-bounded search; " +
+        "recall vs exact q31 checked in tests."),
+
     // ---- q34: LSH-bucketed near-dup (no oracle: hash-dependent) ----------
     "q34_lsh_neardup" -> Q(
       (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb",

@@ -49,6 +49,42 @@ class VectorSpec extends SparkSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("IVF top-k recall vs exact brute force") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"), c("label"))
+    val probes = e.filter(c("vec_id") < 50).select(c("vec_id").as("p_id"), c("emb").as("p_vec"))
+    val tg = e.select(c("vec_id").as("t_id"), c("emb").as("t_vec"))
+    val exact = Similarity.topK(probes, "p_id", "p_vec", tg, "t_id", "t_vec", k = 3)
+      .select("p_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantizer = Similarity.centroidsAsQuantizer(e, "label", "emb")
+    val ivf = Similarity.ivfTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+        quantizer, "cell", "centroid_vec", k = 3, nProbe = 4)
+      .select("p_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // full-coverage sanity: nProbe = all cells must reproduce exact top-k
+    val full = Similarity.ivfTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+        quantizer, "cell", "centroid_vec", k = 3, nProbe = 10)
+      .select("p_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe covering every cell must equal brute force")
+  }
+
+  test("batched partition-wise decode preserves ids and emits fixed-dim features") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Tables.documents(spark, sf("0.001"))
+    val ingested = graft.operators.Multimodal.ingestText(docs, "doc_id", "text")
+    val decoded = graft.operators.Multimodal.decodeBatched(ingested, "doc_id", batchSize = 32)
+    assert(decoded.count() == docs.count())
+    val row = decoded.orderBy("doc_id").head
+    assert(row.getSeq[Double](row.fieldIndex("features")).length == 8)
+    // deterministic across runs
+    val again = graft.operators.Multimodal.decodeBatched(ingested, "doc_id", batchSize = 7)
+      .orderBy("doc_id").head
+    assert(again.getSeq[Double](again.fieldIndex("features")) ==
+      row.getSeq[Double](row.fieldIndex("features")))
+  }
+
   test("CentroidAggregator matches the exploded avg form") {
     import spark.implicits._
     val ds = Tables.embeddings(spark, sf("0.001"))
