@@ -44,6 +44,12 @@ object TextFunctions {
       lit(0L),
       (h, c) => (h * 31 + c) % 1000000007L)
 
+  /** Label from a filename: text up to the first '.' or '_', title-cased
+    * (the reference's query-face naming rule,
+    * /root/reference/web/views.py:121-131). */
+  def labelFromFilename(filename: Column): Column =
+    initcap(regexp_extract(filename, "^([^._]+)", 1))
+
   /** Count of tokens present in a stopword set. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))

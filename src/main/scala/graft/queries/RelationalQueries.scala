@@ -322,7 +322,10 @@ object RelationalQueries {
           initcap(element_at(split(col("p_name"), " "), 1)).as("first_word_cap"),
           concat_ws("/", col("p_brand"), col("p_type")).as("type_key"),
           length(col("p_name")).as("name_len"),
-          instr(col("p_name"), "a").as("pos_a"))
+          instr(col("p_name"), "a").as("pos_a"),
+          format_string("%s#%04d", col("p_type"), col("p_partkey")).as("fmt_key"),
+          graft.functions.TextFunctions.labelFromFilename(
+            concat_ws("", col("p_name"), lit(".jpg"))).as("face_label"))
         .orderBy(col("p_partkey")),
       Some("""
         SELECT p_partkey,
@@ -331,7 +334,11 @@ object RelationalQueries {
             || substr(string_split(p_name, ' ')[1], 2) AS first_word_cap,
           p_brand || '/' || p_type AS type_key,
           CAST(length(p_name) AS INT) AS name_len,
-          CAST(instr(p_name, 'a') AS INT) AS pos_a
+          CAST(instr(p_name, 'a') AS INT) AS pos_a,
+          printf('%s#%04d', p_type, p_partkey) AS fmt_key,
+          array_to_string(list_transform(
+            string_split(regexp_extract(p_name || '.jpg', '^([^._]+)', 1), ' '),
+            w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS face_label
         FROM part
         ORDER BY p_partkey"""),
       "regexp_extract / initcap / concat_ws / length / instr projection."),
