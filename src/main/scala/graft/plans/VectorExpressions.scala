@@ -170,5 +170,8 @@ object VectorExpressions {
     registry.createOrReplaceTempFunction("lsh_buckets", exprs => LshBuckets(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
       exprs(3).eval().asInstanceOf[Int].toLong), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(SimplifySqrtThreshold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifySqrtThreshold
   }
 }

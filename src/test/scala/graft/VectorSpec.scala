@@ -49,6 +49,25 @@ class VectorSpec extends SparkSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("SimplifySqrtThreshold removes the sqrt from similarity predicates") {
+    import org.apache.spark.sql.functions.{col => c, lit, sqrt => sqrtF}
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+    val t = e.select(c("vec_id").as("t_id"), c("emb").as("t_emb")).limit(3)
+    val joined = e.join(org.apache.spark.sql.functions.broadcast(t),
+      sqrtF(fastSquaredL2(c("emb"), c("t_emb"))) <= lit(1.2))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("sqrt"),
+      s"sqrt should be strength-reduced away:\n$optimized")
+    assert(optimized.contains("1.44"), "squared tolerance expected in the plan")
+    // results identical to the unoptimized predicate semantics
+    val viaRule = joined.count()
+    val direct = e.join(org.apache.spark.sql.functions.broadcast(t),
+      fastSquaredL2(c("emb"), c("t_emb")) <= lit(1.2 * 1.2)).count()
+    assert(viaRule == direct)
+  }
+
   test("IVF top-k recall vs exact brute force") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Tables.embeddings(spark, sf("0.001"))
