@@ -21,10 +21,18 @@ object Bench {
     // warm-up (untimed): exercise scan, shuffle, and codegen paths once
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).groupBy("r_name").count().collect()
+    // a crashing query reports -1 seconds (visible failure marker)
+    // instead of a spuriously-fast timing
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

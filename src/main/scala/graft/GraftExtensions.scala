@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, ShingleHashes, SimplifySqrtThreshold, SquaredL2}
+import graft.plans.{DotProduct, LshBuckets, ShingleHashes, SimplifySqrtThreshold, SquaredL2}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, n) - distinct xxhash64 hashes of word n-gram shingles"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec, nBits, nTables, seed) - random-hyperplane LSH bucket key per table"),
+      (exprs: Seq[Expression]) => LshBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue())))
   }
 }

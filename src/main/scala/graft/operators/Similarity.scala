@@ -110,9 +110,12 @@ object Similarity {
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    // rejoin by plain equi-join: the planner broadcasts the vector side
+    // only when its size stats allow — an explicit broadcast() here
+    // would OOM at the corpus sizes this operator exists for
     val av = withKeys.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
     val bv = withKeys.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
-    cand.join(broadcast(av), "a_id").join(broadcast(bv), "b_id")
+    cand.join(av, "a_id").join(bv, "b_id")
       .withColumn("sim",
         cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")))
       .filter(col("sim") >= threshold)
@@ -151,7 +154,9 @@ object Similarity {
     // exact cosine inside the probed cells only
     val sim = round(
       cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("t_nrm")), roundTo).as("sim")
-    val joined = probeCells.join(broadcast(assigned), Seq(cellCol))
+    // per-cell equi-join; target side broadcast is left to the planner's
+    // size stats (forcing it would OOM at the scale this path targets)
+    val joined = probeCells.join(assigned, Seq(cellCol))
       .select(col(pId), col(tId), sim)
     val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

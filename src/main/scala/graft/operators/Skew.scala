@@ -17,10 +17,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Skew {
 
-  /** Uniform deterministic per-row salt (not stable across partition
-    * layouts — irrelevant, salt never affects the result). */
-  private def salt(buckets: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+  /** Per-row salt from a content hash — deterministic under task retry
+    * and partial recompute. monotonically_increasing_id/rand here would
+    * be the SPARK-23207 failure class: a recomputed map task could
+    * re-salt rows differently from the outputs surviving reducers
+    * already fetched, double-counting or dropping them. Rows with
+    * identical (keys, value) content share a bucket; skew spreading
+    * still holds whenever values vary within hot keys. */
+  private def salt(content: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(content: _*), lit(buckets.toLong))
 
   /** Salted exact money-sum + count per key: partial aggregate on
     * (keys, salt), final on keys. Output: keys, <alias>, n_rows. */
@@ -28,7 +33,7 @@ object Skew {
       alias: String, buckets: Int = 16): DataFrame = {
     val keys = keyCols.map(col)
     val partial = df
-      .withColumn("_salt", salt(buckets))
+      .withColumn("_salt", salt(keys :+ valueExpr, buckets))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(sum(valueExpr.cast(DecimalType(27, 6))).as("_psum"),
            count(lit(1)).as("_pcnt"))

@@ -43,11 +43,11 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
         out.add(XxHash64Function.hash(shingle, StringType, seed))
         i += 1
       }
-    } else if (m > 0) {
-      // degenerate doc shorter than n: single shingle of all words,
-      // mirroring the declarative form's sequence(0, max(m-n, 0)) floor
-      out.add(XxHash64Function.hash(UTF8String.concatWs(space, words: _*), StringType, seed))
     }
+    // docs shorter than n words yield NO shingles — matching the SQL
+    // oracle's range(1, m-1) (empty for m <= 2), not the declarative
+    // shinglesFromWords convenience form, which emits one degenerate
+    // all-words shingle for such docs
     val arr = new Array[Long](out.size)
     val it = out.iterator()
     var j = 0
@@ -64,7 +64,7 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 trait VectorBinaryExpression extends BinaryExpression {
   // inputs must already be array<double>; call sites in this repo cast
-  // the float vectors once at load (Tables/SimilarityQueries)
+  // the float vectors once at load (Tables/SimilarityQueries).
+  // Ragged inputs (unequal lengths) yield NULL — same as the HOF
+  // zip_with/aggregate forms, where the padded null element poisons the
+  // fold — rather than a silently-truncated partial result.
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 }
 
 /** Sum of elementwise products of two double arrays. */
@@ -33,7 +37,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -46,12 +51,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -67,7 +76,8 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -85,13 +95,17 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
       val s = ctx.freshName("s")
       val dv = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $dv = $a.getDouble($i) - $b.getDouble($i);
-          $s += $dv * $dv;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $dv = $a.getDouble($i) - $b.getDouble($i);
+            $s += $dv * $dv;
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -168,8 +182,9 @@ object VectorExpressions {
     registry.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_sq_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_buckets", exprs => LshBuckets(exprs(0),
-      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
-      exprs(3).eval().asInstanceOf[Int].toLong), "built-in")
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
     if (!spark.experimental.extraOptimizations.contains(SimplifySqrtThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifySqrtThreshold

@@ -151,12 +151,15 @@ class ReorderProcessor(latenessMs: Long)
 
   @transient private var buffer: ListState[FrameEventTs] = _
   @transient private var highWater: ValueState[Long] = _
+  @transient private var pendingTimer: ValueState[Long] = _
 
   override def init(outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
     buffer = getHandle.getListState[FrameEventTs]("buffer",
       Encoders.product[FrameEventTs], TTLConfig.NONE)
     highWater = getHandle.getValueState[Long]("high_water",
+      Encoders.scalaLong, TTLConfig.NONE)
+    pendingTimer = getHandle.getValueState[Long]("pending_timer",
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
@@ -167,8 +170,15 @@ class ReorderProcessor(latenessMs: Long)
     if (fresh.nonEmpty) {
       buffer.appendList(fresh)
       val newest = buffer.get().map(_.ets.getTime).max
-      getHandle.registerTimer(
-        math.max(newest + latenessMs, timerValues.getCurrentWatermarkInMs() + 1))
+      val target =
+        math.max(newest + latenessMs, timerValues.getCurrentWatermarkInMs() + 1)
+      // timers accumulate per registerTimer call: drop the previous one
+      // or a stale early timer drains frames whose lateness window is
+      // still open
+      if (pendingTimer.exists() && pendingTimer.get() != target)
+        getHandle.deleteTimer(pendingTimer.get())
+      getHandle.registerTimer(target)
+      pendingTimer.update(target)
     }
     Iterator.empty
   }
@@ -177,6 +187,7 @@ class ReorderProcessor(latenessMs: Long)
       expiredTimerInfo: ExpiredTimerInfo): Iterator[FrameEventTs] = {
     val drained = buffer.get().toArray.sortBy(_.frameNum)
     buffer.clear()
+    pendingTimer.clear()
     if (drained.nonEmpty) highWater.update(drained.last.frameNum)
     drained.iterator
   }

@@ -32,10 +32,14 @@ object SauronPipeline {
     * enc:array<double>>>. */
   def stubDetect(frame: Column, dim: Int): Column = {
     val nFaces = pmod(xxhash64(frame), lit(3)) // 0..2 faces
-    transform(sequence(lit(1), nFaces), i => struct(
+    val faces = transform(sequence(lit(1), nFaces), i => struct(
       array(Seq(0, 1, 2, 3).map(c => pmod(xxhash64(frame, i, lit(c)), lit(400)).cast("int")): _*).as("box"),
       transform(sequence(lit(0), lit(dim - 1)), d =>
         xxhash64(frame, i, d).cast("double") / lit(Long.MaxValue.toDouble)).as("enc")))
+    // sequence(1, 0) yields the DESCENDING array [1, 0], not [] — guard
+    // the zero-face case explicitly or every "faceless" frame grows two
+    // phantom faces (slice(_, 1, 0) = typed empty array)
+    when(nFaces > 0, faces).otherwise(slice(faces, 1, 0))
   }
 
   /** Stage 1 — ConsumeFrames: detect + embed. Adds `faces`. */

@@ -57,6 +57,12 @@ class StreamingSpec extends SparkSuite {
     assert(out.filter(col("topic") === "predicted_object_raw_frame_topic_2").count() == 10)
     assert(out.filter(col("prediction").isNull).count() ==
       out.filter(size(col("annotations")) === 0).count())
+    // the stub detector yields 0 faces for ~1/3 of frames (hash mod 3);
+    // those frames MUST have empty annotations and a null prediction
+    val faceless = SauronPipeline.detectStage(frames)
+      .filter(size(col("faces")) === 0).count()
+    assert(faceless >= 1, "test corpus should include zero-face frames")
+    assert(out.filter(col("prediction").isNull).count() == faceless)
   }
 
   test("pipeline streaming: same topology on MemoryStream, append mode") {
