@@ -99,6 +99,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Streaming exact dedup (the reference's "only unique frames" path,
+    * F3, as a standing query): drop records whose content digest was
+    * already seen within the watermark window. State is bounded by the
+    * watermark delay — the streaming twin of [[dropExactDuplicates]]. */
+  def streamingDedup(stream: DataFrame, text: String, eventTime: String,
+      delay: String): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(text)))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** SimHash near-dup pairs within a blocking column: 64-bit signatures,
     * pairs at hamming distance <= maxHamming. Signature computed via
     * explode + 64 conditional-sum aggregates (codegen'd; see

@@ -202,6 +202,23 @@ class StreamingSpec extends SparkSuite {
       s"display path must replay camera 0 in frame order, got $c0")
   }
 
+  test("streaming dedup drops repeated content within the watermark (F3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = graft.operators.Dedup.streamingDedup(
+      input.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    input.addData(
+      (new Timestamp(base), "frame A"), (new Timestamp(base + 100), "frame A"),
+      (new Timestamp(base + 200), "frame B"), (new Timestamp(base + 300), "frame A"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_out").select("text").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("frame A", "frame B"), s"got ${texts.toSeq}")
+  }
+
   test("session_window aggregation over a stream (5s gap)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int, Double)]
