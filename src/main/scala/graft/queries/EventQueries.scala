@@ -208,6 +208,18 @@ object EventQueries {
         ORDER BY err_id"""),
       "Interval join: events within 5 minutes after each error, per error."),
 
+    // ---- q36: sketches (no oracle: sketch binaries are engine-specific) --
+    "q36_sketches" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("hll_users"),
+          expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None,
+      "Datasketches HLL + approx percentile; exactness vs q23/q24 in tests."),
+
     // ---- q24: approximate distinct (no SQL oracle: HLL impls differ) ----
     "q24_approx_distinct" -> Q(
       (s, d) => Tables.events(s, d)

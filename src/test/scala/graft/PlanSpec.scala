@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale properties the engine relies
+  * on (pushdown, pruning, broadcast selection, partial aggregation,
+  * bucketed co-location) asserted against the physical plans, so a
+  * refactor that silently loses one fails here rather than at 100 TB. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 pushes all predicates into the parquet scan and prunes columns") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.03)"))
+    // projection pruning: the scan must not read unused columns
+    assert(!p.contains("l_orderkey"), "scan should not read l_orderkey")
+    assert(!p.contains("l_tax"), "scan should not read l_tax")
+  }
+
+  test("q30 similarity match plans a broadcast NLJ with the squared predicate") {
+    val p = plan("q30_broadcast_match")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("sqrt"), "SimplifySqrtThreshold must fire")
+  }
+
+  test("q03 uses hash joins with a broadcast dimension") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01 aggregates in two phases (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("bucketed co-located join needs no shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      Tables.lineitem(spark, sf("0.001"))
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      Tables.orders(spark, sf("0.001"))
+        .select("o_orderkey", "o_totalprice")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed").join(
+        spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(2000)}")
+      assert(joined.count() == Tables.lineitem(spark, sf("0.001")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
