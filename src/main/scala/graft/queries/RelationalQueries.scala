@@ -203,6 +203,65 @@ object RelationalQueries {
         ORDER BY o_custkey, o_orderkey"""),
       "Cumulative frame + lag in one window; exact decimal accumulation."),
 
+    // ---- q37: RANGE window frame ----------------------------------------
+    "q37_range_frame" -> Q(
+      (s, d) => {
+        val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy("od_days")
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("od_days", days)
+          .withColumn("spend_30d",
+            sum(col("o_totalprice").cast(DecimalType(27, 6))).over(w).cast("double"))
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("od_days"),
+                  col("spend_30d"), col("n_30d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS od_days,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+          COUNT(*) OVER (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      "RANGE frame: trailing-30-day spend per customer (value-based frame)."),
+
+    // ---- q38: navigation window functions --------------------------------
+    "q38_window_navigation" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .withColumn("first_price", first(col("o_totalprice")).over(wFull))
+          .withColumn("last_price", last(col("o_totalprice")).over(wFull))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("nth2_price", nth_value(col("o_totalprice"), 2).over(wFull))
+          .select(col("o_custkey"), col("o_orderkey"), col("first_price"),
+                  col("last_price"), col("next_price"), col("nth2_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          FIRST_VALUE(o_totalprice) OVER w2 AS first_price,
+          LAST_VALUE(o_totalprice) OVER w2 AS last_price,
+          LEAD(o_totalprice, 1) OVER w1 AS next_price,
+          NTH_VALUE(o_totalprice, 2) OVER w2 AS nth2_price
+        FROM orders
+        WINDOW
+          w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey"""),
+      "first/last/lead/nth_value navigation over per-customer windows."),
+
     // ---- q08: distinct aggregation -------------------------------------
     "q08_distinct_customers" -> Q(
       (s, d) => Tables.orders(s, d)
