@@ -106,9 +106,10 @@ object Dedup {
   def streamingDedup(stream: DataFrame, text: String, eventTime: String,
       delay: String): DataFrame =
     stream
-      .withColumn("content_hash", md5(col(text)))
+      .withColumn("_graft_content_hash", md5(col(text)))
       .withWatermark(eventTime, delay)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("_graft_content_hash")
+      .drop("_graft_content_hash") // output schema == input schema
 
   /** SimHash near-dup pairs within a blocking column: 64-bit signatures,
     * pairs at hamming distance <= maxHamming. Signature computed via

@@ -218,7 +218,7 @@ object EventQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       None,
-      "Datasketches HLL + approx percentile; exactness vs q23/q24 in tests."),
+      "Datasketches HLL + approx percentile (accuracy-vs-exact in QueriesSpec)."),
 
     // ---- q24: approximate distinct (no SQL oracle: HLL impls differ) ----
     "q24_approx_distinct" -> Q(

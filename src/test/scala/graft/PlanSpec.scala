@@ -15,8 +15,11 @@ class PlanSpec extends SparkSuite {
 
   test("q02 pushes all predicates into the parquet scan and prunes columns") {
     val p = plan("q02_revenue_filter")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // ordering-independent: Catalyst may reorder pushed conjuncts
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("IsNotNull(l_shipdate)"))
     assert(p.contains("GreaterThanOrEqual(l_discount,0.03)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
     // projection pruning: the scan must not read unused columns
     assert(!p.contains("l_orderkey"), "scan should not read l_orderkey")
     assert(!p.contains("l_tax"), "scan should not read l_tax")

@@ -14,6 +14,24 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q36 sketch estimates track the exact values") {
+    import org.apache.spark.sql.functions._
+    val sketch = SparkEntry.queries("q36_sketches")(spark, sf("0.001"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, sf("0.001"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           expr("percentile(value, 0.5)").as("exact_p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((et, (hllUsers, approxP50)) <- sketch) {
+      val (exactUsers, exactP50) = exact(et)
+      assert(math.abs(hllUsers - exactUsers).toDouble / exactUsers <= 0.05,
+        s"$et: HLL $hllUsers vs exact $exactUsers")
+      assert(math.abs(approxP50 - exactP50) / math.max(exactP50, 1e-9) <= 0.10,
+        s"$et: approx p50 $approxP50 vs exact $exactP50")
+    }
+  }
+
   test("all registered queries evaluate at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf("0.001")).count(); None }
