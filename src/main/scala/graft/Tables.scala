@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.DecimalType
   * oracle): accumulating raw doubles is order-dependent, so the same sum
   * can differ in the last bits between engines (and between runs, once
   * partial aggregation splits differently). Instead we cast each addend
-  * to DECIMAL(18,2) — money-scale, exact, order-independent — sum the
+  * to DECIMAL(27,6) — exact and order-independent, with scale 6 because
+  * money products carry up to 6 decimals (see [[moneySum]]) — sum the
   * decimals, and surface the result as DOUBLE. Both engines then produce
   * bit-identical values. Per-row products (e.g. price*(1-disc)) are safe
   * before the cast because a single IEEE-754 multiply is deterministic

@@ -42,13 +42,17 @@ object Dedup {
     TextExpressions.register(docs.sparkSession)
     // single-pass native shingle hashing (see ShingleHashes scaladoc for
     // why the declarative transform/sequence form is quadratic).
-    // Persisted: the plan is a diamond (both self-join sides + sizes),
-    // and without reuse Spark re-scans and re-hashes the corpus per arm.
-    // The cached relation is per-doc hash signatures (~8B/shingle), two
-    // orders smaller than the raw text it replaces; spills if needed.
+    // localCheckpoint (eager): the plan is a diamond (both self-join
+    // sides + sizes), and without reuse Spark re-scans and re-hashes the
+    // corpus per arm. Checkpoint blocks are reference-tracked by the
+    // ContextCleaner and freed on GC — unlike Dataset.persist, repeated
+    // invocations in a long-lived session don't leak cache entries. The
+    // materialized relation is per-doc hash signatures (~8B/shingle),
+    // two orders smaller than the raw text; tradeoff: lineage is cut,
+    // so an executor loss re-runs the query instead of recomputing.
     val hashed = docs.select(col(id).as("doc"), col(block).as("blk"),
       call_function("shingle_hashes", col(text), lit(n)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
     val sh = hashed.select(col("doc"), col("blk"), explode(col("shs")).as("shingle"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -111,12 +115,11 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_graft_content_hash")
       .drop("_graft_content_hash") // output schema == input schema
 
-  /** SimHash near-dup pairs within a blocking column: 64-bit signatures,
-    * pairs at hamming distance <= maxHamming. Signature computed via
-    * explode + 64 conditional-sum aggregates (codegen'd; see
-    * [[minhashCandidates]] for the rationale vs per-row HOF folds). */
-  def simhashPairs(docs: DataFrame, id: String, text: String, block: String,
-      maxHamming: Int): DataFrame = {
+  /** 64-bit SimHash signature per (doc, block): explode + 64
+    * conditional-sum aggregates (codegen'd; see [[minhashCandidates]]
+    * for the rationale vs per-row HOF folds). */
+  private def simhashSignatures(docs: DataFrame, id: String, text: String,
+      block: String): DataFrame = {
     val tok = docs.select(col(id).as("doc"), col(block).as("blk"),
       explode(tokens(col(text))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -124,10 +127,53 @@ object Dedup {
       .agg(sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)).as("v0"),
            (1 until 64).map(i =>
              sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")): _*)
-    val sig = votes.select(col("doc"), col("blk"),
+    votes.select(col("doc"), col("blk"),
       (0 until 64).map { i =>
         when(col(s"v$i") >= 0, lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs within a blocking column: 64-bit signatures,
+    * pairs at hamming distance <= maxHamming.
+    *
+    * Pair generation is pigeonhole-banded, NOT all-pairs: the signature
+    * splits into maxHamming+1 bit bands, and any pair at hamming <=
+    * maxHamming must agree EXACTLY on at least one band (fewer bands
+    * differ than bands exist). Candidates therefore come from an
+    * equi-join on (block, band, band-value) — near-linear in practice —
+    * and are rescored with the full 64-bit hamming distance, so the
+    * output is identical to the quadratic all-pairs form
+    * ([[simhashPairsExhaustive]], kept as the small-scale test oracle).
+    * A pair agreeing on several bands appears once per band; the
+    * final distinct() collapses those (hamming is pair-determined). */
+  def simhashPairs(docs: DataFrame, id: String, text: String, block: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val sig = simhashSignatures(docs, id, text, block)
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands // first `rem` bands get one extra bit
+    val banded = sig.select(col("doc"), col("blk"), col("sig"),
+      posexplode(array((0 until nBands).map { b =>
+        val off = b * base + math.min(b, rem)
+        val width = base + (if (b < rem) 1 else 0)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("sig"), off).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bandval")))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+          col("a.bandval") === col("b.bandval") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a_id"), col("b.doc").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** All-pairs SimHash within a block — O(n²) per block; retained ONLY
+    * as the exactness oracle for [[simhashPairs]] at test scale. */
+  private[graft] def simhashPairsExhaustive(docs: DataFrame, id: String,
+      text: String, block: String, maxHamming: Int): DataFrame = {
+    val sig = simhashSignatures(docs, id, text, block)
     sig.as("a").join(sig.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))

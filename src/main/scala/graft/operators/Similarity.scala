@@ -13,10 +13,14 @@ import graft.plans.VectorExpressions
   * encoding × every broadcast known encoding, L2 <= tolerance, first
   * match wins else "Unknown").
   *
-  * Scale design: the target/"known" set is small by construction (it is
-  * the reference's per-query broadcast set), so every operator here is a
-  * broadcast nested-loop join — probes stream through executors, no
-  * shuffle of the big side, embarrassingly parallel at 100 TB. Vector
+  * Scale design: [[thresholdMatch]]'s target/"known" set is small by
+  * construction (it is the reference's per-query broadcast set), so it
+  * is a hint-broadcast nested-loop join — probes stream through
+  * executors, no shuffle of the big side. The general-purpose operators
+  * ([[topK]], [[nearDupPairs]]) leave broadcast selection to planner
+  * size stats, because their "target" side can be arbitrarily large;
+  * their scale paths are [[ivfTopK]] and [[lshNearDup]], which replace
+  * the cross/theta join with an equi-join on cell/bucket keys. Vector
   * math runs through the codegen'd native expressions
   * ([[graft.plans.VectorExpressions]]), with norms precomputed per side
   * before the join so each candidate pair costs exactly one dot product.
@@ -51,9 +55,15 @@ object Similarity {
            count(col(tId)).cast("long").as("n_matches"))
   }
 
-  /** Brute-force cosine top-k per probe against a broadcast target set.
+  /** Brute-force cosine top-k per probe against a target set.
     * Similarity is rounded to `roundTo` decimals before ranking so that
-    * float-noise near-ties resolve deterministically by target id. */
+    * float-noise near-ties resolve deterministically by target id.
+    *
+    * The target side is deliberately NOT hint-broadcast: the planner's
+    * size stats pick BNLJ-broadcast when targets genuinely fit and fall
+    * back to a partitioned cartesian when they don't — forcing the hint
+    * OOMs the moment a caller passes a big target relation. This is the
+    * exact baseline; [[ivfTopK]] is the scale path. */
   def topK(
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String,
@@ -63,14 +73,17 @@ object Similarity {
     val t = targets.withColumn("t_nrm", fastNorm(col(tVec)))
     val sim = round(
       cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("t_nrm")), roundTo).as("sim")
-    val joined = p.crossJoin(broadcast(t)).select(col(pId), col(tId), sim)
+    val joined = p.crossJoin(t).select(col(pId), col(tId), sim)
     val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** All embedding pairs with cosine >= threshold (near-duplicate
     * detection by embedding). Self-join restricted to id(a) < id(b).
-    * At large scale swap the self-broadcast for [[lshNearDup]]. */
+    * Exact-but-quadratic by definition — the small-corpus baseline; at
+    * scale use [[lshNearDup]]. No broadcast hint: planner stats decide
+    * (a forced self-broadcast ships the whole corpus to every executor
+    * and OOMs long before the quadratic pair count hurts). */
   def nearDupPairs(
       vecs: DataFrame, id: String, vec: String, threshold: Double,
       roundTo: Int = 6): DataFrame = {
@@ -78,7 +91,7 @@ object Similarity {
     val withNorm = vecs.withColumn("nrm", fastNorm(col(vec)))
     val a = withNorm.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    a.join(b, col("a_id") < col("b_id"))
       .withColumn("sim", cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), roundTo).as("sim"))
@@ -139,11 +152,16 @@ object Similarity {
       k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
     ensureRegistered(probes)
     def cellDist(vec: String) = fastSquaredL2(col(vec), col(centroidVec))
-    // assign each target to its single nearest cell
-    val wT = Window.partitionBy(col(tId)).orderBy(cellDist(tVec), col(cellCol))
+    // assign each target to its single nearest cell: min_by in ONE
+    // partially-aggregated hash-agg pass (a row_number window here would
+    // shuffle AND sort targets×centroids rows). Ties break on the lower
+    // cell id, matching the window form this replaces; first() is exact
+    // because vec/norm are constant per target id.
     val assigned = targets.withColumn("t_nrm", fastNorm(col(tVec)))
       .crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wT)).filter(col("rn") === 1)
+      .groupBy(col(tId))
+      .agg(first(col(tVec)).as(tVec), first(col("t_nrm")).as("t_nrm"),
+           min_by(col(cellCol), struct(cellDist(tVec), col(cellCol))).as(cellCol))
       .select(col(tId), col(tVec), col("t_nrm"), col(cellCol))
     // each probe fans out to its nProbe nearest cells
     val wP = Window.partitionBy(col(pId)).orderBy(cellDist(pVec), col(cellCol))

@@ -15,6 +15,16 @@ import org.apache.spark.sql.types.DoubleType
   * similarity joins, where the predicate is evaluated O(|probes| ×
   * |targets|) times.
   *
+  * Float-boundary caveat: `fl(tol*tol)` is one rounding away from the
+  * mathematical tol², so an input whose squared distance lands in the
+  * half-ulp gap between them can classify differently than an engine
+  * comparing `sqrt(d2) <= tol` directly (e.g. a DuckDB oracle's
+  * `list_distance(a,b) <= tol`). Query thresholds are therefore pinned
+  * away from attainable distances (oracle parity holds empirically and
+  * by construction of the testdata); callers comparing against an
+  * external engine at an exact boundary should square the threshold on
+  * that side too.
+  *
   * Wired two ways: injected by [[graft.GraftExtensions]] at session
   * build, and attached at runtime to `experimental.extraOptimizations`
   * by [[VectorExpressions.register]] so the DataFrame operators get it

@@ -41,6 +41,30 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
   }
 
+  test("banded simhash output is identical to the all-pairs oracle (q46 parity)") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSet
+    // wide bound so the parity set is non-trivial even at sf0.001
+    for (maxHamming <- Seq(8, 20)) {
+      val banded = key(Dedup.simhashPairs(docs, "doc_id", "text", "source", maxHamming))
+      val allPairs = key(Dedup.simhashPairsExhaustive(docs, "doc_id", "text", "source", maxHamming))
+      assert(banded == allPairs,
+        s"maxHamming=$maxHamming: banded ${banded.size} vs all-pairs ${allPairs.size}")
+    }
+    assert(key(Dedup.simhashPairsExhaustive(docs, "doc_id", "text", "source", 20)).nonEmpty,
+      "parity must be checked on a non-empty pair set")
+  }
+
+  test("banded simhash plans a hash/merge equi-join, not a block-theta join") {
+    val p = Dedup.simhashPairs(docs, "doc_id", "text", "source", maxHamming = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("fingerprint is the documented rolling hash") {
     import spark.implicits._
     val got = Seq(("ab", 0L)).toDF("text", "ignore")

@@ -41,6 +41,35 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q31/q33 plan without any broadcast when stats forbid it (no forced hint)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q31_cosine_topk", "q33_embedding_neardup")) {
+        val df = SparkEntry.queries(q)(spark, sf("0.001"))
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("BroadcastExchange"),
+          s"$q must respect autoBroadcastJoinThreshold=-1:\n${p.take(2000)}")
+        assert(df.count() > 0, s"$q must still execute under the cartesian plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("q35 IVF target-to-cell assignment aggregates instead of windowing") {
+    // exactly two Window nodes remain: probe fan-out (rn <= nProbe) and
+    // the final per-probe rank — the target assignment must be a
+    // partial-aggregated min_by, not a third window shuffle+sort
+    val exec = SparkEntry.queries("q35_ivf_topk")(spark, sf("0.001"))
+      .queryExecution.executedPlan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.size <= 4, // <=2 logical windows; group-limit pushdown may pair each
+      s"expected at most the probe fan-out + rank windows, got:\n${windows.mkString("\n")}")
+    assert(exec.toString.contains("min_by"), "target assignment must use min_by aggregation")
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
