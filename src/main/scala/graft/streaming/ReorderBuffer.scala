@@ -85,9 +85,11 @@ object ReorderBuffer {
   /** Event-time variant: buffer per camera, drain in frame order once
     * the watermark passes the newest buffered frame plus `lateness` —
     * the production-correct replacement for the reference's fixed-size
-    * heap: state TTL and late-frame policy both derive from the
+    * heap: buffer eviction and late-frame policy both derive from the
     * watermark instead of an arbitrary buffer_size (SURVEY.md §2.11:
-    * "watermark + state TTL fixes both").
+    * "watermark + state TTL fixes both"). After a drain the per-key
+    * high-water mark persists (one long per camera), so post-drain
+    * stragglers are dropped deterministically rather than re-buffered.
     *
     * Input must carry an event-time column named `ets`; a watermark of
     * `lateness` is applied here.
@@ -103,10 +105,22 @@ object ReorderBuffer {
       val prev = state.getOption.getOrElse(ReorderStateTs(Nil, Long.MinValue))
       val incoming = it.filter(_.frameNum > prev.nextFrame).toSeq
       val buffered = (prev.buffered ++ incoming).sortBy(_.frameNum)
-      if (state.hasTimedOut || buffered.isEmpty) {
-        // watermark passed newest-buffered + lateness: flush in order
-        state.remove()
+      if (state.hasTimedOut) {
+        // watermark passed newest-buffered + lateness: flush in order.
+        // Keep the high-water mark (NOT state.remove()) so a straggler
+        // arriving after the drain — older than frames already emitted
+        // but still inside the watermark — is dropped instead of being
+        // re-buffered and emitted out of order. The retained state is
+        // one long per camera: bounded by the (small, fixed) key space,
+        // matching ReorderProcessor's persistent highWater ValueState.
+        val next = if (buffered.nonEmpty) buffered.last.frameNum else prev.nextFrame
+        state.update(ReorderStateTs(Nil, next))
         buffered.iterator
+      } else if (buffered.isEmpty) {
+        // nothing buffered (first sight of the key, or every incoming
+        // frame was late): preserve the high-water mark, no timer needed
+        state.update(ReorderStateTs(Nil, prev.nextFrame))
+        Iterator.empty
       } else {
         state.update(ReorderStateTs(buffered, prev.nextFrame))
         val newestMs = buffered.map(_.ets.getTime).max

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -42,9 +42,54 @@ object SauronPipeline {
     when(nFaces > 0, faces).otherwise(slice(faces, 1, 0))
   }
 
-  /** Stage 1 — ConsumeFrames: detect + embed. Adds `faces`. */
+  /** The pluggable model slot (P8): frame-bytes column → faces column
+    * (array<struct<box:array<int>, enc:array<double>>>). The reference's
+    * stated extension point — "Replace Face recognition model with
+    * desired Image processing model" (/root/reference/README.md:38) —
+    * as a first-class parameter: hand [[detectStage]] /[[process]] any
+    * column expression with this shape and the whole topology
+    * re-predicts with it. */
+  type FaceModel = Column => Column
+
+  /** Default model: the deterministic stub at 64 dims. */
+  val defaultModel: FaceModel = stubDetect(_, 64)
+
+  /** Stage 1 — ConsumeFrames: detect + embed with a pluggable model.
+    * Adds `faces`. */
+  def detectStage(frames: DataFrame, model: FaceModel): DataFrame =
+    frames.withColumn("faces", model(col("frame")))
+
+  /** [[detectStage]] with the stub model at `dim` dims. */
   def detectStage(frames: DataFrame, dim: Int = 64): DataFrame =
-    frames.withColumn("faces", stubDetect(col("frame"), dim))
+    detectStage(frames, stubDetect(_, dim))
+
+  /** Partition-wise batched form of stage 1 — the Scala analog of a
+    * vectorized `mapInPandas` model stage (same per-partition-handle +
+    * batch-iteration contract as
+    * [[graft.operators.Multimodal.decodeBatched]], restated here
+    * join-free so it runs inside a streaming topology): one model
+    * handle per partition, frames processed in batches of `batchSize`.
+    * The stub handle reproduces [[stubDetect]] bit-exactly (tested), so
+    * the two stage-1 forms are interchangeable; a real deployment swaps
+    * [[StubFaceModelHandle]] for a native model/codec binding. */
+  def detectStageBatched(frames: DataFrame, dim: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val facesType = ArrayType(StructType(Seq(
+      StructField("box", ArrayType(IntegerType, containsNull = false)),
+      StructField("enc", ArrayType(DoubleType, containsNull = false)))))
+    val outSchema = frames.schema.add("faces", facesType)
+    val frameIdx = frames.schema.fieldIndex("frame")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    frames.mapPartitions { rows =>
+      val model = new StubFaceModelHandle(dim) // one handle per partition
+      rows.grouped(batchSize).flatMap { batch =>
+        model.detectBatch(batch.map(_.getAs[Array[Byte]](frameIdx)))
+          .zip(batch).map { case (faces, row) => Row.fromSeq(row.toSeq :+ faces) }
+      }
+    }
+  }
 
   /** Stage 2 — PredictFrames: match every detected face against the
     * broadcast target set (L2 <= tolerance, first match = lowest target
@@ -85,11 +130,96 @@ object SauronPipeline {
       .drop("t_set", "faces")
   }
 
-  /** Full topology: frames → detect → match/predict → routed for the
-    * per-camera sink (K2). Works on batch and streaming inputs. */
+  /** Full topology: frames → detect (pluggable model) → match/predict →
+    * routed for the per-camera sink (K2). Works on batch and streaming
+    * inputs. */
   def process(frames: DataFrame, targets: DataFrame, tolerance: Double,
-      topicPrefix: String = "predicted_object_raw_frame_topic"): DataFrame =
-    predictStage(detectStage(frames), targets, tolerance)
+      topicPrefix: String = "predicted_object_raw_frame_topic",
+      model: FaceModel = defaultModel): DataFrame =
+    predictStage(detectStage(frames, model), targets, tolerance)
       .withColumn("topic", FrameMessages.routedTopic(topicPrefix, col("camera")))
       .withColumn("key", FrameMessages.frameKey(col("camera"), col("frame_num")))
+}
+
+/** J4 — refreshable broadcast target set. The reference re-publishes
+  * query faces at any time and predictors pick the new set up on their
+  * next poll (/root/reference/web/views.py:166-169 →
+  * prediction_producer.py:222-228). Spark's stream-static join pins the
+  * static side at query start, so the refreshable form runs the predict
+  * stage per micro-batch under `foreachBatch`, reloading the target set
+  * at most once per `refreshMs` (rate-limited — a hot loop of catalog
+  * reads would throttle the stream at scale; between reloads every
+  * batch reuses the cached set, which predictStage folds into one
+  * broadcast row).
+  *
+  * @param loadTargets re-reads the current target set (t_id, t_name,
+  *                    t_enc) — e.g. a parquet/Delta path or catalog
+  *                    table the UI writes to
+  * @param sink        consumes each processed micro-batch (the Kafka
+  *                    writer in production, a collector in tests)
+  */
+object RefreshableTargets {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.streaming.DataStreamWriter
+
+  def writer(
+      frames: DataFrame,
+      loadTargets: SparkSession => DataFrame,
+      tolerance: Double,
+      refreshMs: Long,
+      sink: (DataFrame, Long) => Unit,
+      topicPrefix: String = "predicted_object_raw_frame_topic",
+      model: SauronPipeline.FaceModel = SauronPipeline.defaultModel): DataStreamWriter[Row] = {
+    // reload state lives on the driver (foreachBatch runs there)
+    var cached: DataFrame = null
+    var loadedAt = Long.MinValue
+    frames.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val now = System.currentTimeMillis()
+      if (cached == null || now - loadedAt >= refreshMs) {
+        cached = loadTargets(batch.sparkSession)
+        loadedAt = now
+      }
+      val out = SauronPipeline
+        .predictStage(SauronPipeline.detectStage(batch, model), cached, tolerance)
+        .withColumn("topic", FrameMessages.routedTopic(topicPrefix, col("camera")))
+        .withColumn("key", FrameMessages.frameKey(col("camera"), col("frame_num")))
+      sink(out, batchId)
+    }
+  }
+}
+
+/** STUB per-partition model handle backing
+  * [[SauronPipeline.detectStageBatched]]: a bit-exact JVM replica of the
+  * [[SauronPipeline.stubDetect]] column expression (same xxhash64
+  * chaining Catalyst uses for multi-arg xxhash64), standing in for the
+  * expensive native model a real deployment initializes once per
+  * partition. */
+private[streaming] final class StubFaceModelHandle(dim: Int) extends Serializable {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+
+  /** Catalyst xxhash64(args...) folds left over the children with the
+    * previous hash as seed, starting at 42. */
+  private def h(bytes: Array[Byte]): Long =
+    XxHash64Function.hash(bytes, BinaryType, 42L)
+  private def h(bytes: Array[Byte], i: Long, c: Int): Long =
+    XxHash64Function.hash(c, IntegerType,
+      XxHash64Function.hash(i, LongType, h(bytes)))
+
+  private def pmod(a: Long, n: Long): Long = ((a % n) + n) % n
+
+  def detectBatch(frames: Seq[Array[Byte]]): Seq[Seq[Row]] =
+    frames.map { bytes =>
+      val nFaces = pmod(h(bytes), 3L)
+      (1L to nFaces).map { i =>
+        val box = (0 until 4).map(c => pmod(h(bytes, i, c), 400L).toInt)
+        val enc = (0 until dim).map { d =>
+          XxHash64Function.hash(d, IntegerType,
+            XxHash64Function.hash(i, LongType, h(bytes)))
+            .toDouble / Long.MaxValue.toDouble
+        }
+        Row(box, enc)
+      }
+    }
 }

@@ -82,6 +82,91 @@ class StreamingSpec extends SparkSuite {
     assert(got.filter(col("topic") === "predicted_object_raw_frame_topic_1").count() == 1)
   }
 
+  test("pluggable model slot: a swapped model changes the pipeline's predictions (P8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+    val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+    val targets = Seq((0L, "person_0", Seq.fill(64)(0.0))).toDF("t_id", "t_name", "t_enc")
+    // a second "model": every frame has exactly one face at the origin
+    // encoding — under the zero-vector target every frame must match
+    val originModel: SauronPipeline.FaceModel = _ => array(struct(
+      array(lit(0), lit(0), lit(0), lit(0)).as("box"),
+      array(Seq.fill(64)(lit(0.0)): _*).as("enc")))
+    val out = SauronPipeline.process(frames, targets, tolerance = 0.5,
+      model = originModel)
+    val q = out.writeStream.format("memory").queryName("swapped_model_out")
+      .outputMode("append").start()
+    input.addData((0, 0L, new Timestamp(1700000000000L), "abc".getBytes, "|u1", Seq(1)),
+                  (1, 0L, new Timestamp(1700000000100L), "def".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("swapped_model_out")
+    assert(got.count() == 2)
+    assert(got.filter(col("prediction") === "person_0").count() == 2,
+      "with the origin model every frame must predict person_0")
+    // the default stub model does NOT predict person_0 for these frames
+    // (its encodings are hash-derived, far from the origin)
+    val stubOut = SauronPipeline.process(
+      mkFrames(2, 2), targets, tolerance = 0.5)
+    assert(stubOut.filter(col("prediction") === "person_0").count() == 0)
+  }
+
+  test("partition-wise batched detect is bit-identical to the column-expression stub") {
+    val frames = mkFrames(30, 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(col("camera"), col("frame_num"), col("faces"))))
+        .collect().map(_.getString(0)).sorted.toSeq
+    val columnForm = canon(SauronPipeline.detectStage(frames))
+    val batchedForm = canon(SauronPipeline.detectStageBatched(frames, batchSize = 7))
+    assert(columnForm == batchedForm)
+    // and the batched form drives the full predict stage identically
+    val targets = {
+      import spark.implicits._
+      Seq((0L, "person_0", Seq.fill(64)(0.0))).toDF("t_id", "t_name", "t_enc")
+    }
+    val viaBatched = SauronPipeline.predictStage(
+      SauronPipeline.detectStageBatched(frames), targets, tolerance = 0.5)
+    val viaColumns = SauronPipeline.predictStage(
+      SauronPipeline.detectStage(frames), targets, tolerance = 0.5)
+    assert(viaBatched.select(col("camera"), col("frame_num"), col("prediction"))
+        .collect().map(_.toString).sorted.toSeq ==
+      viaColumns.select(col("camera"), col("frame_num"), col("prediction"))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("refreshable targets: a target set updated mid-stream matches later frames (J4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RefreshableTargets
+    val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+    val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+    // the mutable "target_face_topic": starts empty, UI adds a face later
+    @volatile var targetRows: Seq[(Long, String, Seq[Double])] = Seq.empty
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val originModel: SauronPipeline.FaceModel = _ => array(struct(
+      array(lit(0), lit(0), lit(0), lit(0)).as("box"),
+      array(Seq.fill(64)(lit(0.0)): _*).as("enc")))
+    val writer = RefreshableTargets.writer(
+      frames,
+      loadTargets = s => { import s.implicits._
+        targetRows.toDF("t_id", "t_name", "t_enc") },
+      tolerance = 0.5, refreshMs = 0L,
+      sink = (df, _) => results.synchronized {
+        results ++= df.select(col("frame_num"), coalesce(col("prediction"), lit("none")))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+      },
+      model = originModel)
+    val q = writer.start()
+    input.addData((0, 0L, new Timestamp(1700000000000L), "a".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    targetRows = Seq((0L, "person_0", Seq.fill(64)(0.0))) // UI publishes a query face
+    input.addData((0, 1L, new Timestamp(1700000001000L), "b".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    q.stop()
+    val byFrame = results.toMap
+    assert(byFrame(0L) == "Unknown", s"pre-publish frame must not match: $results")
+    assert(byFrame(1L) == "person_0", s"post-publish frame must match the new target: $results")
+  }
+
   test("reorder buffer emits frames in order per camera, drops late frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FrameEvent]
@@ -133,6 +218,36 @@ class StreamingSpec extends SparkSuite {
     val c0 = spark.table("wm_reorder_out").as[FrameEventTs].collect()
       .filter(_.camera == 0).map(_.frameNum).toSeq
     assert(c0 == Seq(0L, 1L, 2L, 3L), s"camera 0 must drain in order, got $c0")
+  }
+
+  test("watermark reorder drops a straggler arriving after its camera drained") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameEventTs
+    val input = MemoryStream[FrameEventTs]
+    val out = ReorderBuffer.reorderByWatermark(input.toDF(), latenessMs = 2000)
+    val q = out.writeStream.format("memory").queryName("hwm_reorder_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    def ev(cam: Int, fn: Long, offMs: Long) =
+      FrameEventTs(cam, fn, new Timestamp(base + offMs), s"c${cam}f$fn")
+    input.addData(ev(0, 0, 0), ev(0, 1, 1000), ev(0, 2, 2000))
+    q.processAllAvailable()
+    input.addData(ev(1, 0, 60000)) // push watermark past cam0+lateness
+    q.processAllAvailable()
+    input.addData(ev(1, 1, 120000)) // cam0 timer fires -> frames 0-2 drain
+    q.processAllAvailable()
+    // straggler: frame 1 again, with a FRESH event time (so the
+    // watermark pre-filter does NOT drop it) — only the persisted
+    // high-water mark can reject it
+    input.addData(ev(0, 1, 180000), ev(0, 3, 181000))
+    q.processAllAvailable()
+    input.addData(ev(1, 2, 300000)) // drain cam0's second buffer
+    q.processAllAvailable()
+    q.stop()
+    val c0 = spark.table("hwm_reorder_out").as[FrameEventTs].collect()
+      .filter(_.camera == 0).map(_.frameNum).toSeq
+    assert(c0 == Seq(0L, 1L, 2L, 3L),
+      s"post-drain straggler must be dropped, not re-emitted: got $c0")
   }
 
   test("transformWithState reorder drains in order under RocksDB state store") {
