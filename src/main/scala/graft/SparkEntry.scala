@@ -18,7 +18,15 @@ import graft.operators.Multimodal
   */
 object SparkEntry {
 
-  /** Multimodal plumbing query (binary payload + metadata + md5 parity). */
+  /** Multimodal plumbing query (binary payload + metadata + md5 parity).
+    *
+    * Oracle parity note (also q51): Spark slices the binary payload by
+    * BYTES while the DuckDB oracle slices `text` by CHARACTERS — DuckDB
+    * has no BLOB substr/md5, so a byte-based oracle is not expressible.
+    * Equivalent only because the driver-generated documents are pure
+    * ASCII (1 byte = 1 char); MultimodalSpec pins that assumption, so a
+    * testdata change to multi-byte text fails a test instead of
+    * silently diverging the hash compare. */
   private val multimodal: Seq[(String, Q)] = Seq(
     "q50_mm_binary" -> Q(
       (s, d) => Multimodal.ingestText(Tables.documents(s, d), "doc_id", "text")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,6 +24,31 @@ object Multimodal {
     StructField("format", StringType),
     StructField("n_bytes", LongType),
     StructField("shape", ArrayType(IntegerType))))
+
+  /** S6 — ingest a directory of files as multimodal rows via Spark's
+    * built-in `binaryFile` source (the reference loads uploaded query
+    * images from disk, /root/reference/web/views.py:113-116). Columns:
+    * (file_name, label, payload, meta); `label` applies the reference's
+    * filename→person parse (name up to the first '.' or '_', title-
+    * cased — web/views.py:121-131). The source prunes to metadata-only
+    * reads when `payload` is not selected, and `pathGlobFilter`/
+    * `recursiveFileLookup` handle directory trees at corpus scale. */
+  def ingestBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*", format: String = "bin"): DataFrame = {
+    val name = regexp_extract(input_file_name(), "([^/]+)$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        name.as("file_name"),
+        initcap(regexp_extract(name, "^([^._]+)", 1)).as("label"),
+        col("content").as("payload"),
+        struct(
+          lit(format).as("format"),
+          col("length").as("n_bytes"),
+          array(col("length").cast("int")).as("shape")).as("meta"))
+  }
 
   /** Wrap a text column as a fake media payload (UTF-8 bytes) with
     * metadata — stands in for image/audio ingestion. */

@@ -26,6 +26,52 @@ class MultimodalSpec extends SparkSuite {
     assert(back.count() == 0)
   }
 
+  test("binaryFile source ingests a directory into the multimodal schema (S6)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_binfiles")
+    try {
+      val payloads = Map(
+        "alice.0.png" -> Array[Byte](1, 2, 3, 4, 5),
+        "bob_smith.jpg" -> "bob-bytes".getBytes("UTF-8"),
+        "carol.dat" -> Array.tabulate(300)(_.toByte))
+      payloads.foreach { case (name, bytes) =>
+        Files.write(dir.resolve(name), bytes)
+      }
+      val ing = Multimodal.ingestBinaryFiles(spark, dir.toString)
+      val rows = ing.collect().map(r => r.getAs[String]("file_name") -> r).toMap
+      assert(rows.keySet == payloads.keySet)
+      // payload bytes survive untouched; meta carries the byte length
+      payloads.foreach { case (name, bytes) =>
+        assert(rows(name).getAs[Array[Byte]]("payload").toSeq == bytes.toSeq, name)
+        assert(rows(name).getAs[org.apache.spark.sql.Row]("meta")
+          .getAs[Long]("n_bytes") == bytes.length, name)
+      }
+      // P12 filename→label parse: up to first '.' or '_', title-cased
+      assert(rows("alice.0.png").getAs[String]("label") == "Alice")
+      assert(rows("bob_smith.jpg").getAs[String]("label") == "Bob")
+      // q50-style projections run over file-backed payloads unchanged
+      val q50ish = ing.select(col("file_name"),
+        md5(col("payload")).as("payload_md5"),
+        hex(col("payload").substr(lit(1), lit(8))).as("head_hex"))
+      assert(q50ish.count() == 3)
+      // and the stub decode stage accepts file-backed payloads
+      val feats = ing.withColumn("features", Multimodal.stubDecodeFeatures(col("payload")))
+      assert(feats.filter(size(col("features")) === 8).count() == 3)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      dir.toFile.delete()
+    }
+  }
+
+  test("documents testdata is pure ASCII (q50/q51 oracle byte-vs-char parity)") {
+    // the q50/q51 DuckDB oracles slice text by CHARACTERS while Spark
+    // slices the payload by BYTES; they agree only while the corpus is
+    // single-byte. If this fails, the oracles must change, not the code.
+    val docs = Tables.documents(spark, sf("0.001"))
+    assert(docs.filter(octet_length(col("text")) =!= length(col("text"))).count() == 0,
+      "documents.text contains multi-byte characters; q50/q51 oracles assume ASCII")
+  }
+
   test("native functions are callable from plain SQL") {
     graft.plans.VectorExpressions.register(spark)
     graft.plans.TextExpressions.register(spark)

@@ -74,16 +74,14 @@ class PlanSpec extends SparkSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS o_bucketed")
-      Tables.lineitem(spark, sf("0.001"))
-        .select("l_orderkey", "l_quantity")
-        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bucketed")
-      Tables.orders(spark, sf("0.001"))
-        .select("o_orderkey", "o_totalprice")
-        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("o_bucketed")
+      Catalog.dropTable(spark, "li_bucketed")
+      Catalog.dropTable(spark, "o_bucketed")
+      Catalog.createBucketedTable(
+        Tables.lineitem(spark, sf("0.001")).select("l_orderkey", "l_quantity"),
+        "li_bucketed", "l_orderkey", nBuckets = 4, sortCol = Some("l_orderkey"))
+      Catalog.createBucketedTable(
+        Tables.orders(spark, sf("0.001")).select("o_orderkey", "o_totalprice"),
+        "o_bucketed", "o_orderkey", nBuckets = 4, sortCol = Some("o_orderkey"))
       val joined = spark.table("li_bucketed").join(
         spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
       val p = joined.queryExecution.executedPlan.toString
@@ -92,8 +90,32 @@ class PlanSpec extends SparkSuite {
       assert(joined.count() == Tables.lineitem(spark, sf("0.001")).count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      Catalog.dropTable(spark, "li_bucketed")
+      Catalog.dropTable(spark, "o_bucketed")
     }
+  }
+
+  test("Catalog CREATE/DROP lifecycle mirrors the reference's topic DDL (D1/D2)") {
+    val names = Seq("graft_cat_a", "graft_cat_b", "unrelated_cat")
+    try {
+      names.foreach(Catalog.dropTable(spark, _))
+      val region = Tables.region(spark, sf("0.001"))
+      Catalog.createBucketedTable(region, "graft_cat_a", "r_regionkey", 2)
+      Catalog.createTable(region, "graft_cat_b")
+      Catalog.createTable(region, "unrelated_cat")
+      assert(spark.catalog.tableExists("graft_cat_a"))
+      assert(spark.table("graft_cat_a").count() == region.count())
+      // create-over-existing overwrites (reference: clear-then-create)
+      Catalog.createBucketedTable(region.limit(2), "graft_cat_a", "r_regionkey", 2)
+      assert(spark.table("graft_cat_a").count() == 2)
+      // prefix sweep = per-camera topic sweep; misses unrelated tables
+      val dropped = Catalog.dropTables(spark, "graft_cat_")
+      assert(dropped.toSet == Set("graft_cat_a", "graft_cat_b"))
+      assert(!spark.catalog.tableExists("graft_cat_a"))
+      assert(spark.catalog.tableExists("unrelated_cat"))
+      // idempotent drop, like clear_topic on a missing topic
+      assert(Catalog.dropTable(spark, "unrelated_cat"))
+      assert(!Catalog.dropTable(spark, "unrelated_cat"))
+    } finally names.foreach(Catalog.dropTable(spark, _))
   }
 }

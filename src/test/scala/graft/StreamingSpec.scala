@@ -354,6 +354,45 @@ class StreamingSpec extends SparkSuite {
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
 
+  test("CSV sink appends the per-prediction latency log (K4)") {
+    // the reference logs camera,frame,prediction,consumers,latency to a
+    // CSV per predictor (/root/reference/src/prediction_producer.py:229-238);
+    // Spark's file sink is the exactly-once replacement
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val outDir = Files.createTempDirectory("graft_csv_sink")
+    val ckDir = Files.createTempDirectory("graft_csv_ck")
+    try {
+      val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+      val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+      val targets = Seq((0L, "person_0", Seq.fill(64)(0.0))).toDF("t_id", "t_name", "t_enc")
+      val log = SauronPipeline.process(frames, targets, tolerance = 0.5)
+        .select(col("camera"), col("frame_num"),
+          coalesce(col("prediction"), lit("none")).as("prediction"),
+          col("latency_s"))
+      val q = log.writeStream.format("csv")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckDir.toString)
+        .outputMode("append").start()
+      input.addData((0, 0L, new Timestamp(1700000000000L), "a".getBytes, "|u1", Seq(1)),
+                    (1, 1L, new Timestamp(1700000000100L), "b".getBytes, "|u1", Seq(1)))
+      q.processAllAvailable()
+      q.stop()
+      val written = spark.read
+        .schema("camera INT, frame_num BIGINT, prediction STRING, latency_s DOUBLE")
+        .csv(outDir.toString)
+      assert(written.count() == 2)
+      assert(written.filter(col("latency_s").isNotNull).count() == 2)
+      assert(written.filter(col("prediction").isNotNull).count() == 2)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      rm(outDir); rm(ckDir)
+    }
+  }
+
   test("StreamingQueryListener captures per-batch metrics (K4)") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new graft.streaming.MetricsListener
