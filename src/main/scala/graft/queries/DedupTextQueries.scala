@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.functions.TextFunctions._
 
 /** Dedup + text-analysis queries over `documents.parquet` — the
@@ -166,6 +166,71 @@ object DedupTextQueries {
         .orderBy(col("a_id"), col("b_id")),
       None,
       "64-bit SimHash; near-dups at hamming<=8 within a source block."),
+
+    // ---- q48: TF-IDF top terms per document -------------------------------
+    "q48_tfidf_topterms" -> Q(
+      (s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($W) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.cnt, df.df,
+                 CAST(tf.cnt AS DOUBLE) * n.n / df.df AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, cnt, df, score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank"""),
+      "Inverted-index TF-IDF: per-(doc,term) counts with map-side combine, " +
+        "term-keyed DF agg, log-free rational score for cross-engine exactness."),
+
+    // ---- q49: deterministic content-hash dataset split --------------------
+    "q49_hash_split" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+          TextAnalysis.hashBucket(col("text")).as("bucket"),
+          TextAnalysis.hashSplit(docs, "text").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS bucket,
+          CASE WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id"""),
+      "Leak-proof train/val/test assignment from the content hash: " +
+        "duplicate docs co-split on any cluster/partitioning; no shuffle."),
+
+    // ---- q52: blocklist scan + redaction (PII machinery) ------------------
+    "q52_blocklist_scan" -> Q(
+      (s, d) => {
+        val pat = TextAnalysis.blocklistPattern(Seq("customer", "vector", "spark"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.patternCount(col("text"), pat).as("n_hits"),
+          md5(TextAnalysis.redact(col("text"), pat, "[X]")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS INT) AS n_hits,
+          md5(regexp_replace(text, '\b(customer|vector|spark)\b', '[X]', 'g')) AS redacted_md5
+        FROM documents
+        ORDER BY doc_id"""),
+      "Blocklist/PII scrub: regex scan + redaction as pure projections; " +
+        "planted-PII patterns exercised in TextAnalysisSpec."),
 
     // ---- q47: regex (BPE-ish) tokenization -------------------------------
     "q47_regex_tokens" -> Q(
