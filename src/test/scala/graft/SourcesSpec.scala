@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Source-side semantics (SURVEY.md §2.1/§2.8): micro-batch size caps
+  * (O4 — the reference's poll(max_records)), paced emission (O3 — its
+  * 30fps sleep loop), and non-parquet file formats. The Kafka twins of
+  * these options (maxOffsetsPerTrigger, trigger pacing in KafkaIO) are
+  * the same engine machinery behind a format string; the file source is
+  * the broker-free way to pin the behavior. */
+class SourcesSpec extends SparkSuite {
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  test("file stream honors maxFilesPerTrigger under a paced trigger (O3/O4)") {
+    val dir = Files.createTempDirectory("graft_src_stream")
+    val ck = Files.createTempDirectory("graft_src_ck")
+    try {
+      (0 until 3).foreach { i =>
+        Files.writeString(dir.resolve(s"part$i.csv"), s"$i,100\n$i,200\n")
+      }
+      val stream = spark.readStream
+        .schema("camera INT, frame_num BIGINT")
+        .option("maxFilesPerTrigger", 1) // O4: poll(max_records) analog
+        .csv(dir.toString)
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = stream.writeStream
+        .trigger(Trigger.ProcessingTime("50 milliseconds")) // O3: paced emission
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          batchSizes.synchronized { batchSizes += n }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val nonEmpty = batchSizes.filter(_ > 0)
+      assert(nonEmpty.size == 3, s"one file per micro-batch, got $batchSizes")
+      assert(nonEmpty.forall(_ == 2), s"each file carries 2 rows: $batchSizes")
+    } finally { rmTree(dir); rmTree(ck) }
+  }
+
+  test("CSV and JSON sources round-trip the documents schema") {
+    val dir = Files.createTempDirectory("graft_src_fmt")
+    try {
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val schema = docs.schema
+      docs.write.mode("overwrite").json(s"$dir/json")
+      docs.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      val viaJson = spark.read.schema(schema).json(s"$dir/json")
+      val viaCsv = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
+      assert(viaJson.count() == docs.count())
+      assert(docs.exceptAll(viaJson).count() == 0)
+      assert(viaJson.exceptAll(docs).count() == 0)
+      assert(docs.exceptAll(viaCsv).count() == 0)
+      assert(viaCsv.exceptAll(docs).count() == 0)
+    } finally rmTree(dir)
+  }
+}
