@@ -169,6 +169,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns near-dup PAIRS (from [[jaccardPairs]] /
+    * [[minhashCandidates]] / [[simhashPairs]]) into dup GROUPS, so a
+    * pipeline can keep one canonical doc per group. Returns
+    * (v: long, comp: long) where comp is the minimum vertex id in the
+    * component; only vertices that appear in an edge are returned.
+    *
+    * Algorithm: iterative min-label propagation. Every pass each vertex
+    * takes the min of its own label and its neighbors' labels; stop when
+    * no label changes. Each pass shuffles only (long, long) rows; pass
+    * count is O(component diameter), which for dedup graphs (dense
+    * near-clique clusters of mutually-similar docs) is 2-3. For graphs
+    * with adversarially long chains, star-contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") converges in
+    * O(log n) passes — not needed for the dedup-cluster shape.
+    * localCheckpoint per pass truncates the growing lineage and lets the
+    * ContextCleaner free superseded label relations. */
+  def connectedComponents(edges: DataFrame, a: String, b: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("comp")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val fromNeighbors = und.join(labels, und("src") === labels("v"))
+        .select(und("dst").as("v"), col("comp"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("v").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.select(col("v"), col("comp").as("prev")), "v")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge within $maxIter passes")
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: every doc gets a component
+    * (singletons are their own), plus an `is_canonical` flag marking the
+    * minimum-id survivor of each cluster — the doc a dedup pipeline
+    * keeps. */
+  def dupClusters(docs: DataFrame, id: String, pairs: DataFrame,
+      a: String = "a_id", b: String = "b_id"): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+    docs.select(col(id).cast("long").as("doc_id"))
+      .join(comp, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+  }
+
   /** All-pairs SimHash within a block — O(n²) per block; retained ONLY
     * as the exactness oracle for [[simhashPairs]] at test scale. */
   private[graft] def simhashPairsExhaustive(docs: DataFrame, id: String,

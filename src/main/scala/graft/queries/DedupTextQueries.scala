@@ -232,6 +232,47 @@ object DedupTextQueries {
       "Blocklist/PII scrub: regex scan + redaction as pure projections; " +
         "planted-PII patterns exercised in TextAnalysisSpec."),
 
+    // ---- q53: dup clusters (connected components + canonical keep) --------
+    "q53_dup_clusters" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ), walk(v, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.v
+        ), comp AS (
+          SELECT v, MIN(comp) AS comp FROM walk GROUP BY v
+        )
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component,
+               COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        ORDER BY doc_id"""),
+      "Near-dup clustering: min-label propagation over the Jaccard pair " +
+        "graph (O(diameter) passes, (long,long) shuffles) + canonical keep."),
+
     // ---- q47: regex (BPE-ish) tokenization -------------------------------
     "q47_regex_tokens" -> Q(
       (s, d) => {

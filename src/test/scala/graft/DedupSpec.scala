@@ -73,4 +73,25 @@ class DedupSpec extends SparkSuite {
     val expect = (97L * 31 + 98) % 1000000007L
     assert(got == expect)
   }
+
+  test("connectedComponents labels a chain, a triangle, and leaves islands apart") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: exercises multiple propagation passes),
+    // triangle 10-11-12, separate edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("x", "y")
+    val got = Dedup.connectedComponents(edges, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters assigns singletons to themselves and flags canonicals") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(corpus, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
 }
