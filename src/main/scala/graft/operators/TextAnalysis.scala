@@ -96,4 +96,117 @@ object TextAnalysis {
     * bad-word filtering, the other standard scrub in LLM data work. */
   def blocklistPattern(words: Seq[String]): String =
     words.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct n-gram shingles appear anywhere in the benchmark set.
+    * Output: (id, n_sh, n_hits, overlap_frac) for EVERY corpus doc
+    * (0-hit docs included), so the caller chooses the eviction
+    * threshold.
+    *
+    * Scale design: both sides hash shingles to 64-bit via the native
+    * single-pass [[graft.plans.TextExpressions]] expression, so the
+    * equi-join shuffles 8-byte keys, never n-gram strings; the
+    * benchmark side collapses to its distinct shingle set first
+    * (typically thousands of eval docs vs billions of corpus docs) and
+    * is left for AQE to broadcast by size stats — no forced broadcast. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    graft.plans.TextExpressions.register(corpus.sparkSession)
+    val hashed = corpus.select(col(id).as("doc"),
+      call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
+    val cs = hashed.select(col("doc"), explode(col("shs")).as("sh"))
+    val bs = benchmark
+      .select(explode(call_function("shingle_hashes", col(text), lit(n))).as("sh"))
+      .distinct()
+    val hits = cs.join(bs, "sh").groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc"), "left")
+      .select(col("doc").as(id), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_sh") > 0,
+          coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_sh"))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
+  /** Deterministic corpus mixing with fractional epochs: each document
+    * is materialized `floor(rate)` times plus one more iff its content
+    * hash bucket falls below the fractional remainder — so a 2.5-epoch
+    * source repeats every doc twice and half of them (chosen by
+    * content, not rand()) a third time. Rates are percent ints
+    * (250 = 2.5 epochs, 20 = keep 20%). Reproducible on any cluster /
+    * partitioning; adding data never resamples existing docs.
+    *
+    * Output: one row per materialized copy, (input columns…, bucket,
+    * n_copies, copy). Projection + explode only — no shuffle. */
+  def mixEpochs(docs: DataFrame, text: String,
+      ratesPct: Map[String, Int], defaultPct: Int, source: String = "source"): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, r)) =>
+      when(col(source) === src, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", hashBucket(col(text)))
+      .withColumn("n_copies",
+        (rate / 100).cast("int") + when(col("bucket") < rate % 100, 1).otherwise(0))
+      .filter(col("n_copies") >= 1) // sequence(1, 0) would generate a DESCENDING ramp
+      .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+  }
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction and the fraction of tokens covered by the single most
+    * frequent bigram. High values flag boilerplate / degenerate text.
+    *
+    * Bigrams are built by posexplode + lead() over (doc, pos) rather
+    * than an element_at lambda over the token array: CollapseProject
+    * re-inlines the split() into every lambda element_at, turning the
+    * array form O(words²) per doc. The window shuffle partitions by
+    * doc id — embarrassingly parallel across documents.
+    *
+    * Output: (id, n_tokens, n_uniq, dup_token_frac, top_bigram,
+    * top_bigram_cnt, top_bigram_frac); top-bigram ties break to the
+    * lexicographically smallest bigram. */
+  def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens(col(text))
+    val stats = docs.select(col(id).as("doc"), size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_uniq"))
+    val toks = docs.select(col(id).as("doc"), posexplode(w).as(Seq("pos", "word")))
+    val bg = toks
+      .withColumn("nxt", lead(col("word"), 1)
+        .over(Window.partitionBy(col("doc")).orderBy(col("pos"))))
+      .where(col("nxt").isNotNull)
+      .select(col("doc"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+    val top = bg.groupBy(col("doc"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("cnt").desc, col("bigram"))))
+      .where(col("rn") === 1)
+      .select(col("doc"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
+    stats.join(top, Seq("doc"), "left")
+      .select(col("doc").as(id), col("n_tokens"), col("n_uniq"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        col("top_bigram"), col("top_bigram_cnt"),
+        (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
+  }
+
+  /** Token-aware shard packing: assign documents to fixed-token-budget
+    * shards by the running token count, greedy in (partition, id)
+    * order. A document belongs to the shard its first token lands in
+    * (offset packing), so shard sizes are budget ± one document.
+    *
+    * The running sum is windowed per `by` partition (e.g. source), not
+    * globally — a global ORDER BY would serialize the whole corpus
+    * through one task; per-partition packing parallelizes across
+    * sources and keeps shard assignment deterministic.
+    *
+    * Output: (id, by, n_tokens, start_offset, shard). */
+  def packShards(docs: DataFrame, id: String, text: String,
+      by: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(by)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(id), col(by), size(tokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .withColumn("shard", floor(col("start_offset") / budgetTokens))
+  }
 }

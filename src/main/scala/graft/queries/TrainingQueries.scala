@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.TextAnalysis
+
+/** Training-data curation queries over `documents.parquet`: benchmark
+  * decontamination, deterministic epoch mixing, repetition signals,
+  * and token-aware shard packing — the corpus-preparation stages that
+  * sit between dedup/quality filtering and the trainer, generalizing
+  * the reference's content-keyed sampling the way the BASELINE north
+  * star requires.
+  */
+object TrainingQueries {
+
+  /** DuckDB: md5 content-hash bucket 0..99 (mirror of TextAnalysis.hashBucket). */
+  private val Bucket = "CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100"
+  /** DuckDB: distinct 3-word shingles (mirrors TextFunctions.shingles). */
+  private val W = "string_split(text, ' ')"
+  private val Shingles3 =
+    s"list_distinct(list_transform(range(1, len($W) - 1), i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2]))"
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q54: benchmark decontamination -----------------------------------
+    "q54_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
+        val corpus = docs.filter(col("bucket") < 97)
+        val bench = docs.filter(col("bucket") >= 97)
+        TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, $Bucket AS bucket FROM documents
+        ), b AS (
+          SELECT DISTINCT unnest($Shingles3) AS sh FROM d WHERE bucket >= 97
+        ), tr AS (
+          SELECT doc_id, unnest($Shingles3) AS sh FROM d WHERE bucket < 97
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id
+        ), hits AS (
+          SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN b USING (sh)
+          GROUP BY tr.doc_id
+        )
+        SELECT s.doc_id, CAST(s.n_sh AS INT) AS n_sh,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CASE WHEN s.n_sh > 0
+                    THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_sh
+                    ELSE 0.0 END AS overlap_frac
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id"""),
+      "Decontamination sweep: corpus×benchmark shingle overlap as an " +
+        "8-byte-hash equi-join; benchmark side broadcast by AQE stats."),
+
+    // ---- q55: deterministic epoch mixing -----------------------------------
+    "q55_mix_epochs" -> Q(
+      (s, d) => TextAnalysis.mixEpochs(Tables.documents(s, d), "text",
+          ratesPct = Map("src0" -> 250, "src1" -> 20, "src2" -> 140),
+          defaultPct = 100)
+        .select(col("doc_id"), col("source"), col("bucket"),
+          col("n_copies"), col("copy"))
+        .orderBy(col("doc_id"), col("copy")),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, $Bucket AS bucket,
+            CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 20
+                        WHEN 'src2' THEN 140 ELSE 100 END AS rate
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, bucket,
+                 rate // 100 + CASE WHEN bucket < rate % 100 THEN 1 ELSE 0 END AS n_copies
+          FROM d
+        )
+        SELECT doc_id, source, bucket, n_copies,
+               CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+        FROM c WHERE n_copies >= 1
+        ORDER BY doc_id, copy"""),
+      "Fractional-epoch source mixing keyed by content hash: 2.5 epochs " +
+        "= 2 copies + content-chosen half; projection+explode, no shuffle."),
+
+    // ---- q56: repetition signals (Gopher-style) -----------------------------
+    "q56_repetition" -> Q(
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $W AS w FROM documents
+        ), stats AS (
+          SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+                 CAST(len(list_distinct(w)) AS INT) AS n_uniq
+          FROM t
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+          FROM t
+        ), cnt AS (
+          SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+        ), top AS (
+          SELECT doc_id, bigram, cnt,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+          FROM cnt
+        )
+        SELECT s.doc_id, s.n_tokens, s.n_uniq,
+               CAST(1 AS DOUBLE) - CAST(s.n_uniq AS DOUBLE) / s.n_tokens AS dup_token_frac,
+               t2.bigram AS top_bigram, t2.cnt AS top_bigram_cnt,
+               CAST(t2.cnt AS DOUBLE) * 2 / s.n_tokens AS top_bigram_frac
+        FROM stats s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t2 USING (doc_id)
+        ORDER BY s.doc_id"""),
+      "Duplicate-token and top-bigram fractions; posexplode+lead dodges " +
+        "the CollapseProject O(words²) lambda re-inlining."),
+
+    // ---- q57: token-aware shard packing -------------------------------------
+    "q57_pack_shards" -> Q(
+      (s, d) => TextAnalysis.packShards(Tables.documents(s, d), "doc_id", "text",
+          by = "source", budgetTokens = 500L)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens FROM documents
+        ), o AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, start_offset,
+               start_offset // 500 AS shard
+        FROM o ORDER BY doc_id"""),
+      "Greedy token-budget shard assignment from a per-source running " +
+        "sum — parallel across sources, deterministic on any cluster."))
+}

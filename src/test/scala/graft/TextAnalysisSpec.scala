@@ -55,6 +55,70 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.count() == 42)
   }
 
+  test("decontaminate counts benchmark shingle overlap per corpus doc") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zeta"),  // shares "alpha beta gamma", "beta gamma delta"
+      (2L, "totally different words here now"),
+      (3L, "alpha beta gamma delta epsilon")) // exact copy: all 3 shingles hit
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") == 2L)
+    assert(out(2L).getAs[Long]("n_hits") == 0L)
+    assert(out(3L).getAs[Long]("n_hits") == 3L)
+    assert(out(3L).getAs[Double]("overlap_frac") == 1.0)
+    assert(out.size == 3, "0-hit docs must still appear")
+  }
+
+  test("mixEpochs materializes floor(rate) copies plus a content-chosen extra") {
+    val d = docs.limit(50).cache()
+    val out = TextAnalysis.mixEpochs(d, "text",
+      ratesPct = Map.empty, defaultPct = 300)
+    assert(out.count() == 150, "rate 300 = exactly 3 copies of every doc")
+    val fractional = TextAnalysis.mixEpochs(d, "text",
+      ratesPct = Map.empty, defaultPct = 250)
+    val counts = fractional.groupBy("doc_id").count().collect()
+    assert(counts.forall(r => r.getLong(1) == 2L || r.getLong(1) == 3L))
+    // deterministic: same content -> same copy count on re-evaluation
+    val again = TextAnalysis.mixEpochs(d, "text", Map.empty, 250)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.forall(r => again(r.getLong(0)) == r.getLong(1)))
+    // rate 0 drops everything
+    assert(TextAnalysis.mixEpochs(d, "text", Map.empty, 0).count() == 0)
+    d.unpersist()
+  }
+
+  test("repetitionStats flags degenerate repetition") {
+    val rows = Seq(
+      (1L, "spam spam spam spam ham"),
+      (2L, "all words here are distinct")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_tokens") == 5 && r1.getAs[Int]("n_uniq") == 2)
+    assert(r1.getAs[String]("top_bigram") == "spam spam")
+    assert(r1.getAs[Long]("top_bigram_cnt") == 3L)
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 1.2) < 1e-12)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_token_frac") == 0.0)
+    assert(r2.getAs[Long]("top_bigram_cnt") == 1L)
+  }
+
+  test("packShards assigns docs to token-budget shards by running offset") {
+    val rows = Seq( // ids in pack order; 3-token and 5-token docs, budget 8
+      (1L, "a b c", "s"), (2L, "a b c d e", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d e", "s"), (5L, "a b c", "t"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packShards(rows, "doc_id", "text", "source", budgetTokens = 8L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("shard") == 0L) // offset 0
+    assert(out(2L).getAs[Long]("shard") == 0L) // offset 3
+    assert(out(3L).getAs[Long]("shard") == 1L) // offset 8
+    assert(out(4L).getAs[Long]("shard") == 1L) // offset 11
+    assert(out(5L).getAs[Long]("shard") == 0L) // own partition, offset 0
+  }
+
   test("hash split is content-determined and roughly proportioned") {
     val out = docs.select(col("doc_id"), col("text"),
       TextAnalysis.hashSplit(docs, "text").as("split"))
