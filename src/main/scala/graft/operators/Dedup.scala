@@ -193,20 +193,27 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("comp")).localCheckpoint()
-    var changed = 1L
+    // convergence check: min-propagation only ever DECREASES a label, so
+    // sum(comp) strictly decreases iff any label changed — one tiny
+    // aggregate per pass instead of a next-vs-prev join + count.
+    // DECIMAL(38,0) keeps the sum exact at any vertex-count × id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val fromNeighbors = und.join(labels, und("src") === labels("v"))
         .select(und("dst").as("v"), col("comp"))
-      val next = labels.union(fromNeighbors)
+      labels = labels.union(fromNeighbors)
         .groupBy("v").agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.select(col("v"), col("comp").as("prev")), "v")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      val s = labelSum(labels)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       iter += 1
     }
-    require(changed == 0, s"connectedComponents did not converge within $maxIter passes")
+    require(!changed, s"connectedComponents did not converge within $maxIter passes")
     labels
   }
 

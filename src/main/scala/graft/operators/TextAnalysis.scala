@@ -176,11 +176,14 @@ object TextAnalysis {
         .over(Window.partitionBy(col("doc")).orderBy(col("pos"))))
       .where(col("nxt").isNotNull)
       .select(col("doc"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+    // top-1 per doc as a hash agg, not a row_number window: min_by over
+    // (-cnt, bigram) partial-aggregates map-side and skips a sort
+    // shuffle; -cnt major = highest count, bigram minor = lexicographic
+    // tie-break (same ordering the window form would use).
     val top = bg.groupBy(col("doc"), col("bigram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("cnt").desc, col("bigram"))))
-      .where(col("rn") === 1)
-      .select(col("doc"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
+      .groupBy(col("doc"))
+      .agg(min_by(struct(col("bigram"), col("cnt")), struct(-col("cnt"), col("bigram"))).as("t"))
+      .select(col("doc"), col("t.bigram").as("top_bigram"), col("t.cnt").as("top_bigram_cnt"))
     stats.join(top, Seq("doc"), "left")
       .select(col("doc").as(id), col("n_tokens"), col("n_uniq"),
         (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens")).as("dup_token_frac"),
