@@ -56,4 +56,26 @@ object VectorFunctions {
     * arithmetic to [[cosine]] when na/nb are [[fastNorm]] columns. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     fastDot(a, b) / (na * nb)
+
+  // ---- int8 quantization ---------------------------------------------
+  // Max-abs symmetric quantization: q_i = round(x_i / (||v||_inf / 127)).
+  // Every step is a single IEEE-754 op per element and both Spark and
+  // DuckDB round doubles half-away-from-zero, so the DuckDB oracle is
+  // bit-exact. At 100 TB this is the storage/IO lever for the similarity
+  // family: 8x smaller vectors through every shuffle and broadcast.
+
+  /** Per-vector quantization scale: max |x_i| / 127. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  /** Quantize to int8 range (surfaced as int for engine portability);
+    * an all-zero vector (scale 0) quantizes to zeros. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0.0)).otherwise(round(x / scale)).cast("int"))
+
+  /** Largest elementwise reconstruction error |x_i - q_i*scale| — by
+    * construction <= scale/2. */
+  def dequantMaxErr(v: Column, q: Column, scale: Column): Column =
+    array_max(zip_with(v, q, (x, qi) => abs(x - qi * scale)))
 }

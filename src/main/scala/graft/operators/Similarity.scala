@@ -180,6 +180,62 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over an embedding column — the unsupervised trainer
+    * that completes the IVF path ([[ivfTopK]] needs a coarse quantizer;
+    * [[centroidsAsQuantizer]] builds one from labels, this one from the
+    * vectors themselves, the way a real ANN index is trained).
+    *
+    * Scale topology (same as the classic distributed Lloyd's): the model
+    * state is k×d doubles — tiny — so it lives on the driver and is
+    * broadcast each iteration; the DATA never moves. One iteration = one
+    * broadcast join (assignment via min_by, ties to the lower cell) plus
+    * one partially-aggregated elementwise-mean pass. The input is
+    * persisted across iterations and unpersisted before returning.
+    *
+    * Deterministic on any cluster/partitioning: init = the k lowest-id
+    * vectors, and the mean accumulates DECIMAL(38,18) casts of each
+    * addend — exact and order-independent, so reaggregation splits can't
+    * flip a later assignment (same rationale as [[graft.Tables.moneySum]]).
+    * An emptied cell keeps its previous centroid.
+    *
+    * @return (cell, n_members, centroid_vec) for the final model. */
+  def kMeans(vecs: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    ensureRegistered(vecs)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(centroids: DataFrame): DataFrame =
+      data.crossJoin(broadcast(centroids))
+        .groupBy(col("vid"))
+        .agg(first(col("v")).as("v"),
+          min_by(col("cell"),
+            struct(fastSquaredL2(col("v"), col("c_vec")), col("cell"))).as("cell"))
+    var centroids: Seq[(Int, Seq[Double])] =
+      data.orderBy(col("vid")).limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val means = assign(centroids.toDF("cell", "c_vec"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(38, 18))) / count(lit(1))).cast("double").as("m"))
+        .collect()
+      val updated = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      centroids = centroids.map { case (cell, prev) =>
+        (cell, updated.getOrElse(cell, prev))
+      }
+    }
+    val model = centroids.toDF("cell", "c_vec")
+    val result = assign(model)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(model.withColumnRenamed("c_vec", "centroid_vec")), "cell")
+    data.unpersist(false)
+    result
+  }
+
   /** Convenience: build an IVF coarse quantizer from [[labelCentroids]]
     * output (cell = label, centroid re-assembled from exploded dims). */
   def centroidsAsQuantizer(vecs: DataFrame, label: String, vec: String): DataFrame =

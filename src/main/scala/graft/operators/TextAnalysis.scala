@@ -191,6 +191,37 @@ object TextAnalysis {
         (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
   }
 
+  /** Stratified per-source cap: keep at most `cap` documents per stratum
+    * (e.g. source), chosen deterministically by content-hash order — the
+    * "no single web dump dominates the mix" curation step.
+    *
+    * Scale design: a naive ROW_NUMBER per stratum sorts each stratum
+    * through ONE task — with a handful of sources at 100 TB that is a
+    * single-machine sort. Instead this is a two-level distributed rank:
+    * rank within (stratum, content-bucket) — 100x finer partitions, no
+    * skew — plus a broadcast cumulative-count offset per bucket (the
+    * histogram is strata×100 rows). global_rank = offset + rank_in_bucket
+    * is exactly the rank the naive window would produce for the
+    * (bucket, id) ordering.
+    *
+    * Output: (id, by, bucket, rnk) for the kept rows, rnk 1..cap. */
+  def stratifiedCap(docs: DataFrame, id: String, text: String,
+      by: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(id), col(by), hashBucket(col(text)).as("bucket"))
+    val wInner = Window.partitionBy(col(by), col("bucket")).orderBy(col(id))
+    val ranked = d.withColumn("rnb", row_number().over(wInner))
+    val wOff = Window.partitionBy(col(by)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col(by), col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col(by), col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), Seq(by, "bucket"))
+      .withColumn("rnk", col("off") + col("rnb"))
+      .filter(col("rnk") <= cap)
+      .select(col(id), col(by), col("bucket"), col("rnk"))
+  }
+
   /** Token-aware shard packing: assign documents to fixed-token-budget
     * shards by the running token count, greedy in (partition, id)
     * order. A document belongs to the shard its first token lands in

@@ -155,6 +155,57 @@ object SimilarityQueries {
           threshold = 0.4, nBits = 6, nTables = 6)
         .orderBy(col("a_id"), col("b_id")),
       None,
-      "LSH candidate generation + exact rescoring; recall vs q33 in tests.")
+      "LSH candidate generation + exact rescoring; recall vs q33 in tests."),
+
+    // ---- q59: int8 embedding quantization --------------------------------
+    "q59_quantize_int8" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        emb(s, d)
+          .withColumn("scale", int8Scale(col("emb")))
+          .withColumn("q", quantizeInt8(col("emb"), col("scale")))
+          .select(col("vec_id"),
+            size(col("q")).as("n_dims"),
+            col("scale"),
+            concat_ws(",", col("q").cast("array<string>")).as("q_csv"),
+            dequantMaxErr(col("emb"), col("q"), col("scale")).as("max_abs_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        sc AS (
+          SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+          FROM e
+        ), qz AS (
+          SELECT vec_id, emb, scale,
+                 list_transform(emb, x -> CAST(
+                   CASE WHEN scale = 0.0 THEN 0.0 ELSE round(x / scale) END AS INT)) AS q
+          FROM sc
+        )
+        SELECT vec_id, CAST(len(q) AS INT) AS n_dims, scale,
+               array_to_string(q, ',') AS q_csv,
+               list_max(list_transform(range(1, len(emb) + 1),
+                 i -> abs(emb[i] - q[i] * scale))) AS max_abs_err
+        FROM qz ORDER BY vec_id"""),
+      "Max-abs int8 quantization with reconstruction-error audit: 8x " +
+        "smaller vectors through every shuffle/broadcast at 100 TB; " +
+        "round-half-away parity makes the full q vector hash-checkable."),
+
+    // ---- q61: k-means trainer (no oracle: iterative, not SQL) -------------
+    "q61_kmeans" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        Similarity.kMeans(e, "vec_id", "emb", k = 8, iters = 4)
+          .select(col("cell"), col("n_members"),
+            posexplode(col("centroid_vec")).as(Seq("pos", "c")))
+          .select(col("cell"), col("n_members"), (col("pos") + 1).as("dim"),
+            round(col("c"), 9).as("centroid"))
+          .orderBy(col("cell"), col("dim"))
+      },
+      None,
+      "Lloyd's k-means with driver-held model + broadcast assignment; " +
+        "exactness vs brute force when used as an IVF quantizer is " +
+        "pinned in VectorSpec.")
   )
 }

@@ -132,5 +132,33 @@ object TrainingQueries {
                start_offset // 500 AS shard
         FROM o ORDER BY doc_id"""),
       "Greedy token-budget shard assignment from a per-source running " +
-        "sum — parallel across sources, deterministic on any cluster."))
+        "sum — parallel across sources, deterministic on any cluster."),
+
+    // ---- q58: stratified per-source cap -------------------------------------
+    "q58_stratified_cap" -> Q(
+      (s, d) => TextAnalysis.stratifiedCap(Tables.documents(s, d), "doc_id", "text",
+          by = "source", cap = 15)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, $Bucket AS bucket FROM documents
+        ), r AS (
+          SELECT doc_id, source, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id) AS rnb
+          FROM d
+        ), h AS (
+          SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY 1, 2
+        ), o AS (
+          SELECT source, bucket,
+                 CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM h
+        )
+        SELECT r.doc_id, r.source, r.bucket, r.rnb + o.off AS rnk
+        FROM r JOIN o USING (source, bucket)
+        WHERE r.rnb + o.off <= 15
+        ORDER BY r.doc_id"""),
+      "Per-source corpus cap as a two-level distributed rank: " +
+        "row_number within (source, content-bucket) + broadcast " +
+        "cumulative offsets — no single-task per-source sort."))
 }

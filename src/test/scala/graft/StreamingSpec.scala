@@ -433,4 +433,33 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() == 2, "two 5s windows expected")
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
+
+  test("stream-stream interval join: detections x camera telemetry (SURVEY §2.11)") {
+    // the streaming analog of the pipeline's frame/metadata zip: both
+    // sides watermarked, equi-key on camera plus a bounded event-time
+    // range, so join state is GC'd as the watermark advances
+    implicit val sqlCtx = spark.sqlContext
+    val det = MemoryStream[(Int, Timestamp, String)]
+    val tel = MemoryStream[(Int, Timestamp, Double)]
+    val d = det.toDF().toDF("camera", "dts", "prediction")
+      .withWatermark("dts", "10 seconds")
+    val t = tel.toDF().toDF("tcam", "tts", "temp")
+      .withWatermark("tts", "10 seconds")
+    val joined = d.join(t,
+      expr("camera = tcam AND tts BETWEEN dts - interval 2 seconds AND dts + interval 2 seconds"))
+      .select(col("camera"), col("dts"), col("prediction"), col("temp"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    det.addData((0, new Timestamp(base + 1000), "person_0"),
+                (1, new Timestamp(base + 1000), "person_1"))
+    tel.addData((0, new Timestamp(base), 20.5),          // within 2s of cam0 detection
+                (0, new Timestamp(base + 8000), 21.5),   // outside the interval
+                (2, new Timestamp(base + 1000), 22.5))   // no matching camera
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_out").collect()
+    assert(got.length == 1, s"exactly the in-interval same-camera pair joins, got ${got.length}")
+    assert(got.head.getInt(0) == 0 && got.head.getDouble(3) == 20.5)
+  }
 }

@@ -119,6 +119,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(5L).getAs[Long]("shard") == 0L) // own partition, offset 0
   }
 
+  test("stratifiedCap ranks identically to a naive per-stratum window") {
+    val out = TextAnalysis.stratifiedCap(docs, "doc_id", "text", "source", cap = 20)
+    // cap respected, exactly (strata are larger than 20 at sf0.001)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) == 20L))
+    // the two-level rank must equal the single-window rank it replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"), TextAnalysis.hashBucket(col("text")).as("bucket"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select("doc_id", "source", "bucket", "rnk")
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+  }
+
   test("hash split is content-determined and roughly proportioned") {
     val out = docs.select(col("doc_id"), col("text"),
       TextAnalysis.hashSplit(docs, "text").as("split"))

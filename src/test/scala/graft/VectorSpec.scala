@@ -104,6 +104,44 @@ class VectorSpec extends SparkSuite {
       row.getSeq[Double](row.fieldIndex("features")))
   }
 
+  test("kMeans is deterministic and exact as a full-coverage IVF quantizer") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+    def run() = Similarity.kMeans(e, "vec_id", "emb", k = 8, iters = 3)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val a = run()
+    assert(a.length == 8)
+    assert(a.map(_._2).sum == e.count(), "every vector assigned to exactly one cell")
+    assert(a.toSeq == run().toSeq, "decimal-accumulated means must be run-invariant")
+    // used as an IVF quantizer with nProbe = k, results must equal brute force
+    val probes = e.filter(c("vec_id") < 30).select(c("vec_id").as("p_id"), c("emb").as("p_vec"))
+    val tg = e.select(c("vec_id").as("t_id"), c("emb").as("t_vec"))
+    val quantizer = Similarity.kMeans(e, "vec_id", "emb", k = 8, iters = 3)
+      .select(c("cell"), c("centroid_vec"))
+    val exact = Similarity.topK(probes, "p_id", "p_vec", tg, "t_id", "t_vec", k = 3)
+      .select("p_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+        quantizer, "cell", "centroid_vec", k = 3, nProbe = 8)
+      .select("p_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe covering every trained cell must equal brute force")
+  }
+
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    import org.apache.spark.sql.functions.{col => c}
+    val q = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+      .withColumn("scale", int8Scale(c("emb")))
+      .withColumn("q", quantizeInt8(c("emb"), c("scale")))
+      .withColumn("err", dequantMaxErr(c("emb"), c("q"), c("scale")))
+    val bad = q.filter(c("err") > c("scale") / 2 + lit(1e-12)).count()
+    assert(bad == 0, "max-abs quantization error must be <= scale/2")
+    val outOfRange = q.select(explode(c("q")).as("qi"))
+      .filter(abs(c("qi")) > 127).count()
+    assert(outOfRange == 0, "quantized values must fit int8")
+  }
+
   test("CentroidAggregator matches the exploded avg form") {
     import spark.implicits._
     val ds = Tables.embeddings(spark, sf("0.001"))
