@@ -149,7 +149,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String, text: String, block: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val sig = simhashSignatures(docs, id, text, block)
+    // localCheckpoint (eager): both self-join arms read the signatures,
+    // and without reuse each arm re-tokenizes the corpus and re-runs the
+    // 64-aggregate vote pass. The materialized relation is one
+    // (doc, blk, 8-byte sig) row per doc — tiny at any corpus size.
+    // Same lifecycle rationale as in [[jaccardPairs]].
+    val sig = simhashSignatures(docs, id, text, block).localCheckpoint()
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val rem = 64 % nBands // first `rem` bands get one extra bit
