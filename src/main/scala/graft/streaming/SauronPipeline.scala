@@ -106,12 +106,19 @@ object SauronPipeline {
     *                — the query-face broadcast set
     */
   def predictStage(detected: DataFrame, targets: DataFrame, tolerance: Double): DataFrame = {
+    VectorExpressions.register(detected.sparkSession)
     val targetArr = broadcast(
       targets.agg(sort_array(collect_list(
         struct(col("t_id"), col("t_name"), col("t_enc")))).as("t_set")))
+    // fastSquaredL2 (native expr) instead of the HOF fold: HOFs are
+    // CodegenFallback, so everything inside this lambda runs interpreted
+    // — the native expression's eval is one tight double loop per
+    // candidate, the HOF fold is ~dim lambda evals. Squared-threshold
+    // compare keeps sqrt out of the per-pair hot path.
     val firstMatch: Column => Column = enc => try_element_at(
       transform(
-        filter(col("t_set"), t => sqrt(squaredL2(enc, t.getField("t_enc"))) <= tolerance),
+        filter(col("t_set"),
+          t => fastSquaredL2(enc, t.getField("t_enc")) <= tolerance * tolerance),
         t => t.getField("t_name")),
       lit(1))
     detected.crossJoin(targetArr)
