@@ -191,6 +191,71 @@ object TextAnalysis {
         (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
   }
 
+  /** Duplicated n-gram coverage per document: what fraction of a doc's
+    * distinct n-gram shingles occur in at least one OTHER document —
+    * the corpus-level "how much of this text is boilerplate/copied"
+    * signal (the span-granular generalization of pairwise dedup: no
+    * pair enumeration, so it scales past the point where even LSH pair
+    * generation is too big).
+    *
+    * Scale design: shingles are 64-bit hashes ([[graft.plans.TextExpressions]],
+    * distinct within a doc), so the duplicated-shingle set comes from a
+    * count >= 2 hash aggregation over 8-byte keys (map-side partials)
+    * and rejoins by equi-join — never a doc×doc join. The hashed
+    * relation feeds three arms (sizes, the groupBy, the rejoin), so it
+    * is localCheckpoint'd once, same lifecycle as
+    * [[graft.operators.Dedup.jaccardPairs]].
+    *
+    * Output: (id, n_sh, n_dup, dup_frac) for EVERY doc. */
+  def dupShingleCoverage(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    val hashed = docs.select(col(id).as("doc"),
+      call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+      .localCheckpoint()
+    val sh = hashed.select(col("doc"), explode(col("shs")).as("sh"))
+    // per-doc-distinct shingles => count(*) counts distinct docs
+    val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("sh"))
+    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
+    val hits = sh.join(dup, "sh").groupBy(col("doc")).agg(count(lit(1)).as("n_dup"))
+    sizes.join(hits, Seq("doc"), "left")
+      .select(col("doc").as(id), col("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_sh") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sh"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Global token-budget shard packing — [[packShards]] without the
+    * per-stratum shard spaces: one continuous global token offset, but
+    * still NO global sort. This is a two-level distributed prefix sum:
+    * within-stratum running sums come from per-stratum windows
+    * (parallel across strata), and each stratum's base offset comes
+    * from a strata-count-sized aggregate windowed on the driver-scale
+    * relation and broadcast back. global_offset = base(stratum) +
+    * local_offset is exactly what a single ORDER BY (stratum, id)
+    * window would produce — without serializing the corpus through one
+    * task.
+    *
+    * Output: (id, by, n_tokens, start_offset, shard). */
+  def packShardsGlobal(docs: DataFrame, id: String, text: String,
+      by: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(id), col(by), size(tokens(col(text))).cast("long").as("n_tokens"))
+    val win = Window.partitionBy(col(by)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = t.withColumn("local_offset", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+    // one row per stratum: a single-partition window over it is fine
+    val wBase = Window.orderBy(col(by)).rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy(col(by)).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(wBase), lit(0L)))
+      .select(col(by), col("base"))
+    local.join(broadcast(bases), Seq(by))
+      .withColumn("start_offset", col("base") + col("local_offset"))
+      .withColumn("shard", floor(col("start_offset") / budgetTokens))
+      .select(col(id), col(by), col("n_tokens"), col("start_offset"), col("shard"))
+  }
+
   /** Stratified per-source cap: keep at most `cap` documents per stratum
     * (e.g. source), chosen deterministically by content-hash order — the
     * "no single web dump dominates the mix" curation step.

@@ -160,5 +160,62 @@ object TrainingQueries {
         ORDER BY r.doc_id"""),
       "Per-source corpus cap as a two-level distributed rank: " +
         "row_number within (source, content-bucket) + broadcast " +
-        "cumulative offsets — no single-task per-source sort."))
+        "cumulative offsets — no single-task per-source sort."),
+
+    // ---- q62: duplicated n-gram coverage ------------------------------------
+    "q62_dup_span_coverage" -> Q(
+      (s, d) => TextAnalysis.dupShingleCoverage(Tables.documents(s, d),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $Shingles3 AS shs FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(shs) AS sh FROM d
+        ), dup AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= 2
+        ), sizes AS (
+          SELECT doc_id, CAST(len(shs) AS INT) AS n_sh FROM d
+        ), hits AS (
+          SELECT sh.doc_id, COUNT(*) AS n_dup FROM sh JOIN dup USING (sh)
+          GROUP BY sh.doc_id
+        )
+        SELECT s.doc_id, s.n_sh, COALESCE(h.n_dup, 0) AS n_dup,
+               CASE WHEN s.n_sh > 0
+                    THEN CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / s.n_sh
+                    ELSE 0.0 END AS dup_frac
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id"""),
+      "Corpus-duplicated n-gram coverage per doc: count>=2 over 8-byte " +
+        "shingle hashes + equi-rejoin — span-granular dedup signal with " +
+        "no pair enumeration at all."),
+
+    // ---- q63: global shard packing (distributed prefix sum) -----------------
+    "q63_pack_global" -> Q(
+      (s, d) => TextAnalysis.packShardsGlobal(Tables.documents(s, d), "doc_id", "text",
+          by = "source", budgetTokens = 500L)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens FROM documents
+        ), l AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS local_offset
+          FROM t
+        ), b AS (
+          SELECT source,
+                 CAST(COALESCE(SUM(tot) OVER (ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+          FROM (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)
+        )
+        SELECT l.doc_id, l.source, l.n_tokens,
+               l.local_offset + b.base AS start_offset,
+               (l.local_offset + b.base) // 500 AS shard
+        FROM l JOIN b USING (source)
+        ORDER BY doc_id"""),
+      "Global continuous shard offsets with NO global sort: per-stratum " +
+        "windows + broadcast stratum base offsets (two-level " +
+        "distributed prefix sum)."))
 }

@@ -70,6 +70,24 @@ class PlanSpec extends SparkSuite {
     assert(exec.toString.contains("min_by"), "target assignment must use min_by aggregation")
   }
 
+  test("q58/q63 two-level rank and prefix sum broadcast their offset side") {
+    for (q <- Seq("q58_stratified_cap", "q63_pack_global")) {
+      val p = SparkEntry.queries(q)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q offsets must rejoin by broadcast, not shuffle:\n${p.take(2000)}")
+    }
+  }
+
+  test("q59 quantization is projection-only (single exchange for the sort)") {
+    // executedPlan.toString lists each node once (collect can't descend
+    // into the AdaptiveSparkPlan wrapper before execution)
+    val p = SparkEntry.queries("q59_quantize_int8")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange \\w".r.findAllIn(p).size == 1,
+      s"quantization must not shuffle beyond the final orderBy:\n$p")
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

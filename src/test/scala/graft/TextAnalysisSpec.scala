@@ -135,6 +135,40 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
   }
 
+  test("dupShingleCoverage: copies hit 1.0, unique docs hit 0.0") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy of 1
+      (3L, "alpha beta gamma zeta eta"),      // shares "alpha beta gamma"
+      (4L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupShingleCoverage(rows, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(3L).getAs[Long]("n_dup") == 1L) // only "alpha beta gamma"
+    assert(out(4L).getAs[Long]("n_dup") == 0L)
+    assert(out(4L).getAs[Double]("dup_frac") == 0.0)
+    assert(out.size == 4, "0-dup docs must still appear")
+  }
+
+  test("packShardsGlobal equals a naive global ORDER BY window") {
+    val out = TextAnalysis.packShardsGlobal(docs, "doc_id", "text", "source", budgetTokens = 400L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("source"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("start_offset") / 400L))
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+    // offsets are globally continuous: total tokens == max(start+n_tokens)
+    val total = out.agg(sum(col("n_tokens"))).head.getLong(0)
+    val maxEnd = out.agg(max(col("start_offset") + col("n_tokens"))).head.getLong(0)
+    assert(total == maxEnd)
+  }
+
   test("hash split is content-determined and roughly proportioned") {
     val out = docs.select(col("doc_id"), col("text"),
       TextAnalysis.hashSplit(docs, "text").as("split"))
