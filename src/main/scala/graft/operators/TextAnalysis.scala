@@ -191,6 +191,37 @@ object TextAnalysis {
         (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
   }
 
+  /** Unigram language-model quality score: per document, the average
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution — the classic lightweight perplexity proxy used to
+    * filter incoherent/rare-token text before training (high score =
+    * surprising under the corpus LM).
+    *
+    * Scale shape is the inverted index (same as [[tfIdfTopTerms]]): one
+    * shuffle builds the term-frequency table with map-side combine; the
+    * rejoin on `term` lets AQE broadcast the vocabulary when it fits.
+    * The per-doc mean accumulates DECIMAL(38,18) casts of each -ln(p) —
+    * order-independent, so partial aggregation splits can't change the
+    * result. The mean is rounded to 6 decimals: JVM Math.log and libm
+    * ln() disagree by up to 1 ulp (~1e-15 here), so the raw double is
+    * not engine-portable, while the 1e-6 grid puts the residual ~1e-15
+    * noise astronomically far from any rounding boundary.
+    *
+    * Output: (id, n_tokens, avg_neg_logp). */
+  def unigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val negLogP = -log(col("cnt").cast("double") / col("total").cast("double"))
+    tok.join(tf, "term").crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(negLogP.cast(DecimalType(38, 18))).cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logp"))
+      .select(col("doc").as(id), col("n_tokens"), col("avg_neg_logp"))
+  }
+
   /** Duplicated n-gram coverage per document: what fraction of a doc's
     * distinct n-gram shingles occur in at least one OTHER document —
     * the corpus-level "how much of this text is boilerplate/copied"

@@ -217,5 +217,27 @@ object TrainingQueries {
         ORDER BY doc_id"""),
       "Global continuous shard offsets with NO global sort: per-stratum " +
         "windows + broadcast stratum base offsets (two-level " +
-        "distributed prefix sum)."))
+        "distributed prefix sum)."),
+
+    // ---- q64: unigram LM quality score (perplexity proxy) -------------------
+    "q64_unigram_lm" -> Q(
+      (s, d) => TextAnalysis.unigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($W) AS term FROM documents
+        ), tf AS (
+          SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+        ), tot AS (
+          SELECT SUM(cnt) AS total FROM tf
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(CAST(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+        FROM tok JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Perplexity-proxy quality filter: avg -ln p(token) under the " +
+        "corpus unigram LM; inverted-index shape with AQE-broadcast " +
+        "vocabulary and order-independent decimal accumulation."))
 }

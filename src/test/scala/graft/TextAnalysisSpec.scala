@@ -135,6 +135,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
   }
 
+  test("unigramLmScore ranks rare-token docs as more surprising") {
+    val corpus = (0 until 20).map(i => (i.toLong, "the quick brown fox")) ++ Seq(
+      (100L, "the quick brown fox"),         // all common tokens
+      (101L, "zyzzyva qoph xylyl vext"))     // all corpus-unique tokens
+    val out = TextAnalysis.unigramLmScore(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(101L).getAs[Double]("avg_neg_logp") > out(100L).getAs[Double]("avg_neg_logp"),
+      "unique tokens must be more surprising than corpus-common ones")
+    assert(out(100L).getAs[Long]("n_tokens") == 4L)
+    // every doc scored, deterministic across runs
+    assert(out.size == 22)
+    val again = TextAnalysis.unigramLmScore(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (k, r) => again(k) == r.getDouble(2) })
+  }
+
   test("dupShingleCoverage: copies hit 1.0, unique docs hit 0.0") {
     val rows = Seq(
       (1L, "alpha beta gamma delta epsilon"),
