@@ -228,6 +228,61 @@ object EventQueries {
              countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type")),
       None,
-      "HLL++ sketch vs exact; rows-only check (sketches differ by engine).")
+      "HLL++ sketch vs exact; rows-only check (sketches differ by engine)."),
+
+    // ---- q67: resample to an hourly grid with forward fill ----------------
+    "q67_resample_ffill" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("bucket", (col("ep").cast("long") / 3600).cast("long") * 3600)
+        // last observed value per (user, bucket): min_by over the DESC
+        // order key — one partially-aggregated pass, no window sort
+        val perBucket = e.groupBy(col("user_id"), col("bucket"))
+          .agg(max_by(col("value"), struct(col("ep"), col("event_id"))).as("obs"),
+               count(lit(1)).as("n_events"))
+        // per-user hourly grid from first to last bucket (explode is
+        // narrow; grid size = span/hour per user)
+        val grid = e.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+          .select(col("user_id"),
+            explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(perBucket, Seq("user_id", "bucket"), "left")
+          .withColumn("value_ffill", last(col("obs"), ignoreNulls = true).over(w))
+          .select(col("user_id"), col("bucket"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("value_ffill"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, value, $EPOCH AS ep,
+                 ($EPOCH // 3600) * 3600 AS bucket
+          FROM events
+        ), pb AS (
+          SELECT user_id, bucket, n_events, obs FROM (
+            SELECT user_id, bucket, value AS obs,
+                   COUNT(*) OVER (PARTITION BY user_id, bucket) AS n_events,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ep DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1
+        ), grid AS (
+          SELECT user_id, unnest(range(b0, b1 + 3600, 3600)) AS bucket
+          FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                FROM e GROUP BY user_id)
+        )
+        SELECT g.user_id, g.bucket,
+               COALESCE(pb.n_events, 0) AS n_events,
+               last_value(pb.obs IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+        ORDER BY g.user_id, g.bucket"""),
+      "Time-series resampling: hourly grid per user (sequence+explode) " +
+        "with forward-filled last observation — gap filling for feature " +
+        "pipelines; last-per-bucket is a partial-aggregated max_by, the " +
+        "fill a per-user running window.")
   )
 }

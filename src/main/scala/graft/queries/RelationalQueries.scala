@@ -521,6 +521,60 @@ object RelationalQueries {
         FROM orders
         GROUP BY 1, 2
         ORDER BY y, q"""),
-      "year/quarter grouping + datediff; timestamps cast to DATE.")
+      "year/quarter grouping + datediff; timestamps cast to DATE."),
+
+    // ---- q65: full outer join -------------------------------------------
+    "q65_full_outer" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def perDay(prio: String, alias: String) =
+          o.filter(col("o_orderpriority") === prio)
+            .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as(s"d_$alias"))
+            .agg(count(lit(1)).as(s"n_$alias"))
+        perDay("1-URGENT", "urgent")
+          .join(perDay("5-LOW", "low"), col("d_urgent") === col("d_low"), "full_outer")
+          .select(coalesce(col("d_urgent"), col("d_low")).as("odate"),
+            coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+            coalesce(col("n_low"), lit(0L)).as("n_low"))
+          .orderBy(col("odate"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_urgent,
+                 COUNT(*) AS n_urgent
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        ), b AS (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_low,
+                 COUNT(*) AS n_low
+          FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+        )
+        SELECT COALESCE(d_urgent, d_low) AS odate,
+               COALESCE(n_urgent, 0) AS n_urgent,
+               COALESCE(n_low, 0) AS n_low
+        FROM a FULL OUTER JOIN b ON d_urgent = d_low
+        ORDER BY odate"""),
+      "Full outer join with unmatched rows on BOTH sides (sparse daily " +
+        "priority counts) + coalesce defaults."),
+
+    // ---- q66: correlated scalar subquery --------------------------------
+    "q66_correlated_subquery" -> Q(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_custkey, c_nationkey, c_acctbal
+          FROM customer_v c1
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v c2
+                             WHERE c2.c_nationkey = c1.c_nationkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c1
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        ORDER BY c_custkey"""),
+      "Correlated scalar subquery through spark.sql — Catalyst " +
+        "decorrelates it into an aggregate + join; output columns are " +
+        "raw values, so the float threshold can't break hash parity.")
   )
 }

@@ -434,6 +434,25 @@ class StreamingSpec extends SparkSuite {
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
 
+  test("sliding (hopping) window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    val agg = input.toDF().toDF("ts", "camera")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"), col("camera"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("update").start()
+    val base = 1700000000000L
+    // one event: must land in exactly two overlapping 10s windows
+    input.addData((new Timestamp(base + 7000), 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_out")
+    assert(got.count() == 2, "10s window sliding by 5s => every event in 2 windows")
+    assert(got.agg(sum(col("n"))).head.getLong(0) == 2)
+  }
+
   test("stream-stream interval join: detections x camera telemetry (SURVEY §2.11)") {
     // the streaming analog of the pipeline's frame/metadata zip: both
     // sides watermarked, equi-key on camera plus a bounded event-time
