@@ -236,8 +236,11 @@ object EventQueries {
         val e = Tables.events(s, d)
           .withColumn("ep", unix_timestamp(col("ts")))
           .withColumn("bucket", (col("ep").cast("long") / 3600).cast("long") * 3600)
-        // last observed value per (user, bucket): min_by over the DESC
-        // order key — one partially-aggregated pass, no window sort
+        // last observed value per (user, bucket): max_by over the
+        // composite (ep, event_id) key — deterministic under ts ties and
+        // partially aggregated map-side (a SortAggregate, since struct
+        // keys aren't hash-bufferable, but still no per-user window
+        // shuffle and no row_number pass over the raw events)
         val perBucket = e.groupBy(col("user_id"), col("bucket"))
           .agg(max_by(col("value"), struct(col("ep"), col("event_id"))).as("obs"),
                count(lit(1)).as("n_events"))

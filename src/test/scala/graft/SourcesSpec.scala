@@ -47,6 +47,43 @@ class SourcesSpec extends SparkSuite {
     } finally { rmTree(dir); rmTree(ck) }
   }
 
+  test("restart from checkpoint resumes exactly-once (no replays, no gaps)") {
+    // the exactly-once wiring the Kafka path relies on, pinned broker-free:
+    // stop a file-source stream mid-input, restart with the SAME
+    // checkpoint, and the output must contain every input row exactly once
+    val dir = Files.createTempDirectory("graft_ck_src")
+    val outDir = Files.createTempDirectory("graft_ck_out")
+    val ck = Files.createTempDirectory("graft_ck_ck")
+    try {
+      def start() = spark.readStream
+        .schema("camera INT, frame_num BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .csv(dir.toString)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ck.toString)
+        .start()
+      (0 until 2).foreach { i =>
+        Files.writeString(dir.resolve(s"a$i.csv"), s"$i,${i * 10}\n")
+      }
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      // more input arrives while the query is DOWN
+      (2 until 4).foreach { i =>
+        Files.writeString(dir.resolve(s"a$i.csv"), s"$i,${i * 10}\n")
+      }
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val out = spark.read.schema("camera INT, frame_num BIGINT").parquet(outDir.toString)
+      val got = out.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(got == (0 until 4).map(i => (i, i * 10L)),
+        s"exactly one output row per input row across the restart, got $got")
+    } finally { rmTree(dir); rmTree(outDir); rmTree(ck) }
+  }
+
   test("CSV and JSON sources round-trip the documents schema") {
     val dir = Files.createTempDirectory("graft_src_fmt")
     try {
