@@ -287,6 +287,28 @@ object TextAnalysis {
       .select(col(id), col(by), col("n_tokens"), col("start_offset"), col("shard"))
   }
 
+  /** Materialize packed shards: the step after [[packShards]] /
+    * [[packShardsGlobal]] assign offsets — concatenate each shard's
+    * documents in offset order into one training sequence. One hash
+    * shuffle on the shard id; the in-shard ordering is an array_sort of
+    * the collected (offset, text) structs, so no extra sort exchange
+    * and no assumption about arrival order. Shard sizes are bounded by
+    * the packer's token budget (budget + one document), so a single
+    * shard always fits an executor.
+    *
+    * Output: (by, shard, n_docs, n_tokens, text) — one row per shard. */
+  def buildShards(packed: DataFrame, docs: DataFrame, id: String, text: String,
+      by: String, sep: String = " "): DataFrame = {
+    val joined = packed.join(docs.select(col(id), col(text)), Seq(id))
+    joined.groupBy(col(by), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("start_offset"), col(text)))),
+            x => x.getField(text)),
+          sep).as("shard_text"))
+  }
+
   /** Stratified per-source cap: keep at most `cap` documents per stratum
     * (e.g. source), chosen deterministically by content-hash order — the
     * "no single web dump dominates the mix" curation step.

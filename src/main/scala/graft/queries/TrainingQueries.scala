@@ -239,5 +239,47 @@ object TrainingQueries {
         ORDER BY doc_id"""),
       "Perplexity-proxy quality filter: avg -ln p(token) under the " +
         "corpus unigram LM; inverted-index shape with AQE-broadcast " +
-        "vocabulary and order-independent decimal accumulation."))
+        "vocabulary and order-independent decimal accumulation."),
+
+    // ---- q68: materialize packed shards -------------------------------------
+    "q68_build_shards" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val packed = TextAnalysis.packShardsGlobal(docs, "doc_id", "text",
+          by = "source", budgetTokens = 500L)
+        TextAnalysis.buildShards(packed, docs, "doc_id", "text", by = "source")
+          .select(col("source"), col("shard"), col("n_docs"), col("n_tokens"),
+            md5(col("shard_text")).as("text_md5"),
+            length(col("shard_text")).as("n_chars"))
+          .orderBy(col("source"), col("shard"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, text, CAST(len($W) AS BIGINT) AS n_tokens FROM documents
+        ), l AS (
+          SELECT doc_id, source, text, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS local_offset
+          FROM t
+        ), b AS (
+          SELECT source,
+                 CAST(COALESCE(SUM(tot) OVER (ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+          FROM (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)
+        ), p AS (
+          SELECT l.doc_id, l.source, l.text, l.n_tokens,
+                 l.local_offset + b.base AS start_offset,
+                 (l.local_offset + b.base) // 500 AS shard
+          FROM l JOIN b USING (source)
+        )
+        SELECT source, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               md5(string_agg(text, ' ' ORDER BY start_offset)) AS text_md5,
+               CAST(strlen(string_agg(text, ' ' ORDER BY start_offset)) AS INT) AS n_chars
+        FROM p GROUP BY source, shard
+        ORDER BY source, shard"""),
+      "Shard materialization: offset-ordered concat per shard via " +
+        "collect_list + array_sort (one shard-key shuffle, no sort " +
+        "exchange); shard size bounded by the packer's budget."))
 }

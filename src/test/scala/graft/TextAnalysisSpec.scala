@@ -185,6 +185,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(total == maxEnd)
   }
 
+  test("buildShards concatenates in offset order and respects the budget bound") {
+    val rows = Seq(
+      (1L, "a b c", "s"), (2L, "d e f g h", "s"), (3L, "i j k", "s"),
+      (4L, "l m n o p", "s"))
+      .toDF("doc_id", "text", "source")
+    val packed = TextAnalysis.packShards(rows, "doc_id", "text", "source", budgetTokens = 8L)
+    val shards = TextAnalysis.buildShards(packed, rows, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(shards(0L).getAs[String]("shard_text") == "a b c d e f g h")
+    assert(shards(1L).getAs[String]("shard_text") == "i j k l m n o p")
+    assert(shards.values.forall(_.getAs[Long]("n_tokens") <= 8L + 5L),
+      "shard size bounded by budget + one document")
+    // repartitioning must not change shard contents (order from offsets,
+    // not arrival)
+    val repacked = TextAnalysis.buildShards(
+      packed.repartition(7), rows.repartition(5), "doc_id", "text", "source")
+      .collect().map(r => r.getLong(1) -> r.getAs[String]("shard_text")).toMap
+    assert(shards.keySet.forall(k => repacked(k) == shards(k).getAs[String]("shard_text")))
+  }
+
   test("hash split is content-determined and roughly proportioned") {
     val out = docs.select(col("doc_id"), col("text"),
       TextAnalysis.hashSplit(docs, "text").as("split"))
