@@ -206,6 +206,15 @@ object Similarity {
     import spark.implicits._
     val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lean assignment: the groupBy(vid) buffer carries only the min_by
+    // key (cell, dist) — vectors never enter the shuffle
+    def assignCells(centroids: DataFrame): DataFrame =
+      data.crossJoin(broadcast(centroids))
+        .groupBy(col("vid"))
+        .agg(min_by(col("cell"),
+          struct(fastSquaredL2(col("v"), col("c_vec")), col("cell"))).as("cell"))
+    // means pass additionally needs v per vid; first(v) rides the same
+    // shuffle once (cheaper than a second vid-keyed join against data)
     def assign(centroids: DataFrame): DataFrame =
       data.crossJoin(broadcast(centroids))
         .groupBy(col("vid"))
@@ -229,9 +238,17 @@ object Similarity {
       }
     }
     val model = centroids.toDF("cell", "c_vec")
-    val result = assign(model)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
-      .join(broadcast(model.withColumnRenamed("c_vec", "centroid_vec")), "cell")
+    // left join from the model: a cell emptied by duplicate init vectors
+    // (min_by ties to the lower cell) still comes back, with n_members 0.
+    // localCheckpoint (k rows) materializes the final pass while `data`
+    // is still cached — unpersisting first would silently recompute the
+    // whole input lineage on the caller's first action.
+    val result = model.withColumnRenamed("c_vec", "centroid_vec")
+      .join(assignCells(model).groupBy(col("cell")).agg(count(lit(1)).as("n_members")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("centroid_vec"))
+      .localCheckpoint()
     data.unpersist(false)
     result
   }

@@ -200,6 +200,11 @@ object TextAnalysis {
     * Scale shape is the inverted index (same as [[tfIdfTopTerms]]): one
     * shuffle builds the term-frequency table with map-side combine; the
     * rejoin on `term` lets AQE broadcast the vocabulary when it fits.
+    * The corpus is tokenized twice (tf build + rejoin) by design:
+    * materializing the exploded token relation would write MORE bytes
+    * than the input text, so recompute wins; the vocabulary-sized tf
+    * table IS checkpointed, so the grand-total arm doesn't trigger a
+    * third pass.
     * The per-doc mean accumulates DECIMAL(38,18) casts of each -ln(p) —
     * order-independent, so partial aggregation splits can't change the
     * result. The mean is rounded to 6 decimals: JVM Math.log and libm
@@ -211,7 +216,7 @@ object TextAnalysis {
   def unigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val tok = docs.select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
-    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).localCheckpoint()
     val total = tf.agg(sum(col("cnt")).as("total"))
     val negLogP = -log(col("cnt").cast("double") / col("total").cast("double"))
     tok.join(tf, "term").crossJoin(broadcast(total))
@@ -272,7 +277,11 @@ object TextAnalysis {
   def packShardsGlobal(docs: DataFrame, id: String, text: String,
       by: String, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: (id, by, n_tokens) feeds both the window arm and
+    // the base-offset aggregate — materializing ~24 bytes/doc beats
+    // tokenizing the corpus twice (same pattern as dupShingleCoverage)
     val t = docs.select(col(id), col(by), size(tokens(col(text))).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val win = Window.partitionBy(col(by)).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = t.withColumn("local_offset", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
@@ -290,17 +299,23 @@ object TextAnalysis {
   /** Materialize packed shards: the step after [[packShards]] /
     * [[packShardsGlobal]] assign offsets — concatenate each shard's
     * documents in offset order into one training sequence. One hash
-    * shuffle on the shard id; the in-shard ordering is an array_sort of
+    * shuffle on the shard key; the in-shard ordering is an array_sort of
     * the collected (offset, text) structs, so no extra sort exchange
     * and no assumption about arrival order. Shard sizes are bounded by
     * the packer's token budget (budget + one document), so a single
     * shard always fits an executor.
     *
-    * Output: (by, shard, n_docs, n_tokens, text) — one row per shard. */
+    * `keyCols` must be the packer's shard identity: (by, "shard") for
+    * [[packShards]] (per-stratum shard spaces reuse shard numbers), just
+    * ("shard") for [[packShardsGlobal]] (global offsets — a shard at a
+    * stratum boundary legitimately spans two strata, and grouping it by
+    * stratum too would split it into fragments with duplicate ids).
+    *
+    * Output: (keyCols…, n_docs, n_tokens, shard_text) — one row per shard. */
   def buildShards(packed: DataFrame, docs: DataFrame, id: String, text: String,
-      by: String, sep: String = " "): DataFrame = {
+      keyCols: Seq[String], sep: String = " "): DataFrame = {
     val joined = packed.join(docs.select(col(id), col(text)), Seq(id))
-    joined.groupBy(col(by), col("shard"))
+    joined.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         array_join(
@@ -326,7 +341,11 @@ object TextAnalysis {
   def stratifiedCap(docs: DataFrame, id: String, text: String,
       by: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: (id, by, bucket) feeds both the rank arm and the
+    // histogram arm — 20 bytes/doc materialized vs md5-hashing the
+    // corpus twice
     val d = docs.select(col(id), col(by), hashBucket(col(text)).as("bucket"))
+      .localCheckpoint()
     val wInner = Window.partitionBy(col(by), col("bucket")).orderBy(col(id))
     val ranked = d.withColumn("rnb", row_number().over(wInner))
     val wOff = Window.partitionBy(col(by)).orderBy(col("bucket"))

@@ -560,21 +560,27 @@ object RelationalQueries {
     "q66_correlated_subquery" -> Q(
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        // decimal-accumulated mean (Tables.moneyAvg in SQL form): a raw
+        // AVG over doubles is partial-agg-order-dependent, and here it
+        // DECIDES row membership — a balance within float noise of its
+        // nation's mean could flip across engines/runs
         s.sql("""
           SELECT c_custkey, c_nationkey, c_acctbal
           FROM customer_v c1
-          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v c2
-                             WHERE c2.c_nationkey = c1.c_nationkey)
+          WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+            FROM customer_v c2 WHERE c2.c_nationkey = c1.c_nationkey)
           ORDER BY c_custkey""")
       },
       Some("""
         SELECT c_custkey, c_nationkey, c_acctbal
         FROM customer c1
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
-                           WHERE c2.c_nationkey = c1.c_nationkey)
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
         ORDER BY c_custkey"""),
       "Correlated scalar subquery through spark.sql — Catalyst " +
-        "decorrelates it into an aggregate + join; output columns are " +
-        "raw values, so the float threshold can't break hash parity.")
+        "decorrelates it into an aggregate + join; the threshold uses " +
+        "the decimal-exact mean so membership is engine-portable.")
   )
 }

@@ -247,11 +247,14 @@ object TrainingQueries {
         val docs = Tables.documents(s, d)
         val packed = TextAnalysis.packShardsGlobal(docs, "doc_id", "text",
           by = "source", budgetTokens = 500L)
-        TextAnalysis.buildShards(packed, docs, "doc_id", "text", by = "source")
-          .select(col("source"), col("shard"), col("n_docs"), col("n_tokens"),
+        // global offsets => shard identity is the shard id ALONE (a
+        // boundary shard can span two sources; grouping by source too
+        // would fragment it)
+        TextAnalysis.buildShards(packed, docs, "doc_id", "text", keyCols = Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
             md5(col("shard_text")).as("text_md5"),
             length(col("shard_text")).as("n_chars"))
-          .orderBy(col("source"), col("shard"))
+          .orderBy(col("shard"))
       },
       Some(s"""
         WITH t AS (
@@ -273,12 +276,12 @@ object TrainingQueries {
                  (l.local_offset + b.base) // 500 AS shard
           FROM l JOIN b USING (source)
         )
-        SELECT source, shard, COUNT(*) AS n_docs,
+        SELECT shard, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                md5(string_agg(text, ' ' ORDER BY start_offset)) AS text_md5,
                CAST(strlen(string_agg(text, ' ' ORDER BY start_offset)) AS INT) AS n_chars
-        FROM p GROUP BY source, shard
-        ORDER BY source, shard"""),
+        FROM p GROUP BY shard
+        ORDER BY shard"""),
       "Shard materialization: offset-ordered concat per shard via " +
         "collect_list + array_sort (one shard-key shuffle, no sort " +
         "exchange); shard size bounded by the packer's budget."))

@@ -191,7 +191,8 @@ class TextAnalysisSpec extends SparkSuite {
       (4L, "l m n o p", "s"))
       .toDF("doc_id", "text", "source")
     val packed = TextAnalysis.packShards(rows, "doc_id", "text", "source", budgetTokens = 8L)
-    val shards = TextAnalysis.buildShards(packed, rows, "doc_id", "text", "source")
+    val shards = TextAnalysis.buildShards(packed, rows, "doc_id", "text",
+        keyCols = Seq("source", "shard"))
       .collect().map(r => r.getLong(1) -> r).toMap
     assert(shards(0L).getAs[String]("shard_text") == "a b c d e f g h")
     assert(shards(1L).getAs[String]("shard_text") == "i j k l m n o p")
@@ -200,9 +201,23 @@ class TextAnalysisSpec extends SparkSuite {
     // repartitioning must not change shard contents (order from offsets,
     // not arrival)
     val repacked = TextAnalysis.buildShards(
-      packed.repartition(7), rows.repartition(5), "doc_id", "text", "source")
+      packed.repartition(7), rows.repartition(5), "doc_id", "text",
+        keyCols = Seq("source", "shard"))
       .collect().map(r => r.getLong(1) -> r.getAs[String]("shard_text")).toMap
     assert(shards.keySet.forall(k => repacked(k) == shards(k).getAs[String]("shard_text")))
+    // global packing: a shard spanning a source boundary must stay ONE
+    // row when keyed by shard alone. Budget 7: doc2 starts at global
+    // offset 7 (shard 1), doc3 (source t, base 9) at 9 (shard 1 too) —
+    // shard 1 holds docs from BOTH sources
+    val gRows = Seq((1L, "a b c d e f g", "s"), (2L, "h i", "s"), (3L, "j k", "t"))
+      .toDF("doc_id", "text", "source")
+    val gPacked = TextAnalysis.packShardsGlobal(gRows, "doc_id", "text", "source", budgetTokens = 7L)
+    val gShards = TextAnalysis.buildShards(gPacked, gRows, "doc_id", "text",
+        keyCols = Seq("shard"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(gShards(1L).getAs[Long]("n_docs") == 2L,
+      "boundary shard must be one row containing docs from both sources")
+    assert(gShards(1L).getAs[String]("shard_text") == "h i j k")
   }
 
   test("hash split is content-determined and roughly proportioned") {
