@@ -57,4 +57,26 @@ object Catalog {
     names.foreach(n => dropTable(spark, n))
     names
   }
+
+  /** Curated-corpus write path: hive-style partitioned parquet, the
+    * output layout a 100 TB training pipeline hands to the trainer.
+    * Partitioning by a low-cardinality column (lang, source, split)
+    * makes downstream `WHERE lang = 'en'` scans read ONLY the matching
+    * directories (PartitionFilters, proven in SourcesSpec), and
+    * `filesPerPartition` caps the small-files problem: rows are
+    * shuffled on (partition value, salt) where salt = hash(id) mod
+    * filesPerPartition, so each partition dir is written by at most
+    * that many tasks — file count is bounded by cardinality ×
+    * filesPerPartition regardless of upstream parallelism. Without the
+    * pre-shuffle, every upstream task writes a sliver of every
+    * partition dir (tasks × cardinality files). The salt comes from a
+    * stable id column, not rand(), so task retries rewrite identical
+    * files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+      idCol: String, filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    df.repartition(col(partitionCol), pmod(hash(col(idCol)), lit(filesPerPartition)))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+  }
 }

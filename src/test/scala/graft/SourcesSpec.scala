@@ -84,6 +84,33 @@ class SourcesSpec extends SparkSuite {
     } finally { rmTree(dir); rmTree(outDir); rmTree(ck) }
   }
 
+  test("partitioned corpus write: pruning reads only matching dirs, file count bounded") {
+    val dir = Files.createTempDirectory("graft_part_out")
+    try {
+      val docs = Tables.documents(spark, sf("0.001"))
+      Catalog.writePartitioned(docs, dir.toString, "lang", "doc_id", filesPerPartition = 2)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == docs.count())
+      // partition pruning: a lang filter must reach PartitionFilters,
+      // not the row-level parquet filters
+      val filtered = back.filter(col("lang") === "en")
+      val scan = filtered.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+        s"lang filter must prune directories:\n${scan.take(1500)}")
+      val expected = docs.filter(col("lang") === "en").count()
+      assert(expected > 0 && filtered.count() == expected)
+      // small-files bound: <= filesPerPartition parquet files per lang dir
+      import scala.jdk.CollectionConverters._
+      val perDir = Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("lang="))
+        .map(p => Files.list(p).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
+        .toSeq
+      assert(perDir.nonEmpty && perDir.forall(n => n >= 1 && n <= 2),
+        s"file count per partition dir must be bounded by the salt: $perDir")
+    } finally rmTree(dir)
+  }
+
   test("CSV and JSON sources round-trip the documents schema") {
     val dir = Files.createTempDirectory("graft_src_fmt")
     try {
