@@ -103,6 +103,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental exact dedup — the append-only ingestion path: from a
+    * batch of incoming documents keep ONE doc per content hash (min id)
+    * whose hash is not already in the `seen` relation (the digest index
+    * of everything previously ingested). Batch-internal duplicates
+    * collapse in the same pass. Only 16-byte digests cross the shuffle;
+    * the anti join is a plain equi-join, so at 100 TB the seen index
+    * streams through the join instead of broadcasting.
+    *
+    * Output: (content_hash, id, n_in_batch) for the surviving docs. */
+  def incrementalNew(incoming: DataFrame, id: String, text: String,
+      seen: DataFrame, seenHash: String): DataFrame = {
+    val grouped = incoming.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_in_batch"))
+    grouped.join(
+      seen.select(col(seenHash).as("content_hash")).distinct(),
+      Seq("content_hash"), "left_anti")
+  }
+
   /** Streaming exact dedup (the reference's "only unique frames" path,
     * F3, as a standing query): drop records whose content digest was
     * already seen within the watermark window. State is bounded by the

@@ -273,6 +273,37 @@ object DedupTextQueries {
       "Near-dup clustering: min-label propagation over the Jaccard pair " +
         "graph (O(diameter) passes, (long,long) shuffles) + canonical keep."),
 
+    // ---- q69: incremental dedup against a seen-digest index ---------------
+    "q69_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
+        // "already ingested" = digest index of the corpus so far;
+        // "incoming" = the next crawl batch
+        val seen = docs.filter(col("bucket") < 90)
+          .select(md5(col("text")).as("h"))
+        val incoming = docs.filter(col("bucket") >= 90)
+        Dedup.incrementalNew(incoming, "doc_id", "text", seen, "h")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS bucket
+          FROM documents
+        ), seen AS (
+          SELECT DISTINCT md5(text) AS content_hash FROM d WHERE bucket < 90
+        ), incoming AS (
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                 COUNT(*) AS n_in_batch
+          FROM d WHERE bucket >= 90 GROUP BY 1
+        )
+        SELECT i.content_hash, i.doc_id, i.n_in_batch
+        FROM incoming i ANTI JOIN seen s USING (content_hash)
+        ORDER BY doc_id"""),
+      "Append-only ingestion dedup: batch collapses internally, then " +
+        "anti-joins the 16-byte digest index of everything seen before."),
+
     // ---- q47: regex (BPE-ish) tokenization -------------------------------
     "q47_regex_tokens" -> Q(
       (s, d) => {

@@ -284,5 +284,51 @@ object TrainingQueries {
         ORDER BY shard"""),
       "Shard materialization: offset-ordered concat per shard via " +
         "collect_list + array_sort (one shard-key shuffle, no sort " +
-        "exchange); shard size bounded by the packer's budget."))
+        "exchange); shard size bounded by the packer's budget."),
+
+    // ---- q70: composed curation pipeline ------------------------------------
+    "q70_curated_corpus" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions.{stopwordCount, tokens}
+        val w = tokens(col("text"))
+        // single projection pass computes every per-doc gate; the only
+        // shuffle is the exact-dedup canonical pick (16-byte digests)
+        val stats = Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(col("text")).as("h"),
+          size(w).as("n_tokens"),
+          (size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+          (stopwordCount(col("text"), Seq("the", "a")).cast("double") / size(w)).as("stop_ratio"),
+          TextAnalysis.piiHits(col("text")).as("pii_hits"))
+        val canon = stats.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        stats.join(canon, Seq("h"))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("n_tokens") >= 20 && col("ttr") >= 0.5 &&
+            col("pii_hits") === 0 && col("stop_ratio") > 0)
+          .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT doc_id, md5(text) AS h,
+            CAST(len($W) AS INT) AS n_tokens,
+            CAST(len(list_distinct($W)) AS DOUBLE) / len($W) AS ttr,
+            CAST(len(list_filter($W, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+              / len($W) AS stop_ratio,
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+               + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS pii_hits
+          FROM documents
+        ), c AS (
+          SELECT h, MIN(doc_id) AS keep_id FROM st GROUP BY h
+        )
+        SELECT st.doc_id, st.n_tokens, st.ttr, st.stop_ratio
+        FROM st JOIN c ON st.h = c.h AND st.doc_id = c.keep_id
+        WHERE st.n_tokens >= 20 AND st.ttr >= 0.5
+          AND st.pii_hits = 0 AND st.stop_ratio > 0
+        ORDER BY st.doc_id"""),
+      "End-to-end curation in one query: quality gates + PII gate + " +
+        "exact-dedup canonical keep — every gate a projection, one " +
+        "digest shuffle total; the composition a real corpus pipeline " +
+        "runs before packing."))
 }

@@ -86,6 +86,20 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incrementalNew collapses batch duplicates and drops already-seen content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val incoming = Seq(
+      (10L, "brand new text"), (11L, "brand new text"), // batch-internal dup
+      (12L, "previously ingested"),                     // seen before
+      (13L, "also new")).toDF("doc_id", "text")
+    val seen = Seq("previously ingested").toDF("t").select(md5($"t").as("h"))
+    val got = Dedup.incrementalNew(incoming, "doc_id", "text", seen, "h")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 2L), (13L, 1L)),
+      "min-id survivor per hash, seen content dropped, batch dups counted")
+  }
+
   test("dupClusters assigns singletons to themselves and flags canonicals") {
     import spark.implicits._
     val corpus = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
