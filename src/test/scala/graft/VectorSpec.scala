@@ -128,6 +128,23 @@ class VectorSpec extends SparkSuite {
     assert(full == exact, "nProbe covering every trained cell must equal brute force")
   }
 
+  test("kMeans keeps cells emptied by duplicate init vectors (n_members 0)") {
+    import spark.implicits._
+    // vec_ids 1-4 share one embedding: cells 1-3 init identically, ties
+    // go to the lower cell, so cells 1-3 end with zero members but must
+    // still come back in the model
+    val shared = Seq.fill(4)(1.0) ++ Seq.fill(4)(0.0)
+    val far = Seq.fill(4)(0.0) ++ Seq.fill(4)(1.0)
+    val vecs = ((1L to 4L).map(i => (i, shared)) ++ Seq((5L, far), (6L, far)))
+      .toDF("vec_id", "emb")
+    val model = Similarity.kMeans(vecs, "vec_id", "emb", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(model.keySet == Set(0, 1, 2, 3), "all k cells present")
+    assert(model.values.count(_ == 0L) >= 2,
+      s"duplicate-init cells must report 0 members, not vanish: $model")
+    assert(model.values.sum == 6L)
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     import org.apache.spark.sql.functions.{col => c}
     val q = Tables.embeddings(spark, sf("0.001"))
