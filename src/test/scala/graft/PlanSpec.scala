@@ -113,6 +113,45 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("persisted ANN index: cell-bucketed table joins probes without shuffling the index") {
+    // build-once-query-many: kMeans assigns every vector a cell, the
+    // assignment persists as a table BUCKETED by cell, and each probe
+    // query equi-joins its probed cells against the index — the big
+    // (index) side is read pre-partitioned, so no Exchange touches it
+    import org.apache.spark.sql.functions.{col => c}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Catalog.dropTable(spark, "ann_index")
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(c("vec_id"), graft.functions.VectorFunctions.asDoubleVec(c("embedding")).as("emb"))
+      val model = graft.operators.Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(c("cell"), c("centroid_vec"))
+      val assigned = e.crossJoin(org.apache.spark.sql.functions.broadcast(model))
+        .groupBy(c("vec_id"))
+        .agg(org.apache.spark.sql.functions.first(c("emb")).as("emb"),
+          org.apache.spark.sql.functions.min_by(c("cell"),
+            org.apache.spark.sql.functions.struct(
+              graft.functions.VectorFunctions.fastSquaredL2(c("emb"), c("centroid_vec")),
+              c("cell"))).as("cell"))
+      Catalog.createBucketedTable(assigned, "ann_index", "cell", nBuckets = 4)
+      import spark.implicits._
+      val probeCells = Seq((0, 100L), (1, 101L)).toDF("cell", "p_id")
+      val joined = spark.table("ann_index").join(probeCells, Seq("cell"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(joined.count() > 0)
+      // at most one Exchange (the tiny probe side), and the index scan
+      // itself must be bucket-aware — i.e. read pre-partitioned
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"bucketed ANN index must not be shuffled:\n${p.take(2500)}")
+      assert(p.contains("Bucketed: true"),
+        s"index scan must use its buckets:\n${p.take(2500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Catalog.dropTable(spark, "ann_index")
+    }
+  }
+
   test("Catalog CREATE/DROP lifecycle mirrors the reference's topic DDL (D1/D2)") {
     val names = Seq("graft_cat_a", "graft_cat_b", "unrelated_cat")
     try {

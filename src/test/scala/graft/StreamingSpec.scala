@@ -434,6 +434,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
 
+  test("streaming near-dup: incoming vectors vs a static LSH index") {
+    // the streaming twin of incremental dedup at near-dup granularity:
+    // a crawl stream LSH-bucket-joins a static index of the existing
+    // corpus — stream-static equi-join on (table, bucket), exact rescore
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.VectorExpressions.register(spark)
+    import graft.functions.VectorFunctions.{cosineWithNorms, fastNorm}
+    val vA = Seq.fill(8)(0.5)
+    val vB = Seq.fill(4)(1.0) ++ Seq.fill(4)(-1.0)
+    def indexOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nrm", fastNorm(col("emb")))
+      .withColumn("bks", call_function("lsh_buckets", col("emb"), lit(6), lit(4), lit(1000)))
+      .select(col("id"), col("emb"), col("nrm"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val index = indexOf(Seq((1L, vA), (2L, vB)).toDF("id", "emb"))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val probes = indexOf(input.toDF().toDF("id", "emb"))
+      .withColumnRenamed("id", "p_id").withColumnRenamed("emb", "p_emb")
+      .withColumnRenamed("nrm", "p_nrm")
+    val cand = probes.join(index, Seq("tbl", "bucket"))
+      .withColumn("sim", cosineWithNorms(col("p_emb"), col("emb"), col("p_nrm"), col("nrm")))
+      .filter(col("sim") >= 0.9)
+      .select(col("p_id"), col("id"), col("sim"))
+    val q = cand.writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    input.addData((100L, vA), (101L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    assert(got.toSeq == Seq((100L, 1L)),
+      s"the identical incoming vector must match exactly its index twin, got ${got.toSeq}")
+  }
+
   test("sliding (hopping) window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int)]
