@@ -286,6 +286,38 @@ object EventQueries {
       "Time-series resampling: hourly grid per user (sequence+explode) " +
         "with forward-filled last observation — gap filling for feature " +
         "pipelines; last-per-bucket is a partial-aggregated max_by, the " +
-        "fill a per-user running window.")
+        "fill a per-user running window."),
+
+    // ---- q71: trailing event-time RANGE window ----------------------------
+    "q71_trailing_range" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+          .rangeBetween(-600, 0)
+        Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .select(col("user_id"), col("event_id"), col("ep"),
+            count(lit(1)).over(w).as("n_trail"),
+            // decimal accumulation: engines disagree on raw double window
+            // sums (Spark running-add vs DuckDB segment tree associativity)
+            sum(col("value").cast(DecimalType(27, 6))).over(w)
+              .cast("double").as("sum_trail"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, value, $EPOCH AS ep FROM events
+        )
+        SELECT user_id, event_id, ep,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trail,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_trail
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""),
+      "Trailing 10-minute event-time RANGE frame per user (the " +
+        "time-based sibling of q37's numeric RANGE): per-key windows " +
+        "parallelize across users; decimal partials keep the rolling " +
+        "sum engine-exact.")
   )
 }
