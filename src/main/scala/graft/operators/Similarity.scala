@@ -253,6 +253,58 @@ object Similarity {
     result
   }
 
+  /** Product quantization: split each d-dim vector into `m` contiguous
+    * subvectors, train a k-cell [[kMeans]] codebook per subspace on a
+    * sample, and encode every vector as m small codes — the compression
+    * half of the classic IVF-PQ recipe (IVF = [[ivfTopK]]'s cell
+    * routing; PQ shrinks the in-cell vectors from d doubles to m bytes,
+    * which at 100 TB is what makes the index fit memory).
+    *
+    * Codebooks train on `trainSample` (standard PQ practice — the
+    * codebook is a tiny model; sampling bounds the m × iters training
+    * cost no matter the corpus size). Encoding is one broadcast join of
+    * all m codebooks + a projection per subspace; deterministic because
+    * [[kMeans]] is.
+    *
+    * @return (id, codes array<int>, recon_err double) — recon_err is
+    *         the squared L2 between the vector and its codebook
+    *         reconstruction, the metric that tunes m/k. */
+  def productQuantize(vecs: DataFrame, id: String, vec: String,
+      m: Int, k: Int, iters: Int, trainSample: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    ensureRegistered(vecs)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.select(size(col(vec))).head.getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // per-subspace codebooks, trained on the sample; collected to the
+    // driver (m × k × sub doubles — tiny) and broadcast as one literal
+    val books: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { s =>
+      val sliced = trainSample(vecs)
+        .select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
+      kMeans(sliced, id, "subv", k, iters).collect()
+        .map(r => (s, r.getInt(0), r.getSeq[Double](2)))
+    }
+    val bookDf = broadcast(books.toDF("sub", "cell", "c_vec"))
+    // encode: for each (vector, subspace) the nearest codebook cell
+    val coded = vecs
+      .select(col(id), col(vec),
+        posexplode(array((0 until m).map(s => slice(col(vec), s * sub + 1, sub)): _*))
+          .as(Seq("sub", "subv")))
+      .join(bookDf, "sub")
+      .groupBy(col(id), col("sub"))
+      .agg(first(col("subv")).as("subv"),
+        min_by(struct(col("cell"), col("c_vec")),
+          struct(fastSquaredL2(col("subv"), col("c_vec")), col("cell"))).as("best"))
+      .withColumn("sub_err", fastSquaredL2(col("subv"), col("best.c_vec")))
+    coded.groupBy(col(id))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
+          x => x.getField("cell")).as("codes"),
+        sum(col("sub_err")).as("recon_err"))
+  }
+
   /** Convenience: build an IVF coarse quantizer from [[labelCentroids]]
     * output (cell = label, centroid re-assembled from exploded dims). */
   def centroidsAsQuantizer(vecs: DataFrame, label: String, vec: String): DataFrame =

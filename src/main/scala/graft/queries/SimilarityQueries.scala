@@ -206,6 +206,22 @@ object SimilarityQueries {
       None,
       "Lloyd's k-means with driver-held model + broadcast assignment; " +
         "exactness vs brute force when used as an IVF quantizer is " +
+        "pinned in VectorSpec."),
+
+    // ---- q72: product quantization (no oracle: iterative) -----------------
+    "q72_product_quantize" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        Similarity.productQuantize(e, "vec_id", "emb", m = 2, k = 8, iters = 2,
+            trainSample = _.filter(col("vec_id") < 200))
+          .select(col("vec_id"),
+            concat_ws(",", col("codes").cast("array<string>")).as("codes_csv"),
+            round(col("recon_err"), 6).as("recon_err"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      "PQ codebooks (sample-trained subspace k-means) + m-byte codes: " +
+        "the compression half of IVF-PQ; reconstruction-error bounds " +
         "pinned in VectorSpec.")
   )
 }

@@ -145,6 +145,24 @@ class VectorSpec extends SparkSuite {
     assert(model.values.sum == 6L)
   }
 
+  test("product quantization: valid codes, deterministic, better than 1-cell codebooks") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+    def run(k: Int) = Similarity.productQuantize(e, "vec_id", "emb", m = 2, k = k, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    val pq = run(8)
+    assert(pq.length == e.count())
+    assert(pq.forall { case (_, codes, _) => codes.length == 2 && codes.forall(cd => cd >= 0 && cd < 8) })
+    // k=1 degenerates to "every subvector -> the global mean": more cells
+    // must reconstruct at least as well on average
+    val errK8 = pq.map(_._3).sum / pq.length
+    val errK1 = run(1).map(_._3).sum / pq.length
+    assert(errK8 < errK1, s"8-cell codebooks must beat 1-cell: $errK8 vs $errK1")
+    // deterministic codes across runs
+    assert(run(8).map(t => (t._1, t._2)).toSeq == pq.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     import org.apache.spark.sql.functions.{col => c}
     val q = Tables.embeddings(spark, sf("0.001"))
