@@ -271,23 +271,21 @@ object Similarity {
     *         reconstruction, the metric that tunes m/k. */
   def productQuantize(vecs: DataFrame, id: String, vec: String,
       m: Int, k: Int, iters: Int, trainSample: DataFrame => DataFrame = identity)
-      : DataFrame = {
+      : DataFrame =
+    pqEncode(vecs, id, vec, pqCodebooks(trainSample(vecs), id, vec, m, k, iters))
+
+  /** Encode vectors against existing [[pqCodebooks]]: nearest codebook
+    * cell per subspace via one broadcast join. The codebook is
+    * collected driver-side (m × k × subDim doubles — tiny) to derive
+    * the slicing, then re-broadcast as a literal. */
+  def pqEncode(vecs: DataFrame, id: String, vec: String, books: DataFrame): DataFrame = {
     ensureRegistered(vecs)
     val spark = vecs.sparkSession
     import spark.implicits._
-    val dim = vecs.select(size(col(vec))).head.getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    // per-subspace codebooks, trained on the sample; collected to the
-    // driver (m × k × sub doubles — tiny) and broadcast as one literal
-    val books: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { s =>
-      val sliced = trainSample(vecs)
-        .select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
-      kMeans(sliced, id, "subv", k, iters).collect()
-        .map(r => (s, r.getInt(0), r.getSeq[Double](2)))
-    }
-    val bookDf = broadcast(books.toDF("sub", "cell", "c_vec"))
-    // encode: for each (vector, subspace) the nearest codebook cell
+    val bk = books.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = bk.map(_._1).max + 1
+    val sub = bk.head._3.length
+    val bookDf = broadcast(bk.toSeq.toDF("sub", "cell", "c_vec"))
     val coded = vecs
       .select(col(id), col(vec),
         posexplode(array((0 until m).map(s => slice(col(vec), s * sub + 1, sub)): _*))
@@ -303,6 +301,65 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
           x => x.getField("cell")).as("codes"),
         sum(col("sub_err")).as("recon_err"))
+  }
+
+  /** PQ codebooks as a DataFrame (sub, cell, c_vec) — the training half
+    * of [[productQuantize]] exposed so [[pqTopK]] can reuse one model
+    * for both encoding and search. */
+  def pqCodebooks(vecs: DataFrame, id: String, vec: String,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    ensureRegistered(vecs)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.select(size(col(vec))).head.getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val books = (0 until m).flatMap { s =>
+      val sliced = vecs.select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
+      kMeans(sliced, id, "subv", k, iters).collect()
+        .map(r => (s, r.getInt(0), r.getSeq[Double](2)))
+    }
+    books.toDF("sub", "cell", "c_vec")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    * precomputes its distance to every codebook cell (m × k scalars,
+    * one broadcast join), then targets are scored from their CODES
+    * alone — the scoring join carries (id, sub, cell) ints, never a
+    * vector. This is the in-cell scan of the IVF-PQ recipe: exhaustive
+    * over the candidate set but at m-int cost per target, so at 100 TB
+    * it runs inside [[ivfTopK]]'s cell routing rather than standalone.
+    *
+    * @param coded  [[productQuantize]] output (tId, codes)
+    * @param books  [[pqCodebooks]] output (sub, cell, c_vec)
+    * @return (pId, tId, adc, rank), rank 1..k by ascending approximate
+    *         squared distance, ties to the lower target id. */
+  def pqTopK(
+      probes: DataFrame, pId: String, pVec: String,
+      coded: DataFrame, tId: String,
+      books: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    ensureRegistered(probes)
+    val bk = books.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = bk.map(_._1).max + 1
+    val subDim = bk.head._3.length
+    // probe-side distance table: (pId, sub, cell, d) — m×k rows per probe
+    val pSub = probes.select(col(pId),
+      posexplode(array((0 until m).map(s =>
+        slice(col(pVec), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subv")))
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val table = pSub.join(broadcast(bk.toSeq.toDF("sub", "cell", "c_vec")), "sub")
+      .select(col(pId), col("sub"), col("cell"),
+        fastSquaredL2(col("subv"), col("c_vec")).as("d"))
+    // target codes exploded to (tId, sub, cell); scoring joins ints only
+    val tCodes = coded.select(col(tId),
+      posexplode(col("codes")).as(Seq("sub", "cell")))
+    val w = Window.partitionBy(col(pId)).orderBy(col("adc"), col(tId))
+    tCodes.join(table, Seq("sub", "cell"))
+      .groupBy(col(pId), col(tId))
+      .agg(round(sum(col("d")), roundTo).as("adc"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Convenience: build an IVF coarse quantizer from [[labelCentroids]]

@@ -222,6 +222,24 @@ object SimilarityQueries {
       None,
       "PQ codebooks (sample-trained subspace k-means) + m-byte codes: " +
         "the compression half of IVF-PQ; reconstruction-error bounds " +
-        "pinned in VectorSpec.")
+        "pinned in VectorSpec."),
+
+    // ---- q73: ADC search over PQ codes (no oracle: iterative model) --------
+    "q73_pq_adc_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        val books = Similarity.pqCodebooks(
+          e.filter(col("vec_id") < 200), "vec_id", "emb", m = 2, k = 8, iters = 2)
+        val coded = Similarity.pqEncode(e, "vec_id", "emb", books)
+          .select(col("vec_id").as("t_id"), col("codes"))
+        val probes = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        Similarity.pqTopK(probes, "p_id", "p_vec", coded, "t_id", books, k = 3)
+          .orderBy(col("p_id"), col("rank"))
+      },
+      None,
+      "Asymmetric-distance top-k over PQ codes: probe distance tables " +
+        "broadcast, scoring join carries (id, sub, cell) ints only — " +
+        "the in-cell scan of IVF-PQ; self-retrieval pinned in VectorSpec.")
   )
 }

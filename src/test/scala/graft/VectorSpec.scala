@@ -163,6 +163,25 @@ class VectorSpec extends SparkSuite {
     assert(run(8).map(t => (t._1, t._2)).toSeq == pq.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("pqTopK (ADC) self-retrieval: codes-only scoring finds the encoded twin") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+    val books = Similarity.pqCodebooks(e, "vec_id", "emb", m = 4, k = 16, iters = 2)
+    val coded = Similarity.pqEncode(e, "vec_id", "emb", books)
+      .select(c("vec_id").as("t_id"), c("codes"))
+    val probes = e.filter(c("vec_id") < 40)
+      .select(c("vec_id").as("p_id"), c("emb").as("p_vec"))
+    val top = Similarity.pqTopK(probes, "p_id", "p_vec", coded, "t_id", books, k = 3)
+      .collect()
+    assert(top.nonEmpty)
+    // a probe's own encoding achieves the minimum possible ADC (its
+    // reconstruction error), so self must appear in top-3 except for
+    // exact code-collisions with lower ids
+    val selfHits = top.count(r => r.getLong(0) == r.getLong(1))
+    assert(selfHits >= 35, s"self-retrieval too weak: $selfHits/40")
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     import org.apache.spark.sql.functions.{col => c}
     val q = Tables.embeddings(spark, sf("0.001"))
