@@ -109,7 +109,10 @@ object Dedup {
     * of everything previously ingested). Batch-internal duplicates
     * collapse in the same pass. Only 16-byte digests cross the shuffle;
     * the anti join is a plain equi-join, so at 100 TB the seen index
-    * streams through the join instead of broadcasting.
+    * streams through the join instead of broadcasting. The index is NOT
+    * pre-deduplicated: left_anti gives identical results against
+    * duplicate keys, so a distinct() would only add a full extra
+    * shuffle+agg of the index per batch.
     *
     * Output: (content_hash, id, n_in_batch) for the surviving docs. */
   def incrementalNew(incoming: DataFrame, id: String, text: String,
@@ -117,7 +120,7 @@ object Dedup {
     val grouped = incoming.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_in_batch"))
     grouped.join(
-      seen.select(col(seenHash).as("content_hash")).distinct(),
+      seen.select(col(seenHash).as("content_hash")),
       Seq("content_hash"), "left_anti")
   }
 

@@ -283,11 +283,15 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bk = books.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(bk.nonEmpty, "pqEncode: empty codebook")
     val m = bk.map(_._1).max + 1
     val sub = bk.head._3.length
+    val dim = vecs.select(size(col(vec))).head.getInt(0)
+    require(dim == m * sub,
+      s"pqEncode: vectors are $dim-d but the codebook covers ${m}x$sub dims")
     val bookDf = broadcast(bk.toSeq.toDF("sub", "cell", "c_vec"))
     val coded = vecs
-      .select(col(id), col(vec),
+      .select(col(id),
         posexplode(array((0 until m).map(s => slice(col(vec), s * sub + 1, sub)): _*))
           .as(Seq("sub", "subv")))
       .join(bookDf, "sub")
@@ -341,6 +345,7 @@ object Similarity {
     ensureRegistered(probes)
     val bk = books.collect().map(r =>
       (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(bk.nonEmpty, "pqTopK: empty codebook")
     val m = bk.map(_._1).max + 1
     val subDim = bk.head._3.length
     // probe-side distance table: (pId, sub, cell, d) — m×k rows per probe
@@ -355,8 +360,12 @@ object Similarity {
     // target codes exploded to (tId, sub, cell); scoring joins ints only
     val tCodes = coded.select(col(tId),
       posexplode(col("codes")).as(Seq("sub", "cell")))
+    // the distance table is P × m × k rows (probes are query-sized by
+    // assumption) — broadcast it so corpus codes stream through a BHJ;
+    // a shuffle join on (sub, cell) would hash the whole corpus into at
+    // most m*k non-empty partitions
     val w = Window.partitionBy(col(pId)).orderBy(col("adc"), col(tId))
-    tCodes.join(table, Seq("sub", "cell"))
+    tCodes.join(broadcast(table), Seq("sub", "cell"))
       .groupBy(col(pId), col(tId))
       .agg(round(sum(col("d")), roundTo).as("adc"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -277,26 +277,27 @@ object DedupTextQueries {
     "q69_incremental_dedup" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
-        // "already ingested" = digest index of the corpus so far;
-        // "incoming" = the next crawl batch
-        val seen = docs.filter(col("bucket") < 90)
+        // id-OVERLAPPING split (ids < 8/10 of max are "already ingested",
+        // ids >= 6/10 are "the next crawl batch"): the overlap region's
+        // content IS in the seen index, so the anti-join genuinely drops
+        // rows — a content-derived split would make it vacuous
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val seen = docs.filter(col("doc_id") < cut * 8 / 10)
           .select(md5(col("text")).as("h"))
-        val incoming = docs.filter(col("bucket") >= 90)
+        val incoming = docs.filter(col("doc_id") >= cut * 6 / 10)
         Dedup.incrementalNew(incoming, "doc_id", "text", seen, "h")
           .orderBy(col("doc_id"))
       },
       Some("""
-        WITH d AS (
-          SELECT doc_id, text,
-                 CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS bucket
-          FROM documents
+        WITH cut AS (
+          SELECT MAX(doc_id) AS m FROM documents
         ), seen AS (
-          SELECT DISTINCT md5(text) AS content_hash FROM d WHERE bucket < 90
+          SELECT DISTINCT md5(text) AS content_hash
+          FROM documents, cut WHERE doc_id < m * 8 // 10
         ), incoming AS (
           SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                  COUNT(*) AS n_in_batch
-          FROM d WHERE bucket >= 90 GROUP BY 1
+          FROM documents, cut WHERE doc_id >= m * 6 // 10 GROUP BY 1
         )
         SELECT i.content_hash, i.doc_id, i.n_in_batch
         FROM incoming i ANTI JOIN seen s USING (content_hash)

@@ -99,13 +99,18 @@ class SourcesSpec extends SparkSuite {
         s"lang filter must prune directories:\n${scan.take(1500)}")
       val expected = docs.filter(col("lang") === "en").count()
       assert(expected > 0 && filtered.count() == expected)
-      // small-files bound: <= filesPerPartition parquet files per lang dir
+      // small-files bound: <= filesPerPartition parquet files per lang
+      // dir (Files.list streams must be closed — they hold a fd each)
       import scala.jdk.CollectionConverters._
-      val perDir = Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("lang="))
-        .map(p => Files.list(p).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet")))
-        .toSeq
+      import scala.util.Using
+      val perDir = Using.resource(Files.list(dir)) { top =>
+        top.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("lang="))
+          .map(p => Using.resource(Files.list(p)) { files =>
+            files.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+          })
+          .toSeq
+      }
       assert(perDir.nonEmpty && perDir.forall(n => n >= 1 && n <= 2),
         s"file count per partition dir must be bounded by the salt: $perDir")
     } finally rmTree(dir)

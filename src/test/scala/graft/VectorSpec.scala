@@ -130,9 +130,11 @@ class VectorSpec extends SparkSuite {
 
   test("kMeans keeps cells emptied by duplicate init vectors (n_members 0)") {
     import spark.implicits._
-    // vec_ids 1-4 share one embedding: cells 1-3 init identically, ties
-    // go to the lower cell, so cells 1-3 end with zero members but must
-    // still come back in the model
+    // vec_ids 1-4 share one embedding: cells 0-3 init identically and
+    // ties go to the lower cell. After iter 1 every point sits in cell
+    // 0; its centroid drifts toward the far pair, so iter 2 re-assigns
+    // the shared points to cell 1 — cells 2-3 end with zero members but
+    // must still come back in the model
     val shared = Seq.fill(4)(1.0) ++ Seq.fill(4)(0.0)
     val far = Seq.fill(4)(0.0) ++ Seq.fill(4)(1.0)
     val vecs = ((1L to 4L).map(i => (i, shared)) ++ Seq((5L, far), (6L, far)))
