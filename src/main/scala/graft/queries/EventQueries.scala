@@ -318,6 +318,61 @@ object EventQueries {
       "Trailing 10-minute event-time RANGE frame per user (the " +
         "time-based sibling of q37's numeric RANGE): per-key windows " +
         "parallelize across users; decimal partials keep the rolling " +
-        "sum engine-exact.")
+        "sum engine-exact."),
+
+    // ---- q74: distribution window functions -------------------------------
+    "q74_window_distribution" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 9).as("pct_rank"),
+            round(cume_dist().over(w), 9).as("cume"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        SELECT event_type, event_id, value,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_id"""),
+      "Distribution window functions (ntile/percent_rank/cume_dist) " +
+        "per event type; rank arithmetic rounded to dodge last-ulp " +
+        "division noise."),
+
+    // ---- q75: hopping (sliding) window aggregation, batch twin -------------
+    "q75_hopping_windows" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("ws_ep"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("ws_ep"), col("event_type"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type, value, $EPOCH AS ep FROM events
+        ), assigned AS (
+          -- every event belongs to exactly two 1h windows hopping by 30min
+          SELECT event_type, value,
+                 unnest([ (ep // 1800) * 1800, (ep // 1800) * 1800 - 1800 ]) AS ws_ep,
+                 ep
+          FROM e
+        )
+        SELECT ws_ep, event_type, COUNT(*) AS n,
+               ${sqlMoneySum("value")} AS sum_value
+        FROM assigned
+        WHERE ep >= ws_ep AND ep < ws_ep + 3600
+        GROUP BY ws_ep, event_type
+        ORDER BY ws_ep, event_type"""),
+      "Batch twin of the streaming sliding window: window(ts, 1h, 30m) " +
+        "per event type; oracle assigns each event its two hops " +
+        "explicitly. Epoch-second window starts dodge tz ambiguity.")
   )
 }
