@@ -200,6 +200,7 @@ object Similarity {
     *
     * @return (cell, n_members, centroid_vec) for the final model. */
   def kMeans(vecs: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     import org.apache.spark.sql.types.DecimalType
     ensureRegistered(vecs)
     val spark = vecs.sparkSession

@@ -111,6 +111,7 @@ object TextAnalysis {
     * is left for AQE to broadcast by size stats — no forced broadcast. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       id: String, text: String, n: Int): DataFrame = {
+    require(n > 0, "shingle width n must be positive")
     graft.plans.TextExpressions.register(corpus.sparkSession)
     val hashed = corpus.select(col(id).as("doc"),
       call_function("shingle_hashes", col(text), lit(n)).as("shs"))
@@ -141,6 +142,7 @@ object TextAnalysis {
     * n_copies, copy). Projection + explode only — no shuffle. */
   def mixEpochs(docs: DataFrame, text: String,
       ratesPct: Map[String, Int], defaultPct: Int, source: String = "source"): DataFrame = {
+    require(defaultPct >= 0 && ratesPct.values.forall(_ >= 0), "rates must be non-negative")
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, r)) =>
       when(col(source) === src, lit(r)).otherwise(acc)
     }
@@ -244,6 +246,7 @@ object TextAnalysis {
     *
     * Output: (id, n_sh, n_dup, dup_frac) for EVERY doc. */
   def dupShingleCoverage(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    require(n > 0, "shingle width n must be positive")
     graft.plans.TextExpressions.register(docs.sparkSession)
     val hashed = docs.select(col(id).as("doc"),
       call_function("shingle_hashes", col(text), lit(n)).as("shs"))
@@ -276,6 +279,7 @@ object TextAnalysis {
     * Output: (id, by, n_tokens, start_offset, shard). */
   def packShardsGlobal(docs: DataFrame, id: String, text: String,
       by: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: (id, by, n_tokens) feeds both the window arm and
     // the base-offset aggregate — materializing ~24 bytes/doc beats
@@ -314,6 +318,7 @@ object TextAnalysis {
     * Output: (keyCols…, n_docs, n_tokens, shard_text) — one row per shard. */
   def buildShards(packed: DataFrame, docs: DataFrame, id: String, text: String,
       keyCols: Seq[String], sep: String = " "): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must name the packer's shard identity")
     val joined = packed.join(docs.select(col(id), col(text)), Seq(id))
     joined.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
@@ -340,6 +345,7 @@ object TextAnalysis {
     * Output: (id, by, bucket, rnk) for the kept rows, rnk 1..cap. */
   def stratifiedCap(docs: DataFrame, id: String, text: String,
       by: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: (id, by, bucket) feeds both the rank arm and the
     // histogram arm — 20 bytes/doc materialized vs md5-hashing the
@@ -372,6 +378,7 @@ object TextAnalysis {
     * Output: (id, by, n_tokens, start_offset, shard). */
   def packShards(docs: DataFrame, id: String, text: String,
       by: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(by)).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
