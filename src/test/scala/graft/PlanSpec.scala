@@ -88,6 +88,25 @@ class PlanSpec extends SparkSuite {
       s"quantization must not shuffle beyond the final orderBy:\n$p")
   }
 
+  test("no registered query plans a CartesianProduct under default config") {
+    // registry-wide regression guard: every pair-style operator either
+    // broadcasts (BroadcastNestedLoopJoin) or equi-joins; an unhinted
+    // CartesianProduct sneaking into ANY query is a scale bug. Queries
+    // whose CONSTRUCTION already runs jobs (k-means collect loops,
+    // eager localCheckpoints) are skipped — their plans are pinned by
+    // their own tests.
+    val iterative = Set("q53_dup_clusters", "q61_kmeans", "q72_product_quantize",
+      "q73_pq_adc_topk", "q41_jaccard_pairs", "q46_simhash", "q54_decontaminate",
+      "q62_dup_span_coverage", "q63_pack_global", "q68_build_shards",
+      "q58_stratified_cap", "q64_unigram_lm", "q69_incremental_dedup")
+    val names = SparkEntry.queries.keys.filterNot(iterative).toSeq.sorted
+    val offenders = names.filter { name =>
+      SparkEntry.queries(name)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: $offenders")
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
