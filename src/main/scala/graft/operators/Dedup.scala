@@ -124,6 +124,41 @@ object Dedup {
       Seq("content_hash"), "left_anti")
   }
 
+  /** Streaming ingestion dedup with a PERSISTENT, growing digest index:
+    * each micro-batch collapses internally, anti-joins the index table,
+    * appends the survivors to `corpusTable`, and appends their digests
+    * to `indexTable` — so duplicates are dropped across batches AND
+    * across restarts (the index is a catalog table, not stream state,
+    * so it is unbounded-retention where dropDuplicatesWithinWatermark
+    * is watermark-bounded; that is the point). The per-batch work is
+    * the [[incrementalNew]] plan: digests only through the shuffle.
+    *
+    * Delivery: the two appends are not atomic, so a crash between them
+    * replays the batch as at-least-once into the corpus (the index is
+    * written LAST, so it never claims content the corpus doesn't have —
+    * replay can duplicate corpus rows, never lose them). Exactly-once
+    * across both tables needs a transactional table format underneath.
+    *
+    * Returns a foreachBatch function for
+    * `stream.writeStream.foreachBatch(...)`; tables are created on
+    * first use. */
+  def dedupIngest(id: String, text: String,
+      corpusTable: String, indexTable: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val seen =
+        if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+        else spark.emptyDataFrame.select(lit("").as("content_hash")).limit(0)
+      val fresh = incrementalNew(batch, id, text, seen, "content_hash")
+        .join(batch, Seq(id))
+        .localCheckpoint() // pin: both appends must see the SAME survivors
+      fresh.select(batch.columns.map(col): _*)
+        .write.mode("append").saveAsTable(corpusTable)
+      fresh.select(md5(col(text)).as("content_hash"))
+        .write.mode("append").saveAsTable(indexTable)
+    }
+  }
+
   /** Streaming exact dedup (the reference's "only unique frames" path,
     * F3, as a standing query): drop records whose content digest was
     * already seen within the watermark window. State is bounded by the

@@ -434,6 +434,31 @@ class StreamingSpec extends SparkSuite {
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
 
+  test("dedupIngest drops duplicate content across micro-batches via the index table") {
+    implicit val sqlCtx = spark.sqlContext
+    val (corpusT, indexT) = ("graft_ingest_corpus", "graft_ingest_index")
+    try {
+      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(graft.operators.Dedup.dedupIngest("doc_id", "text", corpusT, indexT))
+        .start()
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))   // in-batch dup
+      q.processAllAvailable()
+      input.addData((4L, "alpha"), (5L, "gamma"))                 // cross-batch dup
+      q.processAllAvailable()
+      input.addData((6L, "beta"), (7L, "beta"))                   // both kinds
+      q.processAllAvailable()
+      q.stop()
+      val corpus = spark.table(corpusT).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(corpus == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")),
+        s"one min-id survivor per content across all batches, got $corpus")
+      assert(spark.table(indexT).count() == 3)
+    } finally Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("streaming near-dup: incoming vectors vs a static LSH index") {
     // the streaming twin of incremental dedup at near-dup granularity:
     // a crawl stream LSH-bucket-joins a static index of the existing
