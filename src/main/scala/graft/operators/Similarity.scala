@@ -225,6 +225,10 @@ object Similarity {
     var centroids: Seq[(Int, Seq[Double])] =
       data.orderBy(col("vid")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    // fewer than k inputs would silently train a smaller model than the
+    // promised k cells — downstream PQ/IVF callers index cells 0..k-1
+    require(centroids.length == k,
+      s"kMeans: need at least k=$k vectors, got ${centroids.length}")
     for (_ <- 1 to iters) {
       val means = assign(centroids.toDF("cell", "c_vec"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))

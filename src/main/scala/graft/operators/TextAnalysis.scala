@@ -54,10 +54,10 @@ object TextAnalysis {
     *
     * @param trainPct bucket < trainPct           → "train"
     * @param valPct   bucket < trainPct + valPct  → "val", rest "test" */
-  def hashSplit(docs: DataFrame, text: String,
+  def hashSplit(text: Column,
       trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct + valPct <= 100, "train+val must leave room for test")
-    val bucket = conv(substring(md5(col(text)), 1, 4), 16, 10).cast("int") % 100
+    val bucket = conv(substring(md5(text), 1, 4), 16, 10).cast("int") % 100
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")

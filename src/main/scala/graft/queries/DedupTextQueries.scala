@@ -195,13 +195,10 @@ object DedupTextQueries {
 
     // ---- q49: deterministic content-hash dataset split --------------------
     "q49_hash_split" -> Q(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        docs.select(col("doc_id"),
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
           TextAnalysis.hashBucket(col("text")).as("bucket"),
-          TextAnalysis.hashSplit(docs, "text").as("split"))
-          .orderBy(col("doc_id"))
-      },
+          TextAnalysis.hashSplit(col("text")).as("split"))
+        .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id,
           CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 100 AS bucket,

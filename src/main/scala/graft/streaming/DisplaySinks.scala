@@ -62,15 +62,18 @@ object DisplaySinks {
   }
 
   /** K5 `foreachBatch` bridge: push a micro-batch's frames into the
-    * server's per-camera queues in (camera, frame_num) order. The sort
-    * puts the display order back after shuffle; `toLocalIterator` streams
-    * one partition at a time to the driver rather than materializing the
-    * batch (the batch is already display-sized — O4 caps the trigger). */
+    * server's per-camera queues in (camera, frame_num) order. The
+    * coalesce-then-sort puts the display order back REGARDLESS of the
+    * upstream partitioning (sort-then-coalesce would concatenate
+    * partition-local runs, interleaving a camera that spans partitions);
+    * `toLocalIterator` streams the single sorted partition to the driver
+    * rather than materializing the batch (the batch is already
+    * display-sized — O4 caps the trigger). */
   def mjpegBatch(server: MjpegServer)(batch: DataFrame, epochId: Long): Unit = {
     val it = batch
       .select(col("camera").cast("string").as("camera"), col("frame_num"), col("frame"))
-      .sortWithinPartitions("camera", "frame_num")
       .coalesce(1)
+      .sortWithinPartitions("camera", "frame_num")
       .toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -127,10 +130,23 @@ final class MjpegServer(
     override def handle(exchange: HttpExchange): Unit = {
       try {
         val camera = exchange.getRequestURI.getPath.stripPrefix("/cam/")
-        val maxFrames = Option(exchange.getRequestURI.getQuery)
-          .flatMap(_.split('&').collectFirst { case s if s.startsWith("frames=") => s.drop(7).toInt })
-          .getOrElse(Int.MaxValue)
-        val q = queues.computeIfAbsent(camera, _ => new LinkedBlockingQueue[Array[Byte]](queueCapacity))
+        // a malformed frames= is the CLIENT's error: answer 400 instead
+        // of letting NumberFormatException drop the connection bodily
+        val framesParam = Option(exchange.getRequestURI.getQuery)
+          .flatMap(_.split('&').collectFirst { case s if s.startsWith("frames=") => s.drop(7) })
+        val parsed = framesParam.map(p => scala.util.Try(p.toInt))
+        if (parsed.exists(_.isFailure)) {
+          exchange.sendResponseHeaders(400, -1)
+          return
+        }
+        val maxFrames = parsed.map(_.get).getOrElse(Int.MaxValue)
+        // only cameras something has PUBLISHED get a queue: creating one
+        // per arbitrary GET path would grow `queues` without bound
+        val q = queues.get(camera)
+        if (q == null) {
+          exchange.sendResponseHeaders(404, -1)
+          return
+        }
         exchange.getResponseHeaders.set(
           "Content-Type", s"multipart/x-mixed-replace; boundary=$boundary")
         exchange.sendResponseHeaders(200, 0) // chunked

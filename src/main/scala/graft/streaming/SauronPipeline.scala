@@ -183,7 +183,17 @@ object RefreshableTargets {
     frames.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val now = System.currentTimeMillis()
       if (cached == null || now - loadedAt >= refreshMs) {
+        // MATERIALIZE the reload (persist + eager count), don't just hold
+        // the lazy plan — otherwise every micro-batch inside the refresh
+        // window re-executes the target-set scan and picks up
+        // mid-interval table updates, defeating both the rate limit and
+        // the pinned-set semantics. The previous set is unpersisted only
+        // after the replacement is pinned.
+        val previous = cached
         cached = loadTargets(batch.sparkSession)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // eager: pin NOW, while the loader's source is live
+        if (previous != null) previous.unpersist(false)
         loadedAt = now
       }
       val out = SauronPipeline

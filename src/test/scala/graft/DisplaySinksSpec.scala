@@ -70,6 +70,41 @@ class DisplaySinksSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("K5: batch bridge restores display order across input partitions") {
+    val server = new MjpegServer(queueCapacity = 64)
+    server.start()
+    try {
+      // frames deliberately scattered over many partitions in shuffled
+      // order: the coalesce-then-sort in mjpegBatch must still publish
+      // camera 0's frames as 1,2,...,8
+      val batch = Seq(5L, 2L, 7L, 1L, 8L, 3L, 6L, 4L)
+        .map(n => (0, n, s"c0f$n".getBytes))
+        .toDF("camera", "frame_num", "frame")
+        .repartition(6)
+      DisplaySinks.mjpegBatch(server)(batch, 0L)
+      val body = new String(
+        new java.net.URL(server.url("0", frames = 8)).openConnection().getInputStream.readAllBytes())
+      val positions = (1L to 8L).map(n => body.indexOf(s"c0f$n"))
+      assert(positions.forall(_ >= 0), s"missing frames in: $body")
+      assert(positions == positions.sorted, s"frames out of display order: $positions")
+    } finally server.stop()
+  }
+
+  test("K5: malformed frames= answers 400; unknown camera answers 404") {
+    val server = new MjpegServer(queueCapacity = 4)
+    server.start()
+    try {
+      server.publish("0", "x".getBytes)
+      val bad = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/cam/0?frames=abc")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(bad.getResponseCode == 400)
+      val unknown = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/cam/nope?frames=1")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(unknown.getResponseCode == 404,
+        "a GET for a never-published camera must not create a queue")
+    } finally server.stop()
+  }
+
   test("K5: full display path — pipeline stream into the MJPEG sink via foreachBatch") {
     val server = new MjpegServer(queueCapacity = 16)
     server.start()

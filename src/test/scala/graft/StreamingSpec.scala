@@ -167,6 +167,46 @@ class StreamingSpec extends SparkSuite {
     assert(byFrame(1L) == "person_0", s"post-publish frame must match the new target: $results")
   }
 
+  test("refreshable targets: loader runs once per refresh window, not once per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RefreshableTargets
+    val input = MemoryStream[(Int, Long, Timestamp, Array[Byte], String, Seq[Int])]
+    val frames = input.toDF().toDF("camera", "frame_num", "ts", "frame", "dtype", "shape")
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var targetRows: Seq[(Long, String, Seq[Double])] =
+      Seq((0L, "person_0", Seq.fill(64)(0.0)))
+    val originModel: SauronPipeline.FaceModel = _ => array(struct(
+      array(lit(0), lit(0), lit(0), lit(0)).as("box"),
+      array(Seq.fill(64)(lit(0.0)): _*).as("enc")))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val writer = RefreshableTargets.writer(
+      frames,
+      loadTargets = s => { import s.implicits._
+        loads.incrementAndGet()
+        targetRows.toDF("t_id", "t_name", "t_enc") },
+      tolerance = 0.5, refreshMs = Long.MaxValue / 2, // never refresh again
+      sink = (df, _) => results.synchronized {
+        results ++= df.select(col("frame_num"), coalesce(col("prediction"), lit("none")))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+      },
+      model = originModel)
+    val q = writer.start()
+    input.addData((0, 0L, new Timestamp(1700000000000L), "a".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    // mid-window mutation must NOT be visible (the set is pinned), and
+    // the loader must not run again for subsequent batches
+    targetRows = Seq.empty
+    input.addData((0, 1L, new Timestamp(1700000001000L), "b".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    input.addData((0, 2L, new Timestamp(1700000002000L), "c".getBytes, "|u1", Seq(1)))
+    q.processAllAvailable()
+    q.stop()
+    assert(loads.get() == 1, s"loader ran ${loads.get()} times for 3 batches in one window")
+    val byFrame = results.toMap
+    assert(byFrame(1L) == "person_0" && byFrame(2L) == "person_0",
+      s"mid-window batches must reuse the pinned target set: $results")
+  }
+
   test("reorder buffer emits frames in order per camera, drops late frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FrameEvent]

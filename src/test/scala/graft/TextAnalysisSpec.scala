@@ -222,7 +222,7 @@ class TextAnalysisSpec extends SparkSuite {
 
   test("hash split is content-determined and roughly proportioned") {
     val out = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.hashSplit(docs, "text").as("split"))
+      TextAnalysis.hashSplit(col("text")).as("split"))
     // duplicates land in the same split regardless of doc_id
     val conflicting = out.groupBy(col("text"))
       .agg(countDistinct(col("split")).as("n"))
@@ -235,7 +235,7 @@ class TextAnalysisSpec extends SparkSuite {
     assert(frac.getOrElse("test", 0.0) > 0.02, s"test fraction: $frac")
     // repartitioning must not change any assignment (pure projection)
     val re = docs.repartition(7)
-    val out2 = re.select(col("doc_id"), TextAnalysis.hashSplit(re, "text").as("split"))
+    val out2 = re.select(col("doc_id"), TextAnalysis.hashSplit(col("text")).as("split"))
     assert(out.select("doc_id", "split").exceptAll(out2).count() == 0)
   }
 }
