@@ -186,16 +186,25 @@ object Similarity {
     * vectors themselves, the way a real ANN index is trained).
     *
     * Scale topology (same as the classic distributed Lloyd's): the model
-    * state is k×d doubles — tiny — so it lives on the driver and is
-    * broadcast each iteration; the DATA never moves. One iteration = one
-    * broadcast join (assignment via min_by, ties to the lower cell) plus
-    * one partially-aggregated elementwise-mean pass. The input is
+    * state is k×d doubles — tiny — so it lives on the driver and ships
+    * inside the [[graft.plans.NearestCell]] expression each iteration;
+    * the DATA never moves. Assignment is therefore a PURE PROJECTION —
+    * no join, no vid-keyed shuffle of vectors — and one iteration costs
+    * exactly one partially-aggregated (cell, pos) mean pass: at 100 TB ×
+    * 10 iterations, zero full-data shuffles instead of ten. The input is
     * persisted across iterations and unpersisted before returning.
     *
-    * Deterministic on any cluster/partitioning: init = the k lowest-id
-    * vectors, and the mean accumulates DECIMAL(38,18) casts of each
-    * addend — exact and order-independent, so reaggregation splits can't
-    * flip a later assignment (same rationale as [[graft.Tables.moneySum]]).
+    * Deterministic on any cluster/partitioning AND portable across
+    * engines: init = the k lowest-id vectors (ties to the lower cell),
+    * and each mean snaps addends to a 1e-9 grid — `round(x·1e9)` summed
+    * exactly as integers (DECIMAL(38,0), overflow-proof at any corpus
+    * size), divided once in double. Integer sums are order-independent,
+    * so reaggregation splits can't flip a later assignment, and — unlike
+    * a DECIMAL(38,18) sum of raw doubles — the double→grid rounding is
+    * bit-identical in Spark and DuckDB (tie points X.5 are exactly
+    * representable, so shortest-string and binary rounding agree),
+    * making the whole training run SQL-oracle-checkable. The grid costs
+    * ≤5e-10 per coordinate — noise against float32 inputs' 2^-24 ulp.
     * An emptied cell keeps its previous centroid.
     *
     * @return (cell, n_members, centroid_vec) for the final model. */
@@ -207,21 +216,6 @@ object Similarity {
     import spark.implicits._
     val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lean assignment: the groupBy(vid) buffer carries only the min_by
-    // key (cell, dist) — vectors never enter the shuffle
-    def assignCells(centroids: DataFrame): DataFrame =
-      data.crossJoin(broadcast(centroids))
-        .groupBy(col("vid"))
-        .agg(min_by(col("cell"),
-          struct(fastSquaredL2(col("v"), col("c_vec")), col("cell"))).as("cell"))
-    // means pass additionally needs v per vid; first(v) rides the same
-    // shuffle once (cheaper than a second vid-keyed join against data)
-    def assign(centroids: DataFrame): DataFrame =
-      data.crossJoin(broadcast(centroids))
-        .groupBy(col("vid"))
-        .agg(first(col("v")).as("v"),
-          min_by(col("cell"),
-            struct(fastSquaredL2(col("v"), col("c_vec")), col("cell"))).as("cell"))
     var centroids: Seq[(Int, Seq[Double])] =
       data.orderBy(col("vid")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
@@ -229,11 +223,19 @@ object Similarity {
     // promised k cells — downstream PQ/IVF callers index cells 0..k-1
     require(centroids.length == k,
       s"kMeans: need at least k=$k vectors, got ${centroids.length}")
+    // cells stay 0..k-1 throughout, so the matrix row index IS the cell
+    def assigned: DataFrame = {
+      val matrix = typedlit(centroids.sortBy(_._1).map(_._2))
+      data.select(col("vid"), col("v"),
+        call_function("nearest_cell", col("v"), matrix).as("cell"))
+    }
+    val Grid = 1e9
     for (_ <- 1 to iters) {
-      val means = assign(centroids.toDF("cell", "c_vec"))
+      val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(38, 18))) / count(lit(1))).cast("double").as("m"))
+        .agg((sum(round(col("x") * Grid).cast("long").cast(DecimalType(38, 0)))
+          .cast("double") / count(lit(1)) / Grid).as("m"))
         .collect()
       val updated = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
@@ -244,12 +246,12 @@ object Similarity {
     }
     val model = centroids.toDF("cell", "c_vec")
     // left join from the model: a cell emptied by duplicate init vectors
-    // (min_by ties to the lower cell) still comes back, with n_members 0.
+    // (ties assign to the lower cell) still comes back, with n_members 0.
     // localCheckpoint (k rows) materializes the final pass while `data`
     // is still cached — unpersisting first would silently recompute the
     // whole input lineage on the caller's first action.
     val result = model.withColumnRenamed("c_vec", "centroid_vec")
-      .join(assignCells(model).groupBy(col("cell")).agg(count(lit(1)).as("n_members")),
+      .join(assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members")),
         Seq("cell"), "left")
       .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
         col("centroid_vec"))

@@ -173,6 +173,49 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Argmin cell assignment against a driver-held centroid matrix — the
+  * expression that makes k-means assignment a PURE PROJECTION: the
+  * centroid model (k×d doubles, tiny by construction) ships inside the
+  * serialized expression, so no vector ever crosses a shuffle during
+  * training; only (cell, pos, x) partial aggregates do. Ties break to
+  * the LOWER cell (strict < keeps the first minimum), matching the
+  * min_by(cell, struct(dist, cell)) form this replaces. Distance is the
+  * same strict left-to-right squared-L2 fold as [[SquaredL2]], so
+  * assignments are bit-identical to the join form. Row-level eval
+  * (CodegenFallback): k×d multiply-adds per row, like [[LshBuckets]].
+  *
+  * Returns null for a null/ragged input (no centroid of matching
+  * length) — callers feed dense fixed-dim embeddings. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.nonEmpty, "nearest_cell: empty centroid matrix")
+  override def prettyName: String = "nearest_cell"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length == n) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = v.getDouble(i) - ct(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration of the native vector expressions as SQL functions, so
   * call sites can use the public `call_function` API (no dependence on
   * Column↔Expression internals). Idempotent; call per SparkSession. */
@@ -185,6 +228,13 @@ object VectorExpressions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue(),
       exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
+    // second arg must be a foldable array<array<double>> literal (the
+    // driver-held centroid model); it is evaluated once at resolution
+    registry.createOrReplaceTempFunction("nearest_cell", exprs => {
+      val arr = exprs(1).eval().asInstanceOf[ArrayData]
+      val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+      NearestCell(exprs(0), m)
+    }, "built-in")
     if (!spark.experimental.extraOptimizations.contains(SimplifySqrtThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifySqrtThreshold

@@ -36,6 +36,8 @@ object SimilarityQueries {
 
   private val SqlEmb =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings"
+  private val SqlEmbBare =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
   private val SqlTargets = s"""
     SELECT vec_id AS t_id, emb AS t_emb, label AS t_label FROM (
       SELECT vec_id, emb, label,
@@ -192,7 +194,7 @@ object SimilarityQueries {
         "smaller vectors through every shuffle/broadcast at 100 TB; " +
         "round-half-away parity makes the full q vector hash-checkable."),
 
-    // ---- q61: k-means trainer (no oracle: iterative, not SQL) -------------
+    // ---- q61: k-means trainer (oracle: unrolled Lloyd's CTE chain) --------
     "q61_kmeans" -> Q(
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("emb"))
@@ -203,12 +205,13 @@ object SimilarityQueries {
             round(col("c"), 9).as("centroid"))
           .orderBy(col("cell"), col("dim"))
       },
-      None,
-      "Lloyd's k-means with driver-held model + broadcast assignment; " +
-        "exactness vs brute force when used as an IVF quantizer is " +
-        "pinned in VectorSpec."),
+      Some(OracleGen.q61Sql(k = 8, iters = 4, dim = 64)),
+      "Lloyd's k-means: projection-only assignment (model ships inside " +
+        "the nearest_cell expression — zero full-data shuffles per " +
+        "iteration), 1e-9-grid integer means make the full training " +
+        "run hash-checkable against an unrolled SQL oracle."),
 
-    // ---- q72: product quantization (no oracle: iterative) -----------------
+    // ---- q72: product quantization (oracle: per-subspace kMeans chain) ----
     "q72_product_quantize" -> Q(
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("emb"))
@@ -219,12 +222,21 @@ object SimilarityQueries {
             round(col("recon_err"), 6).as("recon_err"))
           .orderBy(col("vec_id"))
       },
-      None,
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        samp AS (SELECT vec_id, emb FROM e WHERE vec_id < 200),
+        ${OracleGen.pqBooksCtes("", "samp", m = 2, subDim = 32, k = 8, iters = 2)}
+        ${OracleGen.pqEncodeCte("enc", "", "e", m = 2, subDim = 32)}
+        out AS (
+          SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
+                 round(recon_err, 6) AS recon_err
+          FROM enc)
+        SELECT * FROM out ORDER BY vec_id"""),
       "PQ codebooks (sample-trained subspace k-means) + m-byte codes: " +
-        "the compression half of IVF-PQ; reconstruction-error bounds " +
-        "pinned in VectorSpec."),
+        "the compression half of IVF-PQ; the grid-mean trainer makes " +
+        "codes AND reconstruction errors oracle-checkable."),
 
-    // ---- q73: ADC search over PQ codes (no oracle: iterative model) --------
+    // ---- q73: ADC search over PQ codes (oracle: chained through q72) ------
     "q73_pq_adc_topk" -> Q(
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("emb"))
@@ -237,9 +249,32 @@ object SimilarityQueries {
         Similarity.pqTopK(probes, "p_id", "p_vec", coded, "t_id", books, k = 3)
           .orderBy(col("p_id"), col("rank"))
       },
-      None,
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        samp AS (SELECT vec_id, emb FROM e WHERE vec_id < 200),
+        ${OracleGen.pqBooksCtes("", "samp", m = 2, subDim = 32, k = 8, iters = 2)}
+        ${OracleGen.pqEncodeCte("enc", "", "e", m = 2, subDim = 32)}
+        probes AS (SELECT vec_id AS p_id, emb FROM e WHERE vec_id < 50),
+        dtab AS (
+          SELECT p.p_id, b.sub, b.cell,
+                 ${OracleGen.sqDist("p.emb[(b.sub*32+1):(b.sub*32+32)]", "b.c_vec", 32)} AS d
+          FROM probes p CROSS JOIN books b),
+        tc AS (SELECT vec_id AS t_id, unnest(codes) AS cell,
+                      generate_subscripts(codes, 1) - 1 AS sub FROM enc),
+        scored AS (
+          SELECT dt.p_id, tc.t_id, round(SUM(dt.d), 6) AS adc
+          FROM tc JOIN dtab dt ON dt.sub = tc.sub AND dt.cell = tc.cell
+          GROUP BY dt.p_id, tc.t_id),
+        ranked AS (
+          SELECT p_id, t_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY adc, t_id) AS rank
+          FROM scored)
+        SELECT p_id, t_id, adc, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
       "Asymmetric-distance top-k over PQ codes: probe distance tables " +
         "broadcast, scoring join carries (id, sub, cell) ints only — " +
-        "the in-cell scan of IVF-PQ; self-retrieval pinned in VectorSpec.")
+        "the in-cell scan of IVF-PQ; oracle chains through the " +
+        "deterministic PQ training.")
   )
 }
