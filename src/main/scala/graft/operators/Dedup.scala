@@ -74,26 +74,32 @@ object Dedup {
     * docs sharing any band bucket become candidates. Output: distinct
     * (a_id, b_id, n_shared_bands).
     *
-    * Implementation is explode + hash-agg rather than a per-row lambda
-    * fold: one (doc, shingle) row per shingle, `numPerm` seeded xxhash64
-    * columns (codegen'd), then a single groupBy(doc) of `numPerm` min()
-    * aggregates — map-side partial aggregation makes the shuffle carry
-    * one signature row per doc. Equivalent to
-    * [[graft.functions.TextFunctions.minhashSignature]] but stays inside
-    * whole-stage codegen (HOF folds don't). */
+    * Permutation family is Kirsch–Mitzenmacher over one md5 per shingle:
+    * h1/h2 are the two 52-bit halves of md5(shingle) and permutation p
+    * hashes to h1 + p·h2 (no overflow: p·h2 < 2^57). One cryptographic
+    * hash + numPerm multiply-adds per shingle beats numPerm seeded
+    * hashes, and — because md5/hex-parse exist in any SQL engine — the
+    * whole operator is oracle-checkable, where an xxhash64 family is
+    * Spark-only. 52-bit halves keep every value exact in BIGINT and
+    * DOUBLE on both sides.
+    *
+    * The whole signature is ONE projection per document — the
+    * single-pass native [[graft.plans.MinhashMd5]] expression (shingle,
+    * hash, fold minima in one row-local loop) — so nothing shuffles
+    * until the (doc, band, bucket) band join. Docs shorter than
+    * shingleN words have no signature (NULL, filtered). */
   def minhashCandidates(docs: DataFrame, id: String, text: String,
       shingleN: Int, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     TextExpressions.register(docs.sparkSession)
-    val sh = docs.select(col(id).as("doc"),
-      explode(call_function("shingle_hashes", col(text), lit(shingleN))).as("shingle"))
-    val sig = sh.groupBy(col("doc"))
-      .agg(min(xxhash64(lit(0), col("shingle"))).as("m0"),
-           (1 until numPerm).map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p")): _*)
+    val sig = docs.select(col(id).as("doc"),
+      call_function("minhash_md5", col(text), lit(shingleN), lit(numPerm)).as("ms"))
+      .filter(col("ms").isNotNull)
     val banded = sig.select(col("doc"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as("bucket"))
+        md5(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("ms"), b * rows + r + 1)): _*)).as("bucket"))
     }: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
@@ -171,22 +177,20 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_graft_content_hash")
       .drop("_graft_content_hash") // output schema == input schema
 
-  /** 64-bit SimHash signature per (doc, block): explode + 64
-    * conditional-sum aggregates (codegen'd; see [[minhashCandidates]]
-    * for the rationale vs per-row HOF folds). */
+  /** 64-bit SimHash signature per (doc, block): ONE projection per doc
+    * via the single-pass native [[graft.plans.SimhashMd5]] expression —
+    * token bits come from the two 32-bit md5 halves, so the signature
+    * (and therefore the whole pair set) is recomputable by any SQL
+    * engine for the oracle, where xxhash64 bits are Spark-only. No
+    * shuffle: the old explode + 64-conditional-sum aggregate shape paid
+    * a multi-second one-time codegen/JIT cost for its 64-buffer
+    * aggregate and a token-explode shuffle; the expression form pays
+    * neither. */
   private def simhashSignatures(docs: DataFrame, id: String, text: String,
       block: String): DataFrame = {
-    val tok = docs.select(col(id).as("doc"), col(block).as("blk"),
-      explode(tokens(col(text))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = tok.groupBy(col("doc"), col("blk"))
-      .agg(sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)).as("v0"),
-           (1 until 64).map(i =>
-             sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")): _*)
-    votes.select(col("doc"), col("blk"),
-      (0 until 64).map { i =>
-        when(col(s"v$i") >= 0, lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("sig"))
+    TextExpressions.register(docs.sparkSession)
+    docs.select(col(id).as("doc"), col(block).as("blk"),
+      call_function("simhash_md5", col(text)).as("sig"))
   }
 
   /** SimHash near-dup pairs within a blocking column: 64-bit signatures,

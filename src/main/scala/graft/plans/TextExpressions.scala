@@ -59,12 +59,184 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Single-pass DISTINCT n-word shingle strings, first-occurrence order —
+  * the string-valued sibling of [[ShingleHashes]] for operators whose
+  * downstream hashing must be engine-portable (md5 of the shingle TEXT,
+  * which any SQL engine can recompute, vs xxhash64 of it, which only
+  * Spark can). Same linear single-pass rationale; same "docs shorter
+  * than n words yield no shingles" contract as the SQL oracle's
+  * range(1, m-1). */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(words, i, parts, 0, n)
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared md5 plumbing for the portable signature expressions: one
+  * thread-local MessageDigest (a fresh getInstance per value is the
+  * dominant cost at millions of tokens), parsed straight from digest
+  * bytes into the integer halves the SQL oracle reads out of the hex
+  * string — hex chars 1..8 / 9..16 are digest bytes 0-3 / 4-7
+  * big-endian (32-bit halves), hex chars 1..13 / 14..26 are the two
+  * 52-bit halves split at byte 6's nibbles. */
+private[plans] object Md5Halves {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(u: UTF8String): Array[Byte] = local.get().digest(u.getBytes)
+  def h32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+      ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
+  /** hex chars 1..13: bytes 0-5 + high nibble of byte 6. */
+  def h52a(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(6) >> 4) & 0xFL)
+  }
+  /** hex chars 14..26: low nibble of byte 6 + bytes 7-12. */
+  def h52b(d: Array[Byte]): Long = {
+    var v = d(6) & 0xFL
+    var i = 7
+    while (i < 13) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v
+  }
+}
+
+/** Whole 64-bit md5-SimHash signature in one pass per document —
+  * replaces an explode + 64-conditional-sum aggregate: tokenize on
+  * single spaces (empties kept, matching split(text, ' ') and DuckDB
+  * string_split), vote ±1 per token per bit (bits 0-31 from md5 hex
+  * half 2, 32-63 from half 1), sign the votes. Signatures become a pure
+  * projection — no shuffle at all until the band join — and the
+  * 64-buffer codegen'd aggregate (whose one-time janino/JIT cost
+  * dominated the old shape) disappears. Bit-identical to the SQL
+  * oracle's vote recomputation. */
+case class SimhashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash_md5"
+  override def dataType: DataType = LongType
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val d = Md5Halves.digest(words(w))
+      val h1 = Md5Halves.h32(d, 0)
+      val h2 = Md5Halves.h32(d, 4)
+      var i = 0
+      while (i < 32) {
+        votes(i) += (if (((h2 >> i) & 1L) == 1L) 1 else -1)
+        votes(i + 32) += (if (((h1 >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) >= 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole MinHash signature in one pass per document — distinct n-word
+  * shingles ([[ShingleStrings]] semantics), one md5 per shingle split
+  * into 52-bit halves (h1, h2), Kirsch–Mitzenmacher permutation p =
+  * h1 + p·h2, minimum per permutation. Returns array<long> of length
+  * numPerm, or NULL for docs shorter than n words (they have no
+  * signature — callers filter, matching the explode form where such
+  * docs produce no rows). Signature is a projection; only (doc, band,
+  * bucket) rows ever shuffle. */
+case class MinhashMd5(child: Expression, n: Int, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_md5"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    if (m < n) return null
+    val seen = new java.util.HashSet[UTF8String]()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(words, i, parts, 0, n)
+      val shingle = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(shingle)) {
+        val d = Md5Halves.digest(shingle)
+        val h1 = Md5Halves.h52a(d)
+        val h2 = Md5Halves.h52b(d)
+        var p = 0
+        while (p < numPerm) {
+          val v = h1 + p * h2
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_strings",
+      exprs => ShingleStrings(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_md5",
+      exprs => MinhashMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 }

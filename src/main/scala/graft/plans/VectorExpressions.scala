@@ -116,10 +116,13 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
 
 /** Random-hyperplane LSH bucket keys for cosine similarity, all hash
   * tables in one pass: bucket[t] = nBits sign bits of projections onto
-  * pseudo-random ±1 hyperplanes. Hyperplane signs are derived from
-  * xxhash64(seed+t, bit, dim) — deterministic across executors with no
-  * shipped randomness — and memoized per vector dimension, so each row
-  * costs only nTables × nBits × dim multiply-adds.
+  * pseudo-random ±1 hyperplanes. Hyperplane signs are derived from the
+  * first hex digit's parity of md5("seed:t:i:j") — deterministic across
+  * executors with no shipped randomness, and recomputable by any SQL
+  * engine (so the LSH pair set is oracle-checkable, where an
+  * xxhash64-seeded matrix is Spark-only). The matrix is memoized per
+  * vector dimension, so each row costs only nTables × nBits × dim
+  * multiply-adds.
   *
   * Returns array<long> of length nTables. Row-level eval
   * (CodegenFallback): linear work per row, like [[ShingleHashes]]. */
@@ -138,11 +141,10 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
   private def signs(dim: Int): Array[Array[Array[Double]]] =
     signCache.computeIfAbsent(dim, d => {
       Array.tabulate(nTables, nBits, d) { (t, i, j) =>
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          j.toLong, org.apache.spark.sql.types.LongType,
-          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            i.toLong, org.apache.spark.sql.types.LongType, seed + t))
-        if ((h & 1L) == 0L) 1.0 else -1.0
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$t:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first hex digit = high nibble of byte 0; even parity → +1
+        if ((((digest(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
       }
     })
 

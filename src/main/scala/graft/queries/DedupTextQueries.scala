@@ -151,21 +151,25 @@ object DedupTextQueries {
         ORDER BY doc_id"""),
       "Order-sensitive polynomial rolling hash mod 1e9+7 per document."),
 
-    // ---- q45: MinHash + LSH banding (no oracle: xxhash64-specific) -------
+    // ---- q45: MinHash + LSH banding (oracle: md5 permutation family) -----
     "q45_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, numPerm = 32, bands = 8)
         .orderBy(col("a_id"), col("b_id")),
-      None,
-      "MinHash(32)/8-band LSH candidates; recall vs q41 checked in tests."),
+      Some(OracleGen.q45Sql(Shingles3, numPerm = 32, bands = 8)),
+      "MinHash(32)/8-band LSH candidates; md5-derived permutations make " +
+        "the full signature/banding path hash-checkable; recall vs q41 " +
+        "in tests."),
 
-    // ---- q46: SimHash hamming pairs (no oracle: xxhash64-specific) -------
+    // ---- q46: SimHash hamming pairs (oracle: exhaustive md5-bit twin) ----
     "q46_simhash" -> Q(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
           block = "source", maxHamming = 8)
         .orderBy(col("a_id"), col("b_id")),
-      None,
-      "64-bit SimHash; near-dups at hamming<=8 within a source block."),
+      Some(OracleGen.q46Sql(maxHamming = 8)),
+      "64-bit SimHash; near-dups at hamming<=8 within a source block. " +
+        "Banded candidates rescore to the exhaustive pair set, which " +
+        "the md5-bit oracle recomputes directly."),
 
     // ---- q48: TF-IDF top terms per document -------------------------------
     "q48_tfidf_topterms" -> Q(

@@ -101,6 +101,162 @@ object OracleGen {
     sb.toString
   }
 
+  /** q45 oracle: MinHash + LSH banding over documents, mirroring
+    * [[graft.operators.Dedup.minhashCandidates]]'s Kirsch–Mitzenmacher
+    * family — h1/h2 = the two 52-bit md5 halves, permutation p =
+    * h1 + p·h2 — and its md5-of-joined-minima band buckets.
+    * `shinglesExpr` is the DuckDB distinct-shingle list expression. */
+  def q45Sql(shinglesExpr: String, numPerm: Int, bands: Int): String = {
+    val rows = numPerm / bands
+    val mins = (0 until numPerm)
+      .map(p => s"MIN(h1 + $p*h2) AS m$p").mkString(",\n                 ")
+    val bandSelects = (0 until bands).map { b =>
+      val joined = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc, $b AS band, md5($joined) AS bucket FROM sig"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH sh AS (
+          SELECT doc_id AS doc, unnest($shinglesExpr) AS sh FROM documents
+        ), hh AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substr(md5(sh), 14, 13)) AS BIGINT) AS h2
+          FROM sh
+        ), sig AS (
+          SELECT doc, $mins
+          FROM hh GROUP BY doc
+        ), banded AS (
+          $bandSelects
+        )
+        SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+        ORDER BY a_id, b_id"""
+  }
+
+  /** q46 oracle: SimHash hamming pairs, exhaustive within a block —
+    * provably identical to the banded Spark form (pigeonhole rescoring,
+    * see [[graft.operators.Dedup.simhashPairs]]). Bit i of a token's
+    * vote comes from md5 half h2 (i < 32) or h1 (i >= 32); the
+    * signature is carried as a 64-char bit string and hamming is the
+    * count of differing positions. */
+  def q46Sql(maxHamming: Int): String = {
+    val votes = (0 until 64).map { i =>
+      val half = if (i < 32) "h2" else "h1"
+      val shift = if (i < 32) i else i - 32
+      s"SUM(CASE WHEN ($half >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n                 ")
+    val sigStr = (0 until 64)
+      .map(i => s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH tok AS (
+          SELECT doc_id AS doc, source AS blk, unnest(string_split(text, ' ')) AS t
+          FROM documents
+        ), hh AS (
+          SELECT doc, blk,
+                 CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2
+          FROM tok
+        ), v AS (
+          SELECT doc, blk, $votes
+          FROM hh GROUP BY doc, blk
+        ), sig AS (
+          SELECT doc, blk, $sigStr AS s FROM v
+        )
+        SELECT a_id, b_id, hamming FROM (
+          SELECT a.doc AS a_id, b.doc AS b_id,
+                 CAST(len(list_filter(range(1, 65),
+                   i -> substr(a.s, CAST(i AS INT), 1) != substr(b.s, CAST(i AS INT), 1))) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.blk = b.blk AND a.doc < b.doc)
+        WHERE hamming <= $maxHamming
+        ORDER BY a_id, b_id"""
+  }
+
+  /** q34 oracle: random-hyperplane LSH near-dup, mirroring
+    * [[graft.plans.LshBuckets]] — hyperplane sign = parity of the first
+    * hex digit of md5("seed:t:i:j"), bucket = nBits projection sign
+    * bits, candidates share any (table, bucket), rescored with exact
+    * cosine. Filter on the raw similarity, round for output (same as
+    * the Spark side). */
+  def q34Sql(dim: Int, threshold: Double, nBits: Int, nTables: Int, seed: Long): String = {
+    val cos = "list_inner_product(ea.emb, eb.emb) / " +
+      "(sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        grid AS (
+          SELECT tt.range AS t, ii.range AS i, jj.range AS j
+          FROM range(0, $nTables) tt, range(0, $nBits) ii, range(0, $dim) jj),
+        signs AS (
+          SELECT t, i,
+                 list(CASE WHEN CAST(concat('0x', substr(md5(
+                     '$seed:' || CAST(t AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                   ), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+          FROM grid GROUP BY t, i),
+        proj AS (
+          SELECT e.vec_id, s.t, s.i,
+                 list_aggregate(list_transform(range(1, ${dim + 1}), j -> e.emb[j] * s.s[j]), 'sum') AS p
+          FROM e CROSS JOIN signs s),
+        buckets AS (
+          SELECT vec_id, t,
+                 SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+          FROM proj GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM buckets a JOIN buckets b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.a_id, c.b_id, round($cos, 6) AS sim
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a_id
+        JOIN e eb ON eb.vec_id = c.b_id
+        WHERE $cos >= $threshold
+        ORDER BY a_id, b_id"""
+  }
+
+  /** q60 oracle: the full detect→match→route topology over the
+    * documents-as-frames twin, recomputing
+    * [[graft.streaming.SauronPipeline.stubDetectPortable]] from md5.
+    * Only face 1's match is derived (the output's `prediction` is the
+    * first face's name); `n_faces` needs just the face count. Matching
+    * mirrors predictStage: squared L2 <= tol², first match = lowest
+    * t_id, 'Unknown' when faces match nothing, NULL when no faces. */
+  def q60Sql(dim: Int, tolerance: Double, topicPrefix: String): String = {
+    def enc(iExpr: String) =
+      s"""list_transform(range(0, $dim), d ->
+           CAST(concat('0x', substr(md5(fh || ':e:' || $iExpr || ':' || CAST(d AS VARCHAR)), 1, 13)) AS BIGINT)
+             / 4503599627370496.0)"""
+    s"""WITH f AS (
+          SELECT doc_id,
+                 CAST(doc_id % 6 AS INT) AS camera,
+                 doc_id // 6 AS frame_num,
+                 md5(text) AS fh
+          FROM documents
+        ), det AS (
+          SELECT f.*, CAST(concat('0x', substr(fh, 1, 4)) AS BIGINT) % 3 AS nf FROM f
+        ), tf AS (
+          SELECT doc_id, fh, unnest(range(1, nf + 1)) AS i FROM det WHERE doc_id < 10
+        ), targets AS (
+          SELECT doc_id * 4 + (i - 1) AS t_id, ${enc("CAST(i AS VARCHAR)")} AS t_enc
+          FROM tf
+        ), p1 AS (
+          SELECT doc_id, ${enc("'1'")} AS enc
+          FROM det WHERE nf > 0
+        ), m AS (
+          SELECT p.doc_id, MIN(t.t_id) AS t_id
+          FROM p1 p JOIN targets t
+            ON ${sqDist("p.enc", "t.t_enc", dim)} <= ($tolerance * $tolerance)
+          GROUP BY p.doc_id
+        )
+        SELECT d.camera, d.frame_num,
+               CASE WHEN d.nf = 0 THEN NULL
+                    WHEN m.t_id IS NOT NULL THEN 'person_' || CAST(m.t_id AS VARCHAR)
+                    ELSE 'Unknown' END AS prediction,
+               '${topicPrefix}_' || CAST(d.camera AS VARCHAR) AS topic,
+               CAST(d.nf AS INT) AS n_faces,
+               CAST(d.camera AS VARCHAR) || '_' || CAST(d.frame_num AS VARCHAR) AS key
+        FROM det d LEFT JOIN m ON m.doc_id = d.doc_id
+        ORDER BY d.camera, d.frame_num"""
+  }
+
   /** PQ encoding of `input` (vec_id, emb) against `${p}books`: per
     * subspace the nearest codebook cell (ties lower), codes in subspace
     * order, recon_err = total squared reconstruction error. Emits

@@ -51,26 +51,29 @@ object PipelineQueries {
         ORDER BY doc_id"""),
       "Binary payload chunk sampling + stub feature extraction (decode STUB)."),
 
-    // ---- q60: the full reference topology, batch form (rows-only) -------
+    // ---- q60: the full reference topology, batch form (md5-stub oracle) --
     "q60_pipeline_topology" -> Q(
       (s, d) => {
         val frames = framesFromDocs(s, d)
+        val model: SauronPipeline.FaceModel = SauronPipeline.stubDetectPortable(_, 64)
         // target set = faces the stub detector finds in the first 10 docs
         val detected = SauronPipeline.detectStage(
-          frames.filter(col("frame_num") * 6 + col("camera") < 10))
+          frames.filter(col("frame_num") * 6 + col("camera") < 10), model)
         val targets = detected
           .select(col("camera"), col("frame_num"), posexplode(col("faces")).as(Seq("pos", "f")))
           .select(((col("frame_num") * 6 + col("camera")) * 4 + col("pos")).as("t_id"),
                   col("f.enc").as("t_enc"))
           .withColumn("t_name", concat(lit("person_"), col("t_id")))
-        SauronPipeline.process(frames, targets, tolerance = 1e-9)
+        SauronPipeline.process(frames, targets, tolerance = 1e-9, model = model)
           .select(col("camera"), col("frame_num"), col("prediction"),
                   col("topic"), size(col("annotations")).as("n_faces"),
                   col("key"))
           .orderBy(col("camera"), col("frame_num"))
       },
-      None,
-      "End-to-end topology: detect(stub) -> broadcast match -> route; " +
-        "rows-only (stub model is hash-derived, not SQL-expressible).")
+      Some(OracleGen.q60Sql(dim = 64, tolerance = 1e-9,
+        topicPrefix = "predicted_object_raw_frame_topic")),
+      "End-to-end topology: detect(md5 stub) -> broadcast match -> " +
+        "route; the portable stub model makes the whole pipeline " +
+        "recomputable by the SQL oracle.")
   )
 }

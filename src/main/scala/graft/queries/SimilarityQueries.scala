@@ -135,7 +135,7 @@ object SimilarityQueries {
         ORDER BY a_id, b_id"""),
       "Exact embedding near-dup pairs (cosine >= 0.4); LSH path in tests."),
 
-    // ---- q35: IVF approximate top-k (no oracle: quantizer-dependent) -----
+    // ---- q35: IVF approximate top-k (oracle: full routing recomputed) ----
     "q35_ivf_topk" -> Q(
       (s, d) => {
         val e = emb(s, d)
@@ -147,17 +147,54 @@ object SimilarityQueries {
             quantizer, "cell", "centroid_vec", k = 3, nProbe = 4)
           .orderBy(col("p_id"), col("rank"))
       },
-      None,
-      "IVF scale path: coarse-quantized cells, nProbe-bounded search; " +
-        "recall vs exact q31 checked in tests."),
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        cent AS (
+          SELECT cell, list(c ORDER BY dim) AS cv FROM (
+            SELECT label AS cell, dim, round(AVG(v), 9) AS c
+            FROM (SELECT label, unnest(emb) AS v,
+                         generate_subscripts(emb, 1) AS dim FROM e)
+            GROUP BY label, dim)
+          GROUP BY cell),
+        asg AS (
+          SELECT vec_id AS t_id, emb AS t_vec, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pc AS (
+          SELECT p_id, p_vec, cell FROM (
+            SELECT e.vec_id AS p_id, e.emb AS p_vec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+        sims AS (
+          SELECT pc.p_id, a.t_id,
+                 round(list_inner_product(pc.p_vec, a.t_vec) /
+                   (sqrt(list_inner_product(pc.p_vec, pc.p_vec)) *
+                    sqrt(list_inner_product(a.t_vec, a.t_vec))), 6) AS sim
+          FROM pc JOIN asg a USING (cell)),
+        ranked AS (
+          SELECT p_id, t_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM sims)
+        SELECT p_id, t_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
+      "IVF scale path: coarse-quantized cells, nProbe-bounded search — " +
+        "the whole cell routing is recomputed by the oracle; recall vs " +
+        "exact q31 in tests."),
 
-    // ---- q34: LSH-bucketed near-dup (no oracle: hash-dependent) ----------
+    // ---- q34: LSH-bucketed near-dup (oracle: md5 hyperplane signs) -------
     "q34_lsh_neardup" -> Q(
       (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb",
           threshold = 0.4, nBits = 6, nTables = 6)
         .orderBy(col("a_id"), col("b_id")),
-      None,
-      "LSH candidate generation + exact rescoring; recall vs q33 in tests."),
+      Some(OracleGen.q34Sql(dim = 64, threshold = 0.4, nBits = 6, nTables = 6,
+        seed = 1000)),
+      "LSH candidate generation + exact rescoring; md5-parity " +
+        "hyperplane signs make buckets, candidates and rescored sims " +
+        "all oracle-checkable; recall vs q33 in tests."),
 
     // ---- q59: int8 embedding quantization --------------------------------
     "q59_quantize_int8" -> Q(

@@ -42,6 +42,30 @@ object SauronPipeline {
     when(nFaces > 0, faces).otherwise(slice(faces, 1, 0))
   }
 
+  /** Engine-portable twin of [[stubDetect]]: every derived quantity
+    * comes from md5 of the frame bytes (hex string `F`) instead of
+    * xxhash64 — face count from the first 4 hex chars, box coords from
+    * md5(F:b:i:c), encodings from the 52-bit prefix of md5(F:e:i:d)
+    * scaled by 2^-52 (exact in BIGINT and DOUBLE on any engine). Same
+    * shape and zero-face guard as [[stubDetect]]; exists so the full
+    * topology (q60) is recomputable by the DuckDB oracle rather than
+    * rows-only checked. xxhash64 [[stubDetect]] stays the default model
+    * (cheaper per frame). */
+  def stubDetectPortable(frame: Column, dim: Int): Column = {
+    val fh = md5(frame)
+    def h52(s: Column): Column = conv(substring(md5(s), 1, 13), 16, 10).cast("long")
+    val nFaces = conv(substring(fh, 1, 4), 16, 10).cast("long") % 3
+    val faces = transform(sequence(lit(1L), nFaces), i => struct(
+      array((0 until 4).map(c =>
+        (h52(concat(fh, lit(":b:"), i.cast("string"), lit(":"), lit(c.toString))) % 400)
+          .cast("int")): _*).as("box"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        h52(concat(fh, lit(":e:"), i.cast("string"), lit(":"), d.cast("string")))
+          .cast("double") / lit(4503599627370496.0)).as("enc")))
+    // sequence(1, 0) yields [1, 0], not [] — same guard as stubDetect
+    when(nFaces > 0, faces).otherwise(slice(faces, 1, 0))
+  }
+
   /** The pluggable model slot (P8): frame-bytes column → faces column
     * (array<struct<box:array<int>, enc:array<double>>>). The reference's
     * stated extension point — "Replace Face recognition model with

@@ -40,8 +40,11 @@ class VectorSpec extends SparkSuite {
       .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
     val exact = Similarity.nearDupPairs(e, "vec_id", "emb", 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nBits=6 gives p_match ~= (1 - acos(0.4)/pi)^6 ~= 0.063 per table;
+    // 10 tables put expected recall near 0.48, so the 0.3 bar tests the
+    // mechanism, not the luck of one sign-matrix draw
     val lsh = Similarity.lshNearDup(e, "vec_id", "emb",
-        threshold = 0.4, nBits = 6, nTables = 6)
+        threshold = 0.4, nBits = 6, nTables = 10)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH pairs must be exact-rescored (no false positives)")
     assert(exact.nonEmpty)
