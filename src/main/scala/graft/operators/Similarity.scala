@@ -282,13 +282,16 @@ object Similarity {
     pqEncode(vecs, id, vec, pqCodebooks(trainSample(vecs), id, vec, m, k, iters))
 
   /** Encode vectors against existing [[pqCodebooks]]: nearest codebook
-    * cell per subspace via one broadcast join. The codebook is
-    * collected driver-side (m × k × subDim doubles — tiny) to derive
-    * the slicing, then re-broadcast as a literal. */
+    * cell per subspace, as a PURE PROJECTION — the codebook is
+    * collected driver-side (m × k × subDim doubles — tiny) and each
+    * subspace's matrix ships inside a [[graft.plans.NearestCell]]
+    * expression, with the reconstruction error read back through an
+    * element_at on the same literal. No shuffle at all (the previous
+    * shape exploded every vector into m rows and re-grouped twice);
+    * recon_err sums subspace errors in subspace order — deterministic
+    * for any m, matching the oracle's in-order list fold. */
   def pqEncode(vecs: DataFrame, id: String, vec: String, books: DataFrame): DataFrame = {
     ensureRegistered(vecs)
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val bk = books.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(bk.nonEmpty, "pqEncode: empty codebook")
     val m = bk.map(_._1).max + 1
@@ -296,22 +299,23 @@ object Similarity {
     val dim = vecs.select(size(col(vec))).head.getInt(0)
     require(dim == m * sub,
       s"pqEncode: vectors are $dim-d but the codebook covers ${m}x$sub dims")
-    val bookDf = broadcast(bk.toSeq.toDF("sub", "cell", "c_vec"))
-    val coded = vecs
-      .select(col(id),
-        posexplode(array((0 until m).map(s => slice(col(vec), s * sub + 1, sub)): _*))
-          .as(Seq("sub", "subv")))
-      .join(bookDf, "sub")
-      .groupBy(col(id), col("sub"))
-      .agg(first(col("subv")).as("subv"),
-        min_by(struct(col("cell"), col("c_vec")),
-          struct(fastSquaredL2(col("subv"), col("c_vec")), col("cell"))).as("best"))
-      .withColumn("sub_err", fastSquaredL2(col("subv"), col("best.c_vec")))
-    coded.groupBy(col(id))
-      .agg(
-        transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
-          x => x.getField("cell")).as("codes"),
-        sum(col("sub_err")).as("recon_err"))
+    // per-subspace centroid matrices, cell-indexed (kMeans guarantees
+    // contiguous cells 0..k-1; verify so element_at(cell+1) is sound)
+    val mats: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val rows = bk.filter(_._1 == s).sortBy(_._2)
+      require(rows.map(_._2).toSeq == rows.indices.toSeq,
+        s"pqEncode: subspace $s cells are not contiguous from 0")
+      rows.map(_._3).toSeq
+    }
+    def subv(s: Int) = slice(col(vec), s * sub + 1, sub)
+    val withCodes = vecs.select(col(id) +: col(vec) +:
+      (0 until m).map(s =>
+        call_function("nearest_cell", subv(s), typedlit(mats(s))).as(s"_c$s")): _*)
+    val errs = (0 until m).map(s =>
+      fastSquaredL2(subv(s), element_at(typedlit(mats(s)), col(s"_c$s") + 1)))
+    withCodes.select(col(id),
+      array((0 until m).map(s => col(s"_c$s")): _*).as("codes"),
+      errs.reduce(_ + _).as("recon_err"))
   }
 
   /** PQ codebooks as a DataFrame (sub, cell, c_vec) — the training half
@@ -334,12 +338,19 @@ object Similarity {
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
-    * precomputes its distance to every codebook cell (m × k scalars,
-    * one broadcast join), then targets are scored from their CODES
-    * alone — the scoring join carries (id, sub, cell) ints, never a
-    * vector. This is the in-cell scan of the IVF-PQ recipe: exhaustive
-    * over the candidate set but at m-int cost per target, so at 100 TB
-    * it runs inside [[ivfTopK]]'s cell routing rather than standalone.
+    * precomputes its distance to every codebook cell and carries it as
+    * ONE flattened m×k array (sub-major), broadcast to the corpus;
+    * every target is then scored by the codegen'd
+    * [[graft.plans.AdcScore]] expression — m array reads + adds per
+    * (probe, target) pair, a pure projection. The only shuffle is the
+    * per-probe rank over (pId, tId, adc) rows; the old shape
+    * additionally exploded every target's codes and aggregated m rows
+    * per pair through a (sub, cell) join. Summation is in subspace
+    * order (deterministic for any m, where the aggregate form relied on
+    * m=2 commutativity). This is the in-cell scan of the IVF-PQ recipe:
+    * exhaustive over the candidate set but at m-int cost per target, so
+    * at 100 TB it runs inside [[ivfTopK]]'s cell routing rather than
+    * standalone.
     *
     * @param coded  [[productQuantize]] output (tId, codes)
     * @param books  [[pqCodebooks]] output (sub, cell, c_vec)
@@ -354,8 +365,9 @@ object Similarity {
       (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(bk.nonEmpty, "pqTopK: empty codebook")
     val m = bk.map(_._1).max + 1
+    val kCells = bk.map(_._2).max + 1
     val subDim = bk.head._3.length
-    // probe-side distance table: (pId, sub, cell, d) — m×k rows per probe
+    // probe-side distance table, flattened sub-major: dtab[s*k + cell]
     val pSub = probes.select(col(pId),
       posexplode(array((0 until m).map(s =>
         slice(col(pVec), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subv")))
@@ -364,17 +376,18 @@ object Similarity {
     val table = pSub.join(broadcast(bk.toSeq.toDF("sub", "cell", "c_vec")), "sub")
       .select(col(pId), col("sub"), col("cell"),
         fastSquaredL2(col("subv"), col("c_vec")).as("d"))
-    // target codes exploded to (tId, sub, cell); scoring joins ints only
-    val tCodes = coded.select(col(tId),
-      posexplode(col("codes")).as(Seq("sub", "cell")))
-    // the distance table is P × m × k rows (probes are query-sized by
-    // assumption) — broadcast it so corpus codes stream through a BHJ;
-    // a shuffle join on (sub, cell) would hash the whole corpus into at
-    // most m*k non-empty partitions
+      .groupBy(col(pId))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell"), col("d")))),
+        x => x.getField("d")).as("dtab"))
+    // the distance table is P rows of m×k doubles (probes are
+    // query-sized by assumption) — broadcast it so corpus codes stream
+    // through a BNLJ and score in-place
     val w = Window.partitionBy(col(pId)).orderBy(col("adc"), col(tId))
-    tCodes.join(broadcast(table), Seq("sub", "cell"))
-      .groupBy(col(pId), col(tId))
-      .agg(round(sum(col("d")), roundTo).as("adc"))
+    coded.crossJoin(broadcast(table))
+      .select(col(pId), col(tId),
+        round(call_function("adc_score", col("codes"), col("dtab"), lit(kCells)),
+          roundTo).as("adc"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 

@@ -218,6 +218,67 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) score of a PQ code array against one
+  * probe's flattened distance table: sum over subspaces s of
+  * dtab[s·k + codes[s]], where dtab holds the probe's squared distance
+  * to every (subspace, cell) codebook entry in (sub, cell) order. This
+  * turns PQ scoring into a single projection per (probe, target) pair —
+  * m array reads and adds, inside whole-stage codegen — replacing a
+  * codes-explode + (sub, cell) join + per-pair aggregation (which
+  * shuffled m rows per pair). Returns null on a malformed code (index
+  * outside the table), mirroring the join form where such a code simply
+  * finds no distance row. */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, "adc_score: k must be positive")
+  override def prettyName: String = "adc_score"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, dtab: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val t = dtab.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    val n = t.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val idx = i * k + c.getInt(i)
+      if (idx < 0 || idx >= n) return null
+      s += t.getDouble(idx)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = $c.numElements();
+        int $n = $t.numElements();
+        double $s = 0.0;
+        for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+          int $idx = $i * $k + $c.getInt($i);
+          if ($idx < 0 || $idx >= $n) {
+            ${ev.isNull} = true;
+          } else {
+            $s += $t.getDouble($idx);
+          }
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of the native vector expressions as SQL functions, so
   * call sites can use the public `call_function` API (no dependence on
   * Column↔Expression internals). Idempotent; call per SparkSession. */
@@ -232,6 +293,8 @@ object VectorExpressions {
       exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
     // second arg must be a foldable array<array<double>> literal (the
     // driver-held centroid model); it is evaluated once at resolution
+    registry.createOrReplaceTempFunction("adc_score", exprs => AdcScore(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     registry.createOrReplaceTempFunction("nearest_cell", exprs => {
       val arr = exprs(1).eval().asInstanceOf[ArrayData]
       val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
