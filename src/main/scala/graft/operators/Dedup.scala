@@ -250,32 +250,66 @@ object Dedup {
     * "Connected Components in MapReduce and Beyond") converges in
     * O(log n) passes — not needed for the dedup-cluster shape.
     * localCheckpoint per pass truncates the growing lineage and lets the
-    * ContextCleaner free superseded label relations. */
+    * ContextCleaner free superseded label relations.
+    *
+    * Small-graph fast path: below `smallGraphEdges` (default 2^20
+    * edges ≈ 16 MB collected) the edge list is union-found on the
+    * driver in one pass — identical output, none of the per-pass
+    * plan/shuffle overhead that dominates iterative Spark jobs on tiny
+    * relations. Dedup graphs are tiny relative to the corpus (pairs of
+    * NEAR-duplicates, post-banding), so this is the common case even at
+    * 100 TB; anything larger takes the distributed loop. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallGraphEdges: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    if (und.count() <= smallGraphEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      und.collect().foreach { row =>
+        val (s, d) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        // attach the larger root under the smaller: every root stays the
+        // minimum id of its component, so find() IS the comp label
+        if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
+      }
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "comp")
+    }
     var labels = und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("comp")).localCheckpoint()
-    // convergence check: min-propagation only ever DECREASES a label, so
-    // sum(comp) strictly decreases iff any label changed — one tiny
-    // aggregate per pass instead of a next-vs-prev join + count.
-    // DECIMAL(38,0) keeps the sum exact at any vertex-count × id scale.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // convergence rides the label pass itself: a long accumulator counts
+    // labels lowered by the neighbor minimum DURING the eager
+    // localCheckpoint materialization — ONE action per pass where the
+    // previous shape ran a second label-sum aggregate per pass. Task
+    // retries can only over-count, and only zero-vs-nonzero is read, so
+    // the at-most-once caveat of accumulators in transformations is
+    // harmless here.
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      val fromNeighbors = und.join(labels, und("src") === labels("v"))
-        .select(und("dst").as("v"), col("comp"))
-      labels = labels.union(fromNeighbors)
-        .groupBy("v").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      changed = s.compareTo(prevSum) != 0
-      prevSum = s
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val nbrMin = und.join(labels, und("src") === labels("v"))
+        .groupBy(und("dst").as("v")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("comp"), coalesce(col("nbr"), col("comp")).as("nbr"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (v, comp, nbr) =>
+            if (nbr < comp) { acc.add(1); (v, nbr) } else (v, comp)
+          }
+        }
+        .toDF("v", "comp").localCheckpoint()
+      labels = next
+      changed = acc.value > 0
       iter += 1
     }
     require(!changed, s"connectedComponents did not converge within $maxIter passes")

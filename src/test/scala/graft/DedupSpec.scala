@@ -80,10 +80,16 @@ class DedupSpec extends SparkSuite {
     // triangle 10-11-12, separate edge 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("x", "y")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     val got = Dedup.connectedComponents(edges, "x", "y")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got == expected)
+    // smallGraphEdges = 0 forces the distributed label-propagation loop
+    // (the default would take the driver union-find fast path here)
+    val distributed = Dedup.connectedComponents(edges, "x", "y", smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected, "distributed loop must match union-find")
   }
 
   test("incrementalNew collapses batch duplicates and drops already-seen content") {
