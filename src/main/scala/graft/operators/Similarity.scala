@@ -55,6 +55,14 @@ object Similarity {
            count(col(tId)).cast("long").as("n_matches"))
   }
 
+  /** Upper bound on the exact quadratic baselines' target side: a
+    * probes×targets cross join is CORRECT at any size but quadratic, so
+    * the exact forms refuse inputs past this limit instead of silently
+    * becoming the job that never finishes at 100 TB. Callers that truly
+    * want an unbounded exact scan pass Long.MaxValue explicitly; the
+    * default routing answer is [[topKAuto]]/[[nearDupAuto]]. */
+  val DefaultExactLimit: Long = 1L << 20
+
   /** Brute-force cosine top-k per probe against a target set.
     * Similarity is rounded to `roundTo` decimals before ranking so that
     * float-noise near-ties resolve deterministically by target id.
@@ -63,12 +71,18 @@ object Similarity {
     * size stats pick BNLJ-broadcast when targets genuinely fit and fall
     * back to a partitioned cartesian when they don't — forcing the hint
     * OOMs the moment a caller passes a big target relation. This is the
-    * exact baseline; [[ivfTopK]] is the scale path. */
+    * exact baseline, input-capped at `exactLimit` targets (one metadata
+    * count against the scan); [[ivfTopK]] / [[topKAuto]] are the scale
+    * paths. */
   def topK(
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String,
-      k: Int, roundTo: Int = 6): DataFrame = {
+      k: Int, roundTo: Int = 6, exactLimit: Long = DefaultExactLimit): DataFrame = {
     ensureRegistered(probes)
+    val n = targets.count()
+    require(n <= exactLimit,
+      s"topK: $n targets exceed the exact-baseline cap $exactLimit — " +
+        "use topKAuto/ivfTopK (or pass exactLimit=Long.MaxValue to force)")
     val p = probes.withColumn("p_nrm", fastNorm(col(pVec)))
     val t = targets.withColumn("t_nrm", fastNorm(col(tVec)))
     val sim = round(
@@ -80,14 +94,19 @@ object Similarity {
 
   /** All embedding pairs with cosine >= threshold (near-duplicate
     * detection by embedding). Self-join restricted to id(a) < id(b).
-    * Exact-but-quadratic by definition — the small-corpus baseline; at
-    * scale use [[lshNearDup]]. No broadcast hint: planner stats decide
-    * (a forced self-broadcast ships the whole corpus to every executor
-    * and OOMs long before the quadratic pair count hurts). */
+    * Exact-but-quadratic by definition — the small-corpus baseline,
+    * input-capped at `exactLimit` rows; at scale use [[lshNearDup]] /
+    * [[nearDupAuto]]. No broadcast hint: planner stats decide (a forced
+    * self-broadcast ships the whole corpus to every executor and OOMs
+    * long before the quadratic pair count hurts). */
   def nearDupPairs(
       vecs: DataFrame, id: String, vec: String, threshold: Double,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, exactLimit: Long = DefaultExactLimit): DataFrame = {
     ensureRegistered(vecs)
+    val n = vecs.count()
+    require(n <= exactLimit,
+      s"nearDupPairs: $n rows exceed the exact-baseline cap $exactLimit — " +
+        "use nearDupAuto/lshNearDup (or pass exactLimit=Long.MaxValue to force)")
     val withNorm = vecs.withColumn("nrm", fastNorm(col(vec)))
     val a = withNorm.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
@@ -178,6 +197,47 @@ object Similarity {
       .select(col(pId), col(tId), sim)
     val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Size-routed top-k — the entry a pipeline should call by default:
+    * exact brute force while the target side is small enough to be
+    * cheap, IVF with a kMeans-trained coarse quantizer past
+    * `exactLimit`. The switch is one count against the target scan, so
+    * the SAME call sites stay correct from a laptop sample to 100 TB —
+    * no registered path is ever quadratic-unbounded.
+    *
+    * @param trainSample bounds quantizer training cost (standard ANN
+    *                    practice — the model is tiny; a sample trains
+    *                    it as well as the corpus). */
+  def topKAuto(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String,
+      k: Int, exactLimit: Long = DefaultExactLimit,
+      kCells: Int = 256, kmIters: Int = 2, nProbe: Int = 8,
+      trainSample: DataFrame => DataFrame = identity,
+      roundTo: Int = 6): DataFrame = {
+    val n = targets.count()
+    if (n <= exactLimit)
+      topK(probes, pId, pVec, targets, tId, tVec, k, roundTo, exactLimit)
+    else {
+      val model = kMeans(trainSample(targets), tId, tVec, kCells, kmIters)
+        .select(col("cell"), col("centroid_vec"))
+      ivfTopK(probes, pId, pVec, targets, tId, tVec,
+        model, "cell", "centroid_vec", k, nProbe, roundTo)
+    }
+  }
+
+  /** Size-routed near-dup pairs: exact quadratic below `exactLimit`
+    * rows, LSH candidates + exact rescoring above it. Same contract as
+    * [[topKAuto]]: one call site, never quadratic-unbounded. */
+  def nearDupAuto(
+      vecs: DataFrame, id: String, vec: String, threshold: Double,
+      exactLimit: Long = DefaultExactLimit,
+      nBits: Int = 8, nTables: Int = 4, seed: Int = 1000,
+      roundTo: Int = 6): DataFrame = {
+    val n = vecs.count()
+    if (n <= exactLimit) nearDupPairs(vecs, id, vec, threshold, roundTo, exactLimit)
+    else lshNearDup(vecs, id, vec, threshold, nBits, nTables, seed)
   }
 
   /** Lloyd's k-means over an embedding column — the unsupervised trainer

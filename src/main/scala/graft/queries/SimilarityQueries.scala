@@ -312,6 +312,63 @@ object SimilarityQueries {
       "Asymmetric-distance top-k over PQ codes: probe distance tables " +
         "broadcast, scoring join carries (id, sub, cell) ints only — " +
         "the in-cell scan of IVF-PQ; oracle chains through the " +
-        "deterministic PQ training.")
+        "deterministic PQ training."),
+
+    // ---- q76: size-routed top-k (forced onto the IVF scale path) ---------
+    "q76_ann_autoroute" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        Similarity.topKAuto(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+            k = 3, exactLimit = 100, kCells = 8, kmIters = 2, nProbe = 4,
+            trainSample = _.filter(col("t_id") < 200))
+          .orderBy(col("p_id"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        samp AS (SELECT vec_id, emb FROM e WHERE vec_id < 200),
+        ${OracleGen.kmeansCtes("km", "samp", k = 8, iters = 2, dim = 64)}
+        cent AS (SELECT cell, c_vec AS cv FROM kmc2),
+        asg AS (
+          SELECT vec_id AS t_id, emb AS t_vec, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pc AS (
+          SELECT p_id, p_vec, cell FROM (
+            SELECT e.vec_id AS p_id, e.emb AS p_vec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+        sims AS (
+          SELECT pc.p_id, a.t_id,
+                 round(list_inner_product(pc.p_vec, a.t_vec) /
+                   (sqrt(list_inner_product(pc.p_vec, pc.p_vec)) *
+                    sqrt(list_inner_product(a.t_vec, a.t_vec))), 6) AS sim
+          FROM pc JOIN asg a USING (cell)),
+        ranked AS (
+          SELECT p_id, t_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM sims)
+        SELECT p_id, t_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
+      "Size-routed ANN entry point: exact below the cap, kMeans-" +
+        "quantized IVF above it (forced here) — one call site, never " +
+        "quadratic-unbounded; training AND routing hash-proved."),
+
+    // ---- q77: size-routed near-dup (forced onto the LSH scale path) ------
+    "q77_neardup_autoroute" -> Q(
+      (s, d) => Similarity.nearDupAuto(emb(s, d), "vec_id", "emb",
+          threshold = 0.35, exactLimit = 100, nBits = 5, nTables = 8, seed = 2000)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(OracleGen.q34Sql(dim = 64, threshold = 0.35, nBits = 5, nTables = 8,
+        seed = 2000)),
+      "Size-routed near-dup entry point: exact below the cap, LSH " +
+        "candidates + exact rescoring above it (forced here); " +
+        "hash-proved through the md5-parity hyperplanes.")
   )
 }

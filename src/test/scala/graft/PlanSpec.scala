@@ -88,6 +88,20 @@ class PlanSpec extends SparkSuite {
       s"quantization must not shuffle beyond the final orderBy:\n$p")
   }
 
+  test("auto-routed ANN entries plan equi-joins on the scale path") {
+    // q76/q77 register with exactLimit below the corpus size, so their
+    // corpus-side joins must be equi-joins on routing keys (IVF cell /
+    // LSH bucket) — the quadratic exact baselines stay capped behind
+    // their require() guards and never reach a plan at this size
+    for (q <- Seq("q76_ann_autoroute", "q77_neardup_autoroute")) {
+      val p = SparkEntry.queries(q)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1500)}")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q must equi-join on its routing keys:\n${p.take(1500)}")
+    }
+  }
+
   test("no registered query plans a CartesianProduct under default config") {
     // registry-wide regression guard: every pair-style operator either
     // broadcasts (BroadcastNestedLoopJoin) or equi-joins; an unhinted
