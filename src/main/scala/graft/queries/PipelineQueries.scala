@@ -25,7 +25,57 @@ object PipelineQueries {
       lit("|u1").as("dtype"),
       array(col("n_chars").cast("int"), lit(1)).as("shape"))
 
+  /** Materialize the first `n` documents as real files on local disk
+    * (one "{source}_{doc_id}.bin" per doc, UTF-8 payload), so the
+    * binaryFile source reads genuine files. Deterministic per sfDir;
+    * rebuilt from scratch on every call (delete + rewrite) so stale
+    * fixtures can never leak between testdata generations. */
+  private def binaryFixtureDir(s: SparkSession, d: String, n: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_binfix_$key")
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(dir)
+    Tables.documents(s, d).filter(col("doc_id") < n)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .foreach { r =>
+        Files.write(dir.resolve(s"${r.getString(1)}_${r.getLong(0)}.bin"),
+          r.getString(2).getBytes("UTF-8"))
+      }
+    dir.toString
+  }
+
   def all: Seq[(String, Q)] = Seq(
+
+    // ---- q78: real binaryFile-source ingest (S6 under the oracle) --------
+    "q78_binary_ingest" -> Q(
+      (s, d) => {
+        val dir = binaryFixtureDir(s, d, n = 64)
+        Multimodal.ingestBinaryFiles(s, dir, glob = "*.bin")
+          .select(
+            regexp_extract(col("file_name"), "_([0-9]+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("file_name"), col("label"),
+            col("meta.n_bytes").as("n_bytes"),
+            md5(col("payload")).as("payload_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               source || '_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+               upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS label,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id"""),
+      "The real binaryFile source (S6) end to end: documents round-trip " +
+        "through actual files, filenames parse back to labels per the " +
+        "reference's rule, sizes and payload digests hash-match the " +
+        "table the fixtures came from."),
 
     // ---- q51: multimodal featurize (binary chunks + stub features) ------
     "q51_mm_featurize" -> Q(

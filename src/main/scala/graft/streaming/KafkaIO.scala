@@ -16,15 +16,32 @@ import org.apache.spark.sql.Row
   */
 object KafkaIO {
 
+  /** O4 — the frame source's option set, exposed as a pure function so
+    * the poll-cap wiring is unit-testable without a broker:
+    * `maxOffsetsPerTrigger` is Spark's per-micro-batch intake cap, the
+    * analog of the reference's consumer poll bound
+    * (/root/reference/src/prediction_producer.py:84-90). */
+  def frameSourceOptions(bootstrap: String, topic: String,
+      maxOffsetsPerTrigger: Long = 10000): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
+  /** O3 — emission pacing as a pure function of the configured period:
+    * a positive period paces micro-batches with a processing-time
+    * trigger (the reference sleeps between produces,
+    * /root/reference/src/frame_producer.py:128-133); zero/negative
+    * means as-fast-as-possible (no trigger). */
+  def pacedTrigger(triggerMs: Long): Option[Trigger] =
+    if (triggerMs > 0) Some(Trigger.ProcessingTime(triggerMs)) else None
+
   /** Subscribe to the raw-frame topic (S3: group-managed, earliest).
     * Returns typed frame columns via [[FrameMessages.fromWire]]. */
   def readFrames(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", 10000) // O4 poll cap analog
+      .options(frameSourceOptions(bootstrap, topic))
       .load()
     FrameMessages.fromWire(raw.select(col("value").cast("string").as("value")))
   }
@@ -51,6 +68,6 @@ object KafkaIO {
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpoint)
-    if (triggerMs > 0) base.trigger(Trigger.ProcessingTime(triggerMs)) else base
+    pacedTrigger(triggerMs).map(base.trigger).getOrElse(base)
   }
 }

@@ -133,4 +133,31 @@ class SourcesSpec extends SparkSuite {
       assert(viaCsv.exceptAll(docs).count() == 0)
     } finally rmTree(dir)
   }
+
+  test("Kafka pacing wiring: poll cap (O4) and emission trigger (O3)") {
+    import graft.streaming.KafkaIO
+    import org.apache.spark.sql.streaming.Trigger
+    // O4 — the source option set carries the per-micro-batch intake cap
+    val opts = KafkaIO.frameSourceOptions("broker:9092", "raw_frames",
+      maxOffsetsPerTrigger = 2500)
+    assert(opts("maxOffsetsPerTrigger") == "2500")
+    assert(opts("subscribe") == "raw_frames")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("startingOffsets") == "earliest")
+    // O3 — a positive period paces the stream; zero means unpaced
+    assert(KafkaIO.pacedTrigger(250L).contains(Trigger.ProcessingTime(250L)))
+    assert(KafkaIO.pacedTrigger(0L).isEmpty)
+    assert(KafkaIO.pacedTrigger(-1L).isEmpty)
+    // the routed writer builds with pacing applied (no broker needed
+    // until start()): building must not throw
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val df = mem.toDF.toDF("key", "value", "topic")
+    val writer = KafkaIO.writeRouted(df, "broker:9092",
+      checkpoint = java.nio.file.Files.createTempDirectory("graft_k").toString,
+      triggerMs = 250L)
+    assert(writer != null)
+  }
 }
