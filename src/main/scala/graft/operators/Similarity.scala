@@ -206,6 +206,12 @@ object Similarity {
     * the SAME call sites stay correct from a laptop sample to 100 TB —
     * no registered path is ever quadratic-unbounded.
     *
+    * `kCells = 0` (the default) sizes the quantizer from the measured
+    * corpus — √n cells, clamped to [16, 4096] — the classical IVF
+    * balance between per-probe scan cost (n·nProbe/kCells) and
+    * routing/training cost; a FIXED cell count leaves per-cell scans
+    * growing linearly with the corpus.
+    *
     * @param trainSample bounds quantizer training cost (standard ANN
     *                    practice — the model is tiny; a sample trains
     *                    it as well as the corpus). */
@@ -213,14 +219,17 @@ object Similarity {
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String,
       k: Int, exactLimit: Long = DefaultExactLimit,
-      kCells: Int = 256, kmIters: Int = 2, nProbe: Int = 8,
+      kCells: Int = 0, kmIters: Int = 2, nProbe: Int = 8,
       trainSample: DataFrame => DataFrame = identity,
       roundTo: Int = 6): DataFrame = {
     val n = targets.count()
     if (n <= exactLimit)
       topK(probes, pId, pVec, targets, tId, tVec, k, roundTo, exactLimit)
     else {
-      val model = kMeans(trainSample(targets), tId, tVec, kCells, kmIters)
+      val cells =
+        if (kCells > 0) kCells
+        else math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val model = kMeans(trainSample(targets), tId, tVec, cells, kmIters)
         .select(col("cell"), col("centroid_vec"))
       ivfTopK(probes, pId, pVec, targets, tId, tVec,
         model, "cell", "centroid_vec", k, nProbe, roundTo)
@@ -229,15 +238,30 @@ object Similarity {
 
   /** Size-routed near-dup pairs: exact quadratic below `exactLimit`
     * rows, LSH candidates + exact rescoring above it. Same contract as
-    * [[topKAuto]]: one call site, never quadratic-unbounded. */
+    * [[topKAuto]]: one call site, never quadratic-unbounded.
+    *
+    * `nBits = 0` (the default) sizes the bucket space from the measured
+    * corpus: 2^nBits ≈ n/48, clamped to [4, 24] bits. A FIXED bucket
+    * count is itself a scale bug — at 10× the corpus, constant-width
+    * buckets hold 10× the vectors and candidate pairs grow 100×
+    * (measured: 58× wall-clock in the 10× slope bench before this
+    * auto-sizing). Scaling bits with log2(n) keeps expected bucket
+    * occupancy — and therefore candidates per vector — constant, which
+    * is what makes the LSH path near-linear at any corpus size. */
   def nearDupAuto(
       vecs: DataFrame, id: String, vec: String, threshold: Double,
       exactLimit: Long = DefaultExactLimit,
-      nBits: Int = 8, nTables: Int = 4, seed: Int = 1000,
+      nBits: Int = 0, nTables: Int = 4, seed: Int = 1000,
       roundTo: Int = 6): DataFrame = {
     val n = vecs.count()
     if (n <= exactLimit) nearDupPairs(vecs, id, vec, threshold, roundTo, exactLimit)
-    else lshNearDup(vecs, id, vec, threshold, nBits, nTables, seed)
+    else {
+      val bits =
+        if (nBits > 0) nBits
+        else math.max(4, math.min(24,
+          math.ceil(math.log(n / 48.0) / math.log(2)).toInt))
+      lshNearDup(vecs, id, vec, threshold, bits, nTables, seed)
+    }
   }
 
   /** Lloyd's k-means over an embedding column — the unsupervised trainer

@@ -363,12 +363,17 @@ object SimilarityQueries {
     // ---- q77: size-routed near-dup (forced onto the LSH scale path) ------
     "q77_neardup_autoroute" -> Q(
       (s, d) => Similarity.nearDupAuto(emb(s, d), "vec_id", "emb",
-          threshold = 0.35, exactLimit = 100, nBits = 5, nTables = 8, seed = 2000)
+          threshold = 0.35, exactLimit = 100, nTables = 8, seed = 2000)
         .orderBy(col("a_id"), col("b_id")),
-      Some(OracleGen.q34Sql(dim = 64, threshold = 0.35, nBits = 5, nTables = 8,
+      // nBits auto-sizes from the corpus (2^bits ≈ n/48): the driver's
+      // oracle runs at sf0.01 where n = 500 → 4 bits, baked here. At
+      // other scales the bucket space grows with log2(n), which is what
+      // keeps this path near-linear (the fixed-width variant measured
+      // 58× super-linear in the 10× slope bench).
+      Some(OracleGen.q34Sql(dim = 64, threshold = 0.35, nBits = 4, nTables = 8,
         seed = 2000)),
-      "Size-routed near-dup entry point: exact below the cap, LSH " +
-        "candidates + exact rescoring above it (forced here); " +
-        "hash-proved through the md5-parity hyperplanes.")
+      "Size-routed near-dup entry point: exact below the cap, " +
+        "corpus-sized LSH banding + exact rescoring above it (forced " +
+        "here); hash-proved through the md5-parity hyperplanes.")
   )
 }
