@@ -49,9 +49,19 @@ object SauronPipeline {
     * scaled by 2^-52 (exact in BIGINT and DOUBLE on any engine). Same
     * shape and zero-face guard as [[stubDetect]]; exists so the full
     * topology (q60) is recomputable by the DuckDB oracle rather than
-    * rows-only checked. xxhash64 [[stubDetect]] stays the default model
-    * (cheaper per frame). */
-  def stubDetectPortable(frame: Column, dim: Int): Column = {
+    * rows-only checked. Evaluates through the single-pass native
+    * [[graft.plans.StubFacesMd5]] expression — the declarative
+    * transform/sequence twin ([[stubDetectPortableColumns]], kept as
+    * the spec's bit-exactness oracle) pays ~1+n·(4+dim) interpreted
+    * md5 lambda evals per frame. xxhash64 [[stubDetect]] stays the
+    * default model (cheaper still). */
+  def stubDetectPortable(frame: Column, dim: Int): Column =
+    call_function("stub_faces_md5", frame, lit(dim))
+
+  /** Declarative Column form of [[stubDetectPortable]] — retained so a
+    * spec can pin the native expression bit-exact against the
+    * independent built-in-function construction. */
+  private[graft] def stubDetectPortableColumns(frame: Column, dim: Int): Column = {
     val fh = md5(frame)
     def h52(s: Column): Column = conv(substring(md5(s), 1, 13), 16, 10).cast("long")
     val nFaces = conv(substring(fh, 1, 4), 16, 10).cast("long") % 3
@@ -80,8 +90,10 @@ object SauronPipeline {
 
   /** Stage 1 — ConsumeFrames: detect + embed with a pluggable model.
     * Adds `faces`. */
-  def detectStage(frames: DataFrame, model: FaceModel): DataFrame =
+  def detectStage(frames: DataFrame, model: FaceModel): DataFrame = {
+    graft.plans.ModelExpressions.register(frames.sparkSession)
     frames.withColumn("faces", model(col("frame")))
+  }
 
   /** [[detectStage]] with the stub model at `dim` dims. */
   def detectStage(frames: DataFrame, dim: Int = 64): DataFrame =

@@ -86,4 +86,22 @@ class MultimodalSpec extends SparkSuite {
     // construction in a fresh JVM; here we just exercise the injection)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("native portable stub model is bit-exact vs the declarative Column form") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SauronPipeline
+    val frames = Tables.documents(spark, sf("0.001")).limit(100)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("frame"))
+    val native = SauronPipeline.detectStage(frames,
+      SauronPipeline.stubDetectPortable(_, 16))
+    val declarative = SauronPipeline.detectStage(frames,
+      SauronPipeline.stubDetectPortableColumns(_, 16))
+    // catalogString ignores nullability flags (the two constructions
+    // disagree only there); values compare through a canonical JSON form
+    assert(native.schema.catalogString == declarative.schema.catalogString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), to_json(struct(col("faces"))).as("j"))
+    assert(canon(native).exceptAll(canon(declarative)).count() == 0)
+    assert(canon(declarative).exceptAll(canon(native)).count() == 0)
+  }
 }
