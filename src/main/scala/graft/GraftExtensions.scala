@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, LshBuckets, ShingleHashes, SimplifySqrtThreshold, SquaredL2}
+import graft.plans.{AdcScore, DotProduct, LshBuckets, MinhashMd5, NearestCell,
+  ShingleHashes, ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2,
+  StubFacesMd5}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -42,5 +44,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].longValue())))
+    e.injectFunction((
+      FunctionIdentifier("shingle_strings"),
+      info("shingle_strings", "shingle_strings(text, n) - distinct word n-gram shingle strings"),
+      (exprs: Seq[Expression]) => ShingleStrings(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      info("simhash_md5", "simhash_md5(text) - 64-bit md5-vote SimHash signature"),
+      (exprs: Seq[Expression]) => SimhashMd5(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_md5"),
+      info("minhash_md5", "minhash_md5(text, n, numPerm) - MinHash signature over md5-half permutations"),
+      (exprs: Seq[Expression]) => MinhashMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      info("nearest_cell", "nearest_cell(vec, centroids) - argmin centroid index, ties to the lower cell"),
+      (exprs: Seq[Expression]) => {
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        NearestCell(exprs(0),
+          Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("adc_score"),
+      info("adc_score", "adc_score(codes, dtab, k) - PQ asymmetric distance vs a flattened m*k table"),
+      (exprs: Seq[Expression]) => AdcScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("stub_faces_md5"),
+      info("stub_faces_md5", "stub_faces_md5(frame, dim) - md5-derived stub face detections"),
+      (exprs: Seq[Expression]) => StubFacesMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -264,6 +264,50 @@ object Similarity {
     }
   }
 
+  /** Matryoshka (coarse-to-fine) top-k: rank candidates on the FIRST
+    * `dPrefix` dimensions only — the matryoshka-embedding property that
+    * prefixes of a trained vector are themselves usable embeddings —
+    * keep `mCand` per probe, then re-rank just those with the exact
+    * full-dimension cosine. The funnel cuts per-pair cost by d/dPrefix
+    * in the wide stage and touches full vectors only mCand times per
+    * probe; at corpus scale the coarse stage itself routes through
+    * IVF/LSH ([[topKAuto]]) — this operator is the funnel, capped like
+    * the other exact baselines.
+    *
+    * Both ranks round to `roundTo` decimals first and tie-break by
+    * target id, so the funnel is deterministic and oracle-checkable.
+    * Output: (pId, tId, sim, rank) — sim is the full-dim cosine. */
+  def truncatedTopK(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String,
+      dPrefix: Int, mCand: Int, k: Int, roundTo: Int = 6,
+      exactLimit: Long = DefaultExactLimit): DataFrame = {
+    require(mCand >= k, "truncatedTopK: mCand must be >= k")
+    ensureRegistered(probes)
+    val n = targets.count()
+    require(n <= exactLimit,
+      s"truncatedTopK: $n targets exceed the exact-baseline cap $exactLimit")
+    val p = probes
+      .withColumn("p_pre", slice(col(pVec), 1, dPrefix))
+      .withColumn("pp_nrm", fastNorm(col("p_pre")))
+    val t = targets
+      .withColumn("t_pre", slice(col(tVec), 1, dPrefix))
+      .withColumn("tp_nrm", fastNorm(col("t_pre")))
+    val coarseSim = round(
+      cosineWithNorms(col("p_pre"), col("t_pre"), col("pp_nrm"), col("tp_nrm")),
+      roundTo)
+    val wc = Window.partitionBy(col(pId)).orderBy(col("coarse").desc, col(tId))
+    val cand = p.crossJoin(t)
+      .select(col(pId), col(pVec), col(tId), col(tVec), coarseSim.as("coarse"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= mCand)
+    val sim = round(
+      cosineWithNorms(col(pVec), col(tVec), fastNorm(col(pVec)), fastNorm(col(tVec))),
+      roundTo).as("sim")
+    val wf = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
+    cand.select(col(pId), col(tId), sim)
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means over an embedding column — the unsupervised trainer
     * that completes the IVF path ([[ivfTopK]] needs a coarse quantizer;
     * [[centroidsAsQuantizer]] builds one from labels, this one from the

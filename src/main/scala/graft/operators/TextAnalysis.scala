@@ -387,4 +387,48 @@ object TextAnalysis {
       .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
       .withColumn("shard", floor(col("start_offset") / budgetTokens))
   }
+
+  /** Context-window chunking: split every document into `chunkSize`-word
+    * windows starting every `stride` words (overlap = chunkSize −
+    * stride), the op that turns raw documents into model-context-sized
+    * training rows. Chunk texts come from the single-pass native
+    * [[graft.plans.ChunkWords]] expression (the declarative
+    * transform/slice form re-splits the text per chunk — O(words²/stride)
+    * per doc after CollapseProject); the explode is the only row
+    * expansion and there is no shuffle at all. Every word is covered;
+    * the final window may be shorter; docs at most chunkSize words long
+    * yield exactly one chunk.
+    *
+    * Output: (id, chunk_idx, chunk, n_chunk_words). */
+  def chunkDocs(docs: DataFrame, id: String, text: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    docs.select(col(id),
+      posexplode(call_function("chunk_words", col(text), lit(chunkSize), lit(stride)))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_words", size(tokens(col("chunk"))))
+  }
+
+  /** Temperature-based mixture reweighting at α = 0.5: per-source
+    * sampling weight w_s = √n_s / Σ_t √n_t and the per-source document
+    * quota for a `budget`-sized mixed corpus — the standard
+    * low-resource-upweighting scheme for pretraining mixtures. α is
+    * fixed at 0.5 deliberately: √ is correctly rounded by every IEEE
+    * engine, where pow(x, α) is libm-dependent and breaks cross-engine
+    * hash parity. The normalizer folds the per-source terms in sorted
+    * order (explicit left fold over a sorted collect_list), so the sum
+    * is deterministic under any partial-aggregation split — a plain
+    * SUM of doubles is not.
+    *
+    * Output: (source, n_docs, weight, quota). */
+  def mixtureWeights(docs: DataFrame, source: String, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+    val z = counts
+      .agg(aggregate(array_sort(collect_list(sqrt(col("n_docs")))),
+        lit(0.0), (a, x) => a + x).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(source), col("n_docs"),
+        round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
+        round(lit(budget) * (sqrt(col("n_docs")) / col("z"))).cast("long").as("quota"))
+  }
 }

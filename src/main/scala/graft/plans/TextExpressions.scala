@@ -218,6 +218,46 @@ case class MinhashMd5(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Fixed-size word-window chunking with stride — the training-data op
+  * that turns long documents into model-context-sized training rows.
+  * Chunks start every `stride` words and span `size` words; the final
+  * chunk may be shorter but every word is covered; docs with <= size
+  * words yield exactly one chunk (the whole doc; empty text yields one
+  * chunk of the empty token). One pass per row — the declarative
+  * transform/slice form re-splits the text per chunk (the CollapseProject
+  * trap, see [[ShingleHashes]]), turning an n-word doc into O(n²/stride)
+  * work, which a 10k-word document cannot afford. Returns array<string>
+  * of chunk texts in order. */
+case class ChunkWords(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(size > 0 && stride > 0 && stride <= size,
+    "chunk_words: need 0 < stride <= size")
+  override def prettyName: String = "chunk_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    val nChunks = if (m <= size) 1 else (m - size + stride - 1) / stride + 1
+    val out = new Array[AnyRef](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val start = i * stride
+      val len = math.min(size, m - start)
+      val parts = new Array[UTF8String](len)
+      System.arraycopy(words, start, parts, 0, len)
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -232,6 +272,12 @@ object TextExpressions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk_words",
+      exprs => ChunkWords(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5",
       exprs => MinhashMd5(exprs(0),

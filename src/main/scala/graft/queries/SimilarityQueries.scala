@@ -374,6 +374,53 @@ object SimilarityQueries {
         seed = 2000)),
       "Size-routed near-dup entry point: exact below the cap, " +
         "corpus-sized LSH banding + exact rescoring above it (forced " +
-        "here); hash-proved through the md5-parity hyperplanes.")
+        "here); hash-proved through the md5-parity hyperplanes."),
+
+    // ---- q80: matryoshka coarse-to-fine top-k ----------------------------
+    "q80_matryoshka_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.filter(col("label") >= 5)
+          .select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        Similarity.truncatedTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+            dPrefix = 16, mCand = 10, k = 3)
+          .orderBy(col("p_id"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        p AS (SELECT vec_id AS p_id, emb AS p_vec, emb[1:16] AS p_pre
+              FROM e WHERE vec_id < 100),
+        t AS (SELECT vec_id AS t_id, emb AS t_vec, emb[1:16] AS t_pre
+              FROM e WHERE label >= 5),
+        coarse AS (
+          SELECT p.p_id, p.p_vec, t.t_id, t.t_vec,
+                 round(list_inner_product(p.p_pre, t.t_pre) /
+                   (sqrt(list_inner_product(p.p_pre, p.p_pre)) *
+                    sqrt(list_inner_product(t.t_pre, t.t_pre))), 6) AS coarse
+          FROM p CROSS JOIN t),
+        cand AS (
+          SELECT p_id, p_vec, t_id, t_vec FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+              ORDER BY coarse DESC, t_id) AS rn
+            FROM coarse) WHERE rn <= 10),
+        fine AS (
+          SELECT p_id, t_id,
+                 round(list_inner_product(p_vec, t_vec) /
+                   (sqrt(list_inner_product(p_vec, p_vec)) *
+                    sqrt(list_inner_product(t_vec, t_vec))), 6) AS sim
+          FROM cand),
+        ranked AS (
+          SELECT p_id, t_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM fine)
+        SELECT p_id, t_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
+      "Matryoshka funnel: rank on 16-dim prefixes (d/4 cost per pair), " +
+        "exact re-rank of the 10 survivors at full dimension — both " +
+        "stages hash-proved; the coarse stage routes through IVF/LSH " +
+        "at corpus scale.")
   )
 }

@@ -330,5 +330,50 @@ object TrainingQueries {
       "End-to-end curation in one query: quality gates + PII gate + " +
         "exact-dedup canonical keep — every gate a projection, one " +
         "digest shuffle total; the composition a real corpus pipeline " +
-        "runs before packing."))
+        "runs before packing."),
+
+    // ---- q79: context-window chunking ------------------------------------
+    "q79_chunk_docs" -> Q(
+      (s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"), col("n_chunk_words"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""
+        WITH w AS (SELECT doc_id, $W AS w FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) <= 64 THEN 1
+                      ELSE (len(w) - 64 + 48 - 1) // 48 + 1 END AS nc
+          FROM w
+        ), ex AS (
+          SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               md5(array_to_string(w[(i*48+1):least(i*48+64, len(w))], ' ')) AS chunk_md5,
+               CAST(len(w[(i*48+1):least(i*48+64, len(w))]) AS INT) AS n_chunk_words
+        FROM ex
+        ORDER BY doc_id, chunk_idx"""),
+      "Context-window chunking (64-word windows every 48 words): the " +
+        "doc->training-row expansion as one native single-pass " +
+        "projection + explode, no shuffle; chunk text digests " +
+        "hash-checked."),
+
+    // ---- q81: temperature mixture reweighting ----------------------------
+    "q81_mixture_weights" -> Q(
+      (s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d), "source",
+          budget = 1000000L)
+        .orderBy(col("source")),
+      Some("""
+        WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        z AS (SELECT list_aggregate(list_sort(list(sqrt(n_docs))), 'sum') AS z FROM c)
+        SELECT source, n_docs,
+               round(sqrt(n_docs) / z, 6) AS weight,
+               CAST(round(1000000 * (sqrt(n_docs) / z)) AS BIGINT) AS quota
+        FROM c, z
+        ORDER BY source"""),
+      "Alpha=0.5 temperature mixture: sqrt-count source weights " +
+        "(sqrt chosen over pow: correctly rounded in every IEEE " +
+        "engine) with a deterministic sorted-fold normalizer; " +
+        "per-source quotas for a 1M-doc mixed corpus."))
 }

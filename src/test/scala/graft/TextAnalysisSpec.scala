@@ -238,4 +238,30 @@ class TextAnalysisSpec extends SparkSuite {
     val out2 = re.select(col("doc_id"), TextAnalysis.hashSplit(col("text")).as("split"))
     assert(out.select("doc_id", "split").exceptAll(out2).count() == 0)
   }
+
+  test("chunkDocs covers every word, honors stride, and handles short/empty docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "")                                        // empty text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,2,4,6: last chunk exactly reaches word 10
+    assert(d1.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.forall(_._4 == 4))
+    assert(got.filter(_._1 == 2L).toIndexedSeq == IndexedSeq((2L, 0, "a b c", 3)))
+    // empty text = one empty-token chunk (split semantics), never zero rows
+    assert(got.filter(_._1 == 3L).toIndexedSeq == IndexedSeq((3L, 0, "", 1)))
+    // uneven tail: 11 words -> final short chunk, all words covered
+    val tail = TextAnalysis.chunkDocs(
+        Seq((9L, (1 to 11).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+    assert(tail.last == "w10 w11")
+    assert(tail.flatMap(_.split(" ")).toSet == (1 to 11).map(i => s"w$i").toSet)
+  }
 }
