@@ -373,6 +373,53 @@ object EventQueries {
         ORDER BY ws_ep, event_type"""),
       "Batch twin of the streaming sliding window: window(ts, 1h, 30m) " +
         "per event type; oracle assigns each event its two hops " +
-        "explicitly. Epoch-second window starts dodge tz ambiguity.")
+        "explicitly. Epoch-second window starts dodge tz ambiguity."),
+
+    // ---- q82: portable HLL (the sketch itself is hash-proved) -------------
+    "q82_portable_hll" -> Q(
+      (s, d) => graft.operators.Sketches.hllDistinct(
+          Tables.events(s, d), "event_type", "user_id")
+        .orderBy(col("event_type")),
+      Some("""
+        WITH h AS (
+          SELECT event_type AS g,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          FROM events
+        ), b AS (
+          SELECT g, h % 256 AS idx, h // 256 AS w FROM h
+        ), r AS (
+          SELECT g, idx,
+                 MAX(CASE WHEN w = 0 THEN 45
+                          ELSE 45 - CAST(length(bin(w)) AS INT) END) AS r
+          FROM b GROUP BY g, idx
+        ), s AS (
+          SELECT g, CAST(COUNT(*) AS INT) AS n_present,
+                 list_aggregate(list(1.0/(CAST(1 AS BIGINT) << r) ORDER BY idx), 'sum') AS s
+          FROM r GROUP BY g
+        ), est AS (
+          SELECT g, n_present,
+                 round(CASE WHEN (0.7213/(1.0 + 1.079/256.0)) * 65536.0 /
+                                 (s + (256 - n_present) * 1.0) <= 640.0
+                            AND (256 - n_present) > 0
+                       THEN 256.0 * ln(256.0 / (256 - n_present))
+                       ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 /
+                            (s + (256 - n_present) * 1.0) END, 4) AS hll_estimate
+          FROM s
+        ), e AS (
+          SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT est.g AS event_type, est.hll_estimate,
+               256 - est.n_present AS n_zero_registers,
+               e.exact_distinct,
+               round(abs(est.hll_estimate - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
+        FROM est JOIN e ON e.g = est.g
+        ORDER BY event_type"""),
+      "HyperLogLog built on md5-derived registers and a pinned " +
+        "order-deterministic estimator, so the SKETCH ITSELF " +
+        "hash-matches the oracle (the built-in HLL++ q24 stays " +
+        "rows-only by nature); exact count + relative error ride " +
+        "along as the quality audit. Shuffle carries at most 256 " +
+        "(group, idx, rho) rows per group at any input size.")
   )
 }

@@ -39,4 +39,22 @@ class QueriesSpec extends SparkSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("portable HLL estimates known cardinalities within 15 percent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three groups of very different true cardinality, incl. heavy dups
+    val rows = (1 to 2000).map(i => ("big", i % 1300)) ++
+      (1 to 500).map(i => ("mid", i % 90)) ++
+      (1 to 50).map(_ => ("tiny", 7))
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Sketches.hllDistinct(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(3))).toMap
+    for ((g, (est, exact)) <- got) {
+      val err = math.abs(est - exact) / exact
+      assert(err <= 0.15, s"$g: est=$est exact=$exact err=$err")
+    }
+    assert(got("tiny")._2 == 1L)
+  }
 }
