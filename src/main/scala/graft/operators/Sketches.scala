@@ -74,4 +74,55 @@ object Sketches {
         round(abs(col("hll_estimate") - col("exact_distinct")) /
           col("exact_distinct"), 6).as("rel_err"))
   }
+
+  /** Per-group histogram quantile sketch — the portable companion to
+    * engine quantile sketches (q36's percentile_approx stays rows-only
+    * by nature): one min/max/count pass fixes an equi-width 256-bin
+    * grid, a second pass histograms into it, and quantile q estimates
+    * as the lower edge of the first bin whose cumulative count reaches
+    * ceil(q·n). Every step is integer counts or deterministic double
+    * arithmetic, so the sketch hash-matches any SQL engine; the exact
+    * interpolated percentiles ride along as the accuracy audit (error
+    * is bounded by one bin width by construction). At scale the
+    * shuffles carry at most `bins` rows per group.
+    *
+    * Output: (group, n, p50_est/p90_est/p99_est, p50/p90/p99,
+    * max_abs_err). */
+  def histogramQuantiles(df: DataFrame, group: String, value: String,
+      bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.groupBy(col(group))
+      .agg(min(col(value)).as("mn"), max(col(value)).as("mx"),
+        count(lit(1)).as("n"))
+    val binned = df.select(col(group), col(value).as("v"))
+      .join(broadcast(stats), group)
+      .withColumn("idx",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(bins - 1).cast("long"),
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * bins))
+            .cast("int")))
+    val hist = binned.groupBy(col(group), col("idx")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(group)).orderBy(col("idx"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(stats), group)
+    def edge: Column = when(col("mx") === col("mn"), col("mn"))
+      .otherwise(col("mn") + (col("mx") - col("mn")) * col("idx") / bins)
+    def est(p: Double): Column =
+      round(min(when(col("cum") >= ceil(lit(p) * col("n")), edge)), 6)
+    val ests = cum.groupBy(col(group))
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+    val exact = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile($value, 0.5)"), 4).as("p50"),
+        round(expr(s"percentile($value, 0.9)"), 4).as("p90"),
+        round(expr(s"percentile($value, 0.99)"), 4).as("p99"))
+    ests.join(exact, group)
+      .select(col(group), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50"), col("p90"), col("p99"),
+        round(greatest(
+          abs(col("p50_est") - col("p50")),
+          abs(col("p90_est") - col("p90")),
+          abs(col("p99_est") - col("p99"))), 6).as("max_abs_err"))
+  }
 }

@@ -420,6 +420,59 @@ object EventQueries {
         "hash-matches the oracle (the built-in HLL++ q24 stays " +
         "rows-only by nature); exact count + relative error ride " +
         "along as the quality audit. Shuffle carries at most 256 " +
-        "(group, idx, rho) rows per group at any input size.")
+        "(group, idx, rho) rows per group at any input size."),
+
+    // ---- q83: portable histogram quantile sketch --------------------------
+    "q83_histogram_quantiles" -> Q(
+      (s, d) => graft.operators.Sketches.histogramQuantiles(
+          Tables.events(s, d), "event_type", "value")
+        .orderBy(col("event_type")),
+      Some("""
+        WITH s AS (
+          SELECT event_type AS g, MIN(value) AS mn, MAX(value) AS mx,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1
+        ), b AS (
+          SELECT e.event_type AS g,
+                 CASE WHEN s.mx = s.mn THEN 0
+                      ELSE CAST(least(255, floor((e.value - s.mn) / (s.mx - s.mn) * 256)) AS INT)
+                 END AS idx
+          FROM events e JOIN s ON s.g = e.event_type
+        ), h AS (
+          SELECT g, idx, COUNT(*) AS c FROM b GROUP BY g, idx
+        ), cum AS (
+          SELECT h.g, h.idx,
+                 SUM(h.c) OVER (PARTITION BY h.g ORDER BY h.idx) AS cum,
+                 s.mn, s.mx, s.n
+          FROM h JOIN s ON s.g = h.g
+        ), est AS (
+          SELECT g,
+            round(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN
+              (CASE WHEN mx = mn THEN mn ELSE mn + (mx - mn) * idx / 256 END) END), 6) AS p50_est,
+            round(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN
+              (CASE WHEN mx = mn THEN mn ELSE mn + (mx - mn) * idx / 256 END) END), 6) AS p90_est,
+            round(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN
+              (CASE WHEN mx = mn THEN mn ELSE mn + (mx - mn) * idx / 256 END) END), 6) AS p99_est
+          FROM cum GROUP BY g
+        ), ex AS (
+          SELECT event_type AS g, COUNT(*) AS n,
+                 round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+                 round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+                 round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+          FROM events GROUP BY 1
+        )
+        SELECT est.g AS event_type, ex.n,
+               est.p50_est, est.p90_est, est.p99_est,
+               ex.p50, ex.p90, ex.p99,
+               round(greatest(abs(est.p50_est - ex.p50),
+                              abs(est.p90_est - ex.p90),
+                              abs(est.p99_est - ex.p99)), 6) AS max_abs_err
+        FROM est JOIN ex ON ex.g = est.g
+        ORDER BY event_type"""),
+      "Equi-width histogram quantile sketch: fixed 256-bin grid, " +
+        "cumulative-count estimates — deterministic in every step, so " +
+        "the SKETCH hash-matches the oracle (percentile_approx q36 " +
+        "stays rows-only by nature); exact percentiles + max error " +
+        "ride along, bounded by one bin width.")
   )
 }
