@@ -69,6 +69,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** Cross-source duplicate-overlap matrix — the corpus diagnostic that
+    * tells you which sources are copies of each other before you start
+    * mixing them: for every pair of sources, how many distinct n-gram
+    * shingles they share and the Jaccard similarity of their shingle
+    * sets.
+    *
+    * Scale design: never a source×source or doc×doc join. Shingles are
+    * 64-bit hashes (one [[graft.plans.ShingleHashes]] projection), the
+    * distinct (source, shingle) relation aggregates per shingle into a
+    * collect_set of sources — BOUNDED by the source count, which is
+    * small and enumerable by definition — and pair expansion is an
+    * array transform over that set, so the pair stream is at most
+    * |sources|²/2 per shingle and the final matrix at most |sources|²/2
+    * rows total, whatever the corpus size.
+    *
+    * Output: (src_a, src_b, n_shared, n_a, n_b, jaccard) for every
+    * source pair sharing at least one shingle; src_a < src_b. */
+  def sourceOverlap(docs: DataFrame, by: String, text: String, n: Int): DataFrame = {
+    TextExpressions.register(docs.sparkSession)
+    val sh = docs.select(col(by).as("src"),
+        explode(call_function("shingle_hashes", col(text), lit(n))).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds both the per-source sizes and the pair arm
+    val perSrc = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(perSrc.select(col("src").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(perSrc.select(col("src").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** MinHash + LSH banding candidate pairs: signature of `numPerm`
     * permutations, banded into `bands` groups of numPerm/bands rows;
     * docs sharing any band bucket become candidates. Output: distinct

@@ -388,6 +388,47 @@ object Similarity {
     result
   }
 
+  /** Semantic deduplication (the SemDeDup recipe): cluster the corpus
+    * with [[kMeans]], then drop every vector that has a more-senior
+    * (lower-id) near-duplicate — cosine >= `threshold` — WITHIN ITS OWN
+    * CLUSTER. Clustering is what makes semantic dedup tractable: the
+    * quadratic pair search runs per cell (expected cell size n/k), never
+    * corpus-wide, which is the published algorithm's exact cost model.
+    * The price is recall at cell borders — a near-dup pair split across
+    * two cells is not examined (tested and documented in VectorSpec);
+    * raising k trades recall for cost.
+    *
+    * Scale shape: assignment is the projection-only [[kMeans]] path
+    * (model ships inside the nearest_cell expression), the self-join
+    * shuffles each vector once on its cell key, and in-cell pairing is
+    * local to the cell's partition. Deterministic end-to-end because
+    * kMeans is, so the whole operator — training included — is
+    * SQL-oracle-checkable.
+    *
+    * Output: (id, cell, keep) for EVERY input vector; keep = false
+    * marks the dropped junior duplicates. */
+  def semDedup(vecs: DataFrame, id: String, vec: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    ensureRegistered(vecs)
+    val model = kMeans(vecs, id, vec, k, iters)
+    val matrix = typedlit(
+      model.orderBy(col("cell")).collect().map(_.getSeq[Double](2)).toSeq)
+    val assigned = vecs.select(col(id), col(vec),
+      call_function("nearest_cell", col(vec), matrix).as("cell"))
+    val withNorm = assigned.withColumn("nrm", fastNorm(col(vec)))
+    val a = withNorm.select(col("cell"), col(id).as("a_id"),
+      col(vec).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col("cell"), col(id).as("b_id"),
+      col(vec).as("b_vec"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm"))
+          >= threshold)
+      .select(col("b_id")).distinct()
+    assigned.join(dropped, col(id) === col("b_id"), "left")
+      .select(col(id), col("cell"), col("b_id").isNull.as("keep"))
+  }
+
   /** Product quantization: split each d-dim vector into `m` contiguous
     * subvectors, train a k-cell [[kMeans]] codebook per subspace on a
     * sample, and encode every vector as m small codes — the compression

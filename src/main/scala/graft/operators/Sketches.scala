@@ -75,6 +75,49 @@ object Sketches {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** Bloom-filter benchmark decontamination — the sketch-backed, at-scale
+    * form of [[TextAnalysis.decontaminate]]: instead of equi-joining
+    * corpus shingles against the benchmark shingle set (one corpus-sized
+    * shuffle of 8-byte keys), the benchmark compresses into an
+    * `mBits`-bit Bloom filter whose positions come from md5 halves
+    * (Kirsch–Mitzenmacher: pos_j = (h1 + j·h2) mod m — engine-portable,
+    * so the whole filter AND every probe is SQL-recomputable), and the
+    * corpus side becomes a PURE PROJECTION through the one-pass native
+    * [[graft.plans.BloomShingleHits]] expression — zero shuffle over the
+    * corpus, which at 100 TB is the difference between a decontamination
+    * scan and a decontamination job.
+    *
+    * The filter build is bounded by construction: distinct positions
+    * ≤ mBits regardless of benchmark size (the collect is at most
+    * mBits longs), and the broadcast literal is mBits booleans. False
+    * positive rate ≈ (1 − e^(−k·n/m))^k; false NEGATIVES are impossible,
+    * so the exact arm (the q54 equi-join, rerun here as the audit) can
+    * only ever find fewer hits — the output carries both counts plus
+    * their difference, making the sketch self-auditing the same way
+    * [[hllDistinct]] and [[histogramQuantiles]] are.
+    *
+    * Output: (id, n_sh, n_bloom, n_exact, n_false_pos) per corpus doc. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, n: Int, mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits > 0 && kHashes > 0, "mBits and kHashes must be positive")
+    graft.plans.TextExpressions.register(corpus.sparkSession)
+    val setPositions = benchmark
+      .select(explode(call_function("bloom_positions",
+        col(text), lit(n), lit(mBits), lit(kHashes))).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val bits = new Array[Boolean](mBits)
+    setPositions.foreach(bits(_) = true)
+    val probed = corpus.select(col(id),
+      call_function("bloom_hits", col(text), lit(n), lit(kHashes),
+        typedlit(bits.toSeq)).as("bh"))
+    val exact = TextAnalysis.decontaminate(corpus, benchmark, id, text, n)
+      .select(col(id), col("n_hits").as("n_exact"))
+    probed
+      .select(col(id), col("bh.n_sh").as("n_sh"), col("bh.n_hits").as("n_bloom"))
+      .join(exact, Seq(id))
+      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+  }
+
   /** Per-group histogram quantile sketch — the portable companion to
     * engine quantile sketches (q36's percentile_approx stays rows-only
     * by nature): one min/max/count pass fixes an equi-width 256-bin

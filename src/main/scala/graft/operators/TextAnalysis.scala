@@ -409,6 +409,58 @@ object TextAnalysis {
       .withColumn("n_chunk_words", size(tokens(col("chunk"))))
   }
 
+  /** Corpus-level adjacent-pair frequencies — the statistic a BPE/
+    * WordPiece tokenizer trainer computes for its first merge decision
+    * (which adjacent pair is most frequent), generalized to word level
+    * over the corpus. Pairs come from the non-distinct form of the
+    * single-pass native [[graft.plans.ShingleStrings]] expression (2-word
+    * shingles, every occurrence counted), so pair generation is a pure
+    * projection; the only shuffle is the pair-count hash aggregation
+    * (map-side combine over a vocab²-bounded key space), and the top-k
+    * cut is an orderBy+limit — TakeOrderedAndProject, a per-partition
+    * heap + driver merge of k rows, never a global sort. Ties at the cut
+    * break lexicographically, so the result is deterministic.
+    *
+    * Output: (pair, cnt, rank), rank 1..k by (cnt desc, pair). */
+  def mergePairStats(docs: DataFrame, text: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    val counts = docs
+      .select(explode(call_function("shingle_strings",
+        col(text), lit(2), lit(false))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+    // the rank window runs over the k survivors only (already on the
+    // driver-adjacent single partition the limit produced)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own top-V
+    * vocabulary — the tokenizer-coverage QA check run before committing
+    * to a vocab size: how much of each document would fall out of a
+    * V-term vocabulary. Two passes, both inverted-index shaped: the
+    * vocabulary is a term-frequency aggregation cut to V by
+    * (cnt desc, term) — TakeOrderedAndProject, deterministic ties — and
+    * the rejoin back onto the token stream is a left equi-join on term
+    * that AQE broadcasts (the vocabulary is V rows by construction).
+    *
+    * Output: (id, n_tokens, n_oov, oov_frac) for every document. */
+  def oovStats(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(vocab, Seq("term"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc").as(id), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+  }
+
   /** Temperature-based mixture reweighting at α = 0.5: per-source
     * sampling weight w_s = √n_s / Σ_t √n_t and the per-source document
     * quota for a `budget`-sized mixed corpus — the standard

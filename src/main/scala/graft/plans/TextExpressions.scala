@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass shingle hashing for the dedup operators.
@@ -59,14 +59,18 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
-/** Single-pass DISTINCT n-word shingle strings, first-occurrence order —
-  * the string-valued sibling of [[ShingleHashes]] for operators whose
-  * downstream hashing must be engine-portable (md5 of the shingle TEXT,
-  * which any SQL engine can recompute, vs xxhash64 of it, which only
-  * Spark can). Same linear single-pass rationale; same "docs shorter
-  * than n words yield no shingles" contract as the SQL oracle's
-  * range(1, m-1). */
-case class ShingleStrings(child: Expression, n: Int)
+/** Single-pass n-word shingle strings — the string-valued sibling of
+  * [[ShingleHashes]] for operators whose downstream hashing must be
+  * engine-portable (md5 of the shingle TEXT, which any SQL engine can
+  * recompute, vs xxhash64 of it, which only Spark can). Same linear
+  * single-pass rationale; same "docs shorter than n words yield no
+  * shingles" contract as the SQL oracle's range(1, m-1).
+  *
+  * `distinct = true` (the dedup/decontamination contract) keeps the
+  * first occurrence of each shingle; `distinct = false` keeps every
+  * occurrence in order — the counting form that pair-frequency
+  * statistics (BPE merge candidates) need. */
+case class ShingleStrings(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "shingle_strings"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -76,7 +80,11 @@ case class ShingleStrings(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].split(space, -1)
     val m = words.length
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet preserves first-occurrence order; the non-distinct
+    // form just skips the set's dedup by using a list
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](math.max(0, m - n + 1))
     if (m >= n) {
       var i = 0
       while (i <= m - n) {
@@ -218,6 +226,111 @@ case class MinhashMd5(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Bloom-filter bit positions of a document's distinct n-word shingles —
+  * the BUILD side of the portable Bloom decontaminator
+  * ([[graft.operators.Sketches.bloomDecontaminate]]). One md5 per
+  * distinct shingle ([[ShingleStrings]] semantics), split into the two
+  * 32-bit hex halves (chars 1-8 / 9-16 — the same parse any SQL engine
+  * does on the hex string), expanded Kirsch–Mitzenmacher style into
+  * `kHashes` positions pos_j = (h1 + j·h2) mod mBits. Returns the
+  * DISTINCT positions in first-set order; the benchmark's union of
+  * positions IS the filter. */
+case class BloomPositions(child: Expression, n: Int, mBits: Int, kHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && mBits > 0 && kHashes > 0,
+    "bloom_positions: n, mBits, kHashes must be positive")
+  override def prettyName: String = "bloom_positions"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(words, i, parts, 0, n)
+        val shingle = UTF8String.concatWs(space, parts: _*)
+        if (seen.add(shingle)) {
+          val d = Md5Halves.digest(shingle)
+          val h1 = Md5Halves.h32(d, 0)
+          val h2 = Md5Halves.h32(d, 4)
+          var j = 0
+          while (j < kHashes) { out.add((h1 + j * h2) % mBits); j += 1 }
+        }
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bloom-filter membership scan of a document's distinct n-word
+  * shingles against a pre-built bit array — the PROBE side of
+  * [[graft.operators.Sketches.bloomDecontaminate]]. Same md5-halves
+  * position derivation as [[BloomPositions]]; a shingle "hits" iff all
+  * `kHashes` of its bits are set. One pass per document, one md5 per
+  * distinct shingle, zero shuffle — the whole corpus-side
+  * decontamination scan is a projection. Returns
+  * struct<n_sh:int, n_hits:int> (distinct shingles, Bloom hits). */
+case class BloomShingleHits(child: Expression, n: Int, kHashes: Int,
+    bits: Array[Boolean])
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && kHashes > 0 && bits.nonEmpty,
+    "bloom_hits: n, kHashes must be positive and bits non-empty")
+  override def prettyName: String = "bloom_hits"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_sh", IntegerType, nullable = false),
+    StructField("n_hits", IntegerType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+  private val mBits = bits.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    val seen = new java.util.HashSet[UTF8String]()
+    var nHits = 0
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(words, i, parts, 0, n)
+        val shingle = UTF8String.concatWs(space, parts: _*)
+        if (seen.add(shingle)) {
+          val d = Md5Halves.digest(shingle)
+          val h1 = Md5Halves.h32(d, 0)
+          val h2 = Md5Halves.h32(d, 4)
+          var j = 0
+          var all = true
+          while (all && j < kHashes) {
+            all = bits(((h1 + j * h2) % mBits).toInt)
+            j += 1
+          }
+          if (all) nHits += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size, nHits))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fixed-size word-window chunking with stride — the training-data op
   * that turns long documents into model-context-sized training rows.
   * Chunks start every `stride` words and span `size` words; the final
@@ -268,7 +381,23 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_strings",
       exprs => ShingleStrings(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_positions",
+      exprs => BloomPositions(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_hits",
+      exprs => BloomShingleHits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toBooleanArray()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")

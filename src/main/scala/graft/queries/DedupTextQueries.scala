@@ -322,6 +322,33 @@ object DedupTextQueries {
           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_uniq_rtokens
         FROM documents
         ORDER BY doc_id"""),
-      "Regex tokenizer (lowercase/digit/symbol classes) as a projection.")
+      "Regex tokenizer (lowercase/digit/symbol classes) as a projection."),
+
+    // ---- q86: cross-source duplicate-overlap matrix ------------------------
+    "q86_source_overlap" -> Q(
+      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b")),
+      Some(s"""
+        WITH ds AS (
+          SELECT DISTINCT src, sh FROM (
+            SELECT source AS src, unnest($Shingles3) AS sh FROM documents)
+        ), per AS (
+          SELECT src, COUNT(*) AS n FROM ds GROUP BY src
+        ), p AS (
+          SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+          FROM ds a JOIN ds b ON a.sh = b.sh AND a.src < b.src
+          GROUP BY a.src, b.src
+        )
+        SELECT p.src_a, p.src_b, p.n_shared, pa.n AS n_a, pb.n AS n_b,
+               round(CAST(p.n_shared AS DOUBLE) / (pa.n + pb.n - p.n_shared), 6)
+                 AS jaccard
+        FROM p
+        JOIN per pa ON pa.src = p.src_a
+        JOIN per pb ON pb.src = p.src_b
+        ORDER BY p.src_a, p.src_b"""),
+      "Which sources duplicate each other: per-shingle source sets " +
+        "(bounded by the source count) expanded to pairs — the overlap " +
+        "matrix costs |sources|^2/2 rows however big the corpus; no " +
+        "doc-pair join anywhere.")
   )
 }

@@ -421,6 +421,33 @@ object SimilarityQueries {
       "Matryoshka funnel: rank on 16-dim prefixes (d/4 cost per pair), " +
         "exact re-rank of the 10 survivors at full dimension — both " +
         "stages hash-proved; the coarse stage routes through IVF/LSH " +
-        "at corpus scale.")
+        "at corpus scale."),
+
+    // ---- q87: semantic dedup (SemDeDup: cluster, then prune in-cell) ------
+    "q87_semdedup" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        Similarity.semDedup(e, "vec_id", "emb", k = 8, iters = 2, threshold = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        ${OracleGen.kmeansCtes("", "e", k = 8, iters = 2, dim = 64)}
+        ${OracleGen.assignCte("fin", "e", "c2", dim = 64)}
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_inner_product(a.emb, b.emb) /
+            (sqrt(list_inner_product(a.emb, a.emb)) *
+             sqrt(list_inner_product(b.emb, b.emb))) >= 0.4)
+        SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
+               (d.vec_id IS NULL) AS keep
+        FROM fin f LEFT JOIN drops d ON f.vec_id = d.vec_id
+        ORDER BY f.vec_id"""),
+      "SemDeDup: kMeans clusters bound the pair search to within-cell " +
+        "(expected n/k per cell), junior near-dups dropped — training, " +
+        "assignment and pruning all hash-proved through the " +
+        "deterministic trainer; border-pair recall loss pinned in " +
+        "VectorSpec.")
   )
 }

@@ -375,5 +375,98 @@ object TrainingQueries {
       "Alpha=0.5 temperature mixture: sqrt-count source weights " +
         "(sqrt chosen over pow: correctly rounded in every IEEE " +
         "engine) with a deterministic sorted-fold normalizer; " +
-        "per-source quotas for a 1M-doc mixed corpus."))
+        "per-source quotas for a 1M-doc mixed corpus."),
+
+    // ---- q84: BPE-style merge-pair statistics -----------------------------
+    "q84_merge_pairs" -> Q(
+      (s, d) => TextAnalysis.mergePairStats(Tables.documents(s, d), "text", k = 100),
+      Some(s"""
+        WITH bg AS (
+          SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
+          FROM (SELECT $W AS w FROM documents)
+        ), c AS (SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair)
+        SELECT pair, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        FROM c ORDER BY cnt DESC, pair LIMIT 100"""),
+      "Tokenizer-training merge statistics: top-100 adjacent word " +
+        "pairs; native non-distinct 2-shingles (projection) + one " +
+        "map-side-combined count + TakeOrderedAndProject — no global " +
+        "sort at any corpus size."),
+
+    // ---- q85: Bloom-filter decontamination (sketch + exact audit) ---------
+    "q85_bloom_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
+        val corpus = docs.filter(col("bucket") < 97)
+        val bench = docs.filter(col("bucket") >= 97)
+        graft.operators.Sketches.bloomDecontaminate(corpus, bench,
+            "doc_id", "text", n = 3, mBits = 16384, kHashes = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, $Bucket AS bucket FROM documents
+        ), bsh AS (
+          SELECT DISTINCT unnest($Shingles3) AS sh FROM d WHERE bucket >= 97
+        ), bpos AS (
+          SELECT DISTINCT (h1 + j.range * h2) % 16384 AS p
+          FROM (SELECT CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM bsh), range(0, 3) j
+        ), tr AS (
+          SELECT doc_id, unnest($Shingles3) AS sh FROM d WHERE bucket < 97
+        ), trpos AS (
+          SELECT doc_id, sh, (h1 + j.range * h2) % 16384 AS p
+          FROM (SELECT doc_id, sh,
+                       CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM tr), range(0, 3) j
+        ), bloomhit AS (
+          SELECT doc_id, sh FROM trpos JOIN bpos USING (p)
+          GROUP BY doc_id, sh HAVING COUNT(*) = 3
+        ), nb AS (
+          SELECT doc_id, COUNT(*) AS n_bloom FROM bloomhit GROUP BY doc_id
+        ), ne AS (
+          SELECT tr.doc_id, COUNT(*) AS n_exact FROM tr JOIN bsh USING (sh)
+          GROUP BY tr.doc_id
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id
+        )
+        SELECT s.doc_id, CAST(s.n_sh AS INT) AS n_sh,
+               CAST(COALESCE(nb.n_bloom, 0) AS INT) AS n_bloom,
+               CAST(COALESCE(ne.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(COALESCE(nb.n_bloom, 0) - COALESCE(ne.n_exact, 0) AS BIGINT) AS n_false_pos
+        FROM sizes s
+        LEFT JOIN nb USING (doc_id)
+        LEFT JOIN ne USING (doc_id)
+        ORDER BY s.doc_id"""),
+      "Portable Bloom decontamination: md5 Kirsch-Mitzenmacher bits, " +
+        "16384-bit filter, corpus probe as a zero-shuffle projection; " +
+        "exact equi-join rides along as the false-positive audit — " +
+        "sketch internals hash-proved like q82/q83."),
+
+    // ---- q88: vocabulary OOV-rate QA --------------------------------------
+    "q88_oov_rate" -> Q(
+      (s, d) => TextAnalysis.oovStats(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($W) AS term FROM documents
+        ), v AS (
+          SELECT term FROM (
+            SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 20)
+        )
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS oov_frac
+        FROM tok LEFT JOIN v ON tok.term = v.term
+        GROUP BY tok.doc_id
+        ORDER BY tok.doc_id"""),
+      "Tokenizer-coverage QA: per-doc out-of-vocabulary rate against " +
+        "the corpus top-20 vocabulary — TakeOrdered vocab cut + " +
+        "AQE-broadcast rejoin."))
 }

@@ -114,4 +114,19 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
+
+  test("sourceOverlap builds the shared-shingle matrix with set-exact Jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d"),  // 3-shingles: {a b c, b c d}
+      (2L, "s2", "a b c e"),  // {a b c, b c e}
+      (3L, "s2", "a b c d"),  // adds {b c d} to s2 — cross-doc within source
+      (4L, "s3", "x y z w")   // disjoint {x y z, y z w}
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // s1 = {abc, bcd}, s2 = {abc, bce, bcd}: shared 2, union 3; s3 never pairs
+    assert(got.toSeq == Seq(("s1", "s2", 2L, 2L, 3L, 0.666667)))
+  }
 }

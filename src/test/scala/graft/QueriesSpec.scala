@@ -57,4 +57,33 @@ class QueriesSpec extends SparkSuite {
     }
     assert(got("tiny")._2 == 1L)
   }
+
+  test("bloom decontamination: no false negatives, exact on contained docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // fully contained in bench
+      (2L, "zeta eta theta iota kappa"),      // disjoint
+      (3L, "x alpha beta gamma y z")          // 1 of 4 shingles shared
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Sketches.bloomDecontaminate(
+        corpus, bench, "doc_id", "text", n = 3, mBits = 1024, kHashes = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // a Bloom filter can overcount but NEVER undercount
+    for ((id, (_, nBloom, nExact)) <- out)
+      assert(nBloom >= nExact, s"doc $id: bloom $nBloom < exact $nExact")
+    // doc 1's shingles are all benchmark shingles: every probe must hit
+    assert(out(1L)._2 == out(1L)._1 && out(1L)._3 == out(1L)._1.toLong)
+    assert(out(3L)._3 == 1L)
+    // tiny filter (16 bits, ~all set by 7 bench shingles x 3 hashes):
+    // false positives become near-certain, the audit must expose them
+    val saturated = graft.operators.Sketches.bloomDecontaminate(
+        corpus, bench, "doc_id", "text", n = 3, mBits = 16, kHashes = 3)
+      .agg(org.apache.spark.sql.functions.sum(col("n_false_pos"))).head.getLong(0)
+    assert(saturated > 0, "a saturated filter must show false positives")
+  }
 }

@@ -264,4 +264,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(tail.last == "w10 w11")
     assert(tail.flatMap(_.split(" ")).toSet == (1 to 11).map(i => s"w$i").toSet)
   }
+
+  test("mergePairStats counts every adjacent-pair occurrence, top-k deterministic") {
+    val df = Seq(
+      (1L, "a b a b c"), // pairs: "a b", "b a", "a b", "b c"
+      (2L, "a b"),       // "a b"
+      (3L, "x")          // 1 word -> no pairs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mergePairStats(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // counts: "a b" x3, "b a" x1, "b c" x1 — non-distinct within doc 1 is
+    // the point (a distinct form would report "a b" twice, not thrice);
+    // the k=2 cut tie-breaks lexicographically ("b a" < "b c")
+    assert(out.toSeq == Seq(("a b", 3L, 1), ("b a", 1L, 2)))
+  }
+
+  test("oovStats measures per-doc OOV against the deterministic top-V vocab") {
+    val df = Seq(
+      (1L, "x x x y"),
+      (2L, "x z")
+    ).toDF("doc_id", "text")
+    // term counts: x=4, y=1, z=1; V=2 keeps {x, y} (count desc, term asc)
+    val out = TextAnalysis.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+  }
 }

@@ -224,4 +224,31 @@ class VectorSpec extends SparkSuite {
       }
     }
   }
+
+  test("semDedup is sound (drops only true near-dups) and misses only cross-cell pairs") {
+    val e = emb.withColumnRenamed("emb", "v")
+    val threshold = 0.4
+    val out = Similarity.semDedup(e, "vec_id", "v", k = 4, iters = 2, threshold)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size == e.count(), "every input vector must come back")
+    val cellOf = out.view.mapValues(_._1).toMap
+    val dropped = out.collect { case (id, (_, false)) => id }.toSet
+    // ground truth: the exact quadratic near-dup pairs
+    val truePairs = Similarity.nearDupPairs(
+        e.withColumnRenamed("v", "emb"), "vec_id", "emb", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val juniors = truePairs.map(_._2).toSet
+    // soundness: everything dropped really has a lower-id near-duplicate
+    assert(dropped.subsetOf(juniors),
+      s"dropped non-duplicates: ${dropped.diff(juniors)}")
+    assert(dropped.nonEmpty, "test corpus is known to contain near-dups")
+    // completeness caveat (the SemDeDup tradeoff, documented in the
+    // scaladoc): a junior survives ONLY when every one of its senior
+    // partners sits in a different cell
+    for (j <- juniors.diff(dropped)) {
+      val seniors = truePairs.collect { case (a, b) if b == j => a }
+      assert(seniors.forall(a => cellOf(a) != cellOf(j)),
+        s"junior $j kept despite a same-cell senior")
+    }
+  }
 }
