@@ -308,6 +308,31 @@ object Similarity {
       .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `dOut` dimensions — the standard pre-ANN compression: at 100 TB,
+    * projecting 64-d → 16-d cuts every downstream shuffle, broadcast
+    * and per-pair distance loop by 4× while preserving pairwise
+    * distances in expectation (E‖p(a)−p(b)‖² = ‖a−b‖², distortion
+    * O(1/√dOut)). A pure projection through the native
+    * [[graft.plans.RpProject]] expression (±1 md5-derived sign matrix,
+    * memoized per executor — no shipped randomness, no shuffle, and
+    * SQL-recomputable, so projected vectors are oracle-checkable).
+    *
+    * Output: (id, proj array<double>, norm_ratio) — norm_ratio =
+    * ‖p(v)‖²/‖v‖² rounded to 4, the per-row distortion audit (≈1 when
+    * the projection is healthy), making the operator self-auditing the
+    * way the sketches are. */
+  def randomProject(vecs: DataFrame, id: String, vec: String,
+      dOut: Int, seed: Long): DataFrame = {
+    ensureRegistered(vecs)
+    vecs.select(col(id),
+        call_function("rp_project", col(vec), lit(dOut), lit(seed)).as("proj"),
+        col(vec))
+      .select(col(id), col("proj"),
+        round(fastDot(col("proj"), col("proj")) / fastDot(col(vec), col(vec)), 4)
+          .as("norm_ratio"))
+  }
+
   /** Lloyd's k-means over an embedding column — the unsupervised trainer
     * that completes the IVF path ([[ivfTopK]] needs a coarse quantizer;
     * [[centroidsAsQuantizer]] builds one from labels, this one from the

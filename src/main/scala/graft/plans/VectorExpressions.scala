@@ -175,6 +175,61 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss random projection onto `dOut` dimensions:
+  * out[i] = Σ_j v[j]·s(i,j) / √dOut with a ±1 sign matrix derived from
+  * the first hex digit's parity of md5("seed:i:j") — the real-valued
+  * generalization of [[LshBuckets]] (which keeps only the projections'
+  * signs). Same determinism story: no shipped randomness, identical on
+  * every executor, recomputable by any SQL engine, so projected vectors
+  * are oracle-checkable. The √dOut scale makes the projection
+  * distance-preserving in expectation (E‖p(a)−p(b)‖² = ‖a−b‖²) — the
+  * standard pre-ANN compression that cuts every downstream shuffle,
+  * broadcast and distance loop by dim/dOut. Matrix memoized per input
+  * dimension; row cost dOut × dim multiply-adds, strict ascending-j
+  * fold (bit-identical to an ordered SQL list fold). */
+case class RpProject(child: Expression, dOut: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(dOut > 0, "rp_project: dOut must be positive")
+  override def prettyName: String = "rp_project"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  // sign matrix [out-dim][in-dim], built once per executor per input dim
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signs(dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(dim, d => {
+      Array.tabulate(dOut, d) { (i, j) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((((digest(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val s = signs(dim)
+    val scale = math.sqrt(dOut.toDouble)
+    val out = new Array[Double](dOut)
+    var i = 0
+    while (i < dOut) {
+      var p = 0.0
+      val row = s(i)
+      var j = 0
+      while (j < dim) { p += v.getDouble(j) * row(j); j += 1 }
+      out(i) = p / scale
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Argmin cell assignment against a driver-held centroid matrix — the
   * expression that makes k-means assignment a PURE PROJECTION: the
   * centroid model (k×d doubles, tiny by construction) ships inside the
@@ -291,6 +346,9 @@ object VectorExpressions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue(),
       exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
+    registry.createOrReplaceTempFunction("rp_project", exprs => RpProject(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
     // second arg must be a foldable array<array<double>> literal (the
     // driver-held centroid model); it is evaluated once at resolution
     registry.createOrReplaceTempFunction("adc_score", exprs => AdcScore(exprs(0), exprs(1),

@@ -448,6 +448,49 @@ object SimilarityQueries {
         "(expected n/k per cell), junior near-dups dropped — training, " +
         "assignment and pruning all hash-proved through the " +
         "deterministic trainer; border-pair recall loss pinned in " +
-        "VectorSpec.")
+        "VectorSpec."),
+
+    // ---- q89: JL random projection (md5 signs, self-auditing) -------------
+    "q89_random_projection" -> Q(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        Similarity.randomProject(e, "vec_id", "emb", dOut = 16, seed = 7L)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "p")),
+            col("norm_ratio"))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            round(col("p"), 6).as("proj"), col("norm_ratio"))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        grid AS (
+          SELECT ii.range AS i, jj.range AS j
+          FROM range(0, 16) ii, range(0, 64) jj),
+        signs AS (
+          SELECT i,
+                 list(CASE WHEN CAST(concat('0x', substr(md5(
+                     '7:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                   ), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+          FROM grid GROUP BY i),
+        proj AS (
+          SELECT e.vec_id, s.i,
+                 list_aggregate(list_transform(range(1, 65),
+                   j -> e.emb[j] * s.s[j]), 'sum') / sqrt(16.0) AS p
+          FROM e CROSS JOIN signs s),
+        nr AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(list(p ORDER BY i),
+                   x -> x * x), 'sum') AS pn
+          FROM proj GROUP BY vec_id),
+        vn AS (SELECT vec_id, list_inner_product(emb, emb) AS vv FROM e)
+        SELECT proj.vec_id, CAST(proj.i + 1 AS INT) AS dim,
+               round(proj.p, 6) AS proj,
+               round(nr.pn / vn.vv, 4) AS norm_ratio
+        FROM proj JOIN nr USING (vec_id) JOIN vn USING (vec_id)
+        ORDER BY proj.vec_id, dim"""),
+      "JL random projection 64-d -> 16-d: md5-parity sign matrix makes " +
+        "the compressed vectors hash-provable; per-row norm-ratio " +
+        "audit rides along — the pre-ANN bandwidth cut for every " +
+        "downstream shuffle/broadcast at 100 TB.")
   )
 }

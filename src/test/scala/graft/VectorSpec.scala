@@ -225,6 +225,35 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("randomProject preserves pairwise distances in the JL sense") {
+    val e = emb.withColumnRenamed("emb", "v")
+    val out = Similarity.randomProject(e, "vec_id", "v", dOut = 16, seed = 7L)
+    val ratios = out.select(col("norm_ratio")).collect().map(_.getDouble(0))
+    // per-vector norm distortion: unbiased in expectation, so the MEAN
+    // must sit tight around 1 even though single rows wander
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), "pathological distortion")
+    // pairwise: projected distance tracks true distance on sampled pairs
+    val proj = out.select(col("vec_id"), col("proj"))
+    val joined = e.filter(col("vec_id") < 20).join(
+        proj.withColumnRenamed("vec_id", "pid"), col("vec_id") === col("pid"))
+      .select(col("vec_id"), col("v"), col("proj"))
+    val rows = joined.collect().map(r =>
+      (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dists = for {
+      i <- rows.indices; j <- rows.indices if i < j
+    } yield (d2(rows(i)._1, rows(j)._1), d2(rows(i)._2, rows(j)._2))
+    val meanRatio = dists.map { case (t, p) => p / t }.sum / dists.length
+    assert(math.abs(meanRatio - 1.0) < 0.2,
+      s"mean pairwise distance ratio $meanRatio (JL expectation is 1)")
+    // determinism: the sign matrix is content-derived, not RNG state
+    val again = Similarity.randomProject(e, "vec_id", "v", dOut = 16, seed = 7L)
+    assert(out.exceptAll(again).isEmpty)
+  }
+
   test("semDedup is sound (drops only true near-dups) and misses only cross-cell pairs") {
     val e = emb.withColumnRenamed("emb", "v")
     val threshold = 0.4
