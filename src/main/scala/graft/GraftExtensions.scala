@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{AdcScore, DotProduct, LshBuckets, MinhashMd5, NearestCell,
-  ShingleHashes, ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2,
-  StubFacesMd5}
+import graft.plans.{AdcScore, BloomPositions, BloomShingleHits, ChunkWords,
+  DotProduct, LshBuckets, MinhashMd5, NearestCell, RpProject, ShingleHashes,
+  ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2, StubFacesMd5}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -46,9 +46,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(3).eval().asInstanceOf[Number].longValue())))
     e.injectFunction((
       FunctionIdentifier("shingle_strings"),
-      info("shingle_strings", "shingle_strings(text, n) - distinct word n-gram shingle strings"),
+      info("shingle_strings", "shingle_strings(text, n[, distinct]) - word n-gram shingle strings"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else true)))
+    e.injectFunction((
+      FunctionIdentifier("chunk_words"),
+      info("chunk_words", "chunk_words(text, size, stride) - fixed word-window chunks with stride"),
+      (exprs: Seq[Expression]) => ChunkWords(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("bloom_positions"),
+      info("bloom_positions", "bloom_positions(text, n, mBits, kHashes) - Bloom bit positions of a doc's shingles"),
+      (exprs: Seq[Expression]) => BloomPositions(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("bloom_hits"),
+      info("bloom_hits", "bloom_hits(text, n, kHashes, bits) - shingle count + Bloom-hit count vs a bit array"),
+      (exprs: Seq[Expression]) => BloomShingleHits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toBooleanArray())))
+    e.injectFunction((
+      FunctionIdentifier("rp_project"),
+      info("rp_project", "rp_project(vec, dOut, seed) - Johnson-Lindenstrauss md5-sign projection"),
+      (exprs: Seq[Expression]) => RpProject(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue())))
     e.injectFunction((
       FunctionIdentifier("simhash_md5"),
       info("simhash_md5", "simhash_md5(text) - 64-bit md5-vote SimHash signature"),

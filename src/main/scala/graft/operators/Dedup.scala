@@ -76,25 +76,33 @@ object Dedup {
     * sets.
     *
     * Scale design: never a source×source or doc×doc join. Shingles are
-    * 64-bit hashes (one [[graft.plans.ShingleHashes]] projection), the
-    * distinct (source, shingle) relation aggregates per shingle into a
-    * collect_set of sources — BOUNDED by the source count, which is
-    * small and enumerable by definition — and pair expansion is an
-    * array transform over that set, so the pair stream is at most
-    * |sources|²/2 per shingle and the final matrix at most |sources|²/2
-    * rows total, whatever the corpus size.
+    * 64-bit hashes (one [[graft.plans.ShingleHashes]] projection), and
+    * the corpus crosses exactly ONE shuffle — the per-shingle
+    * collect_set of sources, which dedups internally and is BOUNDED by
+    * the source count (small and enumerable by definition). Per-source
+    * totals and the pair matrix both derive from that one materialized
+    * per-shingle relation; pair expansion is an array transform over
+    * the set, so the final matrix is at most |sources|²/2 rows,
+    * whatever the corpus size.
     *
     * Output: (src_a, src_b, n_shared, n_a, n_b, jaccard) for every
     * source pair sharing at least one shingle; src_a < src_b. */
   def sourceOverlap(docs: DataFrame, by: String, text: String, n: Int): DataFrame = {
     TextExpressions.register(docs.sparkSession)
-    val sh = docs.select(col(by).as("src"),
+    // distinct + collect_set fuse into ONE shuffle on sh (collect_set
+    // dedups internally); the result is one row per distinct shingle —
+    // the smallest relation in the plan — and it feeds both arms, so
+    // materialize THAT, not the (src, sh) pair stream
+    val srcSets = docs.select(col(by).as("src"),
         explode(call_function("shingle_hashes", col(text), lit(n))).as("sh"))
-      .distinct()
-      .localCheckpoint() // feeds both the per-source sizes and the pair arm
-    val perSrc = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.groupBy(col("sh"))
+      .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .localCheckpoint()
+    // per-source distinct-shingle counts derive from the same source
+    // sets — no second corpus-sized shuffle
+    val perSrc = srcSets.select(explode(col("srcs")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val pairs = srcSets
       .filter(size(col("srcs")) >= 2)
       .select(explode(flatten(transform(col("srcs"), (x, i) =>
         transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),

@@ -430,12 +430,26 @@ object Similarity {
     * kMeans is, so the whole operator — training included — is
     * SQL-oracle-checkable.
     *
+    * `k = 0` (the default) sizes the clustering from the measured
+    * corpus — √n cells clamped to [8, 4096], the same rationale as
+    * [[topKAuto]]: a FIXED k leaves expected cell size (and therefore
+    * the in-cell pair count per vector) growing linearly with the
+    * corpus, which is exactly the quadratic creep this operator exists
+    * to avoid. Callers pin k explicitly only when an external oracle
+    * needs a reproducible model.
+    *
     * Output: (id, cell, keep) for EVERY input vector; keep = false
     * marks the dropped junior duplicates. */
   def semDedup(vecs: DataFrame, id: String, vec: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
+      threshold: Double, k: Int = 0, iters: Int = 2): DataFrame = {
     ensureRegistered(vecs)
-    val model = kMeans(vecs, id, vec, k, iters)
+    val cells =
+      if (k > 0) k
+      else {
+        val n = vecs.count()
+        math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+      }
+    val model = kMeans(vecs, id, vec, cells, iters)
     val matrix = typedlit(
       model.orderBy(col("cell")).collect().map(_.getSeq[Double](2)).toSeq)
     val assigned = vecs.select(col(id), col(vec),

@@ -75,6 +75,53 @@ object Sketches {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** Portable count-min sketch for value frequencies — the heavy-hitter
+    * companion to [[hllDistinct]]/[[histogramQuantiles]], built the same
+    * engine-portable way: `d` hash rows of `w` counters, positions from
+    * the md5 32-bit halves Kirsch–Mitzenmacher-expanded (pos_i =
+    * (h1 + i·h2) mod w), estimate = min over the d cells. Counter
+    * updates are integer sums — associative and order-independent — so
+    * the whole sketch is deterministic under any partitioning and
+    * hash-matches a SQL recomputation.
+    *
+    * At 100 TB the shuffle after map-side combine carries at most d·w
+    * counter keys whatever the input size — the sketch is the fixed-
+    * memory stand-in for a full frequency table. The exact counts ride
+    * along as the audit (overcount = estimate − exact is >= 0 ALWAYS:
+    * a count-min estimate never undercounts).
+    *
+    * Output: (value, cms_estimate, exact_cnt, overcount) per distinct
+    * value. */
+  /** The d count-min cell positions of a value (md5 halves, pos_i =
+    * (h1 + i·h2) mod w) — exposed so a STREAMING sketch is just
+    * `posexplode(cmsPositions(...)) → groupBy(row, pos) → count` in
+    * update/complete mode: the state is bounded by d·w counters
+    * whatever the stream length, and incremental maintenance equals
+    * the batch sketch exactly (integer sums commute). */
+  def cmsPositions(c: Column, w: Int, d: Int): Column = {
+    require(w > 0 && d > 0, "w and d must be positive")
+    val hx = md5(c.cast("string"))
+    val h1 = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(hx, 9, 8), 16, 10).cast("long")
+    array((0 until d).map(i => ((h1 + lit(i) * h2) % w).cast("int")): _*)
+  }
+
+  def countMinFrequencies(df: DataFrame, value: String,
+      w: Int = 1024, d: Int = 4): DataFrame = {
+    def positions(c: Column): Column = cmsPositions(c, w, d)
+    val counters = df
+      .select(posexplode(positions(col(value))).as(Seq("row", "pos")))
+      .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("c"))
+    // d x w rows by construction — broadcast is safe at any input size
+    df.groupBy(col(value).as("v")).agg(count(lit(1)).as("exact_cnt"))
+      .select(col("v"), col("exact_cnt"),
+        posexplode(positions(col("v"))).as(Seq("row", "pos")))
+      .join(broadcast(counters), Seq("row", "pos"))
+      .groupBy(col("v"), col("exact_cnt")).agg(min(col("c")).as("cms_estimate"))
+      .select(col("v").as(value), col("cms_estimate"), col("exact_cnt"),
+        (col("cms_estimate") - col("exact_cnt")).as("overcount"))
+  }
+
   /** Bloom-filter benchmark decontamination — the sketch-backed, at-scale
     * form of [[TextAnalysis.decontaminate]]: instead of equi-joining
     * corpus shingles against the benchmark shingle set (one corpus-sized

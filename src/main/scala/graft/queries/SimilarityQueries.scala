@@ -427,7 +427,9 @@ object SimilarityQueries {
     "q87_semdedup" -> Q(
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("emb"))
-        Similarity.semDedup(e, "vec_id", "emb", k = 8, iters = 2, threshold = 0.4)
+        // k pinned (not auto-sized) so the oracle's unrolled CTE chain
+        // trains the identical model at the driver's fixed sf0.01
+        Similarity.semDedup(e, "vec_id", "emb", threshold = 0.4, k = 8, iters = 2)
           .orderBy(col("vec_id"))
       },
       Some(s"""

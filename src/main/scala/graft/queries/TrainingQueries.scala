@@ -468,5 +468,47 @@ object TrainingQueries {
         ORDER BY tok.doc_id"""),
       "Tokenizer-coverage QA: per-doc out-of-vocabulary rate against " +
         "the corpus top-20 vocabulary — TakeOrdered vocab cut + " +
-        "AQE-broadcast rejoin."))
+        "AQE-broadcast rejoin."),
+
+    // ---- q90: portable count-min sketch over token frequencies ------------
+    "q90_countmin_tokens" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        val tok = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+        // w deliberately small (32 cells x 4 rows vs a 31-term vocab) so
+        // collisions actually occur and the overcount audit is exercised
+        graft.operators.Sketches.countMinFrequencies(tok, "term", w = 32, d = 4)
+          .orderBy(col("term"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($W) AS term FROM documents
+        ), cells AS (
+          SELECT i.range AS row, (h1 + i.range * h2) % 32 AS pos
+          FROM (SELECT CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM tok), range(0, 4) i
+        ), counters AS (
+          SELECT row, pos, COUNT(*) AS c FROM cells GROUP BY row, pos
+        ), ex AS (
+          SELECT term, COUNT(*) AS exact_cnt FROM tok GROUP BY term
+        ), probe AS (
+          SELECT term, exact_cnt, i.range AS row, (h1 + i.range * h2) % 32 AS pos
+          FROM (SELECT term, exact_cnt,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM ex), range(0, 4) i
+        ), est AS (
+          SELECT term, exact_cnt, MIN(c) AS cms_estimate
+          FROM probe JOIN counters USING (row, pos)
+          GROUP BY term, exact_cnt
+        )
+        SELECT term, cms_estimate, exact_cnt,
+               cms_estimate - exact_cnt AS overcount
+        FROM est ORDER BY term"""),
+      "Count-min sketch on md5-derived cells: d*w integer counters " +
+        "whatever the corpus size, order-independent merges, estimate " +
+        "never undercounts — sketch internals hash-proved, exact " +
+        "counts ride along as the overcount audit."))
 }

@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   * copies their true candidate sets grow super-linearly by
   * construction of this fixture, which measures the inflation scheme,
   * not the operator. Their scale story is the banding/blocking design
-  * asserted in PlanSpec and the VERDICT plan audit.
+  * asserted in PlanSpec and the VERDICT plan audit. q86 (source
+  * overlap) is excluded for the same reason — duplicated texts put
+  * every shingle in all copies' sources, measuring the fixture — and
+  * q87 (SemDeDup) because its registered form pins k=8 for oracle
+  * parity where a real caller auto-sizes cells with the corpus
+  * (semDedup's k=0 default).
   */
 object BenchScale {
   private val Cap = 10000000L
@@ -87,7 +92,8 @@ object BenchScale {
     "q48_tfidf_topterms", "q49_hash_split", "q57_pack_shards",
     "q58_stratified_cap", "q61_kmeans", "q63_pack_global",
     "q72_product_quantize", "q73_pq_adc_topk", "q76_ann_autoroute",
-    "q77_neardup_autoroute")
+    "q77_neardup_autoroute", "q84_merge_pairs", "q85_bloom_decontaminate",
+    "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

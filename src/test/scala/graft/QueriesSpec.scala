@@ -86,4 +86,25 @@ class QueriesSpec extends SparkSuite {
       .agg(org.apache.spark.sql.functions.sum(col("n_false_pos"))).head.getLong(0)
     assert(saturated > 0, "a saturated filter must show false positives")
   }
+
+  test("count-min sketch never undercounts and is exact with a roomy table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val values = (1 to 400).map(i => s"v${i % 40}").toDF("x")
+    val roomy = graft.operators.Sketches.countMinFrequencies(values, "x",
+        w = 4096, d = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(roomy.length == 40)
+    // 40 values in 4096 cells x 4 rows: min-of-rows collisions are
+    // effectively impossible, the sketch must be exact
+    assert(roomy.forall { case (_, est, exact) => est == exact && exact == 10L })
+    // cramped table (8 cells for 40 values): collisions guaranteed, but
+    // estimates may only ever OVERcount
+    val cramped = graft.operators.Sketches.countMinFrequencies(values, "x",
+        w = 8, d = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cramped.forall { case (est, exact, over) =>
+      est >= exact && over == est - exact })
+    assert(cramped.exists(_._3 > 0), "a saturated CMS must show overcounts")
+  }
 }

@@ -474,6 +474,32 @@ class StreamingSpec extends SparkSuite {
     assert(got.agg(sum(col("n"))).head.getLong(0) == 3)
   }
 
+  test("streaming count-min counters equal the batch sketch (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(posexplode(graft.operators.Sketches.cmsPositions(col("v"), 16, 2))
+        .as(Seq("row", "pos")))
+      .groupBy(col("row"), col("pos")).count()
+    // complete mode is safe precisely because the sketch state is
+    // bounded at d*w counters no matter how long the stream runs
+    val q = sketch(input.toDF().toDF("v"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    input.addData("a", "b", "a")
+    q.processAllAvailable()
+    input.addData("c", "a", "b")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = sketch(Seq("a", "b", "a", "c", "a", "b").toDF("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      "incremental counter maintenance must equal the batch sketch")
+  }
+
   test("dedupIngest drops duplicate content across micro-batches via the index table") {
     implicit val sqlCtx = spark.sqlContext
     val (corpusT, indexT) = ("graft_ingest_corpus", "graft_ingest_index")

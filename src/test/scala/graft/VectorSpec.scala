@@ -257,7 +257,7 @@ class VectorSpec extends SparkSuite {
   test("semDedup is sound (drops only true near-dups) and misses only cross-cell pairs") {
     val e = emb.withColumnRenamed("emb", "v")
     val threshold = 0.4
-    val out = Similarity.semDedup(e, "vec_id", "v", k = 4, iters = 2, threshold)
+    val out = Similarity.semDedup(e, "vec_id", "v", threshold, k = 4, iters = 2)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     assert(out.size == e.count(), "every input vector must come back")
     val cellOf = out.view.mapValues(_._1).toMap
