@@ -208,4 +208,33 @@ class PlanSpec extends SparkSuite {
       assert(!Catalog.dropTable(spark, "unrelated_cat"))
     } finally names.foreach(Catalog.dropTable(spark, _))
   }
+
+  test("bloom probe arm is a pure projection: zero exchanges over the corpus") {
+    graft.plans.TextExpressions.register(spark)
+    val bits = Array.fill(64)(false); bits(3) = true
+    val probe = Tables.documents(spark, sf("0.001"))
+      .select(col("doc_id"), call_function("bloom_hits",
+        col("text"), lit(3), lit(3), typedlit(bits.toSeq)).as("bh"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the decontamination scan must not shuffle the corpus:\n${p.take(1500)}")
+  }
+
+  test("randomProject is a pure projection: zero exchanges") {
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDoubleVec(col("embedding")).as("v"))
+    val p = graft.operators.Similarity.randomProject(e, "vec_id", "v", 16, 7L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"JL projection must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("mergePairStats cuts top-k via TakeOrderedAndProject, not a global sort") {
+    val p = graft.operators.TextAnalysis.mergePairStats(
+        Tables.documents(spark, sf("0.001")), "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap + driver merge:\n${p.take(1500)}")
+  }
 }
