@@ -461,6 +461,70 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
   }
 
+  /** Vocabulary-id encoding — the tokenize-to-`input_ids` step between
+    * curation and the trainer: build the top-V vocabulary (id = rank by
+    * count desc / term asc, so ids are frequency-ordered and
+    * deterministic), then encode every document as its id sequence with
+    * 0 as the out-of-vocabulary id. Same two-pass inverted-index shape
+    * as [[oovStats]]: TakeOrdered vocab cut, AQE-broadcast rejoin; the
+    * id sequence reassembles order-safely via sort-by-position structs,
+    * so no assumption about row order survives the shuffle.
+    *
+    * Output: (id, n_tokens, n_oov, ids array<int>). */
+  def tokensToIds(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(id).as("doc"),
+      posexplode(tokens(col(text))).as(Seq("pos", "term")))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      // rank window runs over the V survivors only
+      .withColumn("tid", row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .select(col("term"), col("tid"))
+    tok.join(vocab, Seq("term"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(0)))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1).otherwise(0)).as("n_oov"),
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("ids"))
+      .select(col("doc").as(id), col("n_tokens"), col("n_oov"), col("ids"))
+  }
+
+  /** The dataloader endpoint: documents → fixed-width rows of
+    * vocabulary ids, documents packed back-to-back in shard-offset
+    * order — what actually feeds a trainer. Composes [[tokensToIds]]
+    * (id encoding) with [[packShardsGlobal]] (token-budget shard
+    * assignment, two-level prefix sum, no global sort) and then windows
+    * each shard's concatenated id stream into `seqLen`-id rows (the
+    * final row of a shard may be shorter — real pipelines pad it).
+    *
+    * Scale shape: the only new shuffle is the shard-key groupBy, and a
+    * shard's id stream is bounded by the packer's token budget (budget
+    * + one document), so the per-shard concat/window always fits an
+    * executor — the same bound [[buildShards]] relies on.
+    *
+    * Output: (shard, row_idx, n_ids, ids array<int>). */
+  def packTrainingRows(docs: DataFrame, id: String, text: String,
+      by: String, vocabSize: Int, budgetTokens: Long, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val ids = tokensToIds(docs, id, text, vocabSize).select(col(id), col("ids"))
+    val packed = packShardsGlobal(docs, id, text, by, budgetTokens)
+      .select(col(id), col("start_offset"), col("shard"))
+    val perShard = packed.join(ids, Seq(id))
+      .groupBy(col("shard"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("start_offset"), col("ids")))),
+        x => x.getField("ids"))).as("all_ids"))
+    val nRows = ceil(size(col("all_ids")).cast("double") / seqLen).cast("int")
+    val slices = transform(sequence(lit(0), nRows - 1),
+      i => slice(col("all_ids"), i * seqLen + 1, lit(seqLen)))
+    perShard
+      .select(col("shard"), posexplode(slices).as(Seq("row_idx", "r")))
+      .select(col("shard"), col("row_idx"), size(col("r")).as("n_ids"),
+        col("r").as("ids"))
+  }
+
   /** Temperature-based mixture reweighting at α = 0.5: per-source
     * sampling weight w_s = √n_s / Σ_t √n_t and the per-source document
     * quota for a `budget`-sized mixed corpus — the standard

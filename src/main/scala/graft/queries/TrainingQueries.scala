@@ -510,5 +510,88 @@ object TrainingQueries {
       "Count-min sketch on md5-derived cells: d*w integer counters " +
         "whatever the corpus size, order-independent merges, estimate " +
         "never undercounts — sketch internals hash-proved, exact " +
-        "counts ride along as the overcount audit."))
+        "counts ride along as the overcount audit."),
+
+    // ---- q91: vocabulary-id encoding (input_ids) ---------------------------
+    "q91_input_ids" -> Q(
+      (s, d) => TextAnalysis.tokensToIds(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 20)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+          FROM (SELECT doc_id, $W AS w FROM documents)
+        ), vc AS (
+          SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS tid
+          FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+                ORDER BY cnt DESC, term LIMIT 20)
+        )
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN vc.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               array_to_string(list(COALESCE(vc.tid, 0) ORDER BY pos), ',') AS ids_csv
+        FROM tok LEFT JOIN vc USING (term)
+        GROUP BY tok.doc_id
+        ORDER BY tok.doc_id"""),
+      "Tokenize-to-input_ids: frequency-ranked top-20 vocabulary, OOV " +
+        "id 0, order-safe sequence reassembly — the id streams are " +
+        "hash-proved end to end."),
+
+    // ---- q92: dataloader endpoint — fixed-width training rows -------------
+    "q92_training_rows" -> Q(
+      (s, d) => TextAnalysis.packTrainingRows(Tables.documents(s, d),
+          "doc_id", "text", by = "source", vocabSize = 20,
+          budgetTokens = 500L, seqLen = 64)
+        .select(col("shard"), col("row_idx"), col("n_ids"),
+          concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+        .orderBy(col("shard"), col("row_idx")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+          FROM (SELECT doc_id, $W AS w FROM documents)
+        ), vc AS (
+          SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS tid
+          FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+                ORDER BY cnt DESC, term LIMIT 20)
+        ), ids AS (
+          SELECT tok.doc_id, list(COALESCE(vc.tid, 0) ORDER BY pos) AS ids
+          FROM tok LEFT JOIN vc USING (term) GROUP BY tok.doc_id
+        ), t AS (
+          SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens FROM documents
+        ), l AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS local_offset
+          FROM t
+        ), b AS (
+          SELECT source,
+                 CAST(COALESCE(SUM(tot) OVER (ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+          FROM (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)
+        ), p AS (
+          SELECT l.doc_id, l.local_offset + b.base AS start_offset,
+                 (l.local_offset + b.base) // 500 AS shard
+          FROM l JOIN b USING (source)
+        ), sh AS (
+          SELECT p.shard, flatten(list(ids.ids ORDER BY p.start_offset)) AS all_ids
+          FROM p JOIN ids USING (doc_id) GROUP BY p.shard
+        ), ex AS (
+          SELECT shard, all_ids,
+                 unnest(range(0, CAST(ceil(len(all_ids) / 64.0) AS BIGINT))) AS row_idx
+          FROM sh
+        ), r AS (
+          SELECT shard, row_idx,
+                 all_ids[(row_idx * 64 + 1):least((row_idx + 1) * 64, len(all_ids))] AS r
+          FROM ex
+        )
+        SELECT shard, CAST(row_idx AS INT) AS row_idx,
+               CAST(len(r) AS INT) AS n_ids,
+               array_to_string(r, ',') AS ids_csv
+        FROM r ORDER BY shard, row_idx"""),
+      "The dataloader endpoint: shard-packed documents concatenated in " +
+        "offset order and windowed into 64-id training rows — id " +
+        "encoding, packing and windowing all hash-proved; per-shard " +
+        "work bounded by the packer's token budget."))
 }

@@ -279,6 +279,42 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.toSeq == Seq(("a b", 3L, 1), ("b a", 1L, 2)))
   }
 
+  test("tokensToIds ranks vocabulary by frequency and encodes OOV as 0") {
+    val df = Seq(
+      (1L, "x y x z x y"),
+      (2L, "q x")
+    ).toDF("doc_id", "text")
+    // counts: x=4, y=2, q=1, z=1; the count-1 tie breaks alphabetically
+    // so V=3 keeps {x, y, q} -> ids x=1, y=2, q=3 and z is OOV
+    val out = TextAnalysis.tokensToIds(df, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Int](3))).toMap
+    assert(out(1L) == ((6L, 1L, Seq(1, 2, 1, 0, 1, 2))))
+    assert(out(2L) == ((2L, 0L, Seq(3, 1))))
+  }
+
+  test("packTrainingRows windows each shard's id stream losslessly") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val seqLen = 64
+    val rows = TextAnalysis.packTrainingRows(docs, "doc_id", "text",
+        by = "source", vocabSize = 20, budgetTokens = 500L, seqLen = seqLen)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Int](3)))
+    // every row is exactly seqLen ids except possibly the last of a shard
+    val byShard = rows.groupBy(_._1)
+    for ((shard, rs) <- byShard) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"shard $shard row gaps")
+      assert(sorted.init.forall(_._3 == seqLen), s"shard $shard short mid-row")
+      assert(sorted.forall(r => r._4.length == r._3))
+    }
+    // lossless: total ids across rows == total tokens across the corpus
+    val totalIds = rows.map(_._3.toLong).sum
+    val totalTokens = docs.select(
+        sum(size(graft.functions.TextFunctions.tokens(col("text")))))
+      .head.getLong(0)
+    assert(totalIds == totalTokens, s"ids $totalIds vs tokens $totalTokens")
+  }
+
   test("oovStats measures per-doc OOV against the deterministic top-V vocab") {
     val df = Seq(
       (1L, "x x x y"),
