@@ -93,7 +93,8 @@ object BenchScale {
     "q58_stratified_cap", "q61_kmeans", "q63_pack_global",
     "q72_product_quantize", "q73_pq_adc_topk", "q76_ann_autoroute",
     "q77_neardup_autoroute", "q84_merge_pairs", "q85_bloom_decontaminate",
-    "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens")
+    "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens",
+    "q91_input_ids", "q92_training_rows")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
