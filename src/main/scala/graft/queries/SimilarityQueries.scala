@@ -493,6 +493,74 @@ object SimilarityQueries {
       "JL random projection 64-d -> 16-d: md5-parity sign matrix makes " +
         "the compressed vectors hash-provable; per-row norm-ratio " +
         "audit rides along — the pre-ANN bandwidth cut for every " +
-        "downstream shuffle/broadcast at 100 TB.")
+        "downstream shuffle/broadcast at 100 TB."),
+
+    // ---- q93: composed RAG retrieval (chunk -> embed -> top-k) ------------
+    "q93_rag_retrieval" -> Q(
+      (s, d) => {
+        import graft.operators.{Similarity, TextAnalysis}
+        val chunks = TextAnalysis.chunkDocs(Tables.documents(s, d),
+            "doc_id", "text", chunkSize = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+        // content-derived stub chunk embedding (no model in the sandbox;
+        // the q60 pattern): dim j = 52-bit md5 prefix of "hash:j" / 2^52
+        def enc(h: org.apache.spark.sql.Column) = array((0 until 8).map(j =>
+          conv(substring(md5(concat(h, lit(s":$j"))), 1, 13), 16, 10)
+            .cast("double") / lit(4503599627370496.0)): _*)
+        val embedded = chunks.withColumn("emb", enc(col("h")))
+        val probes = embedded.filter(col("doc_id") < 5 && col("chunk_idx") === 0)
+          .select(col("doc_id").as("q_id"), col("emb").as("p_vec"))
+        val targets = embedded.select(
+          (col("doc_id") * 1000 + col("chunk_idx")).as("t_id"),
+          col("doc_id"), col("chunk_idx"), col("emb").as("t_vec"))
+        // exact top-k here (chunk corpus is oracle-sized); a 100 TB
+        // deployment swaps in topKAuto — same call shape
+        Similarity.topK(probes, "q_id", "p_vec",
+            targets.select(col("t_id"), col("t_vec")), "t_id", "t_vec", k = 3)
+          .join(targets.select(col("t_id"), col("doc_id"), col("chunk_idx")), "t_id")
+          .select(col("q_id"), col("doc_id"), col("chunk_idx"), col("sim"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) <= 32 THEN 1
+                      ELSE (len(w) - 32 + 24 - 1) // 24 + 1 END AS nc
+          FROM w
+        ), ex AS (
+          SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c
+        ), ch AS (
+          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                 md5(array_to_string(w[(i*24+1):least(i*24+32, len(w))], ' ')) AS h
+          FROM ex
+        ), emb AS (
+          SELECT doc_id, chunk_idx,
+                 list_transform(range(0, 8), j ->
+                   CAST(concat('0x', substr(md5(h || ':' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+                     / 4503599627370496.0) AS e
+          FROM ch
+        ), p AS (
+          SELECT doc_id AS q_id, e AS pv FROM emb WHERE doc_id < 5 AND chunk_idx = 0
+        ), t AS (
+          SELECT doc_id * 1000 + chunk_idx AS t_id, doc_id, chunk_idx, e AS tv FROM emb
+        ), sims AS (
+          SELECT p.q_id, t.t_id, t.doc_id, t.chunk_idx,
+                 round(list_inner_product(p.pv, t.tv) /
+                   (sqrt(list_inner_product(p.pv, p.pv)) *
+                    sqrt(list_inner_product(t.tv, t.tv))), 6) AS sim
+          FROM p CROSS JOIN t
+        ), ranked AS (
+          SELECT q_id, doc_id, chunk_idx, sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rank
+          FROM sims
+        )
+        SELECT q_id, doc_id, chunk_idx, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY q_id, rank"""),
+      "Composed retrieval pipeline: stride-chunk the corpus, embed " +
+        "each chunk (content-derived stub — the model slot at 100 TB), " +
+        "top-3 chunks per query with (doc, chunk) provenance — " +
+        "chunking, embedding and ranking hash-proved end to end.")
   )
 }

@@ -87,6 +87,17 @@ class QueriesSpec extends SparkSuite {
     assert(saturated > 0, "a saturated filter must show false positives")
   }
 
+  test("q93 RAG retrieval: every query's rank-1 chunk is an exact content match") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q93_rag_retrieval")(spark, sf("0.001"))
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 5, "five probe queries, one rank-1 each")
+    // the probe IS a corpus chunk and embeddings are content-derived,
+    // so the best hit must be an exact-content chunk (sim 1.0) — not
+    // necessarily the same doc if another doc duplicates the text
+    assert(out.forall(_.getAs[Double]("sim") == 1.0))
+  }
+
   test("count-min sketch never undercounts and is exact with a roomy table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
