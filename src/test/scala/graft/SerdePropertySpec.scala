@@ -46,4 +46,64 @@ class SerdePropertySpec extends SparkSuite {
       assert(back == expect, s"round-trip mismatch for seed $seed")
     }
   }
+
+  // random word-sequence documents for the text-expression properties
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield words.mkString(" ")
+
+  private def sampleDocs(seed: Long, n: Int): List[String] =
+    Gen.listOfN(n, docGen).apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+  test("property: Bloom decontamination never misses an exact hit") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1L to 5L) {
+      val docs = sampleDocs(seed, 24).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      // benchmark = every third doc; tiny filter to force collisions
+      val bench = df.filter(col("doc_id") % 3 === 0)
+      val out = graft.operators.Sketches.bloomDecontaminate(
+          df, bench, "doc_id", "text", n = 2, mBits = 64, kHashes = 2)
+        .collect()
+      assert(out.nonEmpty)
+      for (r <- out) {
+        val (nSh, nBloom, nExact) = (r.getInt(1), r.getInt(2), r.getLong(3))
+        assert(nBloom >= nExact, s"seed $seed doc ${r.getLong(0)}: false negative")
+        assert(nBloom <= nSh)
+      }
+      // benchmark members probe their own shingles: all must hit
+      val benchIds = docs.filter(_._1 % 3 == 0).map(_._1).toSet
+      for (r <- out if benchIds(r.getLong(0)))
+        assert(r.getInt(2) == r.getInt(1),
+          s"seed $seed: benchmark doc ${r.getLong(0)} missed its own shingle")
+    }
+  }
+
+  test("property: chunk_words covers every word exactly per the stride") {
+    import org.apache.spark.sql.functions.{col, call_function, lit}
+    graft.plans.TextExpressions.register(spark)
+    for (seed <- 1L to 5L) {
+      val docs = sampleDocs(seed, 16).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val chunks = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          call_function("chunk_words", col("text"), lit(7), lit(4)).as("cs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      for ((id, text) <- docs) {
+        val words = text.split(" ", -1)
+        val cs = chunks(id)
+        // reconstruction: chunk i starts at i*stride; overlaps agree and
+        // the concatenation of stride-prefixes + final tail = the doc
+        val rebuilt = cs.zipWithIndex.flatMap { case (c, i) =>
+          val cw = c.split(" ", -1)
+          if (i == cs.length - 1) cw else cw.take(4)
+        }
+        assert(rebuilt.toSeq == words.toSeq, s"seed $seed doc $id coverage broke")
+        assert(cs.init.forall(_.split(" ", -1).length == 7),
+          s"seed $seed doc $id mid-chunk not full width")
+      }
+    }
+  }
 }
