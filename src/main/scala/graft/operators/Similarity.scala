@@ -447,7 +447,11 @@ object Similarity {
       if (k > 0) k
       else {
         val n = vecs.count()
-        math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+        require(n > 0, "semDedup: empty input")
+        // bounded by n: kMeans requires at least k vectors, so a tiny
+        // corpus must not be pushed up to the 8-cell floor
+        math.min(n, math.max(8, math.min(4096,
+          math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
       }
     val model = kMeans(vecs, id, vec, cells, iters)
     val matrix = typedlit(

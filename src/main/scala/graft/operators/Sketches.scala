@@ -75,23 +75,6 @@ object Sketches {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
-  /** Portable count-min sketch for value frequencies — the heavy-hitter
-    * companion to [[hllDistinct]]/[[histogramQuantiles]], built the same
-    * engine-portable way: `d` hash rows of `w` counters, positions from
-    * the md5 32-bit halves Kirsch–Mitzenmacher-expanded (pos_i =
-    * (h1 + i·h2) mod w), estimate = min over the d cells. Counter
-    * updates are integer sums — associative and order-independent — so
-    * the whole sketch is deterministic under any partitioning and
-    * hash-matches a SQL recomputation.
-    *
-    * At 100 TB the shuffle after map-side combine carries at most d·w
-    * counter keys whatever the input size — the sketch is the fixed-
-    * memory stand-in for a full frequency table. The exact counts ride
-    * along as the audit (overcount = estimate − exact is >= 0 ALWAYS:
-    * a count-min estimate never undercounts).
-    *
-    * Output: (value, cms_estimate, exact_cnt, overcount) per distinct
-    * value. */
   /** The d count-min cell positions of a value (md5 halves, pos_i =
     * (h1 + i·h2) mod w) — exposed so a STREAMING sketch is just
     * `posexplode(cmsPositions(...)) → groupBy(row, pos) → count` in
@@ -106,6 +89,22 @@ object Sketches {
     array((0 until d).map(i => ((h1 + lit(i) * h2) % w).cast("int")): _*)
   }
 
+  /** Portable count-min sketch for value frequencies — the heavy-hitter
+    * companion to [[hllDistinct]]/[[histogramQuantiles]], built the same
+    * engine-portable way: `d` hash rows of `w` counters, positions from
+    * [[cmsPositions]], estimate = min over the d cells. Counter
+    * updates are integer sums — associative and order-independent — so
+    * the whole sketch is deterministic under any partitioning and
+    * hash-matches a SQL recomputation.
+    *
+    * At 100 TB the shuffle after map-side combine carries at most d·w
+    * counter keys whatever the input size — the sketch is the fixed-
+    * memory stand-in for a full frequency table. The exact counts ride
+    * along as the audit (overcount = estimate − exact is >= 0 ALWAYS:
+    * a count-min estimate never undercounts).
+    *
+    * Output: (value, cms_estimate, exact_cnt, overcount) per distinct
+    * value. */
   def countMinFrequencies(df: DataFrame, value: String,
       w: Int = 1024, d: Int = 4): DataFrame = {
     def positions(c: Column): Column = cmsPositions(c, w, d)

@@ -279,13 +279,25 @@ object TextAnalysis {
     * Output: (id, by, n_tokens, start_offset, shard). */
   def packShardsGlobal(docs: DataFrame, id: String, text: String,
       by: String, budgetTokens: Long): DataFrame = {
-    require(budgetTokens > 0, "budgetTokens must be positive")
-    import org.apache.spark.sql.expressions.Window
     // localCheckpoint: (id, by, n_tokens) feeds both the window arm and
     // the base-offset aggregate — materializing ~24 bytes/doc beats
     // tokenizing the corpus twice (same pattern as dupShingleCoverage)
     val t = docs.select(col(id), col(by), size(tokens(col(text))).cast("long").as("n_tokens"))
       .localCheckpoint()
+    packOffsetsFromCounts(t, id, by, budgetTokens)
+  }
+
+  /** The packing half of [[packShardsGlobal]] over a PRECOMPUTED
+    * (id, by, n_tokens) relation — exposed so callers that already
+    * tokenized (e.g. [[packTrainingRows]], whose id encoding knows every
+    * document's token count) don't split the corpus a second time. The
+    * input should be materialized when it feeds other arms too (both
+    * window arms here re-scan it). Same two-level distributed prefix
+    * sum, same output contract as [[packShardsGlobal]]. */
+  def packOffsetsFromCounts(t: DataFrame, id: String,
+      by: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(by)).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = t.withColumn("local_offset", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
@@ -508,10 +520,19 @@ object TextAnalysis {
   def packTrainingRows(docs: DataFrame, id: String, text: String,
       by: String, vocabSize: Int, budgetTokens: Long, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val ids = tokensToIds(docs, id, text, vocabSize).select(col(id), col("ids"))
-    val packed = packShardsGlobal(docs, id, text, by, budgetTokens)
+    // ONE tokenization end to end: the id encoding already counts every
+    // document's tokens, so the packer consumes those counts instead of
+    // re-splitting the corpus; the encoded relation feeds both the
+    // counts arm and the shard join, hence the one materialization
+    val ids = tokensToIds(docs, id, text, vocabSize)
+      .select(col(id), col("n_tokens"), col("ids"))
+      .localCheckpoint()
+    val counts = ids.select(col(id), col("n_tokens"))
+      .join(docs.select(col(id), col(by)), Seq(id))
+      .select(col(id), col(by), col("n_tokens"))
+    val packed = packOffsetsFromCounts(counts, id, by, budgetTokens)
       .select(col(id), col("start_offset"), col("shard"))
-    val perShard = packed.join(ids, Seq(id))
+    val perShard = packed.join(ids.select(col(id), col("ids")), Seq(id))
       .groupBy(col("shard"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("start_offset"), col("ids")))),

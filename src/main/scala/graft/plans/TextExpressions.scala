@@ -226,6 +226,31 @@ case class MinhashMd5(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Shared distinct-shingle iteration for the Bloom expressions: split on
+  * single spaces, roll the n-word window, visit each DISTINCT shingle in
+  * first-occurrence order (the [[ShingleStrings]] contract — docs
+  * shorter than n words visit nothing). One definition so the
+  * shingle-boundary semantics can't diverge between the build and probe
+  * halves of the filter. */
+private[plans] object ShingleIter {
+  private val space = UTF8String.fromString(" ")
+
+  def foreachDistinct(input: UTF8String, n: Int)(f: UTF8String => Unit): Unit = {
+    val words = input.split(space, -1)
+    val m = words.length
+    if (m < n) return
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(words, i, parts, 0, n)
+      val shingle = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(shingle)) f(shingle)
+      i += 1
+    }
+  }
+}
+
 /** Bloom-filter bit positions of a document's distinct n-word shingles —
   * the BUILD side of the portable Bloom decontaminator
   * ([[graft.operators.Sketches.bloomDecontaminate]]). One md5 per
@@ -242,28 +267,14 @@ case class BloomPositions(child: Expression, n: Int, mBits: Int, kHashes: Int)
   override def prettyName: String = "bloom_positions"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val space = UTF8String.fromString(" ")
-
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].split(space, -1)
-    val m = words.length
-    val seen = new java.util.HashSet[UTF8String]()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    if (m >= n) {
-      var i = 0
-      while (i <= m - n) {
-        val parts = new Array[UTF8String](n)
-        System.arraycopy(words, i, parts, 0, n)
-        val shingle = UTF8String.concatWs(space, parts: _*)
-        if (seen.add(shingle)) {
-          val d = Md5Halves.digest(shingle)
-          val h1 = Md5Halves.h32(d, 0)
-          val h2 = Md5Halves.h32(d, 4)
-          var j = 0
-          while (j < kHashes) { out.add((h1 + j * h2) % mBits); j += 1 }
-        }
-        i += 1
-      }
+    ShingleIter.foreachDistinct(input.asInstanceOf[UTF8String], n) { shingle =>
+      val d = Md5Halves.digest(shingle)
+      val h1 = Md5Halves.h32(d, 0)
+      val h2 = Md5Halves.h32(d, 4)
+      var j = 0
+      while (j < kHashes) { out.add((h1 + j * h2) % mBits); j += 1 }
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
@@ -294,37 +305,26 @@ case class BloomShingleHits(child: Expression, n: Int, kHashes: Int,
     StructField("n_sh", IntegerType, nullable = false),
     StructField("n_hits", IntegerType, nullable = false)))
 
-  private val space = UTF8String.fromString(" ")
   private val mBits = bits.length
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].split(space, -1)
-    val m = words.length
-    val seen = new java.util.HashSet[UTF8String]()
+    var nSh = 0
     var nHits = 0
-    if (m >= n) {
-      var i = 0
-      while (i <= m - n) {
-        val parts = new Array[UTF8String](n)
-        System.arraycopy(words, i, parts, 0, n)
-        val shingle = UTF8String.concatWs(space, parts: _*)
-        if (seen.add(shingle)) {
-          val d = Md5Halves.digest(shingle)
-          val h1 = Md5Halves.h32(d, 0)
-          val h2 = Md5Halves.h32(d, 4)
-          var j = 0
-          var all = true
-          while (all && j < kHashes) {
-            all = bits(((h1 + j * h2) % mBits).toInt)
-            j += 1
-          }
-          if (all) nHits += 1
-        }
-        i += 1
+    ShingleIter.foreachDistinct(input.asInstanceOf[UTF8String], n) { shingle =>
+      nSh += 1
+      val d = Md5Halves.digest(shingle)
+      val h1 = Md5Halves.h32(d, 0)
+      val h2 = Md5Halves.h32(d, 4)
+      var j = 0
+      var all = true
+      while (all && j < kHashes) {
+        all = bits(((h1 + j * h2) % mBits).toInt)
+        j += 1
       }
+      if (all) nHits += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](seen.size, nHits))
+      Array[Any](nSh, nHits))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -114,6 +114,19 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** md5-parity ±1 sign shared by [[LshBuckets]] and [[RpProject]]: even
+  * parity of the first hex digit of md5(key) → +1.0, else −1.0. One
+  * definition so the two sign matrices (and the SQL oracles that
+  * recompute them from the hex string) cannot silently diverge. */
+private[plans] object Md5Sign {
+  def apply(key: String): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first hex digit = high nibble of byte 0; even parity → +1
+    if ((((digest(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
+  }
+}
+
 /** Random-hyperplane LSH bucket keys for cosine similarity, all hash
   * tables in one pass: bucket[t] = nBits sign bits of projections onto
   * pseudo-random ±1 hyperplanes. Hyperplane signs are derived from the
@@ -140,12 +153,7 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
 
   private def signs(dim: Int): Array[Array[Array[Double]]] =
     signCache.computeIfAbsent(dim, d => {
-      Array.tabulate(nTables, nBits, d) { (t, i, j) =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$seed:$t:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first hex digit = high nibble of byte 0; even parity → +1
-        if ((((digest(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
-      }
+      Array.tabulate(nTables, nBits, d) { (t, i, j) => Md5Sign(s"$seed:$t:$i:$j") }
     })
 
   override def nullSafeEval(input: Any): Any = {
@@ -201,11 +209,7 @@ case class RpProject(child: Expression, dOut: Int, seed: Long)
 
   private def signs(dim: Int): Array[Array[Double]] =
     signCache.computeIfAbsent(dim, d => {
-      Array.tabulate(dOut, d) { (i, j) =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if ((((digest(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
-      }
+      Array.tabulate(dOut, d) { (i, j) => Md5Sign(s"$seed:$i:$j") }
     })
 
   override def nullSafeEval(input: Any): Any = {

@@ -511,7 +511,9 @@ object SimilarityQueries {
         val probes = embedded.filter(col("doc_id") < 5 && col("chunk_idx") === 0)
           .select(col("doc_id").as("q_id"), col("emb").as("p_vec"))
         val targets = embedded.select(
-          (col("doc_id") * 1000 + col("chunk_idx")).as("t_id"),
+          // 1e6 chunk space per doc: stride-24 chunks collide only past
+          // a 24M-word document (1000 would collide at 24k words)
+          (col("doc_id") * 1000000L + col("chunk_idx")).as("t_id"),
           col("doc_id"), col("chunk_idx"), col("emb").as("t_vec"))
         // exact top-k here (chunk corpus is oracle-sized); a 100 TB
         // deployment swaps in topKAuto — same call shape
@@ -543,7 +545,7 @@ object SimilarityQueries {
         ), p AS (
           SELECT doc_id AS q_id, e AS pv FROM emb WHERE doc_id < 5 AND chunk_idx = 0
         ), t AS (
-          SELECT doc_id * 1000 + chunk_idx AS t_id, doc_id, chunk_idx, e AS tv FROM emb
+          SELECT doc_id * 1000000 + chunk_idx AS t_id, doc_id, chunk_idx, e AS tv FROM emb
         ), sims AS (
           SELECT p.q_id, t.t_id, t.doc_id, t.chunk_idx,
                  round(list_inner_product(p.pv, t.tv) /
