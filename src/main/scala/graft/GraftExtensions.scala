@@ -66,11 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("bloom_hits"),
       info("bloom_hits", "bloom_hits(text, n, kHashes, bits) - shingle count + Bloom-hit count vs a bit array"),
-      (exprs: Seq[Expression]) => BloomShingleHits(exprs(0),
+      (exprs: Seq[Expression]) => BloomShingleHits(exprs(0), exprs(3),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toBooleanArray())))
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("rp_project"),
       info("rp_project", "rp_project(vec, dOut, seed) - Johnson-Lindenstrauss md5-sign projection"),

@@ -106,19 +106,35 @@ object Sketches {
     * Output: (value, cms_estimate, exact_cnt, overcount) per distinct
     * value. */
   def countMinFrequencies(df: DataFrame, value: String,
-      w: Int = 1024, d: Int = 4): DataFrame = {
+      w: Int = 1024, d: Int = 4, audit: Boolean = true): DataFrame = {
     def positions(c: Column): Column = cmsPositions(c, w, d)
-    val counters = df
+    // ONE materialization feeds both arms (counters build + probe):
+    // without it each arm re-runs the full upstream lineage — the
+    // repo's dual-arm localCheckpoint convention (sourceOverlap,
+    // packShardsGlobal). The materialized relation is the projected
+    // value column only.
+    val vals = df.select(col(value)).localCheckpoint()
+    val counters = vals
       .select(posexplode(positions(col(value))).as(Seq("row", "pos")))
       .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("c"))
+    // audit = true (the QA/oracle form): exact counts ride along with
+    // the overcount audit. audit = false (the production-scale form):
+    // the exact-count arm is skipped entirely — the sketch then costs
+    // one bounded d×w counter shuffle plus a distinct over the probe
+    // values, and output is (value, cms_estimate) only.
+    val probe =
+      if (audit) vals.groupBy(col(value).as("v")).agg(count(lit(1)).as("exact_cnt"))
+      else vals.select(col(value).as("v")).distinct()
+    val carried = probe.columns.map(col).toSeq
     // d x w rows by construction — broadcast is safe at any input size
-    df.groupBy(col(value).as("v")).agg(count(lit(1)).as("exact_cnt"))
-      .select(col("v"), col("exact_cnt"),
-        posexplode(positions(col("v"))).as(Seq("row", "pos")))
+    val est = probe
+      .select(carried :+ posexplode(positions(col("v"))).as(Seq("row", "pos")): _*)
       .join(broadcast(counters), Seq("row", "pos"))
-      .groupBy(col("v"), col("exact_cnt")).agg(min(col("c")).as("cms_estimate"))
-      .select(col("v").as(value), col("cms_estimate"), col("exact_cnt"),
+      .groupBy(carried: _*).agg(min(col("c")).as("cms_estimate"))
+    if (audit)
+      est.select(col("v").as(value), col("cms_estimate"), col("exact_cnt"),
         (col("cms_estimate") - col("exact_cnt")).as("overcount"))
+    else est.select(col("v").as(value), col("cms_estimate"))
   }
 
   /** Bloom-filter benchmark decontamination — the sketch-backed, at-scale
@@ -142,9 +158,17 @@ object Sketches {
     * their difference, making the sketch self-auditing the same way
     * [[hllDistinct]] and [[histogramQuantiles]] are.
     *
-    * Output: (id, n_sh, n_bloom, n_exact, n_false_pos) per corpus doc. */
+    * `audit = true` (the QA/oracle form, q85) reruns the exact
+    * equi-join alongside; `audit = false` is the PRODUCTION form: the
+    * corpus side stays a pure projection — zero corpus shuffles, which
+    * is the documented benefit the audited form gives back by paying
+    * the full corpus-sized shingle shuffle it exists to avoid.
+    *
+    * Output: (id, n_sh, n_bloom, n_exact, n_false_pos) per corpus doc
+    * when audited; (id, n_sh, n_bloom) when not. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
-      id: String, text: String, n: Int, mBits: Int, kHashes: Int): DataFrame = {
+      id: String, text: String, n: Int, mBits: Int, kHashes: Int,
+      audit: Boolean = true): DataFrame = {
     require(mBits > 0 && kHashes > 0, "mBits and kHashes must be positive")
     graft.plans.TextExpressions.register(corpus.sparkSession)
     val setPositions = benchmark
@@ -154,14 +178,16 @@ object Sketches {
     val bits = new Array[Boolean](mBits)
     setPositions.foreach(bits(_) = true)
     val probed = corpus.select(col(id),
-      call_function("bloom_hits", col(text), lit(n), lit(kHashes),
-        typedlit(bits.toSeq)).as("bh"))
-    val exact = TextAnalysis.decontaminate(corpus, benchmark, id, text, n)
-      .select(col(id), col("n_hits").as("n_exact"))
-    probed
+        call_function("bloom_hits", col(text), lit(n), lit(kHashes),
+          typedlit(bits.toSeq)).as("bh"))
       .select(col(id), col("bh.n_sh").as("n_sh"), col("bh.n_hits").as("n_bloom"))
-      .join(exact, Seq(id))
-      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+    if (!audit) probed
+    else {
+      val exact = TextAnalysis.decontaminate(corpus, benchmark, id, text, n)
+        .select(col(id), col("n_hits").as("n_exact"))
+      probed.join(exact, Seq(id))
+        .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+    }
   }
 
   /** Per-group histogram quantile sketch — the portable companion to

@@ -538,8 +538,13 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("start_offset"), col("ids")))),
         x => x.getField("ids"))).as("all_ids"))
     val nRows = ceil(size(col("all_ids")).cast("double") / seqLen).cast("int")
-    val slices = transform(sequence(lit(0), nRows - 1),
-      i => slice(col("all_ids"), i * seqLen + 1, lit(seqLen)))
+    // guard the nRows = 0 case: sequence(0, -1) DESCENDS and would emit
+    // two bogus empty rows. Unreachable while split(text,' ') yields >=1
+    // token per doc, but nothing in this function enforces that.
+    val slices = when(size(col("all_ids")) > 0,
+        transform(sequence(lit(0), nRows - 1),
+          i => slice(col("all_ids"), i * seqLen + 1, lit(seqLen))))
+      .otherwise(typedlit(Seq.empty[Seq[Int]]))
     perShard
       .select(col("shard"), posexplode(slices).as(Seq("row_idx", "r")))
       .select(col("shard"), col("row_idx"), size(col("r")).as("n_ids"),

@@ -293,21 +293,39 @@ case class BloomPositions(child: Expression, n: Int, mBits: Int, kHashes: Int)
   * position derivation as [[BloomPositions]]; a shingle "hits" iff all
   * `kHashes` of its bits are set. One pass per document, one md5 per
   * distinct shingle, zero shuffle — the whole corpus-side
-  * decontamination scan is a projection. Returns
-  * struct<n_sh:int, n_hits:int> (distinct shingles, Bloom hits). */
-case class BloomShingleHits(child: Expression, n: Int, kHashes: Int,
-    bits: Array[Boolean])
-    extends UnaryExpression with CodegenFallback {
-  require(n > 0 && kHashes > 0 && bits.nonEmpty,
-    "bloom_hits: n, kHashes must be positive and bits non-empty")
+  * decontamination scan is a projection.
+  *
+  * The filter rides as a FOLDABLE array<boolean> Literal child (the
+  * adc_score/nearest_cell model-shipping pattern), not a constructor
+  * array: case-class equality on a raw Array is reference equality,
+  * which would stop semantically identical probes from canonicalizing,
+  * and the array would Java-serialize into every task's expression
+  * tree instead of living in the literal. The child is evaluated once
+  * per executor, lazily, and never per row.
+  *
+  * Returns struct<n_sh:int, n_hits:int> (distinct shingles, Bloom
+  * hits). */
+case class BloomShingleHits(left: Expression, right: Expression,
+    n: Int, kHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(n > 0 && kHashes > 0, "bloom_hits: n, kHashes must be positive")
   override def prettyName: String = "bloom_hits"
   override def dataType: DataType = StructType(Seq(
     StructField("n_sh", IntegerType, nullable = false),
     StructField("n_hits", IntegerType, nullable = false)))
 
-  private val mBits = bits.length
+  @transient private lazy val bits: Array[Boolean] = {
+    require(right.foldable, "bloom_hits: the bit array must be foldable")
+    val arr = right.eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toBooleanArray()
+    require(arr.nonEmpty, "bloom_hits: bits must be non-empty")
+    arr
+  }
+  @transient private lazy val mBits = bits.length
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any, bitsValue: Any): Any = {
     var nSh = 0
     var nHits = 0
     ShingleIter.foreachDistinct(input.asInstanceOf[UTF8String], n) { shingle =>
@@ -327,8 +345,9 @@ case class BloomShingleHits(child: Expression, n: Int, kHashes: Int,
       Array[Any](nSh, nHits))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Fixed-size word-window chunking with stride — the training-data op
@@ -393,11 +412,12 @@ object TextExpressions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_hits",
-      exprs => BloomShingleHits(exprs(0),
+      // the bit array stays an UNEVALUATED foldable child — see
+      // BloomShingleHits scaladoc for why it must not be a constructor
+      // array
+      exprs => BloomShingleHits(exprs(0), exprs(3),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toBooleanArray()),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")

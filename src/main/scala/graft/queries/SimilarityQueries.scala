@@ -34,6 +34,41 @@ object SimilarityQueries {
       .select(col("vec_id").as("t_id"), col("emb").as("t_emb"), col("label").as("t_label"))
   }
 
+  /** The composed RAG pipeline behind q93: stride-chunk the corpus,
+    * embed each chunk (content-derived stub — the model slot), top-3
+    * chunks per query with (doc, chunk) provenance. Scoring goes
+    * through [[Similarity.topKAuto]] — the size-routed entry — so the
+    * SAME registered path that the oracle checks at sf0.01 (below the
+    * cap → exact) routes to the kMeans-quantized IVF equi-join past
+    * `exactLimit` instead of refusing; the plan pin in PlanSpec forces
+    * the scale path by shrinking the cap. */
+  private[graft] def ragRetrieval(s: SparkSession, d: String,
+      exactLimit: Long = Similarity.DefaultExactLimit): DataFrame = {
+    import graft.operators.TextAnalysis
+    val chunks = TextAnalysis.chunkDocs(Tables.documents(s, d),
+        "doc_id", "text", chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+    // content-derived stub chunk embedding (no model in the sandbox;
+    // the q60 pattern): dim j = 52-bit md5 prefix of "hash:j" / 2^52
+    def enc(h: org.apache.spark.sql.Column) = array((0 until 8).map(j =>
+      conv(substring(md5(concat(h, lit(s":$j"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0)): _*)
+    val embedded = chunks.withColumn("emb", enc(col("h")))
+    val probes = embedded.filter(col("doc_id") < 5 && col("chunk_idx") === 0)
+      .select(col("doc_id").as("q_id"), col("emb").as("p_vec"))
+    val targets = embedded.select(
+      // 1e6 chunk space per doc: stride-24 chunks collide only past
+      // a 24M-word document (1000 would collide at 24k words)
+      (col("doc_id") * 1000000L + col("chunk_idx")).as("t_id"),
+      col("doc_id"), col("chunk_idx"), col("emb").as("t_vec"))
+    Similarity.topKAuto(probes, "q_id", "p_vec",
+        targets.select(col("t_id"), col("t_vec")), "t_id", "t_vec", k = 3,
+        exactLimit = exactLimit)
+      .join(targets.select(col("t_id"), col("doc_id"), col("chunk_idx")), "t_id")
+      .select(col("q_id"), col("doc_id"), col("chunk_idx"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private val SqlEmb =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings"
   private val SqlEmbBare =
@@ -497,32 +532,7 @@ object SimilarityQueries {
 
     // ---- q93: composed RAG retrieval (chunk -> embed -> top-k) ------------
     "q93_rag_retrieval" -> Q(
-      (s, d) => {
-        import graft.operators.{Similarity, TextAnalysis}
-        val chunks = TextAnalysis.chunkDocs(Tables.documents(s, d),
-            "doc_id", "text", chunkSize = 32, stride = 24)
-          .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
-        // content-derived stub chunk embedding (no model in the sandbox;
-        // the q60 pattern): dim j = 52-bit md5 prefix of "hash:j" / 2^52
-        def enc(h: org.apache.spark.sql.Column) = array((0 until 8).map(j =>
-          conv(substring(md5(concat(h, lit(s":$j"))), 1, 13), 16, 10)
-            .cast("double") / lit(4503599627370496.0)): _*)
-        val embedded = chunks.withColumn("emb", enc(col("h")))
-        val probes = embedded.filter(col("doc_id") < 5 && col("chunk_idx") === 0)
-          .select(col("doc_id").as("q_id"), col("emb").as("p_vec"))
-        val targets = embedded.select(
-          // 1e6 chunk space per doc: stride-24 chunks collide only past
-          // a 24M-word document (1000 would collide at 24k words)
-          (col("doc_id") * 1000000L + col("chunk_idx")).as("t_id"),
-          col("doc_id"), col("chunk_idx"), col("emb").as("t_vec"))
-        // exact top-k here (chunk corpus is oracle-sized); a 100 TB
-        // deployment swaps in topKAuto — same call shape
-        Similarity.topK(probes, "q_id", "p_vec",
-            targets.select(col("t_id"), col("t_vec")), "t_id", "t_vec", k = 3)
-          .join(targets.select(col("t_id"), col("doc_id"), col("chunk_idx")), "t_id")
-          .select(col("q_id"), col("doc_id"), col("chunk_idx"), col("sim"), col("rank"))
-          .orderBy(col("q_id"), col("rank"))
-      },
+      (s, d) => ragRetrieval(s, d),
       Some("""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         c AS (
@@ -563,6 +573,8 @@ object SimilarityQueries {
       "Composed retrieval pipeline: stride-chunk the corpus, embed " +
         "each chunk (content-derived stub — the model slot at 100 TB), " +
         "top-3 chunks per query with (doc, chunk) provenance — " +
-        "chunking, embedding and ranking hash-proved end to end.")
+        "chunking, embedding and ranking hash-proved end to end; " +
+        "scoring is size-routed (topKAuto), so past the cap it plans " +
+        "the IVF equi-join instead of refusing.")
   )
 }

@@ -41,7 +41,11 @@ object TrainingQueries {
         ), tr AS (
           SELECT doc_id, unnest($Shingles3) AS sh FROM d WHERE bucket < 97
         ), sizes AS (
-          SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id
+          -- sizes come from the DOCUMENT relation, not the unnested
+          -- shingle stream: a doc shorter than n words has zero shingles
+          -- and would otherwise vanish from the oracle while the engine
+          -- emits it with n_sh = 0
+          SELECT doc_id, len($Shingles3) AS n_sh FROM d WHERE bucket < 97
         ), hits AS (
           SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN b USING (sh)
           GROUP BY tr.doc_id
@@ -431,7 +435,8 @@ object TrainingQueries {
           SELECT tr.doc_id, COUNT(*) AS n_exact FROM tr JOIN bsh USING (sh)
           GROUP BY tr.doc_id
         ), sizes AS (
-          SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id
+          -- per-document, covering zero-shingle docs (see q54 note)
+          SELECT doc_id, len($Shingles3) AS n_sh FROM d WHERE bucket < 97
         )
         SELECT s.doc_id, CAST(s.n_sh AS INT) AS n_sh,
                CAST(COALESCE(nb.n_bloom, 0) AS INT) AS n_bloom,

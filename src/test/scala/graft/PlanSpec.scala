@@ -102,6 +102,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q93 RAG retrieval routes to an IVF equi-join past the cap (no refusal, no cartesian)") {
+    // the registered q93 is the deployment surface: force the scale
+    // path by shrinking the routing cap below the chunk count and pin
+    // that scoring plans an equi-join on the IVF cell key — the same
+    // guarantee q76/q77 pin for the bare entry points
+    val df = graft.queries.SimilarityQueries.ragRetrieval(spark, sf("0.001"), exactLimit = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q93 scale path plans a cartesian:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q93 scale path must equi-join on the IVF cell key:\n${p.take(1500)}")
+    assert(df.count() > 0, "q93 must still execute on the routed path")
+  }
+
   test("no registered query plans a CartesianProduct under default config") {
     // registry-wide regression guard: every pair-style operator either
     // broadcasts (BroadcastNestedLoopJoin) or equi-joins; an unhinted
