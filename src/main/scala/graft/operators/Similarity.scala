@@ -122,24 +122,50 @@ object Similarity {
     * 100 TB this equi-joins on (table, bucket) and never materializes
     * the quadratic pair space. Bucket keys come from the native
     * [[graft.plans.LshBuckets]] expression (one pass, memoized sign
-    * matrix). */
+    * matrix).
+    *
+    * HOT-BUCKET GUARD: hashed vectors skew — a dense angular region
+    * (or an undersized `nBits`) concentrates a super-linear share of
+    * the pair space in a few buckets, which is exactly what the 10×
+    * slope bench measured on the fixed-width q34 before this guard.
+    * Buckets holding more than `maxBucket` vectors are therefore
+    * REFINED: their members pair only within `refineBits` additional
+    * hyperplane bits (a shifted-seed [[graft.plans.LshBuckets]] key
+    * computed once per vector), splitting a hot bucket ~2^refineBits
+    * ways. Hyperplane sub-keys — unlike a content-hash salt — keep
+    * near-duplicate pairs together with the usual angular collision
+    * probability, so the recall loss is confined to hot buckets and
+    * bounded the way the table family itself is. Buckets at or under
+    * `maxBucket` are untouched (small corpora and the sf0.01 oracle
+    * never see the guard). */
   def lshNearDup(
       vecs: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4,
-      seed: Int = 1000): DataFrame = {
+      seed: Int = 1000, maxBucket: Long = 1024, refineBits: Int = 8): DataFrame = {
     ensureRegistered(vecs)
+    require(maxBucket > 0 && refineBits > 0, "maxBucket and refineBits must be positive")
     val withKeys = vecs
       .withColumn("nrm", fastNorm(col(vec)))
       .withColumn("bks", call_function("lsh_buckets",
         col(vec), lit(nBits), lit(nTables), lit(seed)))
-    // candidate generation carries ONLY (id, bucket) — vectors rejoin
-    // later by broadcast, so the bucket join/dedup shuffles two longs
-    // per pair instead of two full embeddings
-    val bucketed = withKeys.select(col(id),
+      // one refinement key per vector, used only inside hot buckets
+      .withColumn("sub", element_at(call_function("lsh_buckets",
+        col(vec), lit(refineBits), lit(1), lit(seed + 7919)), 1))
+    // candidate generation carries ONLY (id, bucket keys) — vectors
+    // rejoin later, so the bucket join/dedup shuffles a few longs per
+    // pair instead of two full embeddings
+    val bucketed = withKeys.select(col(id), col("sub"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col(id).as("a_id"), col("tbl"), col("bucket"))
-    val b = bucketed.select(col(id).as("b_id"), col("tbl"), col("bucket"))
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    // bucket occupancy: one count aggregate on the same (tbl, bucket)
+    // key space the join uses; output is bounded by the occupied-bucket
+    // count, never the corpus
+    val sizes = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val marked = bucketed.join(sizes, Seq("tbl", "bucket"))
+      .withColumn("k2", when(col("bsz") > maxBucket, col("sub")).otherwise(lit(0L)))
+    val a = marked.select(col(id).as("a_id"), col("tbl"), col("bucket"), col("k2"))
+    val b = marked.select(col(id).as("b_id"), col("tbl"), col("bucket"), col("k2"))
+    val cand = a.join(b, Seq("tbl", "bucket", "k2"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     // rejoin by plain equi-join: the planner broadcasts the vector side
@@ -431,18 +457,41 @@ object Similarity {
     * SQL-oracle-checkable.
     *
     * `k = 0` (the default) sizes the clustering from the measured
-    * corpus — √n cells clamped to [8, 4096], the same rationale as
-    * [[topKAuto]]: a FIXED k leaves expected cell size (and therefore
-    * the in-cell pair count per vector) growing linearly with the
-    * corpus, which is exactly the quadratic creep this operator exists
-    * to avoid. Callers pin k explicitly only when an external oracle
-    * needs a reproducible model.
+    * corpus as a BUDGET: k = n / `targetCellSize`, clamped to
+    * [8, 65536] (and to n — kMeans needs k vectors). Budget-driven k
+    * keeps the EXPECTED per-cell pair work constant as the corpus
+    * grows — the √n rule this replaces froze k at its cap past
+    * n ≈ 16.7M docs, after which mean cell size (and the in-cell pair
+    * search) grew linearly again, exactly the quadratic creep this
+    * operator exists to avoid. The upper clamp only bounds the
+    * driver-held model (65536 × d doubles) and the per-row nearest_cell
+    * scan; cells past that point are caught by the size guard below.
+    * Callers pin k explicitly only when an external oracle needs a
+    * reproducible model.
+    *
+    * HOT-CELL GUARD: real embedding clusters are skewed — one dense
+    * cell can concentrate the whole pair search in one task long before
+    * the average creeps. Cells with more than `guardCellSize` members
+    * therefore pair only WITHIN md5-parity LSH sub-buckets
+    * (`guardBits` hyperplane bits × `guardTables` tables, the
+    * [[lshNearDup]] machinery), bounding any cell's pair work to its
+    * bucket sizes instead of its square. The price is in-cell recall in
+    * hot cells, bounded below by the hyperplane collision probability
+    * (1 − θ/π)^guardBits per table — near 1 for the high thresholds
+    * (≥ 0.9) semantic dedup runs at, and exactly 1 for identical
+    * vectors, which share every bucket. Cells at or under the guard are
+    * paired exhaustively, so small-scale runs (and the sf0.01 oracle)
+    * never see the guard.
     *
     * Output: (id, cell, keep) for EVERY input vector; keep = false
     * marks the dropped junior duplicates. */
   def semDedup(vecs: DataFrame, id: String, vec: String,
-      threshold: Double, k: Int = 0, iters: Int = 2): DataFrame = {
+      threshold: Double, k: Int = 0, iters: Int = 2,
+      targetCellSize: Long = 256, guardCellSize: Long = 1024,
+      guardBits: Int = 6, guardTables: Int = 8, guardSeed: Int = 4000): DataFrame = {
     ensureRegistered(vecs)
+    require(targetCellSize > 0 && guardCellSize > 0,
+      "semDedup: cell budgets must be positive")
     val cells =
       if (k > 0) k
       else {
@@ -450,26 +499,60 @@ object Similarity {
         require(n > 0, "semDedup: empty input")
         // bounded by n: kMeans requires at least k vectors, so a tiny
         // corpus must not be pushed up to the 8-cell floor
-        math.min(n, math.max(8, math.min(4096,
-          math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
+        math.min(n, math.max(8, math.min(65536L,
+          math.ceil(n.toDouble / targetCellSize).toLong))).toInt
       }
     val model = kMeans(vecs, id, vec, cells, iters)
     val matrix = typedlit(
       model.orderBy(col("cell")).collect().map(_.getSeq[Double](2)).toSeq)
     val assigned = vecs.select(col(id), col(vec),
       call_function("nearest_cell", col(vec), matrix).as("cell"))
-    val withNorm = assigned.withColumn("nrm", fastNorm(col(vec)))
-    val a = withNorm.select(col("cell"), col(id).as("a_id"),
-      col(vec).as("a_vec"), col("nrm").as("a_nrm"))
-    val b = withNorm.select(col("cell"), col(id).as("b_id"),
-      col(vec).as("b_vec"), col("nrm").as("b_nrm"))
-    val dropped = a.join(b, Seq("cell"))
+    val dropped = semDedupDropped(assigned, id, vec, threshold,
+      guardCellSize, guardBits, guardTables, guardSeed)
+    assigned.join(dropped, col(id) === col("b_id"), "left")
+      .select(col(id), col("cell"), col("b_id").isNull.as("keep"))
+  }
+
+  /** The pruning half of [[semDedup]] over a pre-assigned (id, vec,
+    * cell) relation: distinct junior ids (`b_id`) that have a senior
+    * in-cell near-duplicate. Exposed so tests can count candidate
+    * pairs under the hot-cell guard. */
+  private[graft] def semDedupDropped(assigned: DataFrame, id: String,
+      vec: String, threshold: Double, guardCellSize: Long,
+      guardBits: Int, guardTables: Int, guardSeed: Int): DataFrame = {
+    val keyed = semDedupKeyed(assigned, id, vec,
+      guardCellSize, guardBits, guardTables, guardSeed)
+    val a = keyed.select(col("cell"), col("tbl"), col("bucket"),
+      col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = keyed.select(col("cell"), col("tbl"), col("bucket"),
+      col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("cell", "tbl", "bucket"))
       .filter(col("a_id") < col("b_id") &&
         cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm"))
           >= threshold)
       .select(col("b_id")).distinct()
-    assigned.join(dropped, col(id) === col("b_id"), "left")
-      .select(col(id), col("cell"), col("b_id").isNull.as("keep"))
+  }
+
+  /** Pairing keys for [[semDedupDropped]]: one (cell, -1, 0) row per
+    * vector in cells at or under `guardCellSize` (exhaustive in-cell
+    * pairing), `guardTables` (cell, tbl, lsh-bucket) rows per vector in
+    * oversized cells. Cell sizes come from a k-row aggregate joined
+    * back by broadcast. */
+  private[graft] def semDedupKeyed(assigned: DataFrame, id: String, vec: String,
+      guardCellSize: Long, guardBits: Int, guardTables: Int,
+      guardSeed: Int): DataFrame = {
+    val withNorm = assigned.withColumn("nrm", fastNorm(col(vec)))
+    val cellSizes = withNorm.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val exhaustiveKey = array(struct(lit(-1).as("tbl"), lit(0L).as("bucket")))
+    val guardKeys = transform(
+      call_function("lsh_buckets", col(vec),
+        lit(guardBits), lit(guardTables), lit(guardSeed)),
+      (bk, i) => struct(i.cast("int").as("tbl"), bk.as("bucket")))
+    withNorm.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("k2",
+        explode(when(col("csz") <= guardCellSize, exhaustiveKey).otherwise(guardKeys)))
+      .select(col("cell"), col("k2.tbl").as("tbl"), col("k2.bucket").as("bucket"),
+        col(id), col(vec), col("nrm"))
   }
 
   /** Product quantization: split each d-dim vector into `m` contiguous

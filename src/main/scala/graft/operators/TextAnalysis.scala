@@ -483,16 +483,32 @@ object TextAnalysis {
     * so no assumption about row order survives the shuffle.
     *
     * Output: (id, n_tokens, n_oov, ids array<int>). */
-  def tokensToIds(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
+  def tokensToIds(docs: DataFrame, id: String, text: String, vocabSize: Int): DataFrame =
+    tokensToIdsWithVocab(docs, id, text, vocabTopV(docs, text, vocabSize))
+
+  /** The frequency-ranked top-V vocabulary (term, tid), tid 1..V by
+    * (count desc, term) — exposed so a STREAMING encoder can train the
+    * tokenizer once on the historical corpus (standard practice) and
+    * encode every micro-batch against the exact vocabulary the batch
+    * endpoint derives. TakeOrderedAndProject cut; the rank window runs
+    * over the V survivors only. */
+  def vocabTopV(docs: DataFrame, text: String, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(id).as("doc"),
-      posexplode(tokens(col(text))).as(Seq("pos", "term")))
-    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    docs.select(explode(tokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
-      // rank window runs over the V survivors only
       .withColumn("tid", row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
       .select(col("term"), col("tid"))
+  }
+
+  /** The encode half of [[tokensToIds]] against an EXISTING (term, tid)
+    * vocabulary: AQE-broadcast left join on term, OOV id 0, order-safe
+    * sequence reassembly. */
+  def tokensToIdsWithVocab(docs: DataFrame, id: String, text: String,
+      vocab: DataFrame): DataFrame = {
+    val tok = docs.select(col(id).as("doc"),
+      posexplode(tokens(col(text))).as(Seq("pos", "term")))
     tok.join(vocab, Seq("term"), "left")
       .withColumn("tid", coalesce(col("tid"), lit(0)))
       .groupBy(col("doc"))
@@ -537,6 +553,14 @@ object TextAnalysis {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("start_offset"), col("ids")))),
         x => x.getField("ids"))).as("all_ids"))
+    sliceRows(perShard, seqLen)
+  }
+
+  /** Window a (shard, all_ids) relation into `seqLen`-id training rows —
+    * the slicing half of [[packTrainingRows]], shared with the
+    * streaming ingest so batch and incremental emission cannot
+    * diverge. The final row of a shard may be shorter. */
+  private def sliceRows(perShard: DataFrame, seqLen: Int): DataFrame = {
     val nRows = ceil(size(col("all_ids")).cast("double") / seqLen).cast("int")
     // guard the nRows = 0 case: sequence(0, -1) DESCENDS and would emit
     // two bogus empty rows. Unreachable while split(text,' ') yields >=1
@@ -550,6 +574,97 @@ object TextAnalysis {
       .select(col("shard"), col("row_idx"), size(col("r")).as("n_ids"),
         col("r").as("ids"))
   }
+
+  /** STREAMING twin of [[packTrainingRows]] — the incremental
+    * dataloader endpoint, in the [[Dedup.dedupIngest]] catalog-table
+    * style: a `foreachBatch` function that encodes each micro-batch
+    * against a FIXED vocabulary (train the tokenizer once, offline —
+    * [[vocabTopV]]), continues the global token offset from a one-row
+    * state table, appends every CLOSED shard's fixed-width rows to
+    * `rowsTable`, and carries the one open shard's id stream forward as
+    * pending state. [[trainingRowsFlush]] emits the final open shard at
+    * end of stream.
+    *
+    * Contract: documents arrive in pack order — ascending (`by`, id)
+    * across the whole stream (the same in-order contract the reorder
+    * buffer family O1 exists to establish). Under it the emitted rows
+    * are IDENTICAL to the batch [[packTrainingRows]] over the full
+    * corpus: a shard closes only when a later-shard document arrives,
+    * offsets are cumulative, and the slicing is shared code.
+    *
+    * State is bounded by construction: the pending id stream is at most
+    * one shard (budget + one document), whatever the stream length —
+    * the [[buildShards]] bound. Per-batch cost: one single-partition
+    * prefix-sum window over the BATCH (batch-sized, not corpus-sized)
+    * plus the vocab broadcast join. The two writes are not atomic;
+    * rows are written before state, so a crash between them replays
+    * the batch at-least-once into `rowsTable`, never losing rows —
+    * the same delivery stance as [[Dedup.dedupIngest]]. */
+  def trainingRowsIngest(vocab: DataFrame, id: String, text: String,
+      by: String, budgetTokens: Long, seqLen: Int,
+      rowsTable: String, stateTable: String): (DataFrame, Long) => Unit = {
+    require(budgetTokens > 0 && seqLen > 0, "budget and seqLen must be positive")
+    (batch: DataFrame, _: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val (base, pendShard, pending): (Long, Long, Seq[Int]) =
+        if (spark.catalog.tableExists(stateTable)) {
+          val r = spark.table(stateTable).head()
+          (r.getLong(0), r.getLong(1), r.getSeq[Int](2))
+        } else (0L, 0L, Seq.empty[Int])
+      val w = Window.orderBy(col(by), col(id))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // localCheckpoint: feeds the emit arm, the state arm and the
+      // token-sum — the per-batch diamond, materialized once
+      val offs = tokensToIdsWithVocab(batch, id, text, vocab)
+        .join(batch.select(col(id), col(by)), Seq(id))
+        .withColumn("start_offset",
+          lit(base) + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("start_offset") / budgetTokens))
+        .select(col("shard"), col("start_offset"), col("ids"), col("n_tokens"))
+        .localCheckpoint()
+      // the pending open shard rides as a pseudo-doc at offset -1, so
+      // it sorts first inside its shard's concat
+      val pendRel = Seq((pendShard, -1L, pending))
+        .toDF("shard", "start_offset", "ids")
+      val perShard = pendRel
+        .unionByName(offs.select(col("shard"), col("start_offset"), col("ids")))
+        .groupBy(col("shard"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("start_offset"), col("ids")))),
+          x => x.getField("ids"))).as("all_ids"))
+        .localCheckpoint()
+      val maxShard = perShard.agg(max(col("shard"))).head().getLong(0)
+      sliceRows(perShard.filter(col("shard") < maxShard && size(col("all_ids")) > 0), seqLen)
+        .write.mode("append").saveAsTable(rowsTable)
+      val open = perShard.filter(col("shard") === maxShard)
+        .select(col("all_ids")).head().getSeq[Int](0)
+      val newBase = base +
+        offs.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+      Seq((newBase, maxShard, open))
+        .toDF("next_offset", "shard", "pending")
+        .write.mode("overwrite").saveAsTable(stateTable)
+    }
+  }
+
+  /** Emit the open shard held in `stateTable` — call once at end of
+    * stream (or at any cut point where a partial final row is
+    * acceptable, exactly like the batch endpoint's final row). */
+  def trainingRowsFlush(spark: org.apache.spark.sql.SparkSession,
+      rowsTable: String, stateTable: String, seqLen: Int): Unit =
+    if (spark.catalog.tableExists(stateTable)) {
+      import spark.implicits._
+      val r = spark.table(stateTable).head()
+      val (nextOff, shard, pending) = (r.getLong(0), r.getLong(1), r.getSeq[Int](2))
+      if (pending.nonEmpty) {
+        sliceRows(Seq((shard, pending)).toDF("shard", "all_ids"), seqLen)
+          .write.mode("append").saveAsTable(rowsTable)
+        Seq((nextOff, shard, Seq.empty[Int]))
+          .toDF("next_offset", "shard", "pending")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
 
   /** Temperature-based mixture reweighting at α = 0.5: per-source
     * sampling weight w_s = √n_s / Σ_t √n_t and the per-source document

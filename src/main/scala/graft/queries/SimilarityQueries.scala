@@ -462,9 +462,11 @@ object SimilarityQueries {
     "q87_semdedup" -> Q(
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("emb"))
-        // k pinned (not auto-sized) so the oracle's unrolled CTE chain
-        // trains the identical model at the driver's fixed sf0.01
-        Similarity.semDedup(e, "vec_id", "emb", threshold = 0.4, k = 8, iters = 2)
+        // k auto-sizes from the budget (n / targetCellSize, floor 8):
+        // at the driver's fixed sf0.01 (n = 500) that resolves to
+        // k = 8, which is what the oracle's unrolled CTE chain trains —
+        // so the REGISTERED query is the scale path, not a pinned twin
+        Similarity.semDedup(e, "vec_id", "emb", threshold = 0.4, iters = 2)
           .orderBy(col("vec_id"))
       },
       Some(s"""

@@ -18,25 +18,26 @@ import org.apache.spark.sql.functions._
   *    group cardinalities scale linearly;
   *  - dimension tables (region/nation) are NOT inflated — dims stay
   *    dim-sized at any corpus scale;
-  *  - documents keep their text but move to per-copy sources, so
-  *    blocked pair operators scale by block count (their design), while
-  *    exact-dedup groups grow linearly;
+  *  - documents move to per-copy sources AND get per-copy
+  *    token-renamed text (word w → w_cN): every within-copy statistic —
+  *    shingle sets, signatures, dup groups, candidate pairs — is
+  *    isomorphic to the base corpus, while shingles are disjoint across
+  *    copies, so the text-similarity families (q41/q45/q46/q53/q86)
+  *    scale by copy count the way a real grown corpus does. Verbatim
+  *    duplication made their candidate sets grow quadratically in the
+  *    multiplier BY FIXTURE CONSTRUCTION (measuring the inflation, not
+  *    the operator), which is why earlier rounds had to exclude them;
   *  - embeddings get FRESH deterministic pseudo-random vectors per copy
   *    (near-orthogonal to everything else), keeping near-dup density
   *    per-copy — duplicating vectors verbatim would square the true
   *    near-dup pair count, benchmarking the DATA, not the operator.
   *
-  * The UNBLOCKED text-similarity queries (q41/q45/q46/q53 Jaccard and
-  * signature families) are excluded: with texts duplicated across
-  * copies their true candidate sets grow super-linearly by
-  * construction of this fixture, which measures the inflation scheme,
-  * not the operator. Their scale story is the banding/blocking design
-  * asserted in PlanSpec and the VERDICT plan audit. q86 (source
-  * overlap) is excluded for the same reason — duplicated texts put
-  * every shingle in all copies' sources, measuring the fixture — and
-  * q87 (SemDeDup) because its registered form pins k=8 for oracle
-  * parity where a real caller auto-sizes cells with the corpus
-  * (semDedup's k=0 default).
+  * At `SPARK_GRAFT_SCALE_MULT` >= 100 the query set narrows to the
+  * registered SCALE-PATH queries (Headline100): the exact quadratic
+  * baselines (q31/q33 and friends) are input-capped by design and the
+  * relational floor is already proven sub-linear at 10× — the 100×
+  * capture exists to prove the routed/banded/budgeted paths stay
+  * sub-linear two orders past the oracle scale.
   */
 object BenchScale {
   private val Cap = 10000000L
@@ -68,9 +69,15 @@ object BenchScale {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write(shifted(read("events"), Seq("event_id", "user_id")), "events")
     write(copies(read("documents")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * Cap))
-        .withColumn("source",
-          if (i == 0) col("source") else concat(col("source"), lit(s"_c$i")))
+      if (i == 0) d
+      else d.withColumn("doc_id", col("doc_id") + lit(i * Cap))
+        .withColumn("source", concat(col("source"), lit(s"_c$i")))
+        // per-copy token renaming — see the scaladoc: keeps each copy's
+        // internal dup/candidate structure exactly, makes shingles and
+        // signatures disjoint across copies (the text analog of the
+        // fresh random embedding vectors below)
+        .withColumn("text", array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"_c$i"))), " "))
     }, "documents")
     write(copies(read("embeddings")) { (d, i) =>
       if (i == 0) d
@@ -88,13 +95,25 @@ object BenchScale {
     "q07_running_spend", "q09_rollup_lineitem", "q18_events_hourly",
     "q20_since_last_error", "q30_broadcast_match", "q31_cosine_topk",
     "q33_embedding_neardup", "q34_lsh_neardup", "q35_ivf_topk",
-    "q40_dedup_exact", "q42_text_stats", "q44_fingerprint",
-    "q48_tfidf_topterms", "q49_hash_split", "q57_pack_shards",
-    "q58_stratified_cap", "q61_kmeans", "q63_pack_global",
-    "q72_product_quantize", "q73_pq_adc_topk", "q76_ann_autoroute",
-    "q77_neardup_autoroute", "q84_merge_pairs", "q85_bloom_decontaminate",
+    "q40_dedup_exact", "q41_jaccard_pairs", "q42_text_stats",
+    "q44_fingerprint", "q45_minhash_lsh", "q46_simhash",
+    "q48_tfidf_topterms", "q49_hash_split", "q53_dup_clusters",
+    "q57_pack_shards", "q58_stratified_cap", "q61_kmeans",
+    "q63_pack_global", "q72_product_quantize", "q73_pq_adc_topk",
+    "q76_ann_autoroute", "q77_neardup_autoroute", "q84_merge_pairs",
+    "q85_bloom_decontaminate", "q86_source_overlap", "q87_semdedup",
     "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens",
-    "q91_input_ids", "q92_training_rows")
+    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval")
+
+  /** The registered scale-path queries measured at 100× (the VERDICT's
+    * "~12 headline scale-path queries"): every one routes, bands,
+    * buckets or budgets rather than scanning pairs — the design claims
+    * whose 100 TB story needs a two-orders-of-magnitude measurement. */
+  private val Headline100 = Seq(
+    "q34_lsh_neardup", "q40_dedup_exact", "q45_minhash_lsh",
+    "q63_pack_global", "q76_ann_autoroute", "q77_neardup_autoroute",
+    "q85_bloom_decontaminate", "q87_semdedup", "q90_countmin_tokens",
+    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,7 +136,7 @@ object BenchScale {
       catch { case e: Throwable =>
         System.err.println(s"[benchscale] $name @ $dir failed: ${e.getMessage}"); -1.0 }
     }
-    val rows = Headline.map { q =>
+    val rows = (if (mult >= 100) Headline100 else Headline).map { q =>
       val b = time(q, base)
       val s = time(q, out)
       val ratio = if (b > 0 && s > 0) s / b else -1.0

@@ -525,6 +525,48 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("trainingRowsIngest: streamed micro-batches equal the batch dataloader endpoint") {
+    // the streaming twin of q92: fixed offline vocabulary, per-batch
+    // offset continuation from the state table, closed shards emitted
+    // incrementally, final open shard flushed — concatenated output
+    // must be IDENTICAL to the batch packTrainingRows answer when docs
+    // arrive in pack order
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val (rowsT, stateT) = ("graft_train_rows", "graft_train_state")
+    try {
+      Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val vocab = TextAnalysis.vocabTopV(docs, "text", 20).localCheckpoint()
+      val ordered = docs.orderBy(col("source"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(ordered.length >= 9, "fixture must span several micro-batches")
+      val input = MemoryStream[(Long, String, String)]
+      val q = input.toDF().toDF("doc_id", "source", "text")
+        .writeStream
+        .foreachBatch(TextAnalysis.trainingRowsIngest(vocab, "doc_id", "text",
+          "source", budgetTokens = 500L, seqLen = 64, rowsT, stateT))
+        .start()
+      for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      TextAnalysis.trainingRowsFlush(spark, rowsT, stateT, seqLen = 64)
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("shard"), col("row_idx"), col("n_ids"),
+          concat_ws(",", col("ids").cast("array<string>")).as("csv"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val streamed = norm(spark.table(rowsT))
+      val batch = norm(TextAnalysis.packTrainingRows(docs, "doc_id", "text",
+        by = "source", vocabSize = 20, budgetTokens = 500L, seqLen = 64))
+      assert(streamed == batch,
+        s"streamed rows must equal the batch endpoint: ${streamed.size} vs ${batch.size}")
+    } finally Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("streaming near-dup: incoming vectors vs a static LSH index") {
     // the streaming twin of incremental dedup at near-dup granularity:
     // a crawl stream LSH-bucket-joins a static index of the existing

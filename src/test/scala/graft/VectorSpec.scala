@@ -254,6 +254,85 @@ class VectorSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("lshNearDup hot-bucket guard refines oversized buckets without losing exact dups") {
+    import spark.implicits._
+    def noise(i: Long, j: Int): Double =
+      (((i * 2654435761L + j * 40503L) % 1000L) / 1000.0) * 2.0 - 1.0
+    def vec(i: Long): Seq[Double] =
+      if (i >= 500) vec(i - 500) // exact duplicates of ids 0..9
+      else Seq.tabulate(8)(j => (if (j == 0) 0.5 else 0.0) + noise(i, j))
+    val ids = (0L until 300L) ++ (500L until 510L)
+    val e = ids.map(i => (i, vec(i))).toDF("vec_id", "v")
+    // threshold -1 turns the rescore into a pass-through, so the output
+    // IS the candidate set — the thing the guard bounds
+    def cands(maxBucket: Long) = Similarity.lshNearDup(e, "vec_id", "v",
+        threshold = -1.0, nBits = 2, nTables = 4, seed = 1000,
+        maxBucket = maxBucket, refineBits = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = cands(Long.MaxValue)
+    val guarded = cands(32) // every 2-bit bucket holds ~75 >> 32 vectors
+    assert(guarded.subsetOf(unguarded), "the guard must only remove candidates")
+    assert(guarded.size < unguarded.size / 2,
+      s"guard must cut hot-bucket candidates: ${guarded.size} vs ${unguarded.size}")
+    // identical vectors share every table bucket AND the refinement key
+    for (i <- 0L until 10L)
+      assert(guarded.contains((i, i + 500)), s"exact dup pair ($i, ${i + 500}) lost")
+    // and the real (threshold-rescored) output still finds the dups
+    val real = Similarity.lshNearDup(e, "vec_id", "v", threshold = 0.99,
+        nBits = 2, nTables = 4, seed = 1000, maxBucket = 32, refineBits = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 10L)
+      assert(real.contains((i, i + 500)), s"exact dup pair ($i, ${i + 500}) not rescored")
+  }
+
+  test("semDedup hot-cell guard bounds pair work on a skewed corpus without losing exact dups") {
+    import spark.implicits._
+    // skewed fixture: 400 vectors spread widely around +e1 (one fat
+    // cluster — the cell skew real embedding corpora have), 4 far away
+    // near -e1, and 20 planted EXACT duplicates of ids 0..19
+    def noise(i: Long, j: Int): Double =
+      (((i * 2654435761L + j * 40503L) % 1000L) / 1000.0) * 2.0 - 1.0
+    def vec(i: Long): Seq[Double] =
+      if (i >= 500) vec(i - 500)
+      else if (i >= 400) Seq.tabulate(8)(j => if (j == 0) -3.0 else 0.1 * (i - 401))
+      else Seq.tabulate(8)(j => (if (j == 0) 0.5 else 0.0) + noise(i, j))
+    val ids = (0L until 404L) ++ (500L until 520L)
+    val e = ids.map(i => (i, vec(i))).toDF("vec_id", "v")
+    val threshold = 0.95
+    val guarded = Similarity.semDedup(e, "vec_id", "v", threshold,
+        k = 2, iters = 1, guardCellSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(guarded.size == ids.size, "every input vector must come back")
+    // identical vectors share the cell AND every LSH bucket — the guard
+    // can never lose an exact duplicate
+    for (i <- 500L until 520L)
+      assert(!guarded(i), s"exact duplicate $i survived the guarded path")
+    // soundness: everything dropped has a lower-id true near-duplicate
+    val juniors = Similarity.nearDupPairs(e.withColumnRenamed("v", "emb"),
+        "vec_id", "emb", threshold)
+      .collect().map(_.getLong(1)).toSet
+    val dropped = guarded.collect { case (id, false) => id }.toSet
+    assert(dropped.subsetOf(juniors), s"dropped non-duplicates: ${dropped.diff(juniors)}")
+    // the point of the guard: candidate pairs in the hot cell are
+    // bounded by LSH bucket sizes, far below the exhaustive square
+    def pairCount(guardCellSize: Long): Long = {
+      val matrix = typedlit(Seq(vec(0), vec(400))) // any 2-cell assignment
+      graft.plans.VectorExpressions.register(spark)
+      val assigned = e.select(col("vec_id"), col("v"),
+        call_function("nearest_cell", col("v"), matrix).as("cell"))
+      val keyed = Similarity.semDedupKeyed(assigned, "vec_id", "v",
+        guardCellSize, guardBits = 6, guardTables = 8, guardSeed = 4000)
+      val a = keyed.select(col("cell"), col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+      val b = keyed.select(col("cell"), col("tbl"), col("bucket"), col("vec_id").as("b_id"))
+      a.join(b, Seq("cell", "tbl", "bucket")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct().count()
+    }
+    val exhaustive = pairCount(guardCellSize = 1L << 30)
+    val bounded = pairCount(guardCellSize = 64)
+    assert(bounded < exhaustive / 2,
+      s"guard must cut the hot cell's pair space: $bounded vs $exhaustive")
+  }
+
   test("semDedup is sound (drops only true near-dups) and misses only cross-cell pairs") {
     val e = emb.withColumnRenamed("emb", "v")
     val threshold = 0.4
