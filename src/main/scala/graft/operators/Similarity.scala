@@ -141,7 +141,7 @@ object Similarity {
   def lshNearDup(
       vecs: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4,
-      seed: Int = 1000, maxBucket: Long = 1024, refineBits: Int = 8): DataFrame = {
+      seed: Int = 1000, maxBucket: Long = 256, refineBits: Int = 8): DataFrame = {
     ensureRegistered(vecs)
     require(maxBucket > 0 && refineBits > 0, "maxBucket and refineBits must be positive")
     val withKeys = vecs
@@ -197,16 +197,29 @@ object Similarity {
       k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
     ensureRegistered(probes)
     def cellDist(vec: String) = fastSquaredL2(col(vec), col(centroidVec))
-    // assign each target to its single nearest cell: min_by in ONE
-    // partially-aggregated hash-agg pass (a row_number window here would
-    // shuffle AND sort targets×centroids rows). Ties break on the lower
-    // cell id, matching the window form this replaces; first() is exact
-    // because vec/norm are constant per target id.
+    // assign each target to its single nearest cell as a PURE
+    // PROJECTION: the quantizer is k×d doubles — tiny by contract — so
+    // it ships inside the nearest_cell expression (the kMeans
+    // assignment shape) and the corpus never expands or shuffles for
+    // assignment at all. The previous crossJoin + min_by hash-agg
+    // streamed a targets×k row expansion through aggregation, and
+    // because the agg buffer carries the vector (array-typed →
+    // ObjectHashAggregate), a large k pushed it into sort-based
+    // fallback: at 1.2M targets × 1100 auto-sized cells that SORTED
+    // the 1.3B-row expansion — a 50+ GB spill, measured by the 100×
+    // slope harness before this fix. nearest_cell keeps the exact
+    // semantics: same strict left-to-right squared-L2 fold, ties to
+    // the lower matrix index = the lower cell id (the matrix is
+    // collected in ascending cell order), so results are bit-identical
+    // to the min_by form and the SQL oracle.
+    val cents = centroids.select(col(cellCol), col(centroidVec)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty centroid set")
+    val cellIds = typedlit(cents.map(_._1).toSeq)
+    val matrix = typedlit(cents.map(_._2).toSeq)
     val assigned = targets.withColumn("t_nrm", fastNorm(col(tVec)))
-      .crossJoin(broadcast(centroids))
-      .groupBy(col(tId))
-      .agg(first(col(tVec)).as(tVec), first(col("t_nrm")).as("t_nrm"),
-           min_by(col(cellCol), struct(cellDist(tVec), col(cellCol))).as(cellCol))
+      .withColumn(cellCol,
+        element_at(cellIds, call_function("nearest_cell", col(tVec), matrix) + 1))
       .select(col(tId), col(tVec), col("t_nrm"), col(cellCol))
     // each probe fans out to its nProbe nearest cells
     val wP = Window.partitionBy(col(pId)).orderBy(cellDist(pVec), col(cellCol))

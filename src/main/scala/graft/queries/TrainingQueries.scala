@@ -451,6 +451,92 @@ object TrainingQueries {
         "exact equi-join rides along as the false-positive audit — " +
         "sketch internals hash-proved like q82/q83."),
 
+    // ---- q94: Bloom decontamination, production form (no audit arm) -------
+    "q94_bloom_scan" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
+        val corpus = docs.filter(col("bucket") < 97)
+        val bench = docs.filter(col("bucket") >= 97)
+        // audit = false: the corpus side is a pure projection — zero
+        // corpus shuffles (the q85 twin keeps the exact audit arm; this
+        // registers the shape a 100 TB run actually executes, and the
+        // oracle still recomputes the whole filter + probe from md5)
+        graft.operators.Sketches.bloomDecontaminate(corpus, bench,
+            "doc_id", "text", n = 3, mBits = 16384, kHashes = 3, audit = false)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, $Bucket AS bucket FROM documents
+        ), bsh AS (
+          SELECT DISTINCT unnest($Shingles3) AS sh FROM d WHERE bucket >= 97
+        ), bpos AS (
+          SELECT DISTINCT (h1 + j.range * h2) % 16384 AS p
+          FROM (SELECT CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM bsh), range(0, 3) j
+        ), tr AS (
+          SELECT doc_id, unnest($Shingles3) AS sh FROM d WHERE bucket < 97
+        ), trpos AS (
+          SELECT doc_id, sh, (h1 + j.range * h2) % 16384 AS p
+          FROM (SELECT doc_id, sh,
+                       CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+                FROM tr), range(0, 3) j
+        ), bloomhit AS (
+          SELECT doc_id, sh FROM trpos JOIN bpos USING (p)
+          GROUP BY doc_id, sh HAVING COUNT(*) = 3
+        ), nb AS (
+          SELECT doc_id, COUNT(*) AS n_bloom FROM bloomhit GROUP BY doc_id
+        ), sizes AS (
+          SELECT doc_id, len($Shingles3) AS n_sh FROM d WHERE bucket < 97
+        )
+        SELECT s.doc_id, CAST(s.n_sh AS INT) AS n_sh,
+               CAST(COALESCE(nb.n_bloom, 0) AS INT) AS n_bloom
+        FROM sizes s LEFT JOIN nb USING (doc_id)
+        ORDER BY s.doc_id"""),
+      "Production Bloom decontamination (audit off): the corpus-side " +
+        "scan is a zero-shuffle projection against the broadcast " +
+        "filter literal — the shape that makes 100 TB decontamination " +
+        "a scan, not a job; filter AND probe still hash-proved."),
+
+    // ---- q95: count-min, production form (estimate only) ------------------
+    "q95_countmin_scan" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        val tok = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+        graft.operators.Sketches.countMinFrequencies(tok, "term",
+            w = 32, d = 4, audit = false)
+          .orderBy(col("term"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($W) AS term FROM documents
+        ), cells AS (
+          SELECT i.range AS row, (h1 + i.range * h2) % 32 AS pos
+          FROM (SELECT CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM tok), range(0, 4) i
+        ), counters AS (
+          SELECT row, pos, COUNT(*) AS c FROM cells GROUP BY row, pos
+        ), vals AS (
+          SELECT DISTINCT term FROM tok
+        ), probe AS (
+          SELECT term, i.range AS row, (h1 + i.range * h2) % 32 AS pos
+          FROM (SELECT term,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM vals), range(0, 4) i
+        )
+        SELECT term, MIN(c) AS cms_estimate
+        FROM probe JOIN counters USING (row, pos)
+        GROUP BY term ORDER BY term"""),
+      "Production count-min (audit off): one bounded d*w counter " +
+        "shuffle + a distinct probe — the fixed-memory frequency " +
+        "stand-in actually run at scale, estimates still hash-proved."),
+
     // ---- q88: vocabulary OOV-rate QA --------------------------------------
     "q88_oov_rate" -> Q(
       (s, d) => TextAnalysis.oovStats(Tables.documents(s, d), "doc_id", "text",

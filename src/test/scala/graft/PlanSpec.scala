@@ -55,10 +55,14 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
-  test("q35 IVF target-to-cell assignment aggregates instead of windowing") {
+  test("q35 IVF target-to-cell assignment is a projection, not an expansion") {
     // exactly two Window nodes remain: probe fan-out (rn <= nProbe) and
-    // the final per-probe rank — the target assignment must be a
-    // partial-aggregated min_by, not a third window shuffle+sort
+    // the final per-probe rank — the target assignment must be the
+    // nearest_cell projection (model inside the expression), NOT a
+    // targets×centroids expansion through aggregation: with a large
+    // auto-sized quantizer the array-buffered agg falls back to
+    // sort-based and sorts the whole n×k expansion (measured 50+ GB at
+    // the 100× scale capture before the projection form)
     val exec = SparkEntry.queries("q35_ivf_topk")(spark, sf("0.001"))
       .queryExecution.executedPlan
     val windows = exec.collect {
@@ -67,7 +71,8 @@ class PlanSpec extends SparkSuite {
     }
     assert(windows.size <= 4, // <=2 logical windows; group-limit pushdown may pair each
       s"expected at most the probe fan-out + rank windows, got:\n${windows.mkString("\n")}")
-    assert(exec.toString.contains("min_by"), "target assignment must use min_by aggregation")
+    assert(exec.toString.contains("nearest_cell"),
+      "target assignment must be the nearest_cell projection")
   }
 
   test("q58/q63 two-level rank and prefix sum broadcast their offset side") {
