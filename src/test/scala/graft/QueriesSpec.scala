@@ -87,6 +87,25 @@ class QueriesSpec extends SparkSuite {
     assert(saturated > 0, "a saturated filter must show false positives")
   }
 
+  test("production sketch forms agree with their audited twins (q94/q85, q95/q90)") {
+    import org.apache.spark.sql.functions.col
+    // audit=false must change COST (arms skipped), never VALUES: the
+    // production outputs must be column-exact projections of the
+    // audited ones
+    val audited = SparkEntry.queries("q85_bloom_decontaminate")(spark, sf("0.001"))
+      .select(col("doc_id"), col("n_sh"), col("n_bloom")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val prod = SparkEntry.queries("q94_bloom_scan")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(prod == audited, "q94 must equal q85's (doc_id, n_sh, n_bloom)")
+    val cmAudited = SparkEntry.queries("q90_countmin_tokens")(spark, sf("0.001"))
+      .select(col("term"), col("cms_estimate")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val cmProd = SparkEntry.queries("q95_countmin_scan")(spark, sf("0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cmProd == cmAudited, "q95 must equal q90's (term, cms_estimate)")
+  }
+
   test("q93 RAG retrieval: every query's rank-1 chunk is an exact content match") {
     import org.apache.spark.sql.functions.col
     val out = SparkEntry.queries("q93_rag_retrieval")(spark, sf("0.001"))

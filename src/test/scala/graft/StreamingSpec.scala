@@ -548,7 +548,11 @@ class StreamingSpec extends SparkSuite {
         .foreachBatch(TextAnalysis.trainingRowsIngest(vocab, "doc_id", "text",
           "source", budgetTokens = 500L, seqLen = 64, rowsT, stateT))
         .start()
-      for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
+      // mixed batch granularity — including several one-doc batches,
+      // the finest-grained exercise of the offset/pending state machine
+      val (head, rest) = ordered.splitAt(6)
+      for (doc <- head) { input.addData(doc); q.processAllAvailable() }
+      for (chunk <- rest.grouped(math.max(1, rest.length / 3 + 1))) {
         input.addData(chunk.toSeq: _*)
         q.processAllAvailable()
       }
