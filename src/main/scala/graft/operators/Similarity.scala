@@ -526,6 +526,63 @@ object Similarity {
       .select(col(id), col("cell"), col("b_id").isNull.as("keep"))
   }
 
+  /** STREAMING twin of [[semDedup]] — incremental semantic dedup in
+    * the [[Dedup.dedupIngest]] catalog-table style: a `foreachBatch`
+    * function that assigns each micro-batch to the cells of a FIXED
+    * quantizer (train once offline with [[kMeans]] — the same
+    * train-the-tokenizer-once stance as
+    * [[TextAnalysis.trainingRowsIngest]]), drops every vector with an
+    * earlier-arrived (or earlier-in-batch, lower-id) in-cell
+    * near-duplicate, appends the survivors to `corpusTable`, and
+    * appends ALL arrivals to `indexTable`.
+    *
+    * Indexing all arrivals — dropped ones included — is what makes the
+    * streamed keep-set IDENTICAL to batch [[semDedup]] over the full
+    * corpus (given the same quantizer and id-ordered arrival): in the
+    * batch recipe a junior is dropped when ANY lower-id in-cell
+    * neighbor is near, whether or not that neighbor itself survived.
+    * StreamingSpec pins the equality.
+    *
+    * Scale shape: assignment is the nearest_cell projection; the only
+    * per-batch joins are cell equi-joins of the batch against the
+    * in-cell slice of the index — at 100 TB the index streams through
+    * the join exactly like [[Dedup.dedupIngest]]'s digest table, and a
+    * cell-bucketed index table (PlanSpec's persisted-ANN-index shape)
+    * removes even that shuffle. Writes are corpus-then-index, so a
+    * crash between them replays at-least-once, never losing content. */
+  def semDedupIngest(model: DataFrame, id: String, vec: String,
+      threshold: Double, corpusTable: String, indexTable: String): (DataFrame, Long) => Unit = {
+    val cents = model.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "semDedupIngest: empty quantizer")
+    val cellIds = typedlit(cents.map(_._1).toSeq)
+    val matrix = typedlit(cents.map(_._2).toSeq)
+    (batch: DataFrame, _: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      ensureRegistered(batch)
+      val assigned = batch.select(col(id), col(vec),
+          element_at(cellIds, call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+          fastNorm(col(vec)).as("nrm"))
+        .localCheckpoint() // feeds both joins, the survivors and the index append
+      val seen =
+        if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+        else assigned.limit(0)
+      def side(df: DataFrame, p: String) = df.select(col("cell"),
+        col(id).as(s"${p}_id"), col(vec).as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"))
+      val near = cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")) >= threshold
+      // every indexed vector arrived earlier, so it is senior to the
+      // whole batch; within the batch, seniority is the id order
+      val vsIndex = side(seen, "a").join(side(assigned, "b"), Seq("cell"))
+        .filter(near).select(col("b_id"))
+      val inBatch = side(assigned, "a").join(side(assigned, "b"), Seq("cell"))
+        .filter(col("a_id") < col("b_id") && near).select(col("b_id"))
+      val dropped = vsIndex.union(inBatch).distinct()
+      assigned.join(dropped, col(id) === col("b_id"), "left_anti")
+        .select(col(id), col("cell"), col(vec))
+        .write.mode("append").saveAsTable(corpusTable)
+      assigned.write.mode("append").saveAsTable(indexTable)
+    }
+  }
+
   /** The pruning half of [[semDedup]] over a pre-assigned (id, vec,
     * cell) relation: distinct junior ids (`b_id`) that have a senior
     * in-cell near-duplicate. Exposed so tests can count candidate

@@ -571,6 +571,53 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
+    // incremental semantic dedup with a fixed offline quantizer and a
+    // persistent all-arrivals index — streamed keeps must match the
+    // batch recipe exactly when vectors arrive in id order
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.VectorExpressions.register(spark)
+    val (corpusT, indexT) = ("graft_semdedup_corpus", "graft_semdedup_index")
+    try {
+      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      // batch ground truth under the SAME fixed quantizer
+      val matrix = typedlit(
+        model.orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq)
+      val assigned = e.select(col("vec_id"), col("emb"),
+        call_function("nearest_cell", col("emb"), matrix).as("cell"))
+      val dropped = Similarity.semDedupDropped(assigned, "vec_id", "emb",
+          threshold = 0.4, guardCellSize = 1L << 30,
+          guardBits = 6, guardTables = 8, guardSeed = 4000)
+        .collect().map(_.getLong(0)).toSet
+      assert(dropped.nonEmpty, "fixture is known to contain near-dups at 0.4")
+      val ordered = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val expectKeep = ordered.map(_._1).toSet.diff(dropped)
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = input.toDF().toDF("vec_id", "emb").writeStream
+        .foreachBatch(Similarity.semDedupIngest(model, "vec_id", "emb",
+          threshold = 0.4, corpusT, indexT))
+        .start()
+      for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(corpusT).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expectKeep,
+        s"streamed keeps must equal batch semDedup: extra=${got.diff(expectKeep)} missing=${expectKeep.diff(got)}")
+      assert(spark.table(indexT).count() == ordered.length,
+        "the index must hold every arrival, dropped ones included")
+    } finally Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("streaming near-dup: incoming vectors vs a static LSH index") {
     // the streaming twin of incremental dedup at near-dup granularity:
     // a crawl stream LSH-bucket-joins a static index of the existing
