@@ -153,9 +153,13 @@ object Similarity {
         col(vec), lit(refineBits), lit(1), lit(seed + 7919)), 1))
     // candidate generation carries ONLY (id, bucket keys) — vectors
     // rejoin later, so the bucket join/dedup shuffles a few longs per
-    // pair instead of two full embeddings
+    // pair instead of two full embeddings. localCheckpoint: the keyed
+    // relation feeds the occupancy count AND both self-join arms (the
+    // dual-arm convention — without it the corpus is re-scanned and
+    // re-hashed per arm); ~32 bytes × nTables per vector materialized.
     val bucketed = withKeys.select(col(id), col("sub"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      .localCheckpoint()
     // bucket occupancy: one count aggregate on the same (tbl, bucket)
     // key space the join uses; output is bounded by the occupied-bucket
     // count, never the corpus
@@ -212,11 +216,8 @@ object Similarity {
     // the lower matrix index = the lower cell id (the matrix is
     // collected in ascending cell order), so results are bit-identical
     // to the min_by form and the SQL oracle.
-    val cents = centroids.select(col(cellCol), col(centroidVec)).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK: empty centroid set")
-    val cellIds = typedlit(cents.map(_._1).toSeq)
-    val matrix = typedlit(cents.map(_._2).toSeq)
+    val (cellIds, matrix) = quantizerLiterals(
+      centroids.select(col(cellCol), col(centroidVec)))
     val assigned = targets.withColumn("t_nrm", fastNorm(col(tVec)))
       .withColumn(cellCol,
         element_at(cellIds, call_function("nearest_cell", col(tVec), matrix) + 1))
@@ -236,6 +237,29 @@ object Similarity {
       .select(col(pId), col(tId), sim)
     val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Collect a 2-column (cell, centroid_vec) quantizer into typed
+    * literals for nearest_cell assignment: cell ids keep their source
+    * type (int/long/string all worked under the min_by join form this
+    * replaced), and the matrix is ordered by ascending cell id so the
+    * expression's first-minimum tie-break remains "lower cell id". */
+  private def quantizerLiterals(model: DataFrame): (Column, Column) = {
+    val rows = model.collect()
+    require(rows.nonEmpty, "empty centroid set")
+    rows.head.get(0) match {
+      case _: java.lang.Integer =>
+        val s = rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        (typedlit(s.map(_._1).toSeq), typedlit(s.map(_._2).toSeq))
+      case _: java.lang.Long =>
+        val s = rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+        (typedlit(s.map(_._1).toSeq), typedlit(s.map(_._2).toSeq))
+      case _: String =>
+        val s = rows.map(r => (r.getString(0), r.getSeq[Double](1))).sortBy(_._1)
+        (typedlit(s.map(_._1).toSeq), typedlit(s.map(_._2).toSeq))
+      case other => throw new IllegalArgumentException(
+        s"unsupported cell id type ${other.getClass.getName} — use int, long or string cells")
+    }
   }
 
   /** Size-routed top-k — the entry a pipeline should call by default:
@@ -505,6 +529,11 @@ object Similarity {
     ensureRegistered(vecs)
     require(targetCellSize > 0 && guardCellSize > 0,
       "semDedup: cell budgets must be positive")
+    // guardTables = 0 would silently exempt hot cells from dedup
+    // entirely (empty key explode drops their rows); guardBits = 0
+    // would silently disable the guard (all members in bucket 0)
+    require(guardBits > 0 && guardTables > 0,
+      "semDedup: guardBits and guardTables must be positive")
     val cells =
       if (k > 0) k
       else {
@@ -537,11 +566,16 @@ object Similarity {
     * appends ALL arrivals to `indexTable`.
     *
     * Indexing all arrivals — dropped ones included — is what makes the
-    * streamed keep-set IDENTICAL to batch [[semDedup]] over the full
-    * corpus (given the same quantizer and id-ordered arrival): in the
-    * batch recipe a junior is dropped when ANY lower-id in-cell
-    * neighbor is near, whether or not that neighbor itself survived.
-    * StreamingSpec pins the equality.
+    * streamed keep-set IDENTICAL to the UNGUARDED batch [[semDedup]]
+    * recipe over the full corpus (given the same quantizer and
+    * id-ordered arrival): in the batch recipe a junior is dropped when
+    * ANY lower-id in-cell neighbor is near, whether or not that
+    * neighbor itself survived. StreamingSpec pins the equality. Note
+    * the batch form's HOT-CELL guard is not applied here — each batch
+    * pairs exhaustively within its cells — so against a guarded batch
+    * run the streamed form can only drop MORE (it sees every in-cell
+    * pair the guard's sub-bucketing would skip); per-batch join work
+    * is bounded by batch × in-cell index size, not index².
     *
     * Scale shape: assignment is the nearest_cell projection; the only
     * per-batch joins are cell equi-joins of the batch against the
@@ -552,10 +586,7 @@ object Similarity {
     * crash between them replays at-least-once, never losing content. */
   def semDedupIngest(model: DataFrame, id: String, vec: String,
       threshold: Double, corpusTable: String, indexTable: String): (DataFrame, Long) => Unit = {
-    val cents = model.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(cents.nonEmpty, "semDedupIngest: empty quantizer")
-    val cellIds = typedlit(cents.map(_._1).toSeq)
-    val matrix = typedlit(cents.map(_._2).toSeq)
+    val (cellIds, matrix) = quantizerLiterals(model)
     (batch: DataFrame, _: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
       ensureRegistered(batch)
@@ -611,7 +642,12 @@ object Similarity {
   private[graft] def semDedupKeyed(assigned: DataFrame, id: String, vec: String,
       guardCellSize: Long, guardBits: Int, guardTables: Int,
       guardSeed: Int): DataFrame = {
+    // localCheckpoint: the assigned relation feeds the cell-size count
+    // and both self-join arms; without it the upstream nearest_cell
+    // assignment (k×d work per row) re-runs per arm (dual-arm
+    // convention)
     val withNorm = assigned.withColumn("nrm", fastNorm(col(vec)))
+      .localCheckpoint()
     val cellSizes = withNorm.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
     val exhaustiveKey = array(struct(lit(-1).as("tbl"), lit(0L).as("bucket")))
     val guardKeys = transform(

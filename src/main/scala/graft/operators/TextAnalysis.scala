@@ -596,72 +596,86 @@ object TextAnalysis {
     * one shard (budget + one document), whatever the stream length —
     * the [[buildShards]] bound. Per-batch cost: one single-partition
     * prefix-sum window over the BATCH (batch-sized, not corpus-sized)
-    * plus the vocab broadcast join. The two writes are not atomic;
-    * rows are written before state, so a crash between them replays
-    * the batch at-least-once into `rowsTable`, never losing rows —
-    * the same delivery stance as [[Dedup.dedupIngest]]. */
+    * plus the vocab broadcast join.
+    *
+    * Replay safety: the state row records the last applied batch id,
+    * and a replayed batch (same id) is SKIPPED — without this, a
+    * foreachBatch replay after the state write would re-run against
+    * already-advanced offsets and corrupt every later shard boundary.
+    * Rows are written before state, so the one remaining crash window
+    * (between the two writes) re-appends that batch's rows on replay —
+    * at-least-once rows, never lost rows and never corrupted offsets,
+    * the [[Dedup.dedupIngest]] delivery stance. */
   def trainingRowsIngest(vocab: DataFrame, id: String, text: String,
       by: String, budgetTokens: Long, seqLen: Int,
       rowsTable: String, stateTable: String): (DataFrame, Long) => Unit = {
     require(budgetTokens > 0 && seqLen > 0, "budget and seqLen must be positive")
-    (batch: DataFrame, _: Long) => if (!batch.isEmpty) {
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
       import spark.implicits._
-      val (base, pendShard, pending): (Long, Long, Seq[Int]) =
+      val (base, pendShard, pending, lastBatch): (Long, Long, Seq[Int], Long) =
         if (spark.catalog.tableExists(stateTable)) {
           val r = spark.table(stateTable).head()
-          (r.getLong(0), r.getLong(1), r.getSeq[Int](2))
-        } else (0L, 0L, Seq.empty[Int])
-      val w = Window.orderBy(col(by), col(id))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // localCheckpoint: feeds the emit arm, the state arm and the
-      // token-sum — the per-batch diamond, materialized once
-      val offs = tokensToIdsWithVocab(batch, id, text, vocab)
-        .join(batch.select(col(id), col(by)), Seq(id))
-        .withColumn("start_offset",
-          lit(base) + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("shard", floor(col("start_offset") / budgetTokens))
-        .select(col("shard"), col("start_offset"), col("ids"), col("n_tokens"))
-        .localCheckpoint()
-      // the pending open shard rides as a pseudo-doc at offset -1, so
-      // it sorts first inside its shard's concat
-      val pendRel = Seq((pendShard, -1L, pending))
-        .toDF("shard", "start_offset", "ids")
-      val perShard = pendRel
-        .unionByName(offs.select(col("shard"), col("start_offset"), col("ids")))
-        .groupBy(col("shard"))
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("start_offset"), col("ids")))),
-          x => x.getField("ids"))).as("all_ids"))
-        .localCheckpoint()
-      val maxShard = perShard.agg(max(col("shard"))).head().getLong(0)
-      sliceRows(perShard.filter(col("shard") < maxShard && size(col("all_ids")) > 0), seqLen)
-        .write.mode("append").saveAsTable(rowsTable)
-      val open = perShard.filter(col("shard") === maxShard)
-        .select(col("all_ids")).head().getSeq[Int](0)
-      val newBase = base +
-        offs.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
-      Seq((newBase, maxShard, open))
-        .toDF("next_offset", "shard", "pending")
-        .write.mode("overwrite").saveAsTable(stateTable)
+          (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3))
+        } else (0L, 0L, Seq.empty[Int], -1L)
+      // replayed batch (crash after the state write, before the stream
+      // committed its offset log): state and rows are already applied —
+      // re-running would double-advance the offsets
+      if (batchId > lastBatch) {
+        val w = Window.orderBy(col(by), col(id))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // localCheckpoint: feeds the emit arm, the state arm and the
+        // token-sum — the per-batch diamond, materialized once
+        val offs = tokensToIdsWithVocab(batch, id, text, vocab)
+          .join(batch.select(col(id), col(by)), Seq(id))
+          .withColumn("start_offset",
+            lit(base) + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("shard", floor(col("start_offset") / budgetTokens))
+          .select(col("shard"), col("start_offset"), col("ids"), col("n_tokens"))
+          .localCheckpoint()
+        // the pending open shard rides as a pseudo-doc at offset -1, so
+        // it sorts first inside its shard's concat
+        val pendRel = Seq((pendShard, -1L, pending))
+          .toDF("shard", "start_offset", "ids")
+        val perShard = pendRel
+          .unionByName(offs.select(col("shard"), col("start_offset"), col("ids")))
+          .groupBy(col("shard"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("start_offset"), col("ids")))),
+            x => x.getField("ids"))).as("all_ids"))
+          .localCheckpoint()
+        val maxShard = perShard.agg(max(col("shard"))).head().getLong(0)
+        sliceRows(perShard.filter(col("shard") < maxShard && size(col("all_ids")) > 0), seqLen)
+          .write.mode("append").saveAsTable(rowsTable)
+        val open = perShard.filter(col("shard") === maxShard)
+          .select(col("all_ids")).head().getSeq[Int](0)
+        val newBase = base +
+          offs.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+        Seq((newBase, maxShard, open, batchId))
+          .toDF("next_offset", "shard", "pending", "last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
     }
   }
 
-  /** Emit the open shard held in `stateTable` — call once at end of
-    * stream (or at any cut point where a partial final row is
-    * acceptable, exactly like the batch endpoint's final row). */
+  /** Emit the open shard held in `stateTable` — a TERMINAL call, once,
+    * at end of stream (the emitted final row may be short, exactly like
+    * the batch endpoint's). Not safe as a mid-stream cut: the state
+    * still points at the flushed shard, so a resumed stream would
+    * re-slice that shard from row_idx 0 and duplicate its rows. */
   def trainingRowsFlush(spark: org.apache.spark.sql.SparkSession,
       rowsTable: String, stateTable: String, seqLen: Int): Unit =
     if (spark.catalog.tableExists(stateTable)) {
       import spark.implicits._
       val r = spark.table(stateTable).head()
-      val (nextOff, shard, pending) = (r.getLong(0), r.getLong(1), r.getSeq[Int](2))
+      val (nextOff, shard, pending, lastBatch) =
+        (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3))
       if (pending.nonEmpty) {
         sliceRows(Seq((shard, pending)).toDF("shard", "all_ids"), seqLen)
           .write.mode("append").saveAsTable(rowsTable)
-        Seq((nextOff, shard, Seq.empty[Int]))
-          .toDF("next_offset", "shard", "pending")
+        Seq((nextOff, shard, Seq.empty[Int], lastBatch))
+          .toDF("next_offset", "shard", "pending", "last_batch")
           .write.mode("overwrite").saveAsTable(stateTable)
       }
     }
