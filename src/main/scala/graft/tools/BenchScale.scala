@@ -136,9 +136,17 @@ object BenchScale {
       catch { case e: Throwable =>
         System.err.println(s"[benchscale] $name @ $dir failed: ${e.getMessage}"); -1.0 }
     }
-    val rows = (if (mult >= 100) Headline100 else Headline).map { q =>
-      val b = time(q, base)
-      val s = time(q, out)
+    // phase-separated timing: ALL base measurements first, then all
+    // scaled. Interleaving let each scaled run (heap garbage + page
+    // cache churn from the inflated corpus) pollute the NEXT query's
+    // base time — measured up to 8× base inflation at mult=100, which
+    // silently flatters every ratio.
+    val list = if (mult >= 100) Headline100 else Headline
+    val bases = list.map(q => q -> time(q, base))
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val scaleds = list.map(q => q -> time(q, out)).toMap
+    val rows = bases.map { case (q, b) =>
+      val s = scaleds(q)
       val ratio = if (b > 0 && s > 0) s / b else -1.0
       q -> (b, s, ratio)
     }

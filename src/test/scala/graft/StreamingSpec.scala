@@ -571,6 +571,47 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("trainingRowsIngest skips a replayed batch id (no double-advanced offsets)") {
+    // simulate the foreachBatch replay window directly: the same
+    // (batch, batchId) delivered twice must leave rows AND state
+    // exactly as after the first delivery — without the guard the
+    // replay re-applies its token count to already-advanced state and
+    // corrupts every later shard boundary
+    import graft.operators.TextAnalysis
+    val (rowsT, stateT) = ("graft_replay_rows", "graft_replay_state")
+    try {
+      Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val vocab = TextAnalysis.vocabTopV(docs, "text", 20).localCheckpoint()
+      val fn = TextAnalysis.trainingRowsIngest(vocab, "doc_id", "text",
+        "source", budgetTokens = 300L, seqLen = 32, rowsT, stateT)
+      val ordered = docs.orderBy(col("source"), col("doc_id"))
+      val (b0, b1) = (ordered.limit(20).localCheckpoint(),
+        ordered.orderBy(col("source"), col("doc_id")).offset(20).localCheckpoint())
+      fn(b0, 0L)
+      def snap() = (spark.table(rowsT).count(),
+        spark.table(stateT).head().toSeq.toList)
+      val after0 = snap()
+      fn(b0, 0L) // replay: must be a no-op
+      assert(snap() == after0, "a replayed batch must not change rows or state")
+      fn(b1, 1L) // and the stream continues normally afterwards
+      TextAnalysis.trainingRowsFlush(spark, rowsT, stateT, seqLen = 32)
+      val streamed = spark.table(rowsT)
+        .select(col("shard"), col("row_idx"), col("n_ids"),
+          concat_ws(",", col("ids").cast("array<string>")).as("csv"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = TextAnalysis.packTrainingRows(docs, "doc_id", "text",
+          by = "source", vocabSize = 20, budgetTokens = 300L, seqLen = 32)
+        .select(col("shard"), col("row_idx"), col("n_ids"),
+          concat_ws(",", col("ids").cast("array<string>")).as("csv"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed == batch, "post-replay stream must still equal the batch answer")
+    } finally Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
