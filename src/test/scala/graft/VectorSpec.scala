@@ -254,6 +254,28 @@ class VectorSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("ivfTopK accepts string/long cell ids (quantizer type is caller's choice)") {
+    import org.apache.spark.sql.functions.{col => c, concat, lit}
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"), c("label"))
+    val probes = e.filter(c("vec_id") < 20).select(c("vec_id").as("p_id"), c("emb").as("p_vec"))
+    val tg = e.select(c("vec_id").as("t_id"), c("emb").as("t_vec"))
+    val intQ = Similarity.centroidsAsQuantizer(e, "label", "emb")
+    def run(q: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+          q, "cell", "centroid_vec", k = 3, nProbe = 4)
+        .select("p_id", "t_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaInt = run(intQ)
+    // same quantizer with string cells "c0".."c9" — lexicographic order
+    // matches numeric order for single-digit labels, so the lower-cell
+    // tie-break is identical and results must match exactly
+    val viaString = run(intQ.select(
+      concat(lit("c"), c("cell")).as("cell"), c("centroid_vec")))
+    val viaLong = run(intQ.select(c("cell").cast("long").as("cell"), c("centroid_vec")))
+    assert(viaInt.nonEmpty && viaString == viaInt && viaLong == viaInt)
+  }
+
   test("lshNearDup hot-bucket guard refines oversized buckets without losing exact dups") {
     import spark.implicits._
     def noise(i: Long, j: Int): Double =
