@@ -130,14 +130,38 @@ object Similarity {
     * slope bench measured on the fixed-width q34 before this guard.
     * Buckets holding more than `maxBucket` vectors are therefore
     * REFINED: their members pair only within `refineBits` additional
-    * hyperplane bits (a shifted-seed [[graft.plans.LshBuckets]] key
-    * computed once per vector), splitting a hot bucket ~2^refineBits
-    * ways. Hyperplane sub-keys — unlike a content-hash salt — keep
-    * near-duplicate pairs together with the usual angular collision
-    * probability, so the recall loss is confined to hot buckets and
-    * bounded the way the table family itself is. Buckets at or under
-    * `maxBucket` are untouched (small corpora and the sf0.01 oracle
-    * never see the guard). */
+    * hyperplane bits, splitting a hot bucket ~2^refineBits ways.
+    * The refinement key is derived PER TABLE (a shifted-seed
+    * [[graft.plans.LshBuckets]] family of nTables keys, table t's hot
+    * buckets refined by sub-key t) — per-table keys keep refinement
+    * misses independent across tables, preserving the family's
+    * OR-amplification: a pair whose shared buckets are all hot still
+    * gets nTables independent (1−θ/π)^refineBits trials, where a
+    * single shared sub-key would collapse them into one. Hyperplane
+    * sub-keys — unlike a content-hash salt — keep near-duplicate pairs
+    * together with the usual angular collision probability, so the
+    * recall loss is confined to hot buckets and bounded the way the
+    * table family itself is. Buckets at or under `maxBucket` are
+    * untouched (small corpora and the sf0.01 oracle never see the
+    * guard).
+    *
+    * COMPRESSED-PREFILTER RESCORE (the 100× fix): rescoring used to
+    * equi-join BOTH full embedding vectors onto every candidate pair —
+    * at 100× corpus scale that shuffle (pairs × 2 × d doubles) went
+    * disk-bound (91× wall-clock slope). Candidates now first join
+    * int8-quantized codes (d bytes — 8× less shuffle) plus per-row
+    * norms and a PROVABLE per-row quantization error bound; a pair
+    * whose int8 cosine falls below `threshold − margin` is provably
+    * below `threshold` and drops before any full vector moves. With
+    * eps_v = √d·scale_v/(2‖v‖) (each dequantized coordinate errs at
+    * most scale/2, so ‖v − dequant(v)‖ ≤ √d·scale/2):
+    *   |cos_int8 − cos| ≤ eps_a + eps_b + 3·eps_a·eps_b =: margin
+    * (expand dot(â+e_a, b̂+e_b) and apply Cauchy–Schwarz to the three
+    * error cross-terms). Keeping cos_int8 ≥ threshold − margin − 1e-9
+    * (fp slack dwarfing the ~d·2⁻⁵² rounding of the sums themselves)
+    * can therefore never drop a true pair: the exact output is
+    * IDENTICAL to the uncompressed rescore, only cheaper — full
+    * vectors rejoin only the margin band. */
   def lshNearDup(
       vecs: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4,
@@ -148,17 +172,21 @@ object Similarity {
       .withColumn("nrm", fastNorm(col(vec)))
       .withColumn("bks", call_function("lsh_buckets",
         col(vec), lit(nBits), lit(nTables), lit(seed)))
-      // one refinement key per vector, used only inside hot buckets
-      .withColumn("sub", element_at(call_function("lsh_buckets",
-        col(vec), lit(refineBits), lit(1), lit(seed + 7919)), 1))
+      // one refinement key PER TABLE, used only inside hot buckets —
+      // table t refines by sub-key t, keeping refinement trials
+      // independent across tables (see scaladoc)
+      .withColumn("subs", call_function("lsh_buckets",
+        col(vec), lit(refineBits), lit(nTables), lit(seed + 7919)))
     // candidate generation carries ONLY (id, bucket keys) — vectors
     // rejoin later, so the bucket join/dedup shuffles a few longs per
     // pair instead of two full embeddings. localCheckpoint: the keyed
     // relation feeds the occupancy count AND both self-join arms (the
     // dual-arm convention — without it the corpus is re-scanned and
-    // re-hashed per arm); ~32 bytes × nTables per vector materialized.
-    val bucketed = withKeys.select(col(id), col("sub"),
+    // re-hashed per arm); ~40 bytes × nTables per vector materialized.
+    val bucketed = withKeys.select(col(id), col("subs"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      .select(col(id), col("tbl"), col("bucket"),
+        element_at(col("subs"), col("tbl") + 1).as("sub"))
       .localCheckpoint()
     // bucket occupancy: one count aggregate on the same (tbl, bucket)
     // key space the join uses; output is bounded by the occupied-bucket
@@ -172,12 +200,35 @@ object Similarity {
     val cand = a.join(b, Seq("tbl", "bucket", "k2"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // rejoin by plain equi-join: the planner broadcasts the vector side
-    // only when its size stats allow — an explicit broadcast() here
-    // would OOM at the corpus sizes this operator exists for
+    // compressed prefilter (see scaladoc): int8 codes + per-row error
+    // bound join first — d bytes per side instead of d doubles — and
+    // provably-below-threshold pairs drop before any full vector moves
+    val compressed = withKeys
+      .withColumn("scl", int8Scale(col(vec)))
+      .select(col(id), col("nrm"), col("scl"),
+        quantizeInt8(col(vec), col("scl")).cast("array<tinyint>").as("q8"),
+        (sqrt(size(col(vec)).cast("double")) * col("scl") / (col("nrm") * 2.0))
+          .as("eps"))
+    val aq = compressed.select(col(id).as("a_id"), col("q8").as("a_q8"),
+      col("nrm").as("a_nrm"), col("scl").as("a_scl"), col("eps").as("a_eps"))
+    val bq = compressed.select(col(id).as("b_id"), col("q8").as("b_q8"),
+      col("nrm").as("b_nrm"), col("scl").as("b_scl"), col("eps").as("b_eps"))
+    val margin =
+      col("a_eps") + col("b_eps") + col("a_eps") * col("b_eps") * 3.0 + 1e-9
+    val band = cand.join(aq, "a_id").join(bq, "b_id")
+      .withColumn("cos_q",
+        col("a_scl") * col("b_scl") *
+          call_function("vec_dot_i8", col("a_q8"), col("b_q8")).cast("double") /
+          (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos_q") >= lit(threshold) - margin)
+      .select(col("a_id"), col("b_id"))
+    // exact rescore of the surviving margin band only. Rejoin by plain
+    // equi-join: the planner broadcasts the vector side only when its
+    // size stats allow — an explicit broadcast() here would OOM at the
+    // corpus sizes this operator exists for
     val av = withKeys.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
     val bv = withKeys.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
-    cand.join(av, "a_id").join(bv, "b_id")
+    band.join(av, "a_id").join(bv, "b_id")
       .withColumn("sim",
         cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")))
       .filter(col("sim") >= threshold)

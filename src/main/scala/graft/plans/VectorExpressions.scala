@@ -114,6 +114,54 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Sum of elementwise products of two int8-code arrays
+  * (array<tinyint>), accumulated exactly in a long — the prefilter dot
+  * for quantized rescoring: d byte-reads per pair instead of d
+  * double-reads, inside whole-stage codegen. Integer arithmetic is
+  * exact (|products| ≤ 127², so even billion-dim vectors cannot
+  * overflow the long accumulator), which keeps the quantization error
+  * analysis in [[graft.operators.Similarity.lshNearDup]] sound: the
+  * only approximation is the quantization itself, never this sum. */
+case class DotProductI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_dot_i8"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i) * b.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getByte($i) * $b.getByte($i);
+          }
+          ${ev.value} = $s;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** md5-parity ±1 sign shared by [[LshBuckets]] and [[RpProject]]: even
   * parity of the first hex digit of md5(key) → +1.0, else −1.0. One
   * definition so the two sign matrices (and the SQL oracles that
@@ -346,6 +394,7 @@ object VectorExpressions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_sq_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_dot_i8", exprs => DotProductI8(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_buckets", exprs => LshBuckets(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue(),

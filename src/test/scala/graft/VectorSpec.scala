@@ -294,7 +294,13 @@ class VectorSpec extends SparkSuite {
     val unguarded = cands(Long.MaxValue)
     val guarded = cands(32) // every 2-bit bucket holds ~75 >> 32 vectors
     assert(guarded.subsetOf(unguarded), "the guard must only remove candidates")
-    assert(guarded.size < unguarded.size / 2,
+    // per-TABLE refinement keys are an OR across the 4 tables — a pair
+    // stays if ANY shared hot bucket's sub-keys collide — so the guard
+    // deliberately retains more candidates than a single shared key
+    // would (that key correlated refinement misses across tables and
+    // collapsed recall to one trial); the bound here is that it still
+    // cuts the hot-bucket pair mass meaningfully
+    assert(guarded.size < unguarded.size * 3 / 4,
       s"guard must cut hot-bucket candidates: ${guarded.size} vs ${unguarded.size}")
     // identical vectors share every table bucket AND the refinement key
     for (i <- 0L until 10L)
