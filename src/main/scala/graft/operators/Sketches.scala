@@ -108,15 +108,17 @@ object Sketches {
   def countMinFrequencies(df: DataFrame, value: String,
       w: Int = 1024, d: Int = 4, audit: Boolean = true): DataFrame = {
     def positions(c: Column): Column = cmsPositions(c, w, d)
-    // ONE materialization feeds both arms (counters build + probe):
-    // without it each arm re-runs the full upstream lineage — the
-    // repo's dual-arm localCheckpoint convention (sourceOverlap,
-    // packShardsGlobal). The materialized relation is the projected
-    // value column only.
-    val vals = df.select(col(value)).localCheckpoint()
-    val counters = vals
-      .select(posexplode(positions(col(value))).as(Seq("row", "pos")))
-      .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("c"))
+    // audit = true: ONE materialization feeds both arms (counters build
+    // + exact-count probe) — without it each arm re-runs the full
+    // upstream lineage (the repo's dual-arm localCheckpoint convention:
+    // sourceOverlap, packShardsGlobal). audit = false: NO checkpoint —
+    // materializing the whole token stream to executor-local disk is
+    // exactly the unbounded cost the production form exists to avoid
+    // (and a lost executor would fail the job); the probe arm's
+    // distinct re-reads lineage instead.
+    val projected = df.select(col(value))
+    val vals = if (audit) projected.localCheckpoint() else projected
+    val counters = countMinCounters(vals, value, w, d)
     // audit = true (the QA/oracle form): exact counts ride along with
     // the overcount audit. audit = false (the production-scale form):
     // the exact-count arm is skipped entirely — the sketch then costs
@@ -135,6 +137,47 @@ object Sketches {
       est.select(col("v").as(value), col("cms_estimate"), col("exact_cnt"),
         (col("cms_estimate") - col("exact_cnt")).as("overcount"))
     else est.select(col("v").as(value), col("cms_estimate"))
+  }
+
+  /** The bounded counters relation alone — (row, pos, c) for every
+    * occupied cell, built by the one-pass [[graft.plans.CmsSketchAgg]]
+    * (buffer = the d·w array, merged per partition; no d× row
+    * expansion). At most d·w rows whatever the input size, so the
+    * result is always broadcastable — this is the build half of the
+    * production API, the piece a 100 TB job materializes ONCE and then
+    * probes with [[countMinProbe]]. Bit-identical to the declarative
+    * posexplode → groupBy build (integer sums commute). */
+  def countMinCounters(df: DataFrame, value: String,
+      w: Int, d: Int): DataFrame = {
+    graft.plans.TextExpressions.register(df.sparkSession)
+    df.agg(call_function("cms_sketch",
+        col(value).cast("string"), lit(w), lit(d)).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("i", "c")))
+      .filter(col("c") > 0)
+      .select((col("i") / lit(w)).cast("int").as("row"),
+        (col("i") % lit(w)).cast("int").as("pos"), col("c"))
+  }
+
+  /** Point-probe form — the production shape the full-enumeration scan
+    * (q95) is NOT: estimates for a SUPPLIED query-value set only, via
+    * [[cmsPositions]] on the query side + a broadcast of the bounded
+    * counters. After the one counter build, the corpus is never touched
+    * again — probing k values costs k·d broadcast-hash lookups, zero
+    * corpus-side shuffle, which at 100 TB is the difference between
+    * answering "how often does this phrase occur?" and re-running the
+    * frequency job. A cell absent from `counters` held count 0 (the
+    * build drops empties), so missing cells coalesce to 0 — a value
+    * never seen estimates 0 unless every one of its d cells collides
+    * with real mass (the standard count-min overcount, never an
+    * undercount). Output: (value, cms_estimate) per query value. */
+  def countMinProbe(counters: DataFrame, queries: DataFrame, value: String,
+      w: Int, d: Int): DataFrame = {
+    val probe = queries.select(col(value).as("v"),
+      posexplode(cmsPositions(col(value), w, d)).as(Seq("row", "pos")))
+    probe.join(broadcast(counters), Seq("row", "pos"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+      .select(col("v").as(value), col("cms_estimate"))
   }
 
   /** Bloom-filter benchmark decontamination — the sketch-backed, at-scale

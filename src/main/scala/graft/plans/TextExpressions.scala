@@ -1,7 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -135,6 +138,72 @@ private[plans] object Md5Halves {
     while (i < 13) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     v
   }
+}
+
+/** One-pass count-min counter build: a typed-imperative aggregate
+  * whose BUFFER is the sketch — d·w long counters updated in place,
+  * one md5 per input value (parsed straight from digest bytes by
+  * [[Md5Halves]], no hex-string/conv round-trip), merged by elementwise
+  * add. Replaces the declarative build (posexplode of d cells per value
+  * → hash aggregate over d·n rows): the d× row expansion disappears
+  * and the partial-agg state is exactly the d·w array the sketch is
+  * defined as, so the shuffle carries one bounded buffer per partition
+  * whatever the input size. Counter updates are integer sums —
+  * associative and order-independent — so the result is bit-identical
+  * to the declarative build and to the SQL oracle's recomputation:
+  * cell (i, (h1 + i·h2) mod w) with h1/h2 the 32-bit md5 halves, the
+  * same arithmetic [[graft.operators.Sketches.cmsPositions]] spells in
+  * Column form. Output: array<long> of length d·w, row-major. */
+case class CmsSketchAgg(child: Expression, w: Int, d: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  override def prettyName: String = "cms_sketch"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val dig = Md5Halves.digest(v.asInstanceOf[UTF8String])
+      val h1 = Md5Halves.h32(dig, 0)
+      val h2 = Md5Halves.h32(dig, 4)
+      var i = 0
+      while (i < d) {
+        buf(i * w + ((h1 + i * h2) % w).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Whole 64-bit md5-SimHash signature in one pass per document —
@@ -421,6 +490,12 @@ object TextExpressions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch",
+      exprs => CmsSketchAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_words",
       exprs => ChunkWords(exprs(0),

@@ -537,6 +537,51 @@ object TrainingQueries {
         "shuffle + a distinct probe — the fixed-memory frequency " +
         "stand-in actually run at scale, estimates still hash-proved."),
 
+    // ---- q96: count-min point probe (the production query shape) ----------
+    "q96_countmin_probe" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val tok = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("term"))
+        val counters =
+          graft.operators.Sketches.countMinCounters(tok, "term", 1024, 4)
+        import s.implicits._
+        // supplied query set: frequent terms, the rare 'dup' marker, and
+        // an out-of-vocabulary probe ('quantize' never occurs) — at
+        // w=1024 its cells are almost surely empty, exercising the
+        // missing-cell => 0 path the full-enumeration form never hits
+        val qs = Seq("join", "hash", "stream", "dup", "window", "quantize")
+          .toDF("term")
+        graft.operators.Sketches.countMinProbe(counters, qs, "term", 1024, 4)
+          .orderBy(col("term"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($W) AS term FROM documents
+        ), cells AS (
+          SELECT i.range AS row, (h1 + i.range * h2) % 1024 AS pos
+          FROM (SELECT CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM tok), range(0, 4) i
+        ), counters AS (
+          SELECT row, pos, COUNT(*) AS c FROM cells GROUP BY row, pos
+        ), q AS (
+          SELECT unnest(['join', 'hash', 'stream', 'dup', 'window', 'quantize']) AS term
+        ), probe AS (
+          SELECT term, i.range AS row, (h1 + i.range * h2) % 1024 AS pos
+          FROM (SELECT term,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h2
+                FROM q), range(0, 4) i
+        )
+        SELECT term, MIN(COALESCE(c, 0)) AS cms_estimate
+        FROM probe LEFT JOIN counters USING (row, pos)
+        GROUP BY term ORDER BY term"""),
+      "Count-min point probe: ONE bounded counter build, then " +
+        "estimates for a supplied query set via broadcast lookups — " +
+        "zero corpus-side shuffle after the build, the shape that " +
+        "makes a 100 TB frequency question a lookup, not a job."),
+
     // ---- q88: vocabulary OOV-rate QA --------------------------------------
     "q88_oov_rate" -> Q(
       (s, d) => TextAnalysis.oovStats(Tables.documents(s, d), "doc_id", "text",

@@ -238,6 +238,26 @@ class PlanSpec extends SparkSuite {
       s"the decontamination scan must not shuffle the corpus:\n${p.take(1500)}")
   }
 
+  test("count-min point probe: corpus scanned once, counters join by broadcast") {
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.documents(spark, sf("0.001"))
+      .select(explode(tokens(col("text"))).as("term"))
+    val counters = graft.operators.Sketches.countMinCounters(tok, "term", 1024, 4)
+    import spark.implicits._
+    val qs = Seq("join", "quantize").toDF("term")
+    val probed = graft.operators.Sketches.countMinProbe(counters, qs, "term", 1024, 4)
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"counters must reach the probe via broadcast:\n${p.take(1500)}")
+    assert("FileScan".r.findAllMatchIn(p).size == 1,
+      s"the corpus must be scanned exactly once (the counter build):\n${p.take(1500)}")
+    // the only hash-partitioned shuffle is the probe-side min-agg over
+    // the supplied query values; the counter build itself moves one
+    // bounded d*w buffer per partition through a single-partition merge
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1,
+      s"no corpus-side hash shuffle after the counter build:\n${p.take(1500)}")
+  }
+
   test("randomProject is a pure projection: zero exchanges") {
     val e = Tables.embeddings(spark, sf("0.001"))
       .select(col("vec_id"),
