@@ -63,6 +63,14 @@ object Similarity {
     * default routing answer is [[topKAuto]]/[[nearDupAuto]]. */
   val DefaultExactLimit: Long = 1L << 20
 
+  /** Marker default for `trainSample` parameters: the operator derives
+    * a bounded deterministic training sample itself (lowest 256·cells
+    * ids — 256 points per centroid is standard quantizer-training
+    * practice, and an id-ordered cut is reproducible on any
+    * partitioning). Matched by reference (`eq`), so passing a regular
+    * `identity` still means "train on everything I gave you". */
+  val DefaultTrainSample: DataFrame => DataFrame = df => df
+
   /** Brute-force cosine top-k per probe against a target set.
     * Similarity is rounded to `roundTo` decimals before ranking so that
     * float-noise near-ties resolve deterministically by target id.
@@ -328,13 +336,18 @@ object Similarity {
     *
     * @param trainSample bounds quantizer training cost (standard ANN
     *                    practice — the model is tiny; a sample trains
-    *                    it as well as the corpus). */
+    *                    it as well as the corpus). The DEFAULT is the
+    *                    bounded deterministic sample [[DefaultTrainSample]]
+    *                    marks (lowest 256·cells target ids) — full-corpus
+    *                    training is the opt-IN (`identity`), not the
+    *                    default, because at 100 TB "train the quantizer"
+    *                    must never mean "iterate the corpus". */
   def topKAuto(
       probes: DataFrame, pId: String, pVec: String,
       targets: DataFrame, tId: String, tVec: String,
       k: Int, exactLimit: Long = DefaultExactLimit,
       kCells: Int = 0, kmIters: Int = 2, nProbe: Int = 8,
-      trainSample: DataFrame => DataFrame = identity,
+      trainSample: DataFrame => DataFrame = DefaultTrainSample,
       roundTo: Int = 6): DataFrame = {
     val n = targets.count()
     if (n <= exactLimit)
@@ -343,7 +356,14 @@ object Similarity {
       val cells =
         if (kCells > 0) kCells
         else math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-      val model = kMeans(trainSample(targets), tId, tVec, cells, kmIters)
+      // the marker resolves HERE because the sample size depends on the
+      // runtime-sized cell count: 256 training points per cell, cut by
+      // id order so the sample is deterministic on any partitioning
+      val sample =
+        if (trainSample eq DefaultTrainSample)
+          (df: DataFrame) => df.sort(col(tId)).limit(256 * cells)
+        else trainSample
+      val model = kMeans(sample(targets), tId, tVec, cells, kmIters)
         .select(col("cell"), col("centroid_vec"))
       ivfTopK(probes, pId, pVec, targets, tId, tVec,
         model, "cell", "centroid_vec", k, nProbe, roundTo)
@@ -721,17 +741,26 @@ object Similarity {
     *
     * Codebooks train on `trainSample` (standard PQ practice — the
     * codebook is a tiny model; sampling bounds the m × iters training
-    * cost no matter the corpus size). Encoding is one broadcast join of
-    * all m codebooks + a projection per subspace; deterministic because
-    * [[kMeans]] is.
+    * cost no matter the corpus size). Sample training is the DEFAULT
+    * (lowest 256·k ids, deterministic on any partitioning) — full-corpus
+    * training is the explicit opt-in (`identity`), because m codebooks ×
+    * iters passes over an unbounded corpus is a scale bug, not a
+    * default. Encoding is one broadcast join of all m codebooks + a
+    * projection per subspace; deterministic because [[kMeans]] is.
     *
     * @return (id, codes array<int>, recon_err double) — recon_err is
     *         the squared L2 between the vector and its codebook
     *         reconstruction, the metric that tunes m/k. */
   def productQuantize(vecs: DataFrame, id: String, vec: String,
-      m: Int, k: Int, iters: Int, trainSample: DataFrame => DataFrame = identity)
-      : DataFrame =
-    pqEncode(vecs, id, vec, pqCodebooks(trainSample(vecs), id, vec, m, k, iters))
+      m: Int, k: Int, iters: Int,
+      trainSample: DataFrame => DataFrame = DefaultTrainSample)
+      : DataFrame = {
+    val sample =
+      if (trainSample eq DefaultTrainSample)
+        (df: DataFrame) => df.sort(col(id)).limit(256 * k)
+      else trainSample
+    pqEncode(vecs, id, vec, pqCodebooks(sample(vecs), id, vec, m, k, iters))
+  }
 
   /** Encode vectors against existing [[pqCodebooks]]: nearest codebook
     * cell per subspace, as a PURE PROJECTION — the codebook is
@@ -778,11 +807,16 @@ object Similarity {
     ensureRegistered(vecs)
     val spark = vecs.sparkSession
     import spark.implicits._
-    val dim = vecs.select(size(col(vec))).head.getInt(0)
+    // ONE materialization of the training input: callers pass the
+    // (bounded) training sample, and without this each of the m
+    // subspace trainings would re-run the sample's upstream lineage —
+    // m extra corpus passes when the sample is an order/limit cut
+    val train = vecs.select(col(id), col(vec)).localCheckpoint()
+    val dim = train.select(size(col(vec))).head.getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val books = (0 until m).flatMap { s =>
-      val sliced = vecs.select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
+      val sliced = train.select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
       kMeans(sliced, id, "subv", k, iters).collect()
         .map(r => (s, r.getInt(0), r.getSeq[Double](2)))
     }

@@ -168,6 +168,30 @@ class VectorSpec extends SparkSuite {
     assert(run(8).map(t => (t._1, t._2)).toSeq == pq.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("sample-trained PQ codebooks reconstruct nearly as well as full training") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.embeddings(spark, sf("0.01"))
+      .select(c("vec_id"), asDoubleVec(c("embedding")).as("emb"))
+    def meanErr(ts: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Similarity.productQuantize(e, "vec_id", "emb", m = 2, k = 8, iters = 2,
+          trainSample = ts)
+        .agg(avg(c("recon_err"))).head.getDouble(0)
+    val full = meanErr(identity)
+    val sampled = meanErr(_.sort(c("vec_id")).limit(200)) // 200 of 800 vectors
+    assert(sampled <= full * 1.3,
+      s"a 25% training sample must reconstruct within 30% of full training: " +
+        s"$sampled vs $full")
+    // the DEFAULT trainSample is the bounded deterministic cut — same
+    // model as spelling the lowest-256*k-ids sample out explicitly
+    val byDefault = Similarity.productQuantize(e, "vec_id", "emb", m = 2, k = 8,
+        iters = 2).orderBy(c("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val explicit = Similarity.productQuantize(e, "vec_id", "emb", m = 2, k = 8,
+        iters = 2, trainSample = _.sort(c("vec_id")).limit(256 * 8))
+      .orderBy(c("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(byDefault.toSeq == explicit.toSeq,
+      "default trainSample must be the deterministic lowest-id cut")
+  }
+
   test("pqTopK (ADC) self-retrieval: codes-only scoring finds the encoded twin") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Tables.embeddings(spark, sf("0.001"))
