@@ -651,37 +651,60 @@ object Similarity {
     * Scale shape: assignment is the nearest_cell projection; the only
     * per-batch joins are cell equi-joins of the batch against the
     * in-cell slice of the index — at 100 TB the index streams through
-    * the join exactly like [[Dedup.dedupIngest]]'s digest table, and a
-    * cell-bucketed index table (PlanSpec's persisted-ANN-index shape)
-    * removes even that shuffle. Writes are corpus-then-index, so a
-    * crash between them replays at-least-once, never losing content. */
+    * the join exactly like [[Dedup.dedupIngest]]'s digest table.
+    * The index table is BUCKETED on `cell` (`indexBuckets` buckets, the
+    * [[graft.Catalog.createBucketedTable]] shape), so the growing index
+    * side of that equi-join never shuffles — each batch shuffles only
+    * itself to the index's bucketing (StreamingSpec pins the plan).
+    *
+    * Delivery: `stateTable` records the last applied batch id and a
+    * REPLAYED batch (same id — the foreachBatch redelivery after a
+    * crash past the state write) is skipped whole, mirroring
+    * [[TextAnalysis.trainingRowsIngest]]; without the guard a replay
+    * re-appends every arrival to the index (silent duplicate growth —
+    * surprising from a dedup operator, even though duplicate index rows
+    * cannot flip any keep decision). Writes are corpus → index → state,
+    * so the remaining crash windows replay at-least-once into the
+    * corpus/index, never losing content and never skipping a batch that
+    * was not fully applied. */
   def semDedupIngest(model: DataFrame, id: String, vec: String,
-      threshold: Double, corpusTable: String, indexTable: String): (DataFrame, Long) => Unit = {
+      threshold: Double, corpusTable: String, indexTable: String,
+      stateTable: String, indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
     val (cellIds, matrix) = quantizerLiterals(model)
-    (batch: DataFrame, _: Long) => if (!batch.isEmpty) {
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
       ensureRegistered(batch)
-      val assigned = batch.select(col(id), col(vec),
-          element_at(cellIds, call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
-          fastNorm(col(vec)).as("nrm"))
-        .localCheckpoint() // feeds both joins, the survivors and the index append
-      val seen =
-        if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
-        else assigned.limit(0)
-      def side(df: DataFrame, p: String) = df.select(col("cell"),
-        col(id).as(s"${p}_id"), col(vec).as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"))
-      val near = cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")) >= threshold
-      // every indexed vector arrived earlier, so it is senior to the
-      // whole batch; within the batch, seniority is the id order
-      val vsIndex = side(seen, "a").join(side(assigned, "b"), Seq("cell"))
-        .filter(near).select(col("b_id"))
-      val inBatch = side(assigned, "a").join(side(assigned, "b"), Seq("cell"))
-        .filter(col("a_id") < col("b_id") && near).select(col("b_id"))
-      val dropped = vsIndex.union(inBatch).distinct()
-      assigned.join(dropped, col(id) === col("b_id"), "left_anti")
-        .select(col(id), col("cell"), col(vec))
-        .write.mode("append").saveAsTable(corpusTable)
-      assigned.write.mode("append").saveAsTable(indexTable)
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val assigned = batch.select(col(id), col(vec),
+            element_at(cellIds, call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+            fastNorm(col(vec)).as("nrm"))
+          .localCheckpoint() // feeds both joins, the survivors and the index append
+        val seen =
+          if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+          else assigned.limit(0)
+        def side(df: DataFrame, p: String) = df.select(col("cell"),
+          col(id).as(s"${p}_id"), col(vec).as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"))
+        val near = cosineWithNorms(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")) >= threshold
+        // every indexed vector arrived earlier, so it is senior to the
+        // whole batch; within the batch, seniority is the id order
+        val vsIndex = side(seen, "a").join(side(assigned, "b"), Seq("cell"))
+          .filter(near).select(col("b_id"))
+        val inBatch = side(assigned, "a").join(side(assigned, "b"), Seq("cell"))
+          .filter(col("a_id") < col("b_id") && near).select(col("b_id"))
+        val dropped = vsIndex.union(inBatch).distinct()
+        assigned.join(dropped, col(id) === col("b_id"), "left_anti")
+          .select(col(id), col("cell"), col(vec))
+          .write.mode("append").saveAsTable(corpusTable)
+        assigned.write.mode("append")
+          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
     }
   }
 

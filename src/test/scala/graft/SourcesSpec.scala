@@ -84,6 +84,82 @@ class SourcesSpec extends SparkSuite {
     } finally { rmTree(dir); rmTree(outDir); rmTree(ck) }
   }
 
+  test("semDedupIngest resumes from a checkpoint without replaying or skipping") {
+    // the kill-mid-stream restart contract for the stateful ingest: stop
+    // a file-source stream partway through the corpus, restart with the
+    // SAME checkpoint while new input arrived, and the final corpus must
+    // equal the batch semDedup keep-set with every arrival indexed
+    // exactly once
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    graft.plans.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft_sdck_src")
+    val ck = Files.createTempDirectory("graft_sdck_ck")
+    val (corpusT, indexT, stateT) =
+      ("graft_sdck_corpus", "graft_sdck_index", "graft_sdck_state")
+    try {
+      Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val matrix = typedlit(
+        model.orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq)
+      val assigned = e.select(col("vec_id"), col("emb"),
+        call_function("nearest_cell", col("emb"), matrix).as("cell"))
+      val dropped = Similarity.semDedupDropped(assigned, "vec_id", "emb",
+          threshold = 0.4, guardCellSize = 1L << 30,
+          guardBits = 6, guardTables = 8, guardSeed = 4000)
+        .collect().map(_.getLong(0)).toSet
+      val expectKeep = e.collect().map(_.getLong(0)).toSet.diff(dropped)
+      val n = e.count()
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      // four id-ordered chunks as single parquet files whose mtimes force
+      // arrival order (the keep-set equality assumes seniors arrive first)
+      def writeChunk(i: Int): Unit = {
+        val lo = i * (maxId + 1) / 4
+        val hi = (i + 1) * (maxId + 1) / 4
+        val tmp = Files.createTempDirectory(s"graft_sdck_w$i")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = dir.resolve(f"c$i%02d.parquet")
+        Files.move(part, dest)
+        dest.toFile.setLastModified(60000L * (i + 1))
+        rmTree(tmp)
+      }
+      val fn = Similarity.semDedupIngest(model, "vec_id", "emb",
+        threshold = 0.4, corpusT, indexT, stateT)
+      def start() = spark.readStream
+        .schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(fn)
+        .start()
+      (0 until 2).foreach(writeChunk)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed mid-corpus; chunks 2-3 arrive while it is down
+      (2 until 4).foreach(writeChunk)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.table(corpusT).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expectKeep,
+        s"post-restart keeps must equal batch semDedup: extra=${got.diff(expectKeep)} missing=${expectKeep.diff(got)}")
+      assert(spark.table(indexT).count() == n,
+        "every arrival must be indexed exactly once across the restart")
+    } finally {
+      Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      rmTree(dir); rmTree(ck)
+    }
+  }
+
   test("partitioned corpus write: pruning reads only matching dirs, file count bounded") {
     val dir = Files.createTempDirectory("graft_part_out")
     try {

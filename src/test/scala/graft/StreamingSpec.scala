@@ -620,9 +620,10 @@ class StreamingSpec extends SparkSuite {
     import graft.functions.VectorFunctions.asDoubleVec
     implicit val sqlCtx = spark.sqlContext
     graft.plans.VectorExpressions.register(spark)
-    val (corpusT, indexT) = ("graft_semdedup_corpus", "graft_semdedup_index")
+    val (corpusT, indexT, stateT) =
+      ("graft_semdedup_corpus", "graft_semdedup_index", "graft_semdedup_state")
     try {
-      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
       val e = Tables.embeddings(spark, sf("0.001"))
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
       val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
@@ -643,7 +644,7 @@ class StreamingSpec extends SparkSuite {
       val input = MemoryStream[(Long, Seq[Double])]
       val q = input.toDF().toDF("vec_id", "emb").writeStream
         .foreachBatch(Similarity.semDedupIngest(model, "vec_id", "emb",
-          threshold = 0.4, corpusT, indexT))
+          threshold = 0.4, corpusT, indexT, stateT))
         .start()
       for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
         input.addData(chunk.toSeq: _*)
@@ -656,6 +657,80 @@ class StreamingSpec extends SparkSuite {
         s"streamed keeps must equal batch semDedup: extra=${got.diff(expectKeep)} missing=${expectKeep.diff(got)}")
       assert(spark.table(indexT).count() == ordered.length,
         "the index must hold every arrival, dropped ones included")
+      // the index table is bucketed on cell: the per-batch cell
+      // equi-join must not shuffle the (growing) index side — with
+      // broadcast off, the only exchange is the batch side aligning
+      // itself to the index's bucketing
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val batchSide = spark.table(indexT).limit(5)
+          .select(col("cell"), col("vec_id").as("b_id"))
+        val p = spark.table(indexT)
+          .join(batchSide, Seq("cell"))
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+          s"bucketed index join must shuffle only the batch side:\n${p.take(2000)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("semDedupIngest skips a replayed batch id (no duplicate index growth)") {
+    // the foreachBatch redelivery contract: the same (batch, batchId)
+    // applied twice must leave corpus, index AND state exactly as after
+    // the first application — without the guard every replayed arrival
+    // re-appends to the index (silent duplicate growth from a dedup
+    // operator)
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    graft.plans.VectorExpressions.register(spark)
+    val (corpusT, indexT, stateT) =
+      ("graft_sdreplay_corpus", "graft_sdreplay_index", "graft_sdreplay_state")
+    try {
+      Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val fn = Similarity.semDedupIngest(model, "vec_id", "emb",
+        threshold = 0.4, corpusT, indexT, stateT)
+      val b0 = e.filter(col("vec_id") < 30).localCheckpoint()
+      val b1 = e.filter(col("vec_id") >= 30).localCheckpoint()
+      fn(b0, 0L)
+      def snap() = (spark.table(corpusT).count(), spark.table(indexT).count(),
+        spark.table(stateT).head().getLong(0))
+      val after0 = snap()
+      fn(b0, 0L) // replay: must be a no-op
+      assert(snap() == after0, "a replayed batch must not grow corpus or index")
+      fn(b1, 1L) // the stream continues normally afterwards
+      assert(spark.table(indexT).count() == e.count(),
+        "post-replay ingest must index every distinct arrival exactly once")
+    } finally Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("dedupIngest replay is naturally idempotent (digests anti-join away)") {
+    // dedupIngest needs no batch-id guard: a replayed batch's content
+    // hashes are already in the digest index, so incrementalNew drops
+    // every row — corpus and index end exactly as after the first
+    // delivery, and later batches continue unaffected
+    import graft.operators.Dedup
+    val (corpusT, indexT) = ("graft_ddreplay_corpus", "graft_ddreplay_index")
+    try {
+      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("text"))
+      val fn = Dedup.dedupIngest("doc_id", "text", corpusT, indexT)
+      val b0 = docs.filter(col("doc_id") < 30).localCheckpoint()
+      val b1 = docs.filter(col("doc_id") >= 30).localCheckpoint()
+      fn(b0, 0L)
+      def snap() = (spark.table(corpusT).count(), spark.table(indexT).count())
+      val after0 = snap()
+      fn(b0, 0L) // replay: every digest already indexed -> no-op
+      assert(snap() == after0, "replayed batch must not re-append survivors")
+      fn(b1, 1L)
+      val expect = docs.select(md5(col("text"))).distinct().count()
+      assert(spark.table(corpusT).count() == expect,
+        "post-replay corpus must hold exactly one row per distinct content hash")
     } finally Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
   }
 
