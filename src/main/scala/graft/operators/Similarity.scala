@@ -593,6 +593,15 @@ object Similarity {
     *
     * Output: (id, cell, keep) for EVERY input vector; keep = false
     * marks the dropped junior duplicates. */
+  /** [[semDedup]]'s auto cell-count rule (k = n / targetCellSize,
+    * floor 8, cap 65536, bounded by n — kMeans requires at least k
+    * vectors, so a tiny corpus must not be pushed up to the 8-cell
+    * floor). Exposed so oracle guards recompute exactly the k the
+    * operator will train rather than re-deriving the rule by hand. */
+  def semDedupAutoK(n: Long, targetCellSize: Long = 256): Long =
+    math.min(n, math.max(8L, math.min(65536L,
+      math.ceil(n.toDouble / targetCellSize).toLong)))
+
   def semDedup(vecs: DataFrame, id: String, vec: String,
       threshold: Double, k: Int = 0, iters: Int = 2,
       targetCellSize: Long = 256, guardCellSize: Long = 1024,
@@ -610,10 +619,7 @@ object Similarity {
       else {
         val n = vecs.count()
         require(n > 0, "semDedup: empty input")
-        // bounded by n: kMeans requires at least k vectors, so a tiny
-        // corpus must not be pushed up to the 8-cell floor
-        math.min(n, math.max(8, math.min(65536L,
-          math.ceil(n.toDouble / targetCellSize).toLong))).toInt
+        semDedupAutoK(n, targetCellSize).toInt
       }
     val model = kMeans(vecs, id, vec, cells, iters)
     val matrix = typedlit(

@@ -465,7 +465,19 @@ object SimilarityQueries {
         // k auto-sizes from the budget (n / targetCellSize, floor 8):
         // at the driver's fixed sf0.01 (n = 500) that resolves to
         // k = 8, which is what the oracle's unrolled CTE chain trains —
-        // so the REGISTERED query is the scale path, not a pinned twin
+        // so the REGISTERED query is the scale path, not a pinned twin.
+        // The oracle SQL hard-codes that k=8 chain, and the parity
+        // harness always evaluates it against the sf0.01 dir — so AT
+        // THAT DIR a drifted auto-k must fail LOUDLY here instead of
+        // surfacing as a baffling hash mismatch (any other dir — bench
+        // at sf0.1, slope captures — legitimately auto-sizes k and is
+        // never oracle-compared)
+        if (d.stripSuffix("/").endsWith("sf0.01")) {
+          val autoK = Similarity.semDedupAutoK(e.count())
+          require(autoK == 8L,
+            s"q87's oracle chains a k=8 trainer but the fixture auto-sizes " +
+              s"k=$autoK; regenerate the oracle (OracleGen.kmeansCtes k)")
+        }
         Similarity.semDedup(e, "vec_id", "emb", threshold = 0.4, iters = 2)
           .orderBy(col("vec_id"))
       },
