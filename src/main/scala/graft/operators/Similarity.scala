@@ -251,7 +251,8 @@ object Similarity {
     *
     * @param centroids small (cellCol, centroidVec) DataFrame — e.g.
     *                  [[labelCentroids]] output re-assembled, or any
-    *                  k-means result. Broadcast to both sides.
+    *                  k-means result. Collected driver-side and shipped
+    *                  inside the assignment expressions on both sides.
     */
   def ivfTopK(
       probes: DataFrame, pId: String, pVec: String,
@@ -259,7 +260,6 @@ object Similarity {
       centroids: DataFrame, cellCol: String, centroidVec: String,
       k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
     ensureRegistered(probes)
-    def cellDist(vec: String) = fastSquaredL2(col(vec), col(centroidVec))
     // assign each target to its single nearest cell as a PURE
     // PROJECTION: the quantizer is k×d doubles — tiny by contract — so
     // it ships inside the nearest_cell expression (the kMeans
@@ -281,12 +281,19 @@ object Similarity {
       .withColumn(cellCol,
         element_at(cellIds, call_function("nearest_cell", col(tVec), matrix) + 1))
       .select(col(tId), col(tVec), col("t_nrm"), col(cellCol))
-    // each probe fans out to its nProbe nearest cells
-    val wP = Window.partitionBy(col(pId)).orderBy(cellDist(pVec), col(cellCol))
+    // each probe fans out to its nProbe nearest cells — ALSO a pure
+    // projection (nearest_cells emits the nProbe best matrix indices in
+    // the window form's (dist, cell-id) order): the previous
+    // crossJoin(centroids) + per-probe rank window expanded every probe
+    // k ways and sorted the expansion, which a query-sized probe set
+    // never notices but a batch-join workload (probes ≈ corpus) paid as
+    // an n×k shuffle. Expansion is now bounded at nProbe rows per probe
+    // with no shuffle before the cell join.
     val probeCells = probes.withColumn("p_nrm", fastNorm(col(pVec)))
-      .crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
-      .select(col(pId), col(pVec), col("p_nrm"), col(cellCol))
+      .select(col(pId), col(pVec), col("p_nrm"),
+        explode(transform(
+          call_function("nearest_cells", col(pVec), matrix, lit(nProbe)),
+          i => element_at(cellIds, i + 1))).as(cellCol))
     // exact cosine inside the probed cells only
     val sim = round(
       cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("t_nrm")), roundTo).as("sim")

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -325,6 +325,75 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Top-`nProbe` nearest cells against a driver-held centroid matrix —
+  * [[NearestCell]]'s multi-probe sibling, built for the PROBE side of
+  * IVF search: each probe needs its nProbe nearest cells, and the
+  * crossJoin(centroids) + window form this replaces expanded every
+  * probe into k rows and ranked them through a per-probe sort — fine
+  * for query-sized probe sets, an n×k shuffle wall for batch-join
+  * workloads where probes ≈ corpus. This computes the same answer as a
+  * pure projection: k strict left-to-right squared-L2 folds (identical
+  * arithmetic to [[SquaredL2]]/[[NearestCell]]) and an O(k·nProbe)
+  * partial selection, emitting matrix indices ordered by (distance,
+  * index) — exactly the window's (dist, cell-id) order with its
+  * ties-to-lower-cell row_number cut, so results are bit-identical.
+  * Centroids whose length differs from the input are skipped (the
+  * [[NearestCell]] convention); fewer than nProbe valid centroids
+  * yield a shorter array, and no valid centroid yields null. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.nonEmpty, "nearest_cells: empty centroid matrix")
+  require(nProbe > 0, "nearest_cells: nProbe must be positive")
+  override def prettyName: String = "nearest_cells"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    val valid = new Array[Boolean](k)
+    var c = 0
+    while (c < k) {
+      val ct = centroids(c)
+      if (ct.length == n) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = v.getDouble(i) - ct(i); s += d * d; i += 1 }
+        dists(c) = s; valid(c) = true
+      }
+      c += 1
+    }
+    // partial selection: repeatedly take the unpicked (dist, index)
+    // minimum — strict < keeps the first (= lowest-index) minimum,
+    // matching the window form's ties-to-lower-cell order
+    val out = new Array[Int](nProbe)
+    var taken = 0
+    while (taken < nProbe) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        if (valid(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        j += 1
+      }
+      if (best < 0) {
+        if (taken == 0) return null
+        return new GenericArrayData(java.util.Arrays.copyOf(out, taken))
+      }
+      valid(best) = false
+      out(taken) = best
+      taken += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance (ADC) score of a PQ code array against one
   * probe's flattened distance table: sum over subspaces s of
   * dtab[s·k + codes[s]], where dtab holds the probe's squared distance
@@ -410,6 +479,11 @@ object VectorExpressions {
       val arr = exprs(1).eval().asInstanceOf[ArrayData]
       val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
       NearestCell(exprs(0), m)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("nearest_cells", exprs => {
+      val arr = exprs(1).eval().asInstanceOf[ArrayData]
+      val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+      NearestCells(exprs(0), m, exprs(2).eval().asInstanceOf[Number].intValue())
     }, "built-in")
     if (!spark.experimental.extraOptimizations.contains(SimplifySqrtThreshold))
       spark.experimental.extraOptimizations =

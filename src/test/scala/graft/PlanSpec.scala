@@ -55,24 +55,32 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
-  test("q35 IVF target-to-cell assignment is a projection, not an expansion") {
-    // exactly two Window nodes remain: probe fan-out (rn <= nProbe) and
-    // the final per-probe rank — the target assignment must be the
-    // nearest_cell projection (model inside the expression), NOT a
-    // targets×centroids expansion through aggregation: with a large
-    // auto-sized quantizer the array-buffered agg falls back to
-    // sort-based and sorts the whole n×k expansion (measured 50+ GB at
-    // the 100× scale capture before the projection form)
+  test("q35 IVF assignment is a projection on BOTH sides, not an expansion") {
+    // exactly one logical Window remains: the final per-probe rank.
+    // Target assignment must be the nearest_cell projection (model
+    // inside the expression), NOT a targets×centroids expansion through
+    // aggregation — with a large auto-sized quantizer the array-buffered
+    // agg falls back to sort-based and sorts the whole n×k expansion
+    // (measured 50+ GB at the 100× capture before the projection form).
+    // Probe fan-out must be the nearest_cells projection + explode, NOT
+    // a crossJoin(centroids) + rank window — bounded at nProbe rows per
+    // probe, which is what keeps batch-join workloads (probes ≈ corpus)
+    // off an n×k window sort.
     val exec = SparkEntry.queries("q35_ivf_topk")(spark, sf("0.001"))
       .queryExecution.executedPlan
     val windows = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }
-    assert(windows.size <= 4, // <=2 logical windows; group-limit pushdown may pair each
-      s"expected at most the probe fan-out + rank windows, got:\n${windows.mkString("\n")}")
-    assert(exec.toString.contains("nearest_cell"),
+    assert(windows.size <= 2, // 1 logical window; group-limit pushdown may pair it
+      s"expected only the final rank window, got:\n${windows.mkString("\n")}")
+    val p = exec.toString
+    assert(p.contains("nearest_cell"),
       "target assignment must be the nearest_cell projection")
+    assert(p.contains("nearest_cells"),
+      "probe fan-out must be the nearest_cells projection")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF must never plan a cartesian:\n${p.take(1500)}")
   }
 
   test("q58/q63 two-level rank and prefix sum broadcast their offset side") {
