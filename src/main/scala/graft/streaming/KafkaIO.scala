@@ -55,6 +55,13 @@ object KafkaIO {
       .option("startingOffsets", "latest")
       .load()
 
+  /** The wire projection the routed sink applies — the K1+K2 column
+    * contract (`key`/`value` cast to string plus the per-row `topic`),
+    * factored out so the broker sink and the file-backed emulation
+    * below provably share it. */
+  def routedWire(df: DataFrame): DataFrame =
+    df.select(col("key").cast("string"), col("value").cast("string"), col("topic"))
+
   /** Keyed, dynamically-routed Kafka sink (K1+K2): expects `key`,
     * `value` and per-row `topic` columns (the sink honors `topic`
     * natively — no per-camera writer fan-out needed). Exactly-once via
@@ -62,12 +69,38 @@ object KafkaIO {
     * window (/root/reference/src/prediction_producer.py:109-116). */
   def writeRouted(df: DataFrame, bootstrap: String, checkpoint: String,
       triggerMs: Long = 0L): DataStreamWriter[Row] = {
-    val base = df
-      .select(col("key").cast("string"), col("value").cast("string"), col("topic"))
+    val base = routedWire(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpoint)
     pacedTrigger(triggerMs).map(base.trigger).getOrElse(base)
+  }
+
+  /** Broker-free stand-in for [[writeRouted]]: the SAME wire projection,
+    * but each topic becomes a `topic=<name>/` directory under `root`
+    * (the file sink's partitionBy plays the per-topic log). Exists so
+    * the routed-sink column contract can be executed end to end in a
+    * sandbox with no broker and no kafka connector jar; swapping this
+    * for [[writeRouted]] is a format-string change. */
+  def writeRoutedFiles(df: DataFrame, root: String, checkpoint: String,
+      triggerMs: Long = 0L): DataStreamWriter[Row] = {
+    val base = routedWire(df)
+      .writeStream
+      .format("parquet")
+      .partitionBy("topic")
+      .option("path", root)
+      .option("checkpointLocation", checkpoint)
+    pacedTrigger(triggerMs).map(base.trigger).getOrElse(base)
+  }
+
+  /** Read one emulated topic (written by [[writeRoutedFiles]]) back as
+    * typed frame columns — the broker-free twin of [[readFrames]],
+    * sharing its [[FrameMessages.fromWire]] decode. */
+  def readFramesFiles(spark: SparkSession, root: String, topic: String): DataFrame = {
+    val raw = spark.readStream
+      .schema("key STRING, value STRING")
+      .parquet(s"$root/topic=$topic")
+    FrameMessages.fromWire(raw.select(col("value")))
   }
 }

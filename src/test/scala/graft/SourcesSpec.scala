@@ -210,6 +210,73 @@ class SourcesSpec extends SparkSuite {
     } finally rmTree(dir)
   }
 
+  test("routed sink contract end-to-end over file-backed topics (K1/K2)") {
+    // the broker-less e2e for writeRouted/readFrames: frame messages ->
+    // toWire key/value + per-row routed topic -> writeRoutedFiles (the
+    // EXACT routedWire column contract the Kafka sink uses) -> per-topic
+    // dirs -> readFramesFiles back, asserting routing and content equal
+    // the direct batch answer
+    import graft.streaming.{FrameMessages, KafkaIO}
+    val srcDir = Files.createTempDirectory("graft_route_src")
+    val outDir = Files.createTempDirectory("graft_route_out")
+    val ck1 = Files.createTempDirectory("graft_route_ck1")
+    val ck2 = Files.createTempDirectory("graft_route_ck2")
+    try {
+      val prefix = "predicted_object_raw_frame_topic"
+      val frames = Tables.documents(spark, sf("0.001"))
+        .filter(col("doc_id") < 60)
+        .select(
+          (col("doc_id") % 6).cast("int").as("camera"),
+          (col("doc_id") / lit(6)).cast("long").as("frame_num"),
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 33000L).as("ts"),
+          encode(col("text"), "UTF-8").as("frame"),
+          lit("|u1").as("dtype"),
+          array(col("n_chars").cast("int"), lit(1)).as("shape"))
+      frames.write.mode("overwrite").parquet(srcDir.toString)
+      // stream the frames through the routed wire: key/value from the
+      // message serde, topic derived per row from the key's camera half
+      val wire = FrameMessages
+        .toWire(spark.readStream.schema(frames.schema).parquet(srcDir.toString))
+        .withColumn("topic", FrameMessages.routedTopic(
+          prefix, split(col("key"), "_").getItem(0)))
+      val q = KafkaIO.writeRoutedFiles(wire, outDir.toString, ck1.toString).start()
+      q.processAllAvailable()
+      q.stop()
+      // routing: exactly one topic dir per camera, nothing else
+      import scala.jdk.CollectionConverters._
+      import scala.util.Using
+      val topicDirs = Using.resource(Files.list(outDir)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("topic=")).toSet
+      }
+      assert(topicDirs == (0 until 6).map(c => s"topic=${prefix}_$c").toSet,
+        s"one emulated topic per camera: $topicDirs")
+      // content: read camera 3's topic back through the readFrames twin;
+      // the typed frames must equal the batch subset exactly
+      val back = KafkaIO.readFramesFiles(spark, outDir.toString, s"${prefix}_3")
+      val q2 = back.writeStream.format("memory").queryName("graft_route_back")
+        .option("checkpointLocation", ck2.toString).start()
+      q2.processAllAvailable()
+      q2.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("camera"), col("frame_num"), unix_micros(col("ts")).as("us"),
+          md5(col("frame")).as("f"), col("dtype"), col("shape"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val expect = canon(frames.filter(col("camera") === 3))
+      val got = canon(spark.table("graft_route_back"))
+      assert(expect.nonEmpty && got.toSeq == expect.toSeq,
+        s"round-tripped frames must equal the batch subset (${got.size} vs ${expect.size})")
+      // ordering: within the topic the frame numbers replay gap-free
+      val nums = spark.table("graft_route_back").select(col("frame_num"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(nums == (nums.min to nums.max).toSeq,
+        s"per-topic frame sequence must be gap-free: $nums")
+    } finally {
+      spark.catalog.dropTempView("graft_route_back")
+      rmTree(srcDir); rmTree(outDir); rmTree(ck1); rmTree(ck2)
+    }
+  }
+
   test("Kafka pacing wiring: poll cap (O4) and emission trigger (O3)") {
     import graft.streaming.KafkaIO
     import org.apache.spark.sql.streaming.Trigger
