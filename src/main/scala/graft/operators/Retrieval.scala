@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.{cosineWithNorms, fastNorm}
+
+/** Retrieval operators for a training-data pipeline: BM25 lexical
+  * ranking, reciprocal-rank fusion of heterogeneous rankers, and
+  * hard-negative mining for contrastive training sets. The reference's
+  * only retrieval primitive is the broadcast face-match
+  * (/root/reference/src/prediction_producer.py:305-325); these are its
+  * corpus-scale generalizations on the inverted-index / embedding
+  * side, composed from the same token and vector machinery the dedup
+  * and ANN families already use.
+  *
+  * Scale stance (100 TB): queries are the SMALL side everywhere — BM25
+  * joins the query-term set (broadcastable by planner stats) onto the
+  * posting relation, so corpus-side work is one tf pass plus one
+  * term-keyed aggregation, never a corpus×corpus product; fusion
+  * operates on the top-k lists (query-bounded); hard-negative mining
+  * broadcasts the anchor batch and streams the corpus through one
+  * ranked scan, capped the way [[Similarity.topK]] caps its exact arm.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval over a tokenized corpus.
+    *
+    * One shuffle builds per-(doc, term) counts with map-side combine
+    * (the q48 inverted-index shape); document frequency is a second,
+    * term-keyed aggregation whose output is vocabulary-bounded; the
+    * query-term join hits only matching postings, so the scored
+    * relation is bounded by the postings of the query vocabulary, not
+    * the corpus.
+    *
+    * Exactness: per-term partial scores are pure rational arithmetic
+    * on exactly-representable integers (tf, dl, df, N) — with
+    * `logIdf=false` the IDF is the odds form (N−df+0.5)/(df+0.5), no
+    * ln() whose last ulp differs across libm implementations (the
+    * q48 stance) — each rounded to 1e-6 and summed as DECIMAL(18,6),
+    * so the total is independent of aggregation order and bit-identical
+    * across engines. `logIdf=true` (the default) is the classic
+    * Robertson–Spärck Jones ln(1 + odds) for production ranking.
+    *
+    * @param queries (qId, term) pairs — duplicate terms should be
+    *                pre-deduplicated (query tf is not modeled)
+    * @return (qId, id, score, rank), rank 1..k per query by score
+    *         descending, ties broken by document id */
+  def bm25TopK(
+      docs: DataFrame, id: String, text: String,
+      queries: DataFrame, qId: String, term: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    val toks = docs.select(col(id).as("doc"), tokens(col(text)).as("w"))
+      .select(col("doc"), col("w"), size(col("w")).cast("long").as("dl"))
+    val tf = toks
+      .select(col("doc"), col("dl"), explode(col("w")).as("t"))
+      .groupBy(col("doc"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("tot"))
+    scoreBm25(tf, df, stats, queries, qId, term, k, k1, b, logIdf)
+      .withColumnRenamed("doc", id)
+  }
+
+  /** BUILD-ONCE postings index for [[bm25TopKIndexed]]: ONE corpus
+    * tokenization pass materializes `<prefix>_postings` (doc, dl, t,
+    * cnt) BUCKETED by term, then `<prefix>_df` and `<prefix>_stats`
+    * derive from the SAVED postings — never from the corpus again.
+    * The inline [[bm25TopK]] scans the corpus three times by lineage
+    * (tf / df / stats arms); at 100 TB you build this index once and
+    * every query-time term join reads the big side pre-partitioned
+    * (zero postings-side Exchange — the ANN-index pattern, plan-pinned
+    * in RetrievalSpec). */
+  def bm25BuildIndex(docs: DataFrame, id: String, text: String,
+      prefix: String, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val tf = docs.select(col(id).as("doc"), tokens(col(text)).as("w"))
+      .select(col("doc"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("t"))
+      .groupBy(col("doc"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.Catalog.createBucketedTable(tf, s"${prefix}_postings", "t",
+      nBuckets, sortCol = Some("t"))
+    val saved = spark.table(s"${prefix}_postings")
+    graft.Catalog.createBucketedTable(
+      saved.groupBy(col("t")).agg(count(lit(1)).as("df")),
+      s"${prefix}_df", "t", nBuckets, sortCol = Some("t"))
+    graft.Catalog.createTable(
+      saved.select(col("doc"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")),
+      s"${prefix}_stats")
+  }
+
+  /** Query-time BM25 against a [[bm25BuildIndex]]-built index: the
+    * query-term set joins the bucketed postings/df tables on `t` with
+    * no index-side shuffle; scored work is bounded by the postings of
+    * the query vocabulary. Identical results to [[bm25TopK]] over the
+    * same corpus (pinned in RetrievalSpec). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, queries: DataFrame, qId: String, term: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame =
+    scoreBm25(spark.table(s"${prefix}_postings"), spark.table(s"${prefix}_df"),
+      spark.table(s"${prefix}_stats"), queries, qId, term, k, k1, b, logIdf)
+
+  /** The shared BM25 scoring tail: matched postings only — query terms
+    * (the small side) equi-join the tf relation; per-term scores are
+    * rational in (cnt, dl, df, n, avgdl), mirrored token-for-token by
+    * the DuckDB oracle; decimal accumulation makes the total
+    * order-independent. Output keyed (qId, doc). */
+  private def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
+      queries: DataFrame, qId: String, term: String,
+      k: Int, k1: Double, b: Double, logIdf: Boolean): DataFrame = {
+    val q = queries.select(col(qId).as("q"), col(term).as("t"))
+    val odds = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(odds + lit(1.0)) else odds
+    val termScore = round(
+      idf * (col("cnt") * (lit(k1) + lit(1)) /
+        (col("cnt") + lit(k1) * (lit(1) - lit(b) +
+          lit(b) * col("dl") / (col("tot").cast("double") / col("n"))))),
+      6)
+    val scored = tf.join(q, "t").join(df, "t").crossJoin(stats)
+      .select(col("q"), col("doc"),
+        termScore.cast("decimal(18,6)").as("ts"))
+      .groupBy(col("q"), col("doc"))
+      .agg(sum(col("ts")).cast("double").as("score"))
+    val w = Window.partitionBy(col("q")).orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q").as(qId), col("doc"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack et al.: fused
+    * score = Σ 1/(c + rank), missing entries contribute 0). Rank-based,
+    * so heterogeneous scores (BM25 vs cosine) fuse without calibration;
+    * every arithmetic step is rational on small integers — exact on
+    * any engine. Operates on top-k lists, so cost is query-bounded
+    * regardless of corpus size.
+    *
+    * @param a,b (qId, id, rank) rankings to fuse
+    * @return (qId, id, fused, rank), rank 1..k by fused score
+    *         descending, ties by document id */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, qId: String, id: String,
+      k: Int, c: Int = 60): DataFrame = {
+    val ra = a.select(col(qId).as("q"), col(id).as("d"), col("rank").as("ra"))
+    val rb = b.select(col(qId).as("q"), col(id).as("d"), col("rank").as("rb"))
+    val fused = ra.join(rb, Seq("q", "d"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(c) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rb")), lit(0.0)))
+    val w = Window.partitionBy(col("q")).orderBy(col("fused").desc, col("d"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q").as(qId), col("d").as(id), col("fused"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-similar candidates whose `label` DIFFERS from the
+    * anchor's — close in embedding space but provably wrong-class, the
+    * negatives that carry gradient. Cosine is rounded to `roundTo`
+    * BEFORE ranking (the [[Similarity.topK]] convention) so the rank
+    * order is engine-exact under the (sim desc, candidate id) tie
+    * break.
+    *
+    * The anchor batch is the small side: the join streams the corpus
+    * past it once (planner broadcasts anchors when stats allow), and
+    * `anchorLimit` refuses anchor sets that would turn the ranked scan
+    * into a pair explosion — mirroring the exact-arm cap on
+    * [[Similarity.topK]]. */
+  def hardNegatives(
+      anchors: DataFrame, aId: String, aVec: String, aLabel: String,
+      candidates: DataFrame, cId: String, cVec: String, cLabel: String,
+      k: Int, roundTo: Int = 6, anchorLimit: Long = 4096): DataFrame = {
+    val nA = anchors.count()
+    require(nA <= anchorLimit,
+      s"hardNegatives: $nA anchors exceed the batch cap $anchorLimit — " +
+        "mine in anchor batches (each batch is one corpus scan)")
+    val a = anchors.select(col(aId).as("a_id"), col(aVec).as("a_vec"),
+      col(aLabel).as("a_label")).withColumn("a_nrm", fastNorm(col("a_vec")))
+    val c = candidates.select(col(cId).as("c_id"), col(cVec).as("c_vec"),
+      col(cLabel).as("c_label")).withColumn("c_nrm", fastNorm(col("c_vec")))
+    val sim = round(
+      cosineWithNorms(col("a_vec"), col("c_vec"), col("a_nrm"), col("c_nrm")),
+      roundTo).as("sim")
+    val pairs = a.crossJoin(c)
+      .filter(col("c_label") =!= col("a_label"))
+      .select(col("a_id"), col("c_id"), col("c_label"), sim)
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("a_id"), col("c_id"), col("c_label"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.asDoubleVec
+import graft.operators.{Retrieval, Similarity}
+
+/** Retrieval-tier queries: BM25 lexical ranking, hybrid lexical+vector
+  * fusion, and hard-negative mining — the search/training-pair side of
+  * the LLM-data pipeline, all hash-proved against DuckDB.
+  *
+  * Exactness notes:
+  *  - the registered BM25 runs `logIdf=false` (rational odds IDF):
+  *    every arithmetic step is IEEE ops on exactly-representable
+  *    integers plus double literals forced identical on both engines
+  *    via CAST('1.2' AS DOUBLE) (a bare 1.2 is DECIMAL in DuckDB and
+  *    would silently change the arithmetic); per-term scores round to
+  *    1e-6 and sum as DECIMAL(18,6), so totals are order-independent.
+  *  - document embeddings are the q93 content-derived stub (md5-chained
+  *    52-bit dims), keeping the vector side hash-provable.
+  */
+object RetrievalQueries {
+
+  /** Query-term sets derived from the corpus itself: for each query
+    * doc (doc_id < 8), the distinct first-4 tokens. */
+  private def queryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(tokens(col("text")), 1, 4))).as("term"))
+
+  /** Content-derived stub doc embedding (the q93/q60 pattern): dim j =
+    * 52-bit md5 prefix of "md5(text):j" / 2^52. */
+  private def docEmbed(h: Column): Column = array((0 until 8).map(j =>
+    conv(substring(md5(concat(h, lit(s":$j"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)): _*)
+
+  /** Shared BM25 CTE chain (through the ranked lexical list). */
+  private val SqlBm25 = """
+        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        toks AS (SELECT doc_id AS doc, w, CAST(len(w) AS BIGINT) AS dl FROM w),
+        tf0 AS (SELECT doc, dl, unnest(w) AS t FROM toks),
+        tfc AS (SELECT doc, dl, t, COUNT(*) AS cnt FROM tf0 GROUP BY doc, dl, t),
+        df AS (SELECT t, COUNT(*) AS df FROM tfc GROUP BY t),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM toks),
+        q AS (SELECT DISTINCT q, t FROM
+          (SELECT doc_id AS q, unnest(w[1:4]) AS t FROM w WHERE doc_id < 8)),
+        scored AS (
+          SELECT q.q, tfc.doc,
+            CAST(round(
+              ((stats.n - df.df + 0.5) / (df.df + 0.5)) *
+              (tfc.cnt * (CAST('1.2' AS DOUBLE) + 1) /
+                (tfc.cnt + CAST('1.2' AS DOUBLE) * (1 - CAST('0.75' AS DOUBLE) +
+                  CAST('0.75' AS DOUBLE) * tfc.dl /
+                    (CAST(stats.tot AS DOUBLE) / stats.n)))),
+              6) AS DECIMAL(18,6)) AS ts
+          FROM tfc JOIN q ON tfc.t = q.t JOIN df ON tfc.t = df.t CROSS JOIN stats),
+        agg AS (SELECT q, doc, CAST(SUM(ts) AS DOUBLE) AS score
+                FROM scored GROUP BY q, doc),
+        lexr AS (SELECT q, doc, score, ROW_NUMBER() OVER
+                   (PARTITION BY q ORDER BY score DESC, doc) AS ra FROM agg)"""
+
+  /** Shared stub-embedding + cosine-ranked CTE chain (the q93 embed). */
+  private val SqlVecRank = """
+        emb AS (
+          SELECT doc_id, list_transform(range(0, 8), j ->
+            CAST(concat('0x', substr(md5(md5(text) || ':' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+              / 4503599627370496.0) AS e
+          FROM documents),
+        p AS (SELECT doc_id AS q, e AS pv FROM emb WHERE doc_id < 8),
+        t AS (SELECT doc_id AS doc, e AS tv FROM emb),
+        sims AS (
+          SELECT p.q, t.doc,
+                 round(list_inner_product(p.pv, t.tv) /
+                   (sqrt(list_inner_product(p.pv, p.pv)) *
+                    sqrt(list_inner_product(t.tv, t.tv))), 6) AS sim
+          FROM p CROSS JOIN t),
+        vecr AS (SELECT q, doc, sim, ROW_NUMBER() OVER
+                   (PARTITION BY q ORDER BY sim DESC, doc) AS rb FROM sims)"""
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q97: BM25 lexical top-k --------------------------------------
+    "q97_bm25_topk" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            queryTerms(docs), "q_id", "term", k = 5, logIdf = false)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $SqlBm25
+        SELECT q AS q_id, doc AS doc_id, score, CAST(ra AS INT) AS rank
+        FROM lexr WHERE ra <= 5
+        ORDER BY q_id, rank"""),
+      "BM25(k1=1.2, b=0.75) over the inverted-index shape: corpus-side " +
+        "work is one tf pass + a vocabulary-bounded df agg; query terms " +
+        "join only their postings. Rational odds IDF + decimal-summed " +
+        "per-term scores make the ranking bit-identical across engines."),
+
+    // ---- q98: hybrid retrieval, reciprocal-rank fusion ----------------
+    "q98_hybrid_rrf" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queryTerms(docs), "q_id", "term", k = 10, logIdf = false)
+        val embedded = docs.select(col("doc_id"), docEmbed(md5(col("text"))).as("e"))
+        val probes = embedded.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("q_id"), col("e").as("p_vec"))
+        val vec = Similarity.topKAuto(probes, "q_id", "p_vec",
+          embedded.select(col("doc_id"), col("e")), "doc_id", "e", k = 10)
+        Retrieval.rrfFuse(lex, vec, "q_id", "doc_id", k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $SqlBm25,
+        $SqlVecRank,
+        lex AS (SELECT q, doc, ra FROM lexr WHERE ra <= 10),
+        vec AS (SELECT q, doc, rb FROM vecr WHERE rb <= 10),
+        fused AS (
+          SELECT COALESCE(l.q, v.q) AS q, COALESCE(l.doc, v.doc) AS doc,
+                 COALESCE(CAST(1 AS DOUBLE) / (60 + l.ra), 0) +
+                 COALESCE(CAST(1 AS DOUBLE) / (60 + v.rb), 0) AS fused
+          FROM lex l FULL OUTER JOIN vec v ON l.q = v.q AND l.doc = v.doc),
+        fr AS (SELECT q, doc, fused, ROW_NUMBER() OVER
+                 (PARTITION BY q ORDER BY fused DESC, doc) AS rank FROM fused)
+        SELECT q AS q_id, doc AS doc_id, fused, CAST(rank AS INT) AS rank
+        FROM fr WHERE rank <= 5
+        ORDER BY q_id, rank"""),
+      "Hybrid retrieval: BM25 top-10 and stub-embedding cosine top-10 " +
+        "(via the size-routed topKAuto) fused by reciprocal rank — " +
+        "rank-based fusion needs no score calibration and its " +
+        "arithmetic is exact, so the whole two-ranker pipeline " +
+        "hash-proves end to end. Fusion cost is query-bounded."),
+
+    // ---- q99: hard-negative mining ------------------------------------
+    "q99_hard_negatives" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"), col("label"))
+        Retrieval.hardNegatives(
+            e.filter(col("vec_id") < 8), "vec_id", "emb", "label",
+            e, "vec_id", "emb", "label", k = 5)
+          .orderBy(col("a_id"), col("rank"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        a AS (SELECT vec_id AS a_id, emb AS av, label AS al FROM e WHERE vec_id < 8),
+        s AS (
+          SELECT a.a_id, e.vec_id AS c_id, e.label AS c_label,
+                 round(list_inner_product(a.av, e.emb) /
+                   (sqrt(list_inner_product(a.av, a.av)) *
+                    sqrt(list_inner_product(e.emb, e.emb))), 6) AS sim
+          FROM a CROSS JOIN e WHERE e.label != a.al),
+        r AS (SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY a_id ORDER BY sim DESC, c_id) AS rank FROM s)
+        SELECT a_id, c_id, c_label, sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        ORDER BY a_id, rank"""),
+      "Contrastive hard negatives: per anchor, the top-5 nearest " +
+        "wrong-label vectors — close enough to carry gradient, provably " +
+        "not positives. The anchor batch broadcasts; the corpus streams " +
+        "through one ranked scan (batch cap mirrors the exact-arm cap).")
+  )
+}
