@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -376,6 +377,97 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("component"))
       .withColumn("is_canonical", col("component") === col("doc_id"))
+  }
+
+  /** Positional n-token window hashes: one row per (doc, start-token
+    * position) with the md5 of the window TEXT — md5 so any SQL engine
+    * recomputes the identical key (the shingle_strings stance; xxhash64
+    * would be Spark-only). The declarative transform costs n string
+    * copies per window — linear in corpus size with constant factor n;
+    * a production deployment at n=50 would swap in a rolling-hash
+    * native expression (the MinhashMd5 single-pass precedent), which
+    * changes only this projection. */
+  private def windowHashes(docs: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val w = tokens(col(text))
+    val wins = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - lit(n)),
+          i => md5(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(id).as("doc"), posexplode(wins).as(Seq("pos", "h")))
+  }
+
+  /** Exact-substring duplicate spans (the ExactSubstr policy of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): every n-token window whose text occurs `minCount`+ times
+    * ANYWHERE in the corpus is marked, and overlapping-or-adjacent
+    * marked windows merge into maximal per-document removal spans
+    * `[span_start, span_end)` (token positions, 0-based).
+    *
+    * `keepFirst = false` (the paper's tool) marks ALL occurrences;
+    * `keepFirst = true` exempts the canonical first occurrence (minimum
+    * (doc, pos)) of each window — window-granular, so a kept window's
+    * tokens can still fall inside a neighboring span's removal range.
+    *
+    * Scale shape (100 TB): window hashing is a pure projection; the
+    * occurrence count is one map-side-combined aggregation on 32-byte
+    * digests; marking joins each window to AT MOST ONE surviving digest
+    * row (equi-join, no fan-out); the span merge is a per-document
+    * window function — partition size is bounded by document length,
+    * never corpus size. No all-pairs stage exists anywhere. */
+  def substringSpans(docs: DataFrame, id: String, text: String,
+      n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
+    val wins = windowHashes(docs, id, text, n)
+    val dup = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc"), col("pos"))).as("first"))
+      .filter(col("n_occ") >= minCount)
+    val all = wins.join(dup, "h")
+    val marked =
+      if (keepFirst)
+        all.filter(!(col("doc") === col("first.doc") &&
+          col("pos") === col("first.pos")))
+      else all
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(byDoc)
+    val newSpan = when(prev.isNull || col("pos") > prev + lit(n), 1).otherwise(0)
+    marked.select(col("doc"), col("pos"), newSpan.as("ns"))
+      .withColumn("sid", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("sid"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n)).cast("long").as("span_end"),
+        count(lit(1)).as("n_wins"))
+      .select(col("doc").as(id), col("span_start"), col("span_end"),
+        col("n_wins"))
+  }
+
+  /** Apply [[substringSpans]] to the corpus: per doc, the kept-token
+    * count, removed-token count, and the md5 of the cleaned
+    * (space-rejoined) text — the digest rather than the full cleaned
+    * string keeps the result relation audit-sized while still proving
+    * the exact cleaned bytes. The span list (small: only documents with
+    * duplicated spans) aggregates per doc and joins back by id; token
+    * filtering is a higher-order-function projection, no per-token
+    * explode on the corpus side. */
+  def substringDedupClean(docs: DataFrame, id: String, text: String,
+      n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
+    val spans = substringSpans(docs, id, text, n, minCount, keepFirst)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val w = tokens(col(text))
+    docs.join(spans, Seq(id), "left")
+      .select(col(id), w.as("w"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("spans"))
+      .withColumn("kept", filter(col("w"), (t, i) =>
+        !exists(col("spans"), s =>
+          i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(col(id),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
   }
 
   /** All-pairs SimHash within a block — O(n²) per block; retained ONLY

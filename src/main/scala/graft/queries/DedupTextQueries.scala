@@ -18,6 +18,28 @@ object DedupTextQueries {
   private val Shingles3 =
     s"list_distinct(list_transform(range(1, len($W) - 1), i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2]))"
 
+  /** DuckDB CTE chain mirroring [[Dedup.substringSpans]] at n=8,
+    * minCount=2, keepFirst=false: positional window md5s → corpus-wide
+    * occurrence counts → marked positions → lag/sum span merge. */
+  private val SqlSubstrSpans = s"""
+        w0 AS (SELECT doc_id, $W AS w FROM documents),
+        pos0 AS (SELECT doc_id, w,
+                   unnest(range(0, len(w) - 8 + 1)) AS pos FROM w0),
+        wins AS (SELECT doc_id, pos,
+                   md5(array_to_string(w[pos+1:pos+8], ' ')) AS h FROM pos0),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+        rem AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+        flag AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS ns FROM rem),
+        sp AS (SELECT doc_id, pos,
+                 SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+               FROM flag),
+        spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                    MAX(pos) + 8 AS span_end, COUNT(*) AS n_wins
+                  FROM sp GROUP BY doc_id, sid)"""
+
   def all: Seq[(String, Q)] = Seq(
 
     // ---- q40: exact dedup groups ----------------------------------------
@@ -349,6 +371,52 @@ object DedupTextQueries {
       "Which sources duplicate each other: per-shingle source sets " +
         "(bounded by the source count) expanded to pairs — the overlap " +
         "matrix costs |sources|^2/2 rows however big the corpus; no " +
-        "doc-pair join anywhere.")
+        "doc-pair join anywhere."),
+
+    // ---- q100: exact-substring duplicate spans --------------------------
+    "q100_substring_spans" -> Q(
+      (s, d) => Dedup.substringSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""
+        WITH $SqlSubstrSpans
+        SELECT doc_id, span_start, span_end, n_wins
+        FROM spans
+        ORDER BY doc_id, span_start"""),
+      "Exact-substring dedup spans (Lee et al. 2021 ExactSubstr): " +
+        "corpus-duplicated 8-token windows merged into maximal removal " +
+        "spans. One digest aggregation + a 1:1 mark join + a " +
+        "per-document window merge — no pair space, linear at 100 TB."),
+
+    // ---- q101: cleaned corpus after substring dedup ---------------------
+    "q101_substring_clean" -> Q(
+      (s, d) => Dedup.substringDedupClean(Tables.documents(s, d), "doc_id",
+          "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $SqlSubstrSpans,
+        tok AS (
+          SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM w0),
+        tk AS (SELECT doc_id, pos, w[pos+1] AS t FROM tok),
+        keep AS (
+          SELECT t.doc_id, t.pos, t.t FROM tk t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos >= s.span_start AND t.pos < s.span_end)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(t, ' ' ORDER BY pos)) AS clean_md5
+          FROM keep GROUP BY doc_id)
+        SELECT w0.doc_id,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               CAST(len(w0.w) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed,
+               COALESCE(a.clean_md5, md5('')) AS clean_md5
+        FROM w0 LEFT JOIN agg a USING (doc_id)
+        ORDER BY w0.doc_id"""),
+      "The cleaned corpus after exact-substring span removal: kept and " +
+        "removed token counts plus the md5 of the cleaned bytes per doc " +
+        "— span lists join back id-keyed and tokens filter via a " +
+        "higher-order projection, so the corpus is never token-exploded " +
+        "on the apply side.")
   )
 }

@@ -129,4 +129,51 @@ class DedupSpec extends SparkSuite {
     // s1 = {abc, bcd}, s2 = {abc, bce, bcd}: shared 2, union 3; s3 never pairs
     assert(got.toSeq == Seq(("s1", "s2", 2L, 2L, 3L, 0.666667)))
   }
+
+  test("substringSpans merges overlapping and adjacent windows into maximal spans") {
+    import spark.implicits._
+    // doc 1 and 2 share the 6-token run "p q r s t u" (two 5-windows at
+    // pos 0,1 in doc 1 → one merged span [0,6)); doc 3 repeats a run
+    // INTERNALLY at pos 0 and pos 7 with a 2-token gap (7 > 0+5) →
+    // two separate spans; doc 4 shares nothing
+    val docs = Seq(
+      (1L, "p q r s t u x1 y1"),
+      (2L, "z1 p q r s t u z2"),
+      (3L, "m n o v w g1 g2 m n o v w"),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(spans == Seq(
+      (1L, 0L, 6L, 2L),   // windows at 0,1 merged: [0, 1+5)
+      (2L, 1L, 7L, 2L),   // same run shifted by the z1 prefix
+      (3L, 0L, 5L, 1L),   // internal repeat, first copy
+      (3L, 7L, 12L, 1L)), // second copy; gap 7 > 0+5 keeps spans apart
+      s"got $spans")
+    // keepFirst exempts the canonical minimum-(doc,pos) occurrence only
+    val kept = Dedup.substringSpans(docs, "doc_id", "text", n = 5, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // BOTH doc-1 windows are the canonical first occurrence of their own
+    // hash, so doc 1 drops out entirely; doc 2's copies and doc 3's
+    // second internal copy stay marked
+    assert(kept == Seq((2L, 1L, 7L), (3L, 7L, 12L)), s"got $kept")
+  }
+
+  test("substringDedupClean removes exactly the span tokens and hashes the remainder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u x1 y1"),
+      (2L, "z1 p q r s t u z2"),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = Dedup.substringDedupClean(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 2L, 6L, m("x1 y1")),
+      (2L, 2L, 6L, m("z1 z2")),
+      (4L, 8L, 0L, m("a b c d e f g h"))), s"got $got")
+  }
 }
