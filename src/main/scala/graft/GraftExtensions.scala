@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.plans.{AdcScore, BloomPositions, BloomShingleHits, ChunkWords,
   DotProduct, LshBuckets, MinhashMd5, NearestCell, RpProject, ShingleHashes,
-  ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2, StubFacesMd5}
+  ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2, StubFacesMd5,
+  WindowMd5s}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -85,6 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinhashMd5(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("window_md5s"),
+      info("window_md5s", "window_md5s(text, n) - positional md5 hex of each n-token window"),
+      (exprs: Seq[Expression]) => WindowMd5s(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("nearest_cell"),
       info("nearest_cell", "nearest_cell(vec, centroids) - argmin centroid index, ties to the lower cell"),

@@ -382,19 +382,16 @@ object Dedup {
   /** Positional n-token window hashes: one row per (doc, start-token
     * position) with the md5 of the window TEXT — md5 so any SQL engine
     * recomputes the identical key (the shingle_strings stance; xxhash64
-    * would be Spark-only). The declarative transform costs n string
-    * copies per window — linear in corpus size with constant factor n;
-    * a production deployment at n=50 would swap in a rolling-hash
-    * native expression (the MinhashMd5 single-pass precedent), which
-    * changes only this projection. */
+    * would be Spark-only). Single-pass native projection
+    * ([[graft.plans.WindowMd5s]] — split once, roll the window); the
+    * declarative transform/sequence form re-inlined split() per lambda
+    * element and dominated q100/q101's runtime. */
   private def windowHashes(docs: DataFrame, id: String, text: String,
       n: Int): DataFrame = {
-    val w = tokens(col(text))
-    val wins = when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - lit(n)),
-          i => md5(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(id).as("doc"), posexplode(wins).as(Seq("pos", "h")))
+    TextExpressions.register(docs.sparkSession)
+    docs.select(col(id).as("doc"),
+      posexplode(call_function("window_md5s", col(text), lit(n)))
+        .as(Seq("pos", "h")))
   }
 
   /** Exact-substring duplicate spans (the ExactSubstr policy of Lee et
@@ -417,7 +414,11 @@ object Dedup {
     * never corpus size. No all-pairs stage exists anywhere. */
   def substringSpans(docs: DataFrame, id: String, text: String,
       n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
-    val wins = windowHashes(docs, id, text, n)
+    // localCheckpoint (eager): the plan is a diamond — the window rows
+    // feed both the duplicate-digest aggregation and the mark join, and
+    // without the pin Catalyst re-runs the hashing projection per arm
+    // (the jaccardPairs convention at :46)
+    val wins = windowHashes(docs, id, text, n).localCheckpoint()
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc"), col("pos"))).as("first"))

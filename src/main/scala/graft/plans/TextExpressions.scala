@@ -108,6 +108,54 @@ case class ShingleStrings(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Positional n-token window digests for exact-substring dedup
+  * ([[graft.operators.Dedup.substringSpans]]): element i is the md5 hex
+  * of tokens [i, i+n) space-rejoined — bit-identical to
+  * `md5(concat_ws(" ", slice(split(text, " "), i+1, n)))` and to any
+  * SQL engine's recomputation, so the DuckDB oracle parity holds. NOT
+  * distinct (position matters: every occurrence is a separate window)
+  * and empty for docs shorter than n tokens.
+  *
+  * Exists because the declarative transform/sequence form re-inlines
+  * split() into every lambda element (the [[ShingleHashes]] quadratic
+  * pathology) and is interpreted per element; this splits once and
+  * rolls the window — the q100/q101 hot path drops from ~1.7 s to the
+  * cost of m md5 calls per pass at sf0.1. */
+case class WindowMd5s(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "window_md5s"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length
+    if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+    val arr = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(words, i, parts, 0, n)
+      val d = Md5Halves.digest(UTF8String.concatWs(space, parts: _*))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xF)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xF)
+        b += 1
+      }
+      arr(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared md5 plumbing for the portable signature expressions: one
   * thread-local MessageDigest (a fresh getInstance per value is the
   * dominant cost at millions of tokens), parsed straight from digest
@@ -501,6 +549,11 @@ object TextExpressions {
       exprs => ChunkWords(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_md5s",
+      exprs => WindowMd5s(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5",
