@@ -414,11 +414,13 @@ object Dedup {
     * never corpus size. No all-pairs stage exists anywhere. */
   def substringSpans(docs: DataFrame, id: String, text: String,
       n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
-    // localCheckpoint (eager): the plan is a diamond — the window rows
-    // feed both the duplicate-digest aggregation and the mark join, and
-    // without the pin Catalyst re-runs the hashing projection per arm
-    // (the jaccardPairs convention at :46)
-    val wins = windowHashes(docs, id, text, n).localCheckpoint()
+    // The plan is a diamond (window rows feed both the duplicate-digest
+    // aggregation and the mark join) and deliberately UNPINNED: the
+    // single-pass window_md5s projection is cheap enough that running
+    // it once per arm beats materializing a token-count-sized relation
+    // to executor disk (measured a wash at sf0.1; at 100 TB the
+    // re-projection wins — no disk write, no lineage break).
+    val wins = windowHashes(docs, id, text, n)
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc"), col("pos"))).as("first"))
