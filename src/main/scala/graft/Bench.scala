@@ -2,11 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: times a count() of every registered query at
-  * SPARK_GRAFT_SF_DIR, printing one JSON line (driver contract).
+/** Driver-run benchmark: times a full materialization of every
+  * registered query at SPARK_GRAFT_SF_DIR, printing one JSON line
+  * (driver contract).
   *
   * Methodology (kills the cross-round comparison noise the round-3
   * verdict flagged):
+  *  - the timed action is a NOOP-SINK WRITE, not count(): count()
+  *    lets Catalyst column-prune and join-eliminate entire subtrees
+  *    (a per-doc aggregate left-joined back to the corpus collapses
+  *    to count(corpus) — the span-dedup apply query measured 0.2 s at
+  *    100× corpus scale, i.e. nothing). The noop sink consumes every
+  *    output column, so projection- and join-terminal queries pay
+  *    their real cost;
   *  - queries run in FIXED SORTED ORDER — hash-map order moved
   *    sub-second queries around between rounds, which alone produced
   *    up to 8× apparent wobble on them;
@@ -32,16 +40,18 @@ object Bench {
     // global warm-up: exercise scan, shuffle, and codegen paths once
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).groupBy("r_name").count().collect()
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // a crashing query reports -1 seconds (visible failure marker)
     // instead of a spuriously-fast timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmup) {
-        try fn(spark, sfDir).count()
+        try run(fn(spark, sfDir))
         catch { case _: Throwable => () } // the timed run reports it
       }
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        run(fn(spark, sfDir))
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -103,7 +103,9 @@ object BenchScale {
     "q76_ann_autoroute", "q77_neardup_autoroute", "q84_merge_pairs",
     "q85_bloom_decontaminate", "q86_source_overlap", "q87_semdedup",
     "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens",
-    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval")
+    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval",
+    "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
+    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -113,7 +115,9 @@ object BenchScale {
     "q34_lsh_neardup", "q40_dedup_exact", "q45_minhash_lsh",
     "q63_pack_global", "q76_ann_autoroute", "q77_neardup_autoroute",
     "q85_bloom_decontaminate", "q87_semdedup", "q90_countmin_tokens",
-    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval")
+    "q91_input_ids", "q92_training_rows", "q93_rag_retrieval",
+    "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
+    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,9 +134,14 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
     inflate(spark, base, out, mult)
     spark.range(1000).selectExpr("sum(id)").collect()
+    // noop-sink write, not count(): count() join-eliminates and
+    // column-prunes subtrees (see Bench's scaladoc), which at 100×
+    // silently measured nothing for the apply-shaped queries
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { graft.SparkEntry.queries(name)(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { graft.SparkEntry.queries(name)(spark, dir)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[benchscale] $name @ $dir failed: ${e.getMessage}"); -1.0 }
     }

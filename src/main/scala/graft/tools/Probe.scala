@@ -20,7 +20,7 @@ object Probe {
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         println(f"[probe] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
