@@ -702,4 +702,108 @@ object TextAnalysis {
         round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
         round(lit(budget) * (sqrt(col("n_docs")) / col("z"))).cast("long").as("quota"))
   }
+
+  // --------------------------------------------------------------------
+  // BPE tokenizer training (Sennrich et al. 2016, word-granular)
+
+  /** One BPE merge applied to a single-space token string: greedy
+    * leftmost non-overlapping replacement of adjacent pair (a, b) by
+    * `merged`. Three literal replaces — double the separators, replace
+    * the fully-delimited pattern, halve back — because a bare
+    * replace(" a b ") consumes the shared separator of back-to-back
+    * occurrences (the second " a b " in "x a b a b x" would no longer
+    * match) and could hit inside longer tokens. With doubled
+    * separators every occurrence owns a private " a  b " window, and
+    * left-to-right literal replace IS the BPE greedy scan. replace()
+    * has those semantics in every SQL engine, which is what keeps the
+    * whole trainer oracle-checkable. */
+  private def applyMerge(t: Column, a: String, b: String, merged: String): Column =
+    trim(replace(
+      replace(concat(lit(" "), replace(t, lit(" "), lit("  ")), lit(" ")),
+        lit(s" $a  $b "), lit(s" $merged ")),
+      lit("  "), lit(" ")))
+
+  /** The shared BPE training loop: `merges` rounds of (count adjacent
+    * pairs → take the most frequent → rewrite the corpus). Returns the
+    * learned merge list and the rewritten corpus (doc, t), which the
+    * caller must unpersist.
+    *
+    * Scale topology (the [[graft.operators.Similarity.kMeans]] stance):
+    * the model is the merge list — tiny — so it lives on the driver and
+    * ships back inside literal replace() arguments; the corpus never
+    * moves. One round costs one map-side-combined pair count (native
+    * non-distinct 2-shingles, a projection) + TakeOrdered(1) — no
+    * global sort, a ONE-ROW collect — and one projection to apply the
+    * merge. At 100 TB × N merges: N linear passes, zero data shuffles.
+    * Each rewritten corpus is persisted and the previous unpersisted,
+    * so round i never replays rounds 1..i-1's rewrites.
+    *
+    * Deterministic and engine-portable: ties on pair count break
+    * lexicographically; counts are exact; replace/trim are literal. */
+  private def bpeLoop(docs: DataFrame, id: String, text: String,
+      merges: Int, joiner: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 0, "merges must be non-negative")
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    var cur = docs.select(col(id).as("doc"), col(text).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val top = cur.select(explode(call_function("shingle_strings",
+          col("t"), lit(2), lit(false))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every doc is a single token
+      else {
+        val pair = top(0).getString(0)
+        val sp = pair.indexOf(' ')
+        val a = pair.substring(0, sp)
+        val b = pair.substring(sp + 1)
+        learned += ((i, a, b, top(0).getLong(1)))
+        val next = cur.select(col("doc"),
+            applyMerge(col("t"), a, b, a + joiner + b).as("t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize while the parent is still cached
+        cur.unpersist(false)
+        cur = next
+      }
+    }
+    (learned.toSeq, cur)
+  }
+
+  /** Train a word-granular BPE merge table over the corpus: the
+    * `merges` most frequent adjacent token pairs, learned iteratively
+    * (each round counts pairs over the corpus AS REWRITTEN by the
+    * previous rounds — the defining difference from the one-shot
+    * [[mergePairStats]] ranking, and why "t h"-style cascades emerge).
+    * Merged tokens are spelled a`joiner`b so later merges can combine
+    * them further.
+    *
+    * Output: (it, lhs, rhs, cnt), it = 1..merges. */
+  def bpeMerges(docs: DataFrame, id: String, text: String, merges: Int,
+      joiner: String = "@@"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (learned, cur) = bpeLoop(docs, id, text, merges, joiner)
+    cur.unpersist(false)
+    learned.toDF("it", "lhs", "rhs", "cnt")
+  }
+
+  /** Encode the corpus with a freshly trained `merges`-round BPE model
+    * (training and application in one call — the fixture-sized form;
+    * a deployment would train once via [[bpeMerges]] and replay the
+    * merge list). Output per document: the post-merge token count and
+    * the md5 of the encoded text — the digest proves the REWRITE
+    * matched, not just the counts. */
+  def bpeEncode(docs: DataFrame, id: String, text: String, merges: Int,
+      joiner: String = "@@"): DataFrame = {
+    val (_, cur) = bpeLoop(docs, id, text, merges, joiner)
+    val result = cur.select(col("doc"),
+        size(split(col("t"), " ")).cast("long").as("n_tokens"),
+        md5(col("t")).as("bpe_md5"))
+      .localCheckpoint() // materialize while cur is still cached
+    cur.unpersist(false)
+    result
+  }
 }

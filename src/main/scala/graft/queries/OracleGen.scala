@@ -274,4 +274,42 @@ object OracleGen {
              list_aggregate(list(err ORDER BY sub), 'sum') AS recon_err
       FROM ${name}_best GROUP BY vec_id),
     """
+
+  /** CTE chain for [[graft.operators.TextAnalysis.bpeMerges]]: `merges`
+    * unrolled rounds of (adjacent-pair count → argmax by (cnt DESC,
+    * pair) → greedy rewrite). The rewrite is the operator's exact
+    * triple-replace — double separators, replace the delimited
+    * " lhs  rhs " window, halve — so DuckDB's left-to-right literal
+    * replace() reproduces the greedy scan byte-for-byte. Every
+    * intermediate is AS MATERIALIZED: t(i-1) is referenced by both
+    * m(i) and t(i) (plus two scalar subqueries on m(i)), and an
+    * inlined chain re-evaluates the whole prefix per reference —
+    * 2^merges corpus rewrites instead of `merges`. Emits
+    * `${p}t0..${p}t$merges` (the corpus after i merges, (doc_id, t))
+    * and `${p}m1..${p}m$merges` (the merge rows). */
+  def bpeCtes(p: String, input: String, merges: Int, joiner: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}t0 AS MATERIALIZED (SELECT doc_id, text AS t FROM $input),
+    """
+    for (i <- 1 to merges) {
+      sb ++= s"""${p}m$i AS MATERIALIZED (
+      SELECT $i AS it, split_part(pair, ' ', 1) AS lhs,
+             split_part(pair, ' ', 2) AS rhs, cnt FROM (
+        SELECT pair, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])) AS pair
+          FROM (SELECT string_split(t, ' ') AS w FROM ${p}t${i - 1}))
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+    ${p}t$i AS MATERIALIZED (
+      SELECT doc_id, trim(replace(replace(
+        ' ' || replace(t, ' ', '  ') || ' ',
+        (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM ${p}m$i),
+        (SELECT ' ' || lhs || '$joiner' || rhs || ' ' FROM ${p}m$i)),
+        '  ', ' ')) AS t FROM ${p}t${i - 1}),
+    """
+    }
+    sb ++= s"""${p}merges AS (${(1 to merges)
+      .map(i => s"SELECT * FROM ${p}m$i").mkString(" UNION ALL ")}),
+    """
+    sb.toString
+  }
 }

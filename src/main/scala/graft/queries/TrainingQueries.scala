@@ -729,5 +729,41 @@ object TrainingQueries {
       "The dataloader endpoint: shard-packed documents concatenated in " +
         "offset order and windowed into 64-id training rows — id " +
         "encoding, packing and windowing all hash-proved; per-shard " +
-        "work bounded by the packer's token budget."))
+        "work bounded by the packer's token budget."),
+
+    // ---- q102: BPE tokenizer training (iterative merge table) -------------
+    "q102_bpe_merges" -> Q(
+      (s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir),
+          "doc_id", "text", merges = 8)
+        .orderBy(col("it")),
+      Some(s"""
+        WITH ${OracleGen.bpeCtes("b", "documents", 8, "@@")}
+        fin AS (SELECT it, lhs, rhs, cnt FROM bmerges)
+        SELECT * FROM fin ORDER BY it"""),
+      "An ITERATIVE BPE tokenizer trainer hash-proved against DuckDB: " +
+        "each round counts adjacent pairs over the corpus as rewritten " +
+        "by previous rounds (argmax ties break lexicographically) and " +
+        "rewrites via a portable greedy triple-replace. Model state is " +
+        "the merge list (driver-sized); one map-side-combined pair " +
+        "count + TakeOrdered(1) + a projection per round — zero data " +
+        "shuffles at any corpus size."),
+
+    // ---- q103: BPE-encoded corpus (the applied form) ----------------------
+    "q103_bpe_encode" -> Q(
+      (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir),
+          "doc_id", "text", merges = 8)
+        .orderBy(col("doc")),
+      Some(s"""
+        WITH ${OracleGen.bpeCtes("b", "documents", 8, "@@")}
+        fin AS (
+          SELECT doc_id AS doc,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                 md5(t) AS bpe_md5
+          FROM bt8)
+        SELECT * FROM fin ORDER BY doc"""),
+      "The corpus encoded by the trained 8-merge BPE model: per-doc " +
+        "post-merge token count and the md5 of the encoded bytes — the " +
+        "digest proves every greedy rewrite (including back-to-back " +
+        "overlaps) matched the oracle byte-for-byte. Application is a " +
+        "pure projection."))
 }

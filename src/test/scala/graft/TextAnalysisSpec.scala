@@ -327,4 +327,48 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(1L) == ((4L, 0L, 0.0)))
     assert(out(2L) == ((2L, 1L, 0.5)))
   }
+
+  test("bpeMerges learns iteratively and rewrites greedily") {
+    // round 1: pairs over the raw corpus — "a b" occurs 3× (docs 1, 2),
+    // beating "b a" (2×); round 2 counts over the REWRITTEN corpus, so
+    // "a@@b a@@b" (doc 2) and "a@@b c" (docs 1, 3... doc 3 has no a b)
+    val df = Seq(
+      (1L, "a b c a b"),
+      (2L, "a b a b"),
+      (3L, "c c d")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(df, "doc_id", "text", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) == ((1, "a", "b", 4L)),
+      s"round 1 should merge the most frequent raw pair: ${merges.toSeq}")
+    // after round 1: "a@@b c a@@b" / "a@@b a@@b" / "c c d" — the top
+    // pair is now a@@b-adjacency, proving counts run post-rewrite
+    assert(merges(1)._2.contains("@@") || merges(1)._3.contains("@@"),
+      s"round 2 must count over the rewritten corpus: ${merges.toSeq}")
+  }
+
+  test("bpeEncode applies greedy leftmost non-overlapping merges") {
+    // "a a a": merge (a,a) must produce "a@@a a" (greedy leftmost),
+    // NOT "a a@@a" or "a@@a a@@a"; back-to-back "a b a b" must merge
+    // BOTH occurrences even though they share a separator
+    val df = Seq(
+      (1L, "a a a"),
+      (2L, "a a a a"),
+      (3L, "b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge round 1 learns (a, a) (cnt 5); doc 1 → "a@@a a" (2 tokens),
+    // doc 2 → "a@@a a@@a" (2 tokens), doc 3 untouched (1 token)
+    assert(out(1L) == 2L, s"greedy leftmost on 'a a a' should leave 2 tokens: $out")
+    assert(out(2L) == 2L, s"back-to-back merges on 'a a a a' should both fire: $out")
+    assert(out(3L) == 1L)
+    // byte-level proof: md5 of the rewritten text matches the expected strings
+    val md = TextAnalysis.bpeEncode(df, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exp = Seq(("a@@a a", 1L), ("a@@a a@@a", 2L), ("b", 3L))
+      .toDF("t", "doc").select(col("doc"), org.apache.spark.sql.functions.md5(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md == exp, s"encoded bytes must match the greedy rewrite: $md vs $exp")
+  }
 }
