@@ -790,6 +790,70 @@ object TextAnalysis {
     learned.toDF("it", "lhs", "rhs", "cnt")
   }
 
+  // --------------------------------------------------------------------
+  // Trained quality classifier (distributed logistic regression)
+
+  /** Batch-gradient logistic-regression trainer for quality scoring —
+    * the fastText-style learned filter that replaces heuristic
+    * thresholds with a model fit on the corpus itself. `features` are
+    * named column expressions (x1..xd, evaluated once and cached);
+    * `label` is a 0.0/1.0 column; training runs `iters` full-batch
+    * gradient steps at rate `lr` from w = 0.
+    *
+    * Scale topology (the [[graft.operators.Similarity.kMeans]] stance):
+    * the model is d+1 doubles on the driver, shipped back into the
+    * score projection as literals; one iteration costs ONE map-side-
+    * combined aggregation producing d+1 numbers — the corpus is never
+    * shuffled, and scoring is a pure projection.
+    *
+    * Deterministic and engine-portable, so the whole TRAINING RUN is
+    * SQL-oracle-checkable (the kMeans precedent):
+    *  - the link is the rational fast sigmoid 0.5 + z/(2·(1+|z|)) —
+    *    IEEE add/mul/div/abs only; exp()-based logistic differs in the
+    *    last ulp across libm implementations and breaks hash parity;
+    *  - z folds in fixed feature order (w0 + w1·x1 + ... left-assoc);
+    *  - each gradient component snaps addends to a 1e-9 grid — round(
+    *    (p-y)·xj·1e9) summed exactly as DECIMAL(38,0), divided once —
+    *    so partial-aggregation splits can't reorder a float sum;
+    *  - `lr` should be an exactly-representable double (0.125 etc.) so
+    *    the SQL literal parses to the same bits.
+    *
+    * Output per doc: (doc, y, score, pred) — score = round(p, 6) under
+    * the final weights, pred = score >= 0.5. */
+  def qualityClassifier(docs: DataFrame, id: String,
+      features: Seq[(String, Column)], label: Column,
+      iters: Int, lr: Double): DataFrame = {
+    require(iters >= 0 && features.nonEmpty, "need features, iters >= 0")
+    import org.apache.spark.sql.types.DecimalType
+    val cols = features.map { case (n, c) => c.cast("double").as(n) }
+    val feats = docs.select(
+        (col(id).as("doc") +: cols :+ label.cast("double").as("y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val names = features.map(_._1)
+    var w = Array.fill(names.length + 1)(0.0) // w(0) = bias
+    def z: Column = names.zipWithIndex.foldLeft(lit(w(0))) {
+      case (acc, (n, j)) => acc + lit(w(j + 1)) * col(n)
+    }
+    def p: Column = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    val Grid = 1e9
+    def gridMean(v: Column): Column =
+      sum(round(v * Grid).cast("long").cast(DecimalType(38, 0)))
+        .cast("double") / count(lit(1)) / Grid
+    for (_ <- 1 to iters) {
+      val err = p - col("y")
+      val g = feats.agg(gridMean(err).as("g0"),
+          names.map(n => gridMean(err * col(n))): _*)
+        .head()
+      w = w.indices.map(j => w(j) - lr * g.getDouble(j)).toArray
+    }
+    val result = feats.select(col("doc"), col("y").cast("int").as("y"),
+        round(p, 6).as("score"),
+        (p >= lit(0.5)).cast("int").as("pred"))
+      .localCheckpoint() // materialize while feats is still cached
+    feats.unpersist(false)
+    result
+  }
+
   /** Encode the corpus with a freshly trained `merges`-round BPE model
     * (training and application in one call — the fixture-sized form;
     * a deployment would train once via [[bpeMerges]] and replay the

@@ -275,6 +275,57 @@ object OracleGen {
       FROM ${name}_best GROUP BY vec_id),
     """
 
+  /** CTE chain for [[graft.operators.TextAnalysis.qualityClassifier]]:
+    * `iters` unrolled full-batch gradient steps from w = 0 over
+    * `input` (must expose doc, the named feature columns, and y as
+    * DOUBLE). The link is the rational fast sigmoid and every gradient
+    * component is the 1e-9-grid integer mean, mirroring the operator
+    * bit-for-bit (see its scaladoc for why that makes an iterative
+    * float trainer hash-checkable). `lrSql` must be an exactly-
+    * representable literal ('0.125'). Emits `${p}w0..${p}w$iters`
+    * (weight rows w0..wd); score with [[logitScoreSql]]. */
+  def logitCtes(p: String, input: String, featNames: Seq[String],
+      iters: Int, lrSql: String): String = {
+    val d = featNames.length
+    def grid(v: String): String =
+      s"CAST(SUM(CAST(round(($v) * 1000000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0"
+    def z(wAlias: String, fAlias: String): String =
+      featNames.zipWithIndex.map { case (n, j) => s"$wAlias.w${j + 1} * $fAlias.$n" }
+        .foldLeft(s"$wAlias.w0")((a, b) => s"$a + $b")
+    val sb = new StringBuilder
+    sb ++= s"""${p}w0 AS (SELECT ${(0 to d).map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")}),
+    """
+    for (t <- 1 to iters) {
+      val zz = z("w", "f")
+      sb ++= s"""${p}p$t AS MATERIALIZED (
+      SELECT f.doc, ${featNames.map(n => s"f.$n").mkString(", ")}, f.y,
+             0.5 + ($zz) / (2.0 * (1.0 + abs($zz))) AS p
+      FROM $input f CROSS JOIN ${p}w${t - 1} w),
+    ${p}g$t AS (
+      SELECT ${grid("p - y")} AS g0,
+             ${featNames.zipWithIndex.map { case (n, j) =>
+               s"${grid(s"(p - y) * $n")} AS g${j + 1}" }.mkString(",\n             ")}
+      FROM ${p}p$t),
+    ${p}w$t AS (
+      SELECT ${(0 to d).map(j => s"w.w$j - $lrSql * g.g$j AS w$j").mkString(", ")}
+      FROM ${p}w${t - 1} w CROSS JOIN ${p}g$t g),
+    """
+    }
+    sb.toString
+  }
+
+  /** Final scoring select for [[logitCtes]]: per-doc fast-sigmoid score
+    * under the trained weights `${p}w$iters`, rounded to 1e-6, with
+    * the 0.5-threshold prediction. */
+  def logitScoreSql(p: String, input: String, featNames: Seq[String], iters: Int): String = {
+    val zz = featNames.zipWithIndex.map { case (n, j) => s"w.w${j + 1} * f.$n" }
+      .foldLeft("w.w0")((a, b) => s"$a + $b")
+    s"""SELECT f.doc, CAST(f.y AS INT) AS y,
+           round(0.5 + ($zz) / (2.0 * (1.0 + abs($zz))), 6) AS score,
+           CAST((0.5 + ($zz) / (2.0 * (1.0 + abs($zz)))) >= 0.5 AS INT) AS pred
+    FROM $input f CROSS JOIN ${p}w$iters w"""
+  }
+
   /** CTE chain for [[graft.operators.TextAnalysis.bpeMerges]]: `merges`
     * unrolled rounds of (adjacent-pair count → argmax by (cnt DESC,
     * pair) → greedy rewrite). The rewrite is the operator's exact

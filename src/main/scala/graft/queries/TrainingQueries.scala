@@ -765,5 +765,38 @@ object TrainingQueries {
         "post-merge token count and the md5 of the encoded bytes — the " +
         "digest proves every greedy rewrite (including back-to-back " +
         "overlaps) matched the oracle byte-for-byte. Application is a " +
-        "pure projection."))
+        "pure projection."),
+
+    // ---- q104: trained quality classifier (logistic GD) -------------------
+    "q104_quality_classifier" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        TextAnalysis.qualityClassifier(Tables.documents(s, dir), "doc_id",
+            features = Seq(
+              "x1" -> (nTok / lit(64.0)),
+              "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+              "x3" -> (length(col("text")) / nTok)),
+            label = (length(col("text")) > 300).cast("double"),
+            iters = 4, lr = 0.125)
+          .orderBy(col("doc"))
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        fin AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)})
+        SELECT * FROM fin ORDER BY doc"""),
+      "A TRAINED quality filter: distributed full-batch logistic " +
+        "regression (rational fast-sigmoid link, 1e-9-grid integer " +
+        "gradient sums) hash-proved against DuckDB across all 4 " +
+        "training iterations. Model lives on the driver; one " +
+        "map-side-combined d+1-number aggregation per step, scoring a " +
+        "pure projection — zero corpus shuffles at any scale."))
 }

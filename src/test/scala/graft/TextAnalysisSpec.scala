@@ -328,6 +328,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("qualityClassifier learns a linearly separable rule exactly") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) 4.0 else -4.0))
+      .toDF("id", "f")
+    val out = TextAnalysis.qualityClassifier(df, "id",
+      features = Seq("x1" -> col("f")),
+      label = (col("f") > 0).cast("double"), iters = 12, lr = 0.5)
+    assert(out.filter(col("pred") =!= col("y")).count() == 0,
+      "a +/-4 separable fixture must classify perfectly")
+    val hi = out.filter(col("y") === 1).agg(min(col("score"))).head.getDouble(0)
+    val lo = out.filter(col("y") === 0).agg(max(col("score"))).head.getDouble(0)
+    assert(hi > 0.5 && lo < 0.5, s"scores must separate: min-pos $hi, max-neg $lo")
+  }
+
+  test("qualityClassifier beats chance on the corpus length label") {
+    import graft.functions.TextFunctions.tokens
+    val nTok = size(tokens(col("text")))
+    val out = TextAnalysis.qualityClassifier(docs, "doc_id",
+      features = Seq(
+        "x1" -> (nTok / lit(64.0)),
+        "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+        "x3" -> (length(col("text")) / nTok)),
+      label = (length(col("text")) > 300).cast("double"), iters = 4, lr = 0.125)
+    val n = out.count().toDouble
+    val acc = out.filter(col("pred") === col("y")).count() / n
+    assert(acc > 0.7, s"learned filter should beat chance, got $acc")
+  }
+
   test("bpeMerges learns iteratively and rewrites greedily") {
     // round 1: pairs over the raw corpus — "a b" occurs 3× (docs 1, 2),
     // beating "b a" (2×); round 2 counts over the REWRITTEN corpus, so
