@@ -78,4 +78,38 @@ object VectorFunctions {
     * construction <= scale/2. */
   def dequantMaxErr(v: Column, q: Column, scale: Column): Column =
     array_max(zip_with(v, q, (x, qi) => abs(x - qi * scale)))
+
+  // ---- 1-bit (sign) binary quantization ------------------------------
+  // The most aggressive compression tier below int8: one SIGN BIT per
+  // dimension, packed into 32-bit words carried as BIGINTs (32 bits per
+  // word keeps every value non-negative, so Spark and DuckDB agree
+  // without two's-complement edge cases). 64-d float32 vectors shrink
+  // 32x — 256 bytes to 8 — and Hamming distance over the packed words
+  // (integer xor + popcount, exact in any engine and any fold order)
+  // monotonically tracks angular distance for zero-centered data, which
+  // is what makes it the standard first stage of a binary-rerank ANN.
+
+  /** Pack sign bits (x > 0) of a `d`-dim vector into ceil(d/32)
+    * BIGINT words; bit j of word w is dimension 32w + j. A pure
+    * projection of literal-shift sums (distinct powers of two, so
+    * sum == bitwise-or) — whole-stage codegen, no UDF. */
+  def signPack(v: Column, d: Int): Column = {
+    require(d > 0, "signPack: d must be positive")
+    val words = (0 until (d + 31) / 32).map { w =>
+      val bits = (w * 32) until math.min(d, w * 32 + 32)
+      bits.map { j =>
+        when(element_at(v, j + 1) > 0, lit(1L << (j - w * 32))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two [[signPack]] codes of the same width:
+    * sum of per-word popcount(xor). Explicit per-word terms (not a
+    * fold) so the expression stays flat inside codegen. */
+  def hammingDist(a: Column, b: Column, d: Int): Column =
+    (0 until (d + 31) / 32).map { w =>
+      call_function("bit_count",
+        element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))).cast("long")
+    }.reduce(_ + _)
 }

@@ -449,6 +449,49 @@ object Similarity {
       .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
   }
 
+  /** Binary-quantized two-stage top-k: rank candidates by HAMMING
+    * distance over 1-bit sign codes ([[graft.functions.VectorFunctions.signPack]]),
+    * then exact-cosine re-rank the `mCand` survivors — the
+    * [[truncatedTopK]] funnel with the coarse stage pushed all the way
+    * down to bits (/root/reference/src/prediction_producer.py:141-146
+    * is the same shrink-then-restore stance applied to frames).
+    *
+    * Scale design: codes are d/8 bytes (32× under float32), so the
+    * coarse scan streams 32× less data and each candidate pair costs
+    * ceil(d/32) integer xor+popcounts instead of d FMAs; the probe side
+    * is the broadcast side. Hamming over packed words is exact integer
+    * arithmetic — no float fold-order concerns — and the fine stage is
+    * the already-proved cosine re-rank, so the whole funnel is
+    * oracle-checkable. Like the other scan baselines the coarse stage
+    * is capped at `exactLimit` targets; past that, route the code
+    * column through [[ivfTopK]]'s cell partitioning instead.
+    *
+    * Output: (pId, tId, ham, sim, rank), rank <= k by (sim DESC, tId). */
+  def hammingTopK(
+      probes: DataFrame, pId: String, pVec: String,
+      targets: DataFrame, tId: String, tVec: String,
+      d: Int, mCand: Int, k: Int, roundTo: Int = 6,
+      exactLimit: Long = DefaultExactLimit): DataFrame = {
+    require(mCand >= k, "hammingTopK: mCand must be >= k")
+    ensureRegistered(probes)
+    val n = targets.count()
+    require(n <= exactLimit,
+      s"hammingTopK: $n targets exceed the exact-baseline cap $exactLimit")
+    val p = probes.withColumn("p_code", signPack(col(pVec), d))
+    val t = targets.withColumn("t_code", signPack(col(tVec), d))
+    val wc = Window.partitionBy(col(pId)).orderBy(col("ham"), col(tId))
+    val cand = broadcast(p).crossJoin(t)
+      .select(col(pId), col(pVec), col(tId), col(tVec),
+        hammingDist(col("p_code"), col("t_code"), d).as("ham"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= mCand)
+    val sim = round(
+      cosineWithNorms(col(pVec), col(tVec), fastNorm(col(pVec)), fastNorm(col(tVec))),
+      roundTo).as("sim")
+    val wf = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
+    cand.select(col(pId), col(tId), col("ham"), sim)
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+  }
+
   /** Johnson–Lindenstrauss random projection of an embedding column to
     * `dOut` dimensions — the standard pre-ANN compression: at 100 TB,
     * projecting 64-d → 16-d cuts every downstream shuffle, broadcast

@@ -589,6 +589,61 @@ object SimilarityQueries {
         "top-3 chunks per query with (doc, chunk) provenance — " +
         "chunking, embedding and ranking hash-proved end to end; " +
         "scoring is size-routed (topKAuto), so past the cap it plans " +
-        "the IVF equi-join instead of refusing.")
+        "the IVF equi-join instead of refusing."),
+
+    // ---- q105: 1-bit binary quantization + Hamming funnel top-k -----------
+    "q105_hamming_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.filter(col("label") >= 5)
+          .select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        Similarity.hammingTopK(probes, "p_id", "p_vec", tg, "t_id", "t_vec",
+            d = 64, mCand = 10, k = 3)
+          .orderBy(col("p_id"), col("rank"))
+      },
+      Some {
+        // sign-pack: bit j of word w = (emb[32w + j + 1] > 0); distinct
+        // powers of two, so list_sum == bitwise-or — same construction
+        // as VectorFunctions.signPack
+        def word(alias: String, w: Int) =
+          s"CAST(list_sum([CASE WHEN $alias[$w*32 + x + 1] > 0 THEN (1::BIGINT << x) ELSE 0 END " +
+            s"for x in generate_series(0, 31)]) AS BIGINT)"
+        def pack(alias: String) = s"[${word(alias, 0)}, ${word(alias, 1)}]"
+        s"""
+        WITH e AS ($SqlEmb),
+        p AS (SELECT vec_id AS p_id, emb AS p_vec, ${pack("emb")} AS p_code
+              FROM e WHERE vec_id < 100),
+        t AS (SELECT vec_id AS t_id, emb AS t_vec, ${pack("emb")} AS t_code
+              FROM e WHERE label >= 5),
+        coarse AS (
+          SELECT p.p_id, p.p_vec, t.t_id, t.t_vec,
+                 bit_count(xor(p.p_code[1], t.t_code[1])) +
+                 bit_count(xor(p.p_code[2], t.t_code[2])) AS ham
+          FROM p CROSS JOIN t),
+        cand AS (
+          SELECT p_id, p_vec, t_id, t_vec, ham FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+              ORDER BY ham, t_id) AS rn
+            FROM coarse) WHERE rn <= 10),
+        fine AS (
+          SELECT p_id, t_id, CAST(ham AS BIGINT) AS ham,
+                 round(list_inner_product(p_vec, t_vec) /
+                   (sqrt(list_inner_product(p_vec, p_vec)) *
+                    sqrt(list_inner_product(t_vec, t_vec))), 6) AS sim
+          FROM cand),
+        ranked AS (
+          SELECT p_id, t_id, ham, sim,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM fine)
+        SELECT p_id, t_id, ham, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""
+      },
+      "Binary-quantization funnel: 1-bit sign codes (32x under " +
+        "float32), Hamming shortlist by integer xor+popcount, exact " +
+        "cosine re-rank of the 10 survivors — both stages hash-proved. " +
+        "The coarse scan streams bits, not floats; probes broadcast.")
   )
 }

@@ -411,4 +411,47 @@ class VectorSpec extends SparkSuite {
         s"junior $j kept despite a same-cell senior")
     }
   }
+
+  test("signPack packs the sign pattern exactly and Hamming counts differing dims") {
+    import spark.implicits._
+    val v1 = Array.tabulate(64)(j => if (j % 3 == 0) 1.0 else -1.0)
+    val v2 = v1.clone(); v2(0) = -1.0; v2(63) = -v2(63) // flip 2 dims
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("id", "v")
+      .withColumn("code", signPack(col("v"), 64))
+    val codes = df.select(col("id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // word 0 of v1: bits 0,3,6,...,30 set
+    val expectW0 = (0 until 32).filter(_ % 3 == 0).map(1L << _).sum
+    assert(codes(1L).head == expectW0)
+    assert(codes(1L).forall(w => w >= 0 && w <= 0xffffffffL),
+      "32-bit words must never set the sign bit")
+    val ham = df.filter(col("id") === 1)
+      .crossJoin(df.filter(col("id") === 2).select(col("code").as("c2")))
+      .select(hammingDist(col("code"), col("c2"), 64)).head.getLong(0)
+    assert(ham == 2L, s"exactly the two flipped dims differ, got $ham")
+  }
+
+  test("hammingTopK shortlist recalls most exact top-3 neighbors") {
+    val probes = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+    val tg = emb.filter(col("vec_id") >= 30)
+      .select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+    def recallAt(mCand: Int): Double = {
+      val got = Similarity.hammingTopK(probes, "p_id", "p_vec",
+          tg, "t_id", "t_vec", d = 64, mCand = mCand, k = 3)
+        .select(col("p_id"), col("t_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.topK(probes, "p_id", "p_vec",
+          tg, "t_id", "t_vec", k = 3)
+        .select(col("p_id"), col("t_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val narrow = recallAt(16)
+    val wide = recallAt(64)
+    assert(wide >= 0.75,
+      s"1-bit codes at mCand=64 should recall most exact top-3, got $wide")
+    assert(wide > narrow,
+      s"recall must improve with shortlist width: $narrow -> $wide")
+  }
 }
