@@ -597,6 +597,75 @@ object Similarity {
     result
   }
 
+  /** Top-principal-component projection via POWER ITERATION — the third
+    * iterative trainer in the family ([[kMeans]], TextAnalysis
+    * .qualityClassifier): mean-center, iterate w ← Xᵀ(Xw)/n, and project
+    * every row onto the unit principal direction. This is the whitening
+    * / decorrelation primitive an embedding pipeline runs before
+    * quantization, and (like the other two) the WHOLE TRAINING RUN is
+    * hash-proved against a DuckDB CTE unroll.
+    *
+    * Scale topology: the model state is d doubles on the driver, shipped
+    * back as literals; one iteration costs ONE map-side-combined
+    * aggregation producing d grid-snapped means (s = x_c·w is projected
+    * once per row first, so an iteration is n·d FMAs + n·d grid terms —
+    * never a d×d covariance materialization, never a shuffle of the
+    * data). Scoring is a pure projection.
+    *
+    * Portability rules (the kMeans precedent, see its scaladoc):
+    * per-row dots are strict left-assoc folds (the native vec_dot /
+    * DuckDB generated fold agree bitwise), cross-row sums snap to a 1e-9
+    * grid summed as DECIMAL(38,0), and the per-iteration renormalizer is
+    * max-abs (order-independent exact MAX — an L2 norm here would sum
+    * floats across d in engine-dependent order). The final direction IS
+    * unit-L2: its norm folds over d literals on the driver, mirrored by
+    * an explicit left-assoc fold in SQL. Convergence after `iters`
+    * rounds is the caller's concern — parity holds at every round.
+    *
+    * Output: (id, pc1) — the signed unit-direction projection of the
+    * centered row, rounded to 1e-6. */
+  def pcaPowerProject(vecs: DataFrame, id: String, vec: String,
+      d: Int, iters: Int, roundTo: Int = 6): DataFrame = {
+    require(d > 0 && iters >= 1, "pcaPowerProject: d > 0, iters >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    ensureRegistered(vecs)
+    val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Grid = 1e9
+    def gridMean(c: Column): Column =
+      sum(round(c * Grid).cast("long").cast(DecimalType(38, 0)))
+        .cast("double") / count(lit(1)) / Grid
+    val meanRow = data.agg(
+      gridMean(element_at(col("v"), 1)).as("m0"),
+      (2 to d).map(j => gridMean(element_at(col("v"), j))): _*).head()
+    val mean = (0 until d).map(meanRow.getDouble)
+    val centered = data.select(col("vid"),
+      zip_with(col("v"), typedlit(mean), (x, m) => x - m).as("xc"))
+    var w = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val withS = centered.select(col("xc"),
+        fastDot(col("xc"), typedlit(w.toSeq)).as("s"))
+      val yRow = withS.agg(
+        gridMean(col("s") * element_at(col("xc"), 1)).as("y0"),
+        (2 to d).map(j => gridMean(col("s") * element_at(col("xc"), j))): _*)
+        .head()
+      val y = Array.tabulate(d)(yRow.getDouble)
+      val mx = y.map(math.abs).max
+      require(mx > 0, "pcaPowerProject: degenerate (all-zero centered) input")
+      w = y.map(_ / mx)
+    }
+    // unit direction: ascending-j left-assoc fold, mirrored in the SQL
+    val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+    val u = w.map(_ / nrm).toSeq
+    val result = centered
+      .select(col("vid").as(id),
+        round(fastDot(col("xc"), typedlit(u)), roundTo).as("pc1"))
+    // the trained model is baked in as literals, so recomputation after
+    // unpersist is a single input scan — no checkpoint of an n-row result
+    data.unpersist(false)
+    result
+  }
+
   /** Semantic deduplication (the SemDeDup recipe): cluster the corpus
     * with [[kMeans]], then drop every vector that has a more-senior
     * (lower-id) near-duplicate — cosine >= `threshold` — WITHIN ITS OWN

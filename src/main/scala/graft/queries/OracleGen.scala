@@ -275,6 +275,62 @@ object OracleGen {
       FROM ${name}_best GROUP BY vec_id),
     """
 
+  /** CTE chain for [[graft.operators.Similarity.pcaPowerProject]]:
+    * mean-center `input` (must expose `$idCol` and a d-dim DOUBLE[]
+    * `$vecCol`), then `iters` unrolled power-iteration steps from
+    * w = (1,…,1). Mirrors the operator bit-for-bit: grid-snapped
+    * cross-row means, strict left-assoc per-row dots (explicit
+    * `(xc[1]*w0 + xc[2]*w1 + …)` chains — DuckDB and the native
+    * vec_dot fold identically), max-abs renormalization (exact MAX,
+    * no float fold). Emits `${p}mean`, `${p}c` (centered rows) and
+    * `${p}w0..${p}w$iters` (single-row weight CTEs w0..w{d-1});
+    * score with [[pcaScoreSql]]. */
+  def pcaCtes(p: String, input: String, idCol: String, vecCol: String,
+      d: Int, iters: Int): String = {
+    def grid(v: String): String =
+      s"CAST(SUM(CAST(round(($v) * 1000000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0"
+    def fold(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((a, b) => s"$a + $b")
+    val sb = new StringBuilder
+    sb ++= s"""${p}mean AS (
+      SELECT ${(0 until d).map(j => s"${grid(s"$vecCol[${j + 1}]")} AS m$j").mkString(",\n             ")}
+      FROM $input),
+    ${p}c AS MATERIALIZED (
+      SELECT f.$idCol,
+             [${(0 until d).map(j => s"f.$vecCol[${j + 1}] - m.m$j").mkString(", ")}] AS xc
+      FROM $input f CROSS JOIN ${p}mean m),
+    ${p}w0 AS (SELECT ${(0 until d).map(j => s"CAST(1 AS DOUBLE) AS w$j").mkString(", ")}),
+    """
+    for (t <- 1 to iters) {
+      val dotW = fold((0 until d).map(j => s"xc[${j + 1}] * w.w$j"))
+      sb ++= s"""${p}s$t AS (
+      SELECT xc, ($dotW) AS s FROM ${p}c CROSS JOIN ${p}w${t - 1} w),
+    ${p}y$t AS (
+      SELECT ${(0 until d).map(j => s"${grid(s"s * xc[${j + 1}]")} AS y$j").mkString(",\n             ")}
+      FROM ${p}s$t),
+    ${p}w$t AS (
+      SELECT ${(0 until d).map(j => s"y.y$j / m.mx AS w$j").mkString(", ")}
+      FROM ${p}y$t y CROSS JOIN
+        (SELECT greatest(${(0 until d).map(j => s"abs(y$j)").mkString(", ")}) AS mx
+         FROM ${p}y$t) m),
+    """
+    }
+    sb.toString
+  }
+
+  /** Final scoring select for [[pcaCtes]]: the unit-L2 direction from
+    * `${p}w$iters` (norm = ascending-j left-assoc fold, matching the
+    * driver-side Scala fold), per-row projection rounded to 1e-6. */
+  def pcaScoreSql(p: String, idCol: String, d: Int, iters: Int): String = {
+    val nrmFold = (0 until d).map(j => s"w$j * w$j")
+      .foldLeft("0.0")((a, b) => s"$a + $b")
+    val proj = (0 until d).map(j => s"c.xc[${j + 1}] * (w.w$j / n.nrm)")
+      .reduceLeft((a, b) => s"$a + $b")
+    s"""SELECT c.$idCol, round(($proj), 6) AS pc1
+    FROM ${p}c c CROSS JOIN ${p}w$iters w CROSS JOIN
+      (SELECT sqrt($nrmFold) AS nrm FROM ${p}w$iters) n"""
+  }
+
   /** CTE chain for [[graft.operators.TextAnalysis.qualityClassifier]]:
     * `iters` unrolled full-batch gradient steps from w = 0 over
     * `input` (must expose doc, the named feature columns, and y as

@@ -644,6 +644,23 @@ object SimilarityQueries {
       "Binary-quantization funnel: 1-bit sign codes (32x under " +
         "float32), Hamming shortlist by integer xor+popcount, exact " +
         "cosine re-rank of the 10 survivors — both stages hash-proved. " +
-        "The coarse scan streams bits, not floats; probes broadcast.")
+        "The coarse scan streams bits, not floats; probes broadcast."),
+
+    // ---- q106: top principal component via power iteration ----------------
+    "q106_pca_power" -> Q(
+      (s, d) => Similarity.pcaPowerProject(emb(s, d), "vec_id", "emb",
+          d = 64, iters = 5)
+        .orderBy(col("vec_id")),
+      Some(s"""
+        WITH e AS MATERIALIZED ($SqlEmbBare),
+        ${OracleGen.pcaCtes("q", "e", "vec_id", "emb", 64, 5)}
+        fin AS (${OracleGen.pcaScoreSql("q", "vec_id", 64, 5)})
+        SELECT * FROM fin ORDER BY vec_id"""),
+      "PCA top component TRAINED by power iteration — the third " +
+        "hash-proved iterative trainer (after kMeans and the logistic " +
+        "classifier): grid-snapped centering and matvec means, max-abs " +
+        "renormalization, unit-L2 final direction; one d-number " +
+        "aggregation pass per iteration, zero corpus shuffles, scoring " +
+        "a pure projection.")
   )
 }

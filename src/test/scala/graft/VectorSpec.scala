@@ -454,4 +454,33 @@ class VectorSpec extends SparkSuite {
     assert(wide > narrow,
       s"recall must improve with shortlist width: $narrow -> $wide")
   }
+
+  test("pcaPowerProject recovers a planted dominant direction") {
+    import spark.implicits._
+    // planted model: dim 0 has 10x the variance of every other dim, so
+    // the principal direction must align with e0 and the projection
+    // must (up to global sign) track the dim-0 coordinate's deviation
+    def noise(i: Long, j: Int): Double =
+      (((i * 2654435761L + j * 97003L) % 2000L) / 1000.0 - 1.0) * 0.1
+    val rows = (0L until 300L).map { i =>
+      (i, Seq.tabulate(8)(j =>
+        (if (j == 0) (i % 20).toDouble - 9.5 else 0.0) + noise(i, j)))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val out = Similarity.pcaPowerProject(df, "vec_id", "v", d = 8, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val x0 = rows.map { case (i, v) => i -> v.head }.toMap
+    val mean0 = x0.values.sum / x0.size
+    // Pearson correlation between pc1 and the centered dim-0 coordinate
+    val pairs = rows.map { case (i, _) => (out(i), x0(i) - mean0) }
+    val (sa, sb) = (pairs.map(_._1).sum / pairs.size, pairs.map(_._2).sum / pairs.size)
+    val cov = pairs.map { case (a, b) => (a - sa) * (b - sb) }.sum
+    val va = math.sqrt(pairs.map(p => (p._1 - sa) * (p._1 - sa)).sum)
+    val vb = math.sqrt(pairs.map(p => (p._2 - sb) * (p._2 - sb)).sum)
+    val corr = math.abs(cov / (va * vb))
+    assert(corr > 0.99, s"pc1 must align with the planted axis, got |r|=$corr")
+    // unit direction: projection magnitude bounded by the centered norm
+    val maxAbs = out.values.map(math.abs).max
+    assert(maxAbs <= 11.0, s"unit-direction projections stay in data range, got $maxAbs")
+  }
 }
