@@ -229,6 +229,50 @@ object TextAnalysis {
       .select(col("doc").as(id), col("n_tokens"), col("avg_neg_logp"))
   }
 
+  /** Conditional bigram-LM quality score (the KenLM-shaped upgrade of
+    * [[unigramLmScore]]): avg −ln p(wᵢ | wᵢ₋₁) per document under the
+    * corpus's own add-one-smoothed bigram model, p(b|a) =
+    * (c₂(ab)+1)/(c₁(a)+V). Context counts c₁ are over bigram FIRST
+    * positions (so numerator and denominator come from the same pair
+    * relation) and V is the corpus distinct-token count. Fluency
+    * signal: word-salad/boilerplate scores high even when its unigram
+    * distribution looks natural.
+    *
+    * Scale design: pair generation is a PROJECTION (lockstep zip of the
+    * token array against its own shift — no self-join, no window);
+    * c₂/c₁ are map-side-combined hash aggregations on 2-word/1-word
+    * keys; V is one scalar broadcast. The per-doc sum accumulates
+    * DECIMAL(38,18) so reaggregation order can't move the hash (the
+    * [[unigramLmScore]] precedent).
+    *
+    * Docs with fewer than 2 tokens have no bigrams and drop out —
+    * callers gate those separately (they're a length-filter concern).
+    *
+    * Output: (id, n_bigrams, avg_neg_logp rounded 1e-6). */
+  def bigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(id).as("doc"), tokens(col(text)).as("ts"))
+    val pairs = toks.select(col("doc"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    val v = toks.select(explode(col("ts")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val negLogP = -log((col("cnt2").cast("double") + lit(1.0)) /
+      (col("cnt1") + col("v")).cast("double"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(negLogP.cast(DecimalType(38, 18))).cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logp"))
+      .select(col("doc").as(id), col("n_bigrams"), col("avg_neg_logp"))
+  }
+
   /** Duplicated n-gram coverage per document: what fraction of a doc's
     * distinct n-gram shingles occur in at least one OTHER document —
     * the corpus-level "how much of this text is boilerplate/copied"

@@ -798,5 +798,33 @@ object TrainingQueries {
         "gradient sums) hash-proved against DuckDB across all 4 " +
         "training iterations. Model lives on the driver; one " +
         "map-side-combined d+1-number aggregation per step, scoring a " +
-        "pure projection — zero corpus shuffles at any scale."))
+        "pure projection — zero corpus shuffles at any scale."),
+
+    // ---- q107: bigram-LM fluency score ------------------------------------
+    "q107_bigram_lm" -> Q(
+      (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH prs AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+          FROM (SELECT doc_id, $W AS t FROM documents)
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS cnt2 FROM prs GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS cnt1 FROM prs GROUP BY w1
+        ), v AS (
+          SELECT COUNT(DISTINCT term) AS v
+          FROM (SELECT unnest($W) AS term FROM documents)
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(CAST(-ln((CAST(cnt2 AS DOUBLE) + 1.0) /
+                 CAST(cnt1 + v AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_neg_logp
+        FROM prs JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Conditional bigram LM with add-one smoothing: avg -ln p(w|prev) " +
+        "per doc — the fluency upgrade of the q64 unigram score. Pair " +
+        "generation is a shift-zip projection (no self-join), counts " +
+        "are map-side-combined hash aggs, V broadcasts as one scalar."))
 }

@@ -355,6 +355,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(acc > 0.7, s"learned filter should beat chance, got $acc")
   }
 
+  test("bigramLmScore favors corpus-frequent transitions and drops sub-2-token docs") {
+    import spark.implicits._
+    // "a b" dominates; doc 4 reuses it, doc 5 is a novel transition
+    val df = Seq(
+      (1L, "a b a b a b"), (2L, "a b c"), (3L, "z"),
+      (4L, "a b"), (5L, "q r")).toDF("id", "txt")
+    val out = TextAnalysis.bigramLmScore(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L), "single-token doc has no bigrams")
+    assert(out(4L)._1 == 1L && out(5L)._1 == 1L)
+    assert(out(4L)._2 < out(5L)._2,
+      s"frequent transition must score lower: ${out(4L)._2} vs ${out(5L)._2}")
+    // doc 1's pairs are the most predictable overall
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("bpeMerges learns iteratively and rewrites greedily") {
     // round 1: pairs over the raw corpus — "a b" occurs 3× (docs 1, 2),
     // beating "b a" (2×); round 2 counts over the REWRITTEN corpus, so

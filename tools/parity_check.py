@@ -78,6 +78,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    # a partial dump (SPARK_GRAFT_ONLY iteration aid) only checks the
+    # queries actually dumped; the full driver run dumps everything
+    import os
+    present = {n for n in oracle if os.path.exists(f"{out_dir}/{n}")}
+    skipped = len(oracle) - len(present)
+    if skipped:
+        print(f"(partial dump: {skipped} queries not dumped, skipping)")
+        oracle = {n: q for n, q in oracle.items() if n in present}
     for name in sorted(oracle):
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
