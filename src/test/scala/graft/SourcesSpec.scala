@@ -84,6 +84,63 @@ class SourcesSpec extends SparkSuite {
     } finally { rmTree(dir); rmTree(outDir); rmTree(ck) }
   }
 
+  test("dedupIngest resumes from a checkpoint without duplicating or losing docs") {
+    // kill-mid-stream restart contract for the exact-dedup ingest: stop
+    // a file-source stream partway through, restart with the SAME
+    // checkpoint while new input arrived, and the final corpus must be
+    // exactly one row per distinct text (the min-id survivor) with the
+    // digest index claiming each hash once
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_ddck_src")
+    val ck = Files.createTempDirectory("graft_ddck_ck")
+    val (corpusT, indexT) = ("graft_ddck_corpus", "graft_ddck_index")
+    try {
+      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      import spark.implicits._
+      // 200 docs, 80 distinct texts; duplicates span chunk boundaries
+      val all = (0L until 200L).map(i => (i, s"doc ${i % 80}"))
+      def writeChunk(i: Int): Unit = {
+        val tmp = Files.createTempDirectory(s"graft_ddck_w$i")
+        all.filter { case (id, _) => id >= i * 50 && id < (i + 1) * 50 }
+          .toDF("id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = dir.resolve(f"c$i%02d.parquet")
+        Files.move(part, dest)
+        dest.toFile.setLastModified(60000L * (i + 1))
+        rmTree(tmp)
+      }
+      val fn = Dedup.dedupIngest("id", "text", corpusT, indexT)
+      def start() = spark.readStream
+        .schema("id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(fn)
+        .start()
+      (0 until 2).foreach(writeChunk)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed mid-corpus; chunks 2-3 arrive while it is down
+      (2 until 4).foreach(writeChunk)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.table(corpusT).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (0L until 80L).toSet,
+        s"corpus must be the 80 min-id survivors: got ${got.size} rows")
+      assert(spark.table(indexT).count() == 80L,
+        "each distinct hash must be indexed exactly once across the restart")
+    } finally {
+      Seq(corpusT, indexT).foreach(Catalog.dropTable(spark, _))
+      rmTree(dir); rmTree(ck)
+    }
+  }
+
   test("semDedupIngest resumes from a checkpoint without replaying or skipping") {
     // the kill-mid-stream restart contract for the stateful ingest: stop
     // a file-source stream partway through the corpus, restart with the
