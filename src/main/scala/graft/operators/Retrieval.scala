@@ -86,6 +86,61 @@ object Retrieval {
       .agg(count(lit(1)).as("cnt"))
     graft.Catalog.createBucketedTable(tf, s"${prefix}_postings", "t",
       nBuckets, sortCol = Some("t"))
+    bm25RefreshStats(spark, prefix, nBuckets)
+  }
+
+  /** STREAMING twin of [[bm25BuildIndex]] — incremental postings
+    * maintenance in the [[graft.operators.Dedup.dedupIngest]]
+    * catalog-table style: a `foreachBatch` function that tokenizes each
+    * micro-batch and APPENDS its (doc, dl, t, cnt) postings to the
+    * bucketed `<prefix>_postings` table. Per-document postings are
+    * independent of every other document, so the streamed postings
+    * relation is IDENTICAL to the batch build over the same docs —
+    * df/stats are corpus-level and therefore derive from the postings
+    * on demand ([[bm25RefreshStats]]), the classic
+    * near-real-time-search split (append postings continuously,
+    * refresh collection stats at query/publish points).
+    *
+    * Per-batch work is one map-side-combined tokenize+count of the
+    * batch plus a bucket-spec append — the growing index is never read,
+    * let alone shuffled. `<prefix>_state` records the last applied
+    * batch id; a replayed batch (foreachBatch redelivery after a crash
+    * past the state write) is skipped whole, so postings never
+    * double-count a document ([[graft.operators.Similarity.semDedupIngest]]'s
+    * guard). Writes are postings → state: the remaining crash window
+    * replays at-least-once, never losing a batch. */
+  def bm25Ingest(id: String, text: String, prefix: String,
+      nBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val stateTable = s"${prefix}_state"
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val tf = batch.select(col(id).as("doc"), tokens(col(text)).as("w"))
+          .select(col("doc"), size(col("w")).cast("long").as("dl"),
+            explode(col("w")).as("t"))
+          .groupBy(col("doc"), col("dl"), col("t"))
+          .agg(count(lit(1)).as("cnt"))
+        tf.write.mode("append").bucketBy(nBuckets, "t").sortBy("t")
+          .saveAsTable(s"${prefix}_postings")
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+  }
+
+  /** Re-derive `<prefix>_df` and `<prefix>_stats` from the CURRENT
+    * `<prefix>_postings` — the publish step after [[bm25Ingest]] has
+    * appended batches (the batch [[bm25BuildIndex]] runs this
+    * automatically). One postings pass each; the df aggregation needs
+    * no postings-side shuffle thanks to the term bucketing. After this,
+    * [[bm25TopKIndexed]] answers against everything ingested so far. */
+  def bm25RefreshStats(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, nBuckets: Int = 32): Unit = {
     val saved = spark.table(s"${prefix}_postings")
     graft.Catalog.createBucketedTable(
       saved.groupBy(col("t")).agg(count(lit(1)).as("df")),

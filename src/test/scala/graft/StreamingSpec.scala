@@ -612,6 +612,55 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(rowsT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("bm25Ingest: streamed postings answer queries identically to the batch index") {
+    // per-doc postings are batch-independent, so appending micro-batches
+    // then refreshing df/stats must give bit-identical BM25 answers to
+    // the one-shot batch build; a replayed batch id must be a no-op
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_bm25s"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("text"))
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(Retrieval.bm25Ingest("doc_id", "text", prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 4 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val before = spark.table(s"${prefix}_postings").count()
+      // replay window: a stale batch id re-delivered directly must not append
+      Retrieval.bm25Ingest("doc_id", "text", prefix)(
+        rows.take(5).toSeq.toDF("doc_id", "text"), 0L)
+      assert(spark.table(s"${prefix}_postings").count() == before,
+        "a replayed batch id must not grow the postings")
+      Retrieval.bm25RefreshStats(spark, prefix)
+      // query terms drawn from the corpus itself (first doc's tokens)
+      val terms = rows.head._2.split(" ").distinct.take(3)
+      val queries = terms.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("q_id", "term")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val streamed = norm(Retrieval.bm25TopKIndexed(spark, prefix,
+        queries, "q_id", "term", k = 10))
+      val batch = norm(Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "q_id", "term", k = 10))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed index answers must equal batch: ${streamed.size} vs ${batch.size}")
+    } finally {
+      Catalog.dropTables(spark, prefix)
+      ()
+    }
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
