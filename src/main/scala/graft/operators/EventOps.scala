@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over event streams — the conversion-funnel
+  * family every product/ops pipeline runs next to the reference's
+  * event-time metrics (SURVEY.md §2.8 generalized the way A2/q18 were).
+  * Batch forms here; the streaming twins ride the same per-user keyed
+  * shapes as [[graft.streaming.ReorderBuffer]].
+  */
+object EventOps {
+
+  /** Conversion funnel: for an ordered step sequence (e.g. view →
+    * click → purchase), count the users whose events complete each
+    * prefix IN ORDER — step i must occur at or after the user's
+    * earliest completion time of step i−1, and (optionally) within
+    * `horizonSec` of the step-1 time.
+    *
+    * Execution is k−1 rounds of (filter one event type) ⋈ (per-user
+    * reached-set) — each round a map-side-combined `min` keyed on the
+    * user, so every shuffle carries at most one row per surviving user
+    * and the reached set only shrinks. No per-user event lists are ever
+    * materialized (a collect_list/fold funnel holds a user's whole
+    * history in one buffer — the hot-key OOM shape at 100 TB); the
+    * k-pass form is the associative/partial-aggregatable one. At scale
+    * the k joins co-hash on the user key, so AQE plans them without
+    * re-partitioning the (tiny) reached side more than once.
+    *
+    * Output: (step_idx, step, n_users, conv_overall, conv_prev) — one
+    * row per step, conversion ratios rounded to `roundTo`.
+    */
+  def funnel(events: DataFrame, user: String, typeCol: String, tsCol: String,
+      steps: Seq[String], horizonSec: Long = Long.MaxValue,
+      roundTo: Int = 9): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val ep = unix_timestamp(col(tsCol))
+    // reached(i): (user, t1, ti) — earliest in-order completion times
+    val step1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(user)).agg(min(ep).as("t1"))
+      .withColumn("ti", col("t1"))
+    val reached: Seq[DataFrame] = steps.indices.drop(1).scanLeft(step1) {
+      (prev, i) =>
+        events.filter(col(typeCol) === steps(i))
+          .select(col(user), ep.as("e"))
+          .join(prev, user)
+          .filter(col("e") >= col("ti") &&
+            (if (horizonSec == Long.MaxValue) lit(true)
+             else col("e") <= col("t1") + horizonSec))
+          .groupBy(col(user))
+          .agg(min(col("t1")).as("t1"), min(col("e")).as("ti"))
+    }
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+    // k rows total: single-partition window is free here
+    val w = Window.orderBy(col("step_idx"))
+    def conv(den: Column): Column = when(den === 0, lit(0.0))
+      .otherwise(round(col("n_users").cast("double") / den, roundTo))
+    counts
+      .withColumn("conv_overall", conv(
+        first(col("n_users")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("conv_prev", conv(
+        coalesce(lag(col("n_users"), 1).over(w), col("n_users"))))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Per-user funnel reach: the row-level companion of [[funnel]] —
+    * (user, steps_completed, t_first, t_last) where steps_completed is
+    * the longest in-order prefix the user finished. Same k-pass
+    * reached-set construction; the per-step sets coalesce right-to-left
+    * so each user reports the deepest step reached. */
+  def funnelUsers(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      horizonSec: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnelUsers: at least one step")
+    val ep = unix_timestamp(col(tsCol))
+    val step1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(user)).agg(min(ep).as("t1"))
+      .withColumn("ti", col("t1"))
+    val reached: Seq[DataFrame] = steps.indices.drop(1).scanLeft(step1) {
+      (prev, i) =>
+        events.filter(col(typeCol) === steps(i))
+          .select(col(user), ep.as("e"))
+          .join(prev, user)
+          .filter(col("e") >= col("ti") &&
+            (if (horizonSec == Long.MaxValue) lit(true)
+             else col("e") <= col("t1") + horizonSec))
+          .groupBy(col(user))
+          .agg(min(col("t1")).as("t1"), min(col("e")).as("ti"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.select(col(user), lit(i + 1).as("d"), col("t1"), col("ti"))
+    }.reduce(_ unionAll _)
+      .groupBy(col(user))
+      .agg(max(col("d")).as("steps_completed"),
+        min(col("t1")).as("t_first"), max(col("ti")).as("t_last"))
+  }
+}

@@ -914,4 +914,89 @@ object TextAnalysis {
     cur.unpersist(false)
     result
   }
+
+  /** Shannon-entropy quality signals per document: character entropy,
+    * token entropy, and type-token ratio — the compression-proxy tier
+    * of quality filtering (low char entropy = repeated boilerplate,
+    * low TTR = keyword stuffing). Two explode→count pipelines keyed on
+    * (id, symbol) with map-side combine, re-aggregated per id; the
+    * symbol-count shuffle carries one row per DISTINCT symbol per doc
+    * (≤ ~100 for chars), not one per character.
+    *
+    * Hash parity: each −p·log₂p term is rounded to 12 decimals and
+    * accumulated as DECIMAL(28,12) — the sum is exact and
+    * order-independent, so engines that sum groups in different orders
+    * still agree; the final round absorbs any last-ulp log₂ difference
+    * between libm implementations (the [[tfIdfTopTerms]] concern, made
+    * safe instead of avoided).
+    *
+    * Output: (id, n_chars, n_tokens, char_entropy, token_entropy, ttr). */
+  def entropyStats(docs: DataFrame, id: String, text: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def entropyOf(sym: Column): DataFrame = {
+      val cnts = docs
+        .select(col(id), size(sym).as("n"), explode(sym).as("s"))
+        .groupBy(col(id), col("n"), col("s"))
+        .agg(count(lit(1)).as("cnt"))
+      val p = col("cnt").cast("double") / col("n").cast("double")
+      cnts.groupBy(col(id), col("n"))
+        .agg(
+          sum(round(-p * log2(p), 12).cast(DecimalType(28, 12)))
+            .cast("double").as("h"),
+          count(lit(1)).as("n_distinct"))
+    }
+    // "(?!$)": split between characters but not at end-of-string —
+    // Spark's split uses Java's limit=-1, where pattern "" leaves a
+    // trailing empty element that DuckDB's string_split('',…) does not
+    val ch = entropyOf(split(col(text), "(?!$)"))
+    val tk = entropyOf(tokens(col(text)))
+    ch.select(col(id), col("n").as("n_chars"),
+        round(col("h"), roundTo).as("char_entropy"))
+      .join(tk.select(col(id), col("n").as("n_tokens"),
+        round(col("h"), roundTo).as("token_entropy"),
+        round(col("n_distinct").cast("double") / col("n"), roundTo).as("ttr")),
+        id)
+      .select(col(id), col("n_chars"), col("n_tokens"),
+        col("char_entropy"), col("token_entropy"), col("ttr"))
+  }
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct-token count
+    * as a function of cumulative corpus size, at `nBuckets` id-range
+    * checkpoints. The classical corpus diagnostic for "is more data
+    * still adding vocabulary" (V(n) ≈ K·nᵝ).
+    *
+    * New vocabulary is attributed by FIRST OCCURRENCE — one
+    * token-keyed min(bucket) aggregation (the corpus-wide shuffle,
+    * 8-byte rows with map-side combine) — and token totals per bucket
+    * are map-side-combined per-doc counts; the cumulative window runs
+    * over ≤ nBuckets rows, never the corpus. Buckets cut the id RANGE
+    * (floor(id·nBuckets/(max+1))), not ntile — a global ntile would
+    * sort the corpus through one partition.
+    *
+    * Output: (bucket, n_docs, bucket_tokens, cum_tokens, new_vocab,
+    * cum_vocab), ordered by bucket. */
+  def vocabGrowth(docs: DataFrame, id: String, text: String,
+      nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, "vocabGrowth: nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col(id))).head().getLong(0)
+    val bucket = floor(col(id) * nBuckets / (maxId + 1)).cast("int").as("bucket")
+    val toks = docs.select(bucket, explode(tokens(col(text))).as("t"))
+    val firstSeen = toks.groupBy(col("t")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val perBucket = docs
+      .select(bucket, col(id), size(tokens(col(text))).cast("long").as("nt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("bucket_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_vocab")).over(w))
+      .select(col("bucket"), col("n_docs"), col("bucket_tokens"),
+        col("cum_tokens"), col("new_vocab"), col("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
 }

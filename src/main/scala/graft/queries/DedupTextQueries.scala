@@ -417,6 +417,82 @@ object DedupTextQueries {
         "removed token counts plus the md5 of the cleaned bytes per doc " +
         "— span lists join back id-keyed and tokens filter via a " +
         "higher-order projection, so the corpus is never token-exploded " +
-        "on the apply side.")
+        "on the apply side."),
+
+    // ---- q109: Shannon-entropy quality signals ---------------------------
+    "q109_entropy" -> Q(
+      (s, d) => TextAnalysis.entropyStats(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ch AS (
+          SELECT doc_id, strlen(text) AS n, unnest(string_split(text, '')) AS sym
+          FROM documents
+        ), chc AS (
+          SELECT doc_id, n, sym, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3
+        ), che AS (
+          SELECT doc_id, n AS n_chars,
+                 round(CAST(SUM(CAST(round(
+                   -(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)) *
+                     log2(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS char_entropy
+          FROM chc GROUP BY doc_id, n
+        ), tk AS (
+          SELECT doc_id, len($W) AS n, unnest($W) AS sym FROM documents
+        ), tkc AS (
+          SELECT doc_id, n, sym, COUNT(*) AS cnt FROM tk GROUP BY 1, 2, 3
+        ), tke AS (
+          SELECT doc_id, n AS n_tokens,
+                 round(CAST(SUM(CAST(round(
+                   -(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)) *
+                     log2(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS token_entropy,
+                 round(CAST(COUNT(*) AS DOUBLE)/CAST(n AS DOUBLE), 6) AS ttr
+          FROM tkc GROUP BY doc_id, n
+        )
+        SELECT che.doc_id, CAST(n_chars AS INT) AS n_chars,
+               CAST(n_tokens AS INT) AS n_tokens,
+               char_entropy, token_entropy, ttr
+        FROM che JOIN tke ON tke.doc_id = che.doc_id
+        ORDER BY che.doc_id"""),
+      "Compression-proxy quality filter: per-doc character/token Shannon " +
+        "entropy + type-token ratio. Symbol-count shuffles carry one row " +
+        "per DISTINCT symbol per doc; -p*log2(p) terms round to 12dp and " +
+        "sum as DECIMAL so the result is summation-order-independent and " +
+        "hash-stable across engines."),
+
+    // ---- q110: Heaps-law vocabulary growth curve -------------------------
+    "q110_vocab_growth" -> Q(
+      (s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d),
+          "doc_id", "text", nBuckets = 20),
+      Some(s"""
+        WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        d AS (
+          SELECT doc_id,
+                 CAST(floor(doc_id * 20 / (mx.m + 1)) AS INT) AS bucket,
+                 $W AS w
+          FROM documents, mx
+        ), toks AS (
+          SELECT bucket, unnest(w) AS t FROM d
+        ), fs AS (
+          SELECT MIN(bucket) AS bucket FROM toks GROUP BY t
+        ), nv AS (
+          SELECT bucket, COUNT(*) AS new_vocab FROM fs GROUP BY 1
+        ), pb AS (
+          SELECT bucket, COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS bucket_tokens
+          FROM d GROUP BY 1
+        )
+        SELECT pb.bucket, pb.n_docs, pb.bucket_tokens,
+               CAST(SUM(pb.bucket_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+               COALESCE(nv.new_vocab, 0) AS new_vocab,
+               CAST(SUM(COALESCE(nv.new_vocab, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
+        FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
+        ORDER BY pb.bucket"""),
+      "Heaps-law vocabulary growth: cumulative distinct tokens vs " +
+        "cumulative corpus size at 20 id-range checkpoints. First " +
+        "occurrence is one token-keyed min(bucket) aggregation; the " +
+        "cumulative window runs over 20 rows, never the corpus — the " +
+        "'is more data still adding vocabulary' curation diagnostic.")
   )
 }

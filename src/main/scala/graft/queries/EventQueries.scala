@@ -473,6 +473,54 @@ object EventQueries {
         "cumulative-count estimates — deterministic in every step, so " +
         "the SKETCH hash-matches the oracle (percentile_approx q36 " +
         "stays rows-only by nature); exact percentiles + max error " +
-        "ride along, bounded by one bin width.")
+        "ride along, bounded by one bin width."),
+
+    // ---- q108: ordered conversion funnel ----------------------------------
+    "q108_funnel" -> Q(
+      (s, d) => graft.operators.EventOps.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonSec = 86400L),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, $EPOCH AS ep FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(ep) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ep) AS t2
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND e.ep >= s1.t1 AND e.ep <= s1.t1 + 86400
+          GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.ep) AS t3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ep >= s2.t2 AND e.ep <= s2.t1 + 86400
+          GROUP BY 1
+        ), c AS (
+          SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+                 (SELECT COUNT(*) FROM s1) AS n_users
+          UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+          UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step_idx, step, n_users,
+               CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) = 0
+                    THEN 0.0
+                    ELSE round(CAST(n_users AS DOUBLE) /
+                         first_value(n_users) OVER (ORDER BY step_idx), 9)
+               END AS conv_overall,
+               CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users) = 0
+                    THEN 0.0
+                    ELSE round(CAST(n_users AS DOUBLE) /
+                         coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users), 9)
+               END AS conv_prev
+        FROM c
+        ORDER BY step_idx"""),
+      "Ordered conversion funnel (view->click->purchase within 24h of " +
+        "first view): k-1 rounds of one-event-type filter joined to the " +
+        "shrinking per-user reached-set, each a map-side-combined min " +
+        "keyed on user — no per-user event lists, no collect_list hot-key " +
+        "buffers; shuffles carry one row per surviving user per round.")
   )
 }

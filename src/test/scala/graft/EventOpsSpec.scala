@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+
+/** Funnel semantics not covered by the q108 oracle: per-user reach
+  * depth, in-order enforcement, and the horizon cut. */
+class EventOpsSpec extends SparkSuite {
+
+  private def ev(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+  }
+
+  test("funnelUsers: depth counts only in-order completions") {
+    // u1 completes all 3 in order; u2 has click BEFORE view (depth 1);
+    // u3 views only; u4 never views (absent from output)
+    val e = ev(Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      (2L, "click", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 01:00:00"),
+      (3L, "view", "2024-01-01 00:00:00"),
+      (4L, "purchase", "2024-01-01 00:00:00")))
+    val out = EventOps.funnelUsers(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("funnelUsers: same-second step transition counts (>= not >)") {
+    val e = ev(Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:00:00")))
+    val out = EventOps.funnelUsers(e, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 2))
+  }
+
+  test("funnel: horizon cuts completions later than t1 + horizonSec") {
+    val e = ev(Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:30:00"),   // inside 1h horizon
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 02:00:00")))  // outside
+    val out = EventOps.funnel(e, "user_id", "event_type", "ts",
+        Seq("view", "click"), horizonSec = 3600L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L))
+    val noHorizon = EventOps.funnel(e, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(noHorizon == Map(1 -> 2L, 2 -> 2L))
+  }
+}
