@@ -493,6 +493,75 @@ object DedupTextQueries {
         "cumulative corpus size at 20 id-range checkpoints. First " +
         "occurrence is one token-keyed min(bucket) aggregation; the " +
         "cumulative window runs over 20 rows, never the corpus — the " +
-        "'is more data still adding vocabulary' curation diagnostic.")
+        "'is more data still adding vocabulary' curation diagnostic."),
+
+    // ---- q111: PageRank centrality over the duplicate graph --------------
+    "q111_pagerank" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        graft.operators.Graph.pageRank(docs.select(col("doc_id")), "doc_id",
+            edges, "src", "dst", iters = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // one damped power iteration, decimal-locked like the operator:
+        // contribution terms and dangling mass round to 14dp and sum as
+        // DECIMAL (order-independent); ranks re-round to 12dp per pass
+        def step(i: Int): String = {
+          val p = s"r${i - 1}"
+          s"""
+        c$i AS (
+          SELECT e.dst AS v,
+                 CAST(SUM(CAST(round($p.r / deg.outd, 14) AS DECIMAL(28,14))) AS DOUBLE) AS c
+          FROM edges e JOIN $p ON $p.v = e.src JOIN deg ON deg.v = e.src
+          GROUP BY 1
+        ), d$i AS (
+          SELECT COALESCE(CAST(SUM(CAST(round(x.r, 14) AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS dang
+          FROM $p x ANTI JOIN deg ON deg.v = x.v
+        ), r$i AS (
+          SELECT $p.v,
+                 round((1.0 - 0.85) / nn.nd +
+                       0.85 * (COALESCE(c$i.c, 0.0) + d$i.dang / nn.nd), 12) AS r
+          FROM $p LEFT JOIN c$i ON c$i.v = $p.v, d$i, nn
+        ),"""
+        }
+        s"""
+        WITH sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs
+        ), deg AS (
+          SELECT src AS v, COUNT(*) AS outd FROM edges GROUP BY 1
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+        ), r0 AS (
+          SELECT doc_id AS v, round(1.0 / nn.nd, 12) AS r FROM documents, nn
+        ),${step(1)}${step(2)}${step(3)}
+        fin AS (SELECT v, r FROM r3)
+        SELECT v AS doc_id, round(r, 9) AS pr FROM fin ORDER BY v"""
+      },
+      "PageRank over the near-dup pair graph (3 damped power iterations " +
+        "with dangling-mass redistribution): duplication-structure " +
+        "centrality for canonical selection. Each pass shuffles one row " +
+        "per node; decimal-summed 14dp terms + 12dp per-pass re-rounding " +
+        "keep the iterative float walk bit-identical across engines.")
   )
 }
