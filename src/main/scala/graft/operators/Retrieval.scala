@@ -168,20 +168,26 @@ object Retrieval {
     * rational in (cnt, dl, df, n, avgdl), mirrored token-for-token by
     * the DuckDB oracle; decimal accumulation makes the total
     * order-independent. Output keyed (qId, doc). */
-  private def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
-      queries: DataFrame, qId: String, term: String,
-      k: Int, k1: Double, b: Double, logIdf: Boolean): DataFrame = {
-    val q = queries.select(col(qId).as("q"), col(term).as("t"))
+  /** Per-(posting, matched query term) BM25 partial score, rounded to
+    * 1e-6 — over columns (cnt, dl, df, n, tot). Shared by the one-shot
+    * rankers and both [[rm3TopK]] passes. */
+  private def bm25TermScore(k1: Double, b: Double, logIdf: Boolean): Column = {
     val odds = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val idf = if (logIdf) log(odds + lit(1.0)) else odds
-    val termScore = round(
+    round(
       idf * (col("cnt") * (lit(k1) + lit(1)) /
         (col("cnt") + lit(k1) * (lit(1) - lit(b) +
           lit(b) * col("dl") / (col("tot").cast("double") / col("n"))))),
       6)
+  }
+
+  private def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
+      queries: DataFrame, qId: String, term: String,
+      k: Int, k1: Double, b: Double, logIdf: Boolean): DataFrame = {
+    val q = queries.select(col(qId).as("q"), col(term).as("t"))
     val scored = tf.join(q, "t").join(df, "t").crossJoin(stats)
       .select(col("q"), col("doc"),
-        termScore.cast("decimal(18,6)").as("ts"))
+        bm25TermScore(k1, b, logIdf).cast("decimal(18,6)").as("ts"))
       .groupBy(col("q"), col("doc"))
       .agg(sum(col("ts")).cast("double").as("score"))
     val w = Window.partitionBy(col("q")).orderBy(col("score").desc, col("doc"))
@@ -211,6 +217,85 @@ object Retrieval {
     val w = Window.partitionBy(col("q")).orderBy(col("fused").desc, col("d"))
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q").as(qId), col("d").as(id), col("fused"), col("rank"))
+  }
+
+  /** RM3-style pseudo-relevance feedback: run BM25, mine expansion
+    * terms from the top `fbDocs` documents of each query, then re-rank
+    * with the expanded weighted query — the classic recall lever when
+    * queries underspecify their vocabulary (Lavrenko–Croft relevance
+    * models, the Anserini/Indri default).
+    *
+    * Expansion-term weight is the relevance-model estimate
+    * Σ_d P(t|d)·score(d) over the feedback docs, normalized by the
+    * per-query max and scaled by `beta`; original terms keep weight 1.
+    * Original query terms are excluded from expansion (they are already
+    * in the query — RM3's interpolation is expressed by the 1-vs-beta
+    * weights).
+    *
+    * Scale: the corpus-side tf relation materializes ONCE
+    * (localCheckpoint — signature rows, the q41 stance) and feeds both
+    * passes; feedback mining touches only fbDocs×|queries| postings
+    * rows, and the second pass joins a query vocabulary of at most
+    * (original + fbTerms) terms per query — corpus work stays two tf
+    * scans' worth regardless of query count. Hash parity: the weight
+    * sums accumulate 12dp-rounded terms as DECIMAL, weighted partial
+    * scores round to 1e-6 and sum as DECIMAL(18,6) — both passes are
+    * summation-order-independent.
+    *
+    * @return (qId, id, score, rank), rank 1..k per query over the
+    *         expanded query */
+  def rm3TopK(
+      docs: DataFrame, id: String, text: String,
+      queries: DataFrame, qId: String, term: String,
+      k: Int, fbDocs: Int = 3, fbTerms: Int = 5, beta: Double = 0.4,
+      k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(id).as("doc"), tokens(col(text)).as("w"))
+      .select(col("doc"), col("w"), size(col("w")).cast("long").as("dl"))
+    val tf = toks
+      .select(col("doc"), col("dl"), explode(col("w")).as("t"))
+      .groupBy(col("doc"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds first pass, feedback mining, second pass
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // toks-based like bm25TopK (a zero-token doc has no tf rows but
+    // still counts in n/avgdl)
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      .localCheckpoint()
+    val q = queries.select(col(qId).as("q"), col(term).as("t"))
+
+    // pass 1: plain BM25, keep the feedback docs with their scores
+    val fb = scoreBm25(tf, df, stats, queries, qId, term,
+        fbDocs, k1, b, logIdf)
+      .select(col(qId).as("q"), col("doc"), col("score"))
+    // relevance-model term weights over the feedback docs
+    val wt = tf.join(fb, "doc")
+      .select(col("q"), col("t"),
+        round((col("cnt").cast("double") / col("dl")) * col("score"), 12)
+          .cast(DecimalType(28, 12)).as("p"))
+      .groupBy(col("q"), col("t"))
+      .agg(sum(col("p")).cast("double").as("wt"))
+      .join(q, Seq("q", "t"), "left_anti") // originals are already weighted 1
+    val wWin = Window.partitionBy(col("q")).orderBy(col("wt").desc, col("t"))
+    val expansion = wt
+      .withColumn("wmax", max(col("wt")).over(Window.partitionBy(col("q"))))
+      .withColumn("er", row_number().over(wWin)).filter(col("er") <= fbTerms)
+      .select(col("q"), col("t"),
+        round(lit(beta) * col("wt") / col("wmax"), 6).as("weight"))
+    val weighted = q.withColumn("weight", lit(1.0)).unionAll(expansion)
+
+    // pass 2: weighted BM25 over the expanded query
+    val scored = tf.join(weighted, "t").join(df, "t").crossJoin(stats)
+      .select(col("q"), col("doc"),
+        round(col("weight") * bm25TermScore(k1, b, logIdf), 6)
+          .cast("decimal(18,6)").as("ts"))
+      .groupBy(col("q"), col("doc"))
+      .agg(sum(col("ts")).cast("double").as("score"))
+    val w = Window.partitionBy(col("q")).orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q").as(qId), col("doc").as(id), col("score"), col("rank"))
   }
 
   /** Hard-negative mining for contrastive training: for each anchor,

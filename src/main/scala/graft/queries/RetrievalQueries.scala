@@ -162,6 +162,62 @@ object RetrievalQueries {
       "Contrastive hard negatives: per anchor, the top-5 nearest " +
         "wrong-label vectors — close enough to carry gradient, provably " +
         "not positives. The anchor batch broadcasts; the corpus streams " +
-        "through one ranked scan (batch cap mirrors the exact-arm cap).")
+        "through one ranked scan (batch cap mirrors the exact-arm cap)."),
+
+    // ---- q112: RM3 pseudo-relevance feedback ---------------------------
+    "q112_rm3_expansion" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Retrieval.rm3TopK(docs, "doc_id", "text",
+            queryTerms(docs), "q_id", "term", k = 5,
+            fbDocs = 3, fbTerms = 5, beta = 0.4, logIdf = false)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $SqlBm25,
+        fb AS (SELECT q, doc, score FROM lexr WHERE ra <= 3),
+        wt0 AS (
+          SELECT fb.q, tfc.t,
+                 CAST(SUM(CAST(round(
+                   (CAST(tfc.cnt AS DOUBLE) / tfc.dl) * fb.score, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS wt
+          FROM tfc JOIN fb ON tfc.doc = fb.doc
+          GROUP BY fb.q, tfc.t),
+        wt AS (SELECT w.q, w.t, w.wt FROM wt0 w
+               ANTI JOIN q ON q.q = w.q AND q.t = w.t),
+        exp AS (
+          SELECT q, t,
+                 round(CAST('0.4' AS DOUBLE) * wt /
+                   MAX(wt) OVER (PARTITION BY q), 6) AS weight,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY wt DESC, t) AS er
+          FROM wt),
+        wq AS (
+          SELECT q, t, CAST(1.0 AS DOUBLE) AS weight FROM q
+          UNION ALL
+          SELECT q, t, weight FROM exp WHERE er <= 5),
+        scored2 AS (
+          SELECT wq.q, tfc.doc,
+            CAST(round(wq.weight * round(
+              ((stats.n - df.df + 0.5) / (df.df + 0.5)) *
+              (tfc.cnt * (CAST('1.2' AS DOUBLE) + 1) /
+                (tfc.cnt + CAST('1.2' AS DOUBLE) * (1 - CAST('0.75' AS DOUBLE) +
+                  CAST('0.75' AS DOUBLE) * tfc.dl /
+                    (CAST(stats.tot AS DOUBLE) / stats.n)))),
+              6), 6) AS DECIMAL(18,6)) AS ts
+          FROM tfc JOIN wq ON tfc.t = wq.t JOIN df ON tfc.t = df.t CROSS JOIN stats),
+        agg2 AS (SELECT q, doc, CAST(SUM(ts) AS DOUBLE) AS score
+                 FROM scored2 GROUP BY q, doc),
+        fr AS (SELECT q, doc, score, ROW_NUMBER() OVER
+                 (PARTITION BY q ORDER BY score DESC, doc) AS rank FROM agg2)
+        SELECT q AS q_id, doc AS doc_id, score, CAST(rank AS INT) AS rank
+        FROM fr WHERE rank <= 5
+        ORDER BY q_id, rank"""),
+      "RM3 pseudo-relevance feedback: BM25 top-3 docs per query mine 5 " +
+        "expansion terms (relevance-model weights, max-normalized, " +
+        "beta=0.4; originals weight 1), then a weighted second pass " +
+        "re-ranks. The tf relation materializes once for both passes; " +
+        "second-pass corpus work is bounded by the expanded query " +
+        "vocabulary. Decimal-summed weights and partials keep the " +
+        "two-pass float walk hash-identical across engines.")
   )
 }
