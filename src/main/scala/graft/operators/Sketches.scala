@@ -36,6 +36,23 @@ object Sketches {
     * Output: (group, hll_estimate, n_zero_registers, exact_distinct,
     * rel_err). */
   def hllDistinct(df: DataFrame, group: String, value: String): DataFrame = {
+    val regs = hllRegisters(df, group, value)
+    val exact = df.groupBy(col(group))
+      .agg(countDistinct(col(value)).as("exact_distinct"))
+    hllEstimateFrom(regs, group).join(exact, group)
+      .select(col(group), col("hll_estimate"),
+        col("n_zero_registers"),
+        col("exact_distinct"),
+        round(abs(col("hll_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  /** The register relation alone — (group, idx, r), at most 256 rows
+    * per group. Registers MERGE by max (idempotent and commutative),
+    * which is what makes the sketch incrementally maintainable:
+    * re-applying a batch is a no-op, and union→max over any batch
+    * split equals the one-shot build. */
+  def hllRegisters(df: DataFrame, group: String, value: String): DataFrame = {
     val m = 256
     val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
       .cast("long")
@@ -44,7 +61,13 @@ object Sketches {
       .withColumn("w", shiftright(col("h"), 8))
     val rho = when(col("w") === 0L, lit(45))
       .otherwise(lit(45) - length(conv(col("w"), 10, 2)))
-    val regs = base.groupBy(col(group), col("idx")).agg(max(rho).as("r"))
+    base.groupBy(col(group), col("idx")).agg(max(rho).as("r"))
+  }
+
+  /** The pinned estimator over a register relation (the [[hllDistinct]]
+    * tail): (group, hll_estimate, n_zero_registers). */
+  def hllEstimateFrom(regs: DataFrame, group: String): DataFrame = {
+    val m = 256
     // SQL form: the Scala shiftleft() helper only takes a literal shift
     val term = struct(col("idx"),
       (lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)").cast("double")).as("t"))
@@ -65,14 +88,8 @@ object Sketches {
         when(col("raw") <= lit(2.5 * m) && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("raw")), 4))
-    val exact = df.groupBy(col(group))
-      .agg(countDistinct(col(value)).as("exact_distinct"))
-    folded.join(exact, group)
-      .select(col(group), col("hll_estimate"),
-        col("v").as("n_zero_registers"),
-        col("exact_distinct"),
-        round(abs(col("hll_estimate") - col("exact_distinct")) /
-          col("exact_distinct"), 6).as("rel_err"))
+    folded.select(col(group), col("hll_estimate"),
+      col("v").as("n_zero_registers"))
   }
 
   /** The d count-min cell positions of a value (md5 halves, pos_i =
@@ -283,4 +300,92 @@ object Sketches {
           abs(col("p90_est") - col("p90")),
           abs(col("p99_est") - col("p99"))), 6).as("max_abs_err"))
   }
+
+  // --------------------------------------------------------------------
+  // Streaming sketch maintenance — EXACTLY-ONCE delta partitions.
+  //
+  // Sketches are mergeable state (count-min counters add; HLL registers
+  // max), which admits a stronger delivery guarantee than the
+  // append-only ingest tables (dedupIngest/bm25Ingest, at-least-once in
+  // the crash window): each micro-batch writes its bounded per-batch
+  // sketch into a batch_id PARTITION with dynamic partition overwrite,
+  // so a replayed batch REPLACES its own partition byte-for-byte instead
+  // of appending twice — an additive merge would otherwise double-count.
+  // The merged sketch is an on-demand fold over the deltas (max nBatches
+  // × bounded-sketch rows, compactable by rewriting); the corpus itself
+  // is touched once per batch, never re-read.
+  // --------------------------------------------------------------------
+
+  /** Write one batch's sketch rows into `<prefix>_deltas` partition
+    * batch_id=`batchId`, idempotently, and advance `<prefix>_state`. */
+  private def writeDelta(delta: DataFrame, batchId: Long,
+      prefix: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val stateTable = s"${prefix}_state"
+    val deltaTable = s"${prefix}_deltas"
+    val lastBatch: Long =
+      if (spark.catalog.tableExists(stateTable))
+        spark.table(stateTable).head().getLong(0)
+      else -1L
+    if (batchId > lastBatch) {
+      val withId = delta.withColumn("batch_id", lit(batchId))
+      if (!spark.catalog.tableExists(deltaTable))
+        withId.write.partitionBy("batch_id").saveAsTable(deltaTable)
+      else {
+        // dynamic overwrite touches ONLY the batch_id partitions present
+        // in this write — a replay of the crash window (delta written,
+        // state not yet) rewrites the same partition, not a duplicate.
+        // Session conf, not writer option: insertInto into a catalog
+        // table does not honor the per-write option
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try withId.write.mode("overwrite").insertInto(deltaTable)
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+      Seq(batchId).toDF("last_batch")
+        .write.mode("overwrite").saveAsTable(stateTable)
+    }
+  }
+
+  /** Streaming count-min maintenance: a `foreachBatch` function that
+    * sketches each micro-batch with [[countMinCounters]] (bounded d·w
+    * rows) and lands it as an idempotent delta partition. The merged
+    * sketch ([[countMinMerged]]) equals the one-shot batch build over
+    * everything ingested — integer sums commute across any batch split
+    * — and feeds [[countMinProbe]] unchanged. */
+  def countMinIngest(value: String, prefix: String,
+      w: Int = 1024, d: Int = 4): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      writeDelta(countMinCounters(batch, value, w, d), batchId, prefix)
+    }
+
+  /** The merged count-min counters over everything [[countMinIngest]]
+    * has landed: (row, pos, c) — drop-in for [[countMinProbe]]. */
+  def countMinMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): DataFrame =
+    spark.table(s"${prefix}_deltas")
+      .groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c"))
+
+  /** Streaming HLL maintenance: per-batch register relations
+    * ([[hllRegisters]], ≤256 rows per group) landed as idempotent delta
+    * partitions; [[hllMergedEstimate]] folds them with max — the merge
+    * under which HLL is exact — so the streamed estimate equals the
+    * one-shot batch estimate over everything ingested. */
+  def hllIngest(group: String, value: String,
+      prefix: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      writeDelta(hllRegisters(batch, group, value), batchId, prefix)
+    }
+
+  /** Merged registers + the pinned estimator over everything
+    * [[hllIngest]] has landed: (group, hll_estimate,
+    * n_zero_registers). */
+  def hllMergedEstimate(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, group: String): DataFrame =
+    hllEstimateFrom(
+      spark.table(s"${prefix}_deltas")
+        .groupBy(col(group), col("idx")).agg(max(col("r")).as("r")),
+      group)
 }

@@ -661,6 +661,74 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("countMinIngest: streamed delta-merged counters equal the one-shot batch sketch") {
+    // additive sketches double-count under at-least-once replay, so the
+    // ingest must be exactly-once: batch_id delta partitions + dynamic
+    // overwrite. Prove merged==batch, then simulate the crash window
+    // (state table lost after the delta landed) and replay — byte-equal.
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_cmsing"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("event_type")).as[String].collect()
+      val input = MemoryStream[String]
+      val q = input.toDF().toDF("event_type")
+        .writeStream
+        .foreachBatch(Sketches.countMinIngest("event_type", prefix, w = 64, d = 4))
+        .start()
+      val chunks = rows.grouped(rows.length / 4 + 1).toSeq
+      for (chunk <- chunks) { input.addData(chunk.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+      def counters(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val batchBuild = counters(Sketches.countMinCounters(
+        rows.toSeq.toDF("event_type"), "event_type", w = 64, d = 4))
+      assert(counters(Sketches.countMinMerged(spark, prefix)) == batchBuild)
+      // crash window: delta for the last batch persisted, state write lost
+      val lastId = spark.table(s"${prefix}_state").head().getLong(0)
+      Catalog.dropTable(spark, s"${prefix}_state")
+      Sketches.countMinIngest("event_type", prefix, w = 64, d = 4)(
+        chunks.last.toSeq.toDF("event_type"), lastId)
+      assert(counters(Sketches.countMinMerged(spark, prefix)) == batchBuild,
+        "replaying the crash-window batch must overwrite its partition, not append")
+      // stale replay (state intact): skipped whole
+      Sketches.countMinIngest("event_type", prefix, w = 64, d = 4)(
+        chunks.head.toSeq.toDF("event_type"), 0L)
+      assert(counters(Sketches.countMinMerged(spark, prefix)) == batchBuild)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
+  test("hllIngest: streamed register merge gives the exact batch HLL estimate") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_hlling"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+      val input = MemoryStream[(String, Long)]
+      val q = input.toDF().toDF("event_type", "user_id")
+        .writeStream
+        .foreachBatch(Sketches.hllIngest("event_type", "user_id", prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = Sketches.hllMergedEstimate(spark, prefix, "event_type")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      val batch = Sketches.hllDistinct(
+          rows.toSeq.toDF("event_type", "user_id"), "event_type", "user_id")
+        .select(col("event_type"), col("hll_estimate"), col("n_zero_registers"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
