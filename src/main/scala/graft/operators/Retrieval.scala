@@ -298,6 +298,61 @@ object Retrieval {
       .select(col("q").as(qId), col("doc").as(id), col("score"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell–Goldstein): greedily
+    * pick `k` results per query maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — relevance traded
+    * against redundancy, the standard diversity pass over a first-stage
+    * ranking (and the dedup-at-query-time twin of SemDeDup's
+    * dedup-at-corpus-time).
+    *
+    * MMR is inherently sequential in k, but each of the k steps is a
+    * bounded DataFrame program over the CANDIDATE lists (query-bounded
+    * by construction — candidates × selected ≤ |cands|·k per query),
+    * so the driver loop never touches corpus-scale data; everything
+    * per-query runs in parallel inside each step. Similarities and MMR
+    * scores round to `roundTo` before every argmax (ties by id), so
+    * selection is deterministic and engine-exact.
+    *
+    * @param cands (qId, id, rel) first-stage candidates, rel rounded
+    * @param vecs (vId, vec) embeddings for the candidate ids
+    * @return (qId, id, mmr, rank) — rank is selection order 1..k */
+  def mmrRerank(
+      cands: DataFrame, qId: String, id: String, rel: String,
+      vecs: DataFrame, vId: String, vec: String,
+      k: Int, lambda: Double = 0.7, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    val c = cands
+      .select(col(qId).as("q"), col(id).as("d"), col(rel).as("rel"))
+      .join(vecs.select(col(vId).as("d"), col(vec).as("v")), "d")
+      .withColumn("nrm", fastNorm(col("v")))
+      .localCheckpoint() // k steps re-read the candidate relation
+    def argmax(df: DataFrame, score: Column, rank: Int): DataFrame = {
+      val w = Window.partitionBy(col("q")).orderBy(score.desc, col("d"))
+      df.withColumn("mmr", score)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q"), col("d"), col("v"), col("nrm"), col("mmr"),
+          lit(rank).as("rank"))
+    }
+    var selected = argmax(c, round(lit(lambda) * col("rel"), roundTo), 1)
+    for (i <- 2 to k) {
+      val remaining = c.join(selected.select(col("q"), col("d")),
+        Seq("q", "d"), "left_anti")
+      val maxSim = remaining.join(
+          selected.select(col("q"), col("v").as("sv"), col("nrm").as("snrm")),
+          "q")
+        .select(col("q"), col("d"), col("rel"), col("v"), col("nrm"),
+          round(cosineWithNorms(col("v"), col("sv"), col("nrm"), col("snrm")),
+            roundTo).as("sim"))
+        .groupBy(col("q"), col("d"), col("rel"), col("v"), col("nrm"))
+        .agg(max(col("sim")).as("max_sim"))
+      selected = selected.unionByName(argmax(maxSim,
+        round(lit(lambda) * col("rel") - lit(1 - lambda) * col("max_sim"),
+          roundTo), i))
+    }
+    selected.select(col("q").as(qId), col("d").as(id), col("mmr"), col("rank"))
+      .orderBy(col(qId), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the top-k most-similar candidates whose `label` DIFFERS from the
     * anchor's — close in embedding space but provably wrong-class, the

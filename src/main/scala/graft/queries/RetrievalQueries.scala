@@ -218,6 +218,69 @@ object RetrievalQueries {
         "re-ranks. The tf relation materializes once for both passes; " +
         "second-pass corpus work is bounded by the expanded query " +
         "vocabulary. Decimal-summed weights and partials keep the " +
-        "two-pass float walk hash-identical across engines.")
+        "two-pass float walk hash-identical across engines."),
+
+    // ---- q113: MMR diversity re-rank -----------------------------------
+    "q113_mmr_rerank" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val embedded = docs.select(col("doc_id"), docEmbed(md5(col("text"))).as("e"))
+        val probes = embedded.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("q_id"), col("e").as("p_vec"))
+        val cands = Similarity.topKAuto(probes, "q_id", "p_vec",
+          embedded.select(col("doc_id"), col("e")), "doc_id", "e", k = 10)
+        Retrieval.mmrRerank(cands, "q_id", "doc_id", "sim",
+            embedded, "doc_id", "e", k = 5, lambda = 0.7)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        // one greedy MMR step: anti-join the selected set, max cosine to
+        // any selected doc, argmax of lambda*rel - (1-lambda)*max_sim
+        def step(i: Int): String = s"""
+        rem$i AS (
+          SELECT cv.* FROM cv
+          ANTI JOIN sel${i - 1} s ON s.q = cv.q AND s.doc = cv.doc),
+        ms$i AS (
+          SELECT r.q, r.doc, MAX(round(list_inner_product(r.v, s.v) /
+                   (sqrt(list_inner_product(r.v, r.v)) *
+                    sqrt(list_inner_product(s.v, s.v))), 6)) AS max_sim
+          FROM rem$i r JOIN sel${i - 1} s ON s.q = r.q
+          GROUP BY r.q, r.doc),
+        a$i AS (
+          SELECT r.q, r.doc, r.v,
+                 round(CAST('0.7' AS DOUBLE) * r.rel -
+                       (1 - CAST('0.7' AS DOUBLE)) * m.max_sim, 6) AS mmr,
+                 $i AS rank
+          FROM rem$i r JOIN ms$i m ON m.q = r.q AND m.doc = r.doc),
+        s$i AS (
+          SELECT q, doc, v, mmr, rank FROM (
+            SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY q ORDER BY mmr DESC, doc) AS rn FROM a$i)
+          WHERE rn = 1),
+        sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i),"""
+        s"""
+        WITH $SqlVecRank,
+        cand AS (SELECT q, doc, sim AS rel FROM vecr WHERE rb <= 10),
+        cv AS (
+          SELECT cand.q, cand.doc, cand.rel, emb.e AS v
+          FROM cand JOIN emb ON emb.doc_id = cand.doc),
+        s1 AS (
+          SELECT q, doc, v, mmr, 1 AS rank FROM (
+            SELECT q, doc, v,
+                   round(CAST('0.7' AS DOUBLE) * rel, 6) AS mmr,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                     ORDER BY round(CAST('0.7' AS DOUBLE) * rel, 6) DESC, doc) AS rn
+            FROM cv) WHERE rn = 1),
+        sel1 AS (SELECT * FROM s1),${step(2)}${step(3)}${step(4)}${step(5)}
+        fin AS (SELECT q, doc, mmr, rank FROM sel5)
+        SELECT q AS q_id, doc AS doc_id, mmr, CAST(rank AS INT) AS rank
+        FROM fin ORDER BY q_id, rank"""
+      },
+      "Maximal-marginal-relevance diversity re-rank of the cosine top-10 " +
+        "(lambda=0.7, k=5): greedy relevance-vs-redundancy selection, " +
+        "the query-time twin of SemDeDup. Each of the k steps is a " +
+        "bounded program over candidate lists (never the corpus); " +
+        "rounded scores + id tie-breaks make the greedy walk " +
+        "engine-exact, proved by a 5-step-unrolled oracle.")
   )
 }
