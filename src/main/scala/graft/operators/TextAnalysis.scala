@@ -961,6 +961,35 @@ object TextAnalysis {
         col("char_entropy"), col("token_entropy"), col("ttr"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential clocks), deterministic: every row draws
+    * u = (52-bit md5 prefix + 1)/2⁵² ∈ (0,1] from its OWN id — no RNG,
+    * so any engine, any partitioning, and any re-run selects the same
+    * rows — and competes with key = −ln(u)/w; the k smallest keys per
+    * stratum win, which is exactly P(selection) ∝ w without
+    * replacement. The quality-weighted subsampling primitive
+    * ([[stratifiedCap]] is the uniform special case; this one lets a
+    * quality score set the odds).
+    *
+    * One projection computes keys; the only shuffle is the per-stratum
+    * top-k window. Keys round to 12 decimals before ranking (id
+    * tie-break), putting the ≤1-ulp ln() difference between libms
+    * astronomically far from a rank flip (the unigram-LM argument).
+    *
+    * Output: (by, rank, id, w, key), rank 1..k per stratum. */
+  def weightedSample(docs: DataFrame, id: String, weight: Column,
+      by: String, k: Int, salt: String = "samp"): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(lit(s"$salt:"), col(id))), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val keyed = docs.select(col(by), col(id), weight.cast("double").as("w"),
+      round(-log(u) / weight.cast("double"), 12).as("key"))
+    val win = Window.partitionBy(col(by)).orderBy(col("key"), col(id))
+    keyed.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select(col(by), col("rank"), col(id), col("w"), col("key"))
+  }
+
   /** Heaps-law vocabulary growth curve: cumulative distinct-token count
     * as a function of cumulative corpus size, at `nBuckets` id-range
     * checkpoints. The classical corpus diagnostic for "is more data

@@ -562,6 +562,34 @@ object DedupTextQueries {
         "with dangling-mass redistribution): duplication-structure " +
         "centrality for canonical selection. Each pass shuffles one row " +
         "per node; decimal-summed 14dp terms + 12dp per-pass re-rounding " +
-        "keep the iterative float walk bit-identical across engines.")
+        "keep the iterative float walk bit-identical across engines."),
+
+    // ---- q114: weighted sampling without replacement ---------------------
+    "q114_weighted_sample" -> Q(
+      (s, d) => TextAnalysis.weightedSample(Tables.documents(s, d),
+          "doc_id", col("n_chars"), "source", k = 5)
+        .orderBy(col("source"), col("rank")),
+      Some("""
+        WITH keyed AS (
+          SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+                 round(-ln((CAST(CAST(concat('0x',
+                     substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS key
+          FROM documents
+        ), r AS (
+          SELECT source, doc_id, w, key, ROW_NUMBER() OVER
+            (PARTITION BY source ORDER BY key, doc_id) AS rank
+          FROM keyed
+        )
+        SELECT source, CAST(rank AS INT) AS rank, doc_id, w, key
+        FROM r WHERE rank <= 5
+        ORDER BY source, rank"""),
+      "Quality-weighted sampling without replacement (Efraimidis-" +
+        "Spirakis): deterministic md5 exponential clocks, k smallest " +
+        "-ln(u)/w keys per source — P(pick) proportional to n_chars with " +
+        "no RNG, stable under any partitioning or re-run. One projection " +
+        "+ one per-stratum top-k window; 12dp key rounding makes the " +
+        "rank walk engine-exact.")
   )
 }
