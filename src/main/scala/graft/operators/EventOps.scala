@@ -73,6 +73,46 @@ object EventOps {
       .orderBy(col("step_idx"))
   }
 
+  /** As-of join (each left row matched to the LATEST right row with
+    * rightTime ≤ leftTime on the same key) via the union+window form:
+    * tag both sides, union, one per-key ordered window carries the last
+    * right-side row forward, keep the left rows. ONE shuffle on the
+    * join key for any input sizes — the range-join form
+    * (`l JOIN r ON key AND r.t <= l.t` + max) expands every left row
+    * by its whole right history before aggregating, quadratic per key
+    * at 100 TB; this form is linear and sort-merge friendly.
+    *
+    * The matched right row travels as ONE struct, so its columns can't
+    * mix across rows when some are null. Ties: a right row at exactly
+    * leftTime matches (≤ semantics — right sorts before left at equal
+    * time); multiple right rows at the same (key, time) resolve to the
+    * greatest `rTie` (deterministic, engine-exact).
+    *
+    * Output: key, `lTime`, `lCols`*, asof_t (matched rightTime, null if
+    * no earlier right row), `rCols`* (null likewise). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String,
+      lCols: Seq[String], rCols: Seq[String], rTie: String): DataFrame = {
+    val rv = struct((col(rTime).as("asof_t") +: rCols.map(col)): _*)
+    val l = left.select(
+      (col(key) +: col(lTime).as("t") +: lit(1).as("side") +:
+        lit(0L).as("tie") +: lCols.map(col) :+
+        lit(null).cast(right.select(rv).schema.head.dataType).as("rv")): _*)
+    val r = right.select(
+      (col(key) +: col(rTime).as("t") +: lit(0).as("side") +:
+        col(rTie).cast("long").as("tie") +: lCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+ rv.as("rv")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("side"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("m", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select((col(key) +: col("t").as(lTime) +: lCols.map(col) :+
+        col("m.asof_t").as("asof_t")) ++
+        rCols.map(c => col(s"m.$c").as(c)): _*)
+  }
+
   /** Per-user funnel reach: the row-level companion of [[funnel]] —
     * (user, steps_completed, t_first, t_last) where steps_completed is
     * the longest in-order prefix the user finished. Same k-pass

@@ -521,6 +521,53 @@ object EventQueries {
         "first view): k-1 rounds of one-event-type filter joined to the " +
         "shrinking per-user reached-set, each a map-side-combined min " +
         "keyed on user — no per-user event lists, no collect_list hot-key " +
-        "buffers; shuffles carry one row per surviving user per round.")
+        "buffers; shuffles carry one row per surviving user per round."),
+
+    // ---- q115: as-of join (latest view before each purchase) --------------
+    "q115_asof_join" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val l = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ep"))
+        val r = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("value").as("view_value"), col("ep"))
+        graft.operators.EventOps.asofJoin(l, r, "user_id", "ep", "ep",
+            Seq("event_id"), Seq("view_id", "view_value"), "view_id")
+          .withColumn("gap_sec", col("ep") - col("asof_t"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep FROM events
+        ), u AS (
+          SELECT user_id, ep AS t, 1 AS side, CAST(0 AS BIGINT) AS tie,
+                 event_id,
+                 CAST(NULL AS STRUCT(asof_t BIGINT, view_id BIGINT,
+                                     view_value DOUBLE)) AS rv
+          FROM e WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ep, 0, event_id, CAST(NULL AS BIGINT),
+                 struct_pack(asof_t := ep, view_id := event_id,
+                             view_value := value)
+          FROM e WHERE event_type = 'view'
+        ), m AS (
+          SELECT user_id, t, side, event_id,
+                 last_value(rv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, side, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mr
+          FROM u
+        )
+        SELECT user_id, t AS ep, event_id,
+               struct_extract(mr, 'asof_t') AS asof_t,
+               struct_extract(mr, 'view_id') AS view_id,
+               struct_extract(mr, 'view_value') AS view_value,
+               t - struct_extract(mr, 'asof_t') AS gap_sec
+        FROM m WHERE side = 1 ORDER BY event_id"""),
+      "As-of join: each purchase matched to the user's latest view at or " +
+        "before it, via tag-union + one per-key ordered window (the " +
+        "matched row rides as a struct so columns can't mix). One " +
+        "key-shuffle total at any size — the range-join form expands " +
+        "each left row by its right history; this one is linear.")
   )
 }
