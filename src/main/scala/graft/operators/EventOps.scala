@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Per-user funnel progress carried across micro-batches: the longest
+  * in-order prefix reached, its start time, and the completion time of
+  * the deepest step. */
+case class FunnelState(depth: Int, t1: Long, ti: Long)
+
 /** Ordered-sequence analytics over event streams — the conversion-funnel
   * family every product/ops pipeline runs next to the reference's
   * event-time metrics (SURVEY.md §2.8 generalized the way A2/q18 were).
@@ -71,6 +76,57 @@ object EventOps {
       .withColumn("conv_prev", conv(
         coalesce(lag(col("n_users"), 1).over(w), col("n_users"))))
       .orderBy(col("step_idx"))
+  }
+
+  /** Streaming twin of [[funnelUsers]]: per-user keyed state
+    * ([[FunnelState]]) folded forward with `mapGroupsWithState` —
+    * state is three numbers per user whatever the stream length.
+    * Within a batch, events fold in (time, step-index) order so a
+    * same-second later step still counts (the batch `>=` semantics);
+    * ACROSS batches arrivals are assumed time-ordered per user — feed
+    * disordered sources through
+    * [[graft.streaming.ReorderBuffer]] first (the composition the
+    * reference's O1 buffer exists for). The greedy earliest-occurrence
+    * fold equals the batch k-pass min construction: both pick the
+    * earliest in-order completion of every prefix.
+    *
+    * Works identically on a batch DataFrame (state starts empty, one
+    * group pass) — StreamingSpec proves streamed == batch.
+    *
+    * Emits (user, steps_completed, t_first, t_last) per updated user
+    * per trigger (update mode); all three are monotone, so the latest
+    * row per user is the answer. */
+  def funnelUsersIngest(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      horizonSec: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val ds = events.select(col(user).cast("long").as("u"),
+        col(typeCol).as("et"), unix_timestamp(col(tsCol)).as("ep"))
+      .as[(Long, String, Long)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, (Long, Int, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+        val ordered = it.toArray
+          .filter(e => stepIdx.contains(e._2))
+          .sortBy(e => (e._3, stepIdx(e._2)))
+        for ((_, et, ep) <- ordered) {
+          if (st.depth < steps.size && stepIdx(et) == st.depth &&
+              (st.depth == 0 ||
+                (ep >= st.ti &&
+                  (horizonSec == Long.MaxValue || ep <= st.t1 + horizonSec)))) {
+            st = if (st.depth == 0) FunnelState(1, ep, ep)
+                 else FunnelState(st.depth + 1, st.t1, ep)
+          }
+        }
+        state.update(st)
+        (uid, st.depth, st.t1, st.ti)
+      }
+      .filter(_._2 > 0)
+      .toDF(user, "steps_completed", "t_first", "t_last")
   }
 
   /** As-of join (each left row matched to the LATEST right row with

@@ -661,6 +661,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("funnelUsersIngest: streamed keyed-state funnel equals the batch k-pass funnel") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sf("0.001"))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+      .orderBy(col("ep"), col("event_id"))
+      .as[(Long, String, Long)].collect()
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, String, Long)]
+    val src = input.toDF().toDF("user_id", "event_type", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val q = EventOps.funnelUsersIngest(src, "user_id", "event_type", "ts",
+        steps, horizonSec = 86400L)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    // time-ordered chunks (the documented contract; disorder goes
+    // through ReorderBuffer first)
+    for (chunk <- events.grouped(events.length / 5 + 1)) {
+      input.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("funnel_stream")
+      .groupBy(col("user_id"))
+      .agg(max(col("steps_completed")).as("d"),
+        min(col("t_first")).as("tf"), max(col("t_last")).as("tl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventOps.funnelUsers(
+        Tables.events(spark, sf("0.001")), "user_id", "event_type", "ts",
+        steps, horizonSec = 86400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("countMinIngest: streamed delta-merged counters equal the one-shot batch sketch") {
     // additive sketches double-count under at-least-once replay, so the
     // ingest must be exactly-once: batch_id delta partitions + dynamic
