@@ -59,10 +59,14 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the whole line under the consumer's ~4 kB tail
+    // capture (full-precision doubles pushed it past the window and the
+    // head of the JSON line was lost)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

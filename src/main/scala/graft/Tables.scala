@@ -33,13 +33,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * to read as a timestamp. Read it as raw nanos (legacy conf) and
-    * truncate to µs — exactly what DuckDB's CAST(ts AS TIMESTAMP) does,
-    * so both engines see identical event times. */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * as a timestamp — read as raw nanos via the legacy conf and truncate
+    * to µs, exactly what DuckDB's CAST(ts AS TIMESTAMP) does) and plain
+    * TIMESTAMP(MICROS) without the UTC flag (which Spark reads as
+    * TIMESTAMP_NTZ — cast to the session-UTC timestamp, an identity on
+    * the stored micros). Adapt on schema so both generations and both
+    * engines see identical event times. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
