@@ -1071,4 +1071,38 @@ object Similarity {
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Prototypicality-based data pruning (the SSL-prototypes metric of
+    * Sorscher et al. 2022, "Beyond neural scaling laws"): each vector's
+    * cosine to its own class centroid. The MOST prototypical (easiest)
+    * examples are redundant when data is abundant — `keep` marks the
+    * survivors after pruning the top `pruneFrac` most prototypical per
+    * label, so the kept set is the hard/diverse remainder.
+    *
+    * Scale shape: centroids are one dimension-exploded bounded aggregate
+    * ([[labelCentroids]] — |labels|·d rows, map-side combined), then
+    * reassembled (array_sort on (dim, value) structs — deterministic)
+    * and BROADCAST back, so scoring is a projection over one corpus
+    * scan; the per-label ranking shuffles only (label, cos, id) triples.
+    * No pair space anywhere — this is the O(n·d) cousin of semDedup's
+    * within-cell pair search. Centroids are rounded to `roundTo` BEFORE
+    * the cosine so any engine re-derives identical scores. */
+  def prototypicality(vecs: DataFrame, idCol: String, vec: String,
+      label: String, pruneFrac: Double = 0.2, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    require(pruneFrac >= 0 && pruneFrac < 1, "prototypicality: pruneFrac in [0,1)")
+    val cent = labelCentroids(vecs, label, vec, roundTo)
+      .groupBy(col(label))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cvec"))
+    val w = Window.partitionBy(col(label))
+      .orderBy(col("proto_cos").desc, col(idCol))
+    vecs.join(broadcast(cent), label)
+      .select(col(idCol), col(label),
+        round(cosine(col(vec), col("cvec")), roundTo).as("proto_cos"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(label))))
+      .select(col(idCol), col(label), col("proto_cos"),
+        (col("rn") > ceil(col("n") * pruneFrac)).as("keep"))
+  }
 }

@@ -1028,4 +1028,46 @@ object TextAnalysis {
         col("cum_tokens"), col("new_vocab"), col("cum_vocab"))
       .orderBy(col("bucket"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like it is under two hashed-unigram bag
+    * models. Tokens hash into `m` buckets (md5 52-bit prefix mod m —
+    * the repo's engine-portable hash family); the target documents
+    * (`targetPred`) and the full raw corpus each induce an add-one-
+    * smoothed bucket LM; a document's weight is
+    * Σ_tokens ln p_target(b(tok)) − ln p_raw(b(tok)). Downstream,
+    * sampling ∝ exp(weight) (see weightedSample / q114) yields the
+    * DSIR-selected subset.
+    *
+    * Scale shape: the bucket LMs are ONE bounded aggregate (m rows —
+    * the only corpus-wide shuffle, 8-byte keys with map-side combine);
+    * the per-bucket log-ratio table broadcasts, so scoring is explode →
+    * broadcast-join → per-doc sum (partial-aggregated). No pair space,
+    * no driver collect; state is O(m) whatever the corpus size.
+    * Cross-engine exactness: log-ratios are doubles derived from
+    * integer counts (identical in any engine), per-doc sums accumulate
+    * as DECIMAL(38,18) (order-independent), surfaced rounded. */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+      targetPred: Column, m: Int = 64, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(m > 0, "dsirWeights: m must be positive")
+    val tok = docs.select(col(id).as("doc"), targetPred.as("is_t"),
+        explode(tokens(col(text))).as("term"))
+      .withColumn("b", conv(substring(md5(col("term")), 1, 13), 16, 10)
+        .cast("long") % m)
+    val counts = tok.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr")).localCheckpoint()
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lam = counts.crossJoin(broadcast(totals)).select(col("b"),
+      (log((col("ct").cast("double") + 1) / (col("tt").cast("double") + m)) -
+       log((col("cr").cast("double") + 1) / (col("tr").cast("double") + m))).as("lam"))
+    tok.join(broadcast(lam), "b")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lam").cast(DecimalType(38, 18))).cast("double"), roundTo)
+          .as("dsir_logw"))
+      .select(col("doc").as(id), col("n_tokens"), col("dsir_logw"))
+  }
 }

@@ -661,6 +661,40 @@ object SimilarityQueries {
         "classifier): grid-snapped centering and matvec means, max-abs " +
         "renormalization, unit-L2 final direction; one d-number " +
         "aggregation pass per iteration, zero corpus shuffles, scoring " +
-        "a pure projection.")
+        "a pure projection."),
+
+    // ---- q117: prototypicality pruning -------------------------------------
+    "q117_prototypicality" -> Q(
+      (s, d) => Similarity.prototypicality(emb(s, d), "vec_id", "emb",
+          "label", pruneFrac = 0.2)
+        .orderBy(col("vec_id")),
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        c AS (
+          SELECT label, CAST(dim AS INT) AS dim, round(AVG(v), 6) AS cv
+          FROM (SELECT label, unnest(emb) AS v,
+                       generate_subscripts(emb, 1) AS dim FROM e)
+          GROUP BY label, dim
+        ), cent AS (
+          SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label
+        ), sc AS (
+          SELECT e.vec_id, e.label,
+                 round(list_inner_product(e.emb, cent.cvec) /
+                   (sqrt(list_inner_product(e.emb, e.emb)) *
+                    sqrt(list_inner_product(cent.cvec, cent.cvec))), 6) AS proto_cos
+          FROM e JOIN cent USING (label)
+        ), r AS (
+          SELECT vec_id, label, proto_cos,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY proto_cos DESC, vec_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY label) AS n
+          FROM sc
+        )
+        SELECT vec_id, label, proto_cos, rn > ceil(n * 0.2) AS keep
+        FROM r ORDER BY vec_id"""),
+      "Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022): " +
+        "cosine to own-label centroid, prune the easiest 20% per label. " +
+        "Bounded centroid agg broadcast back — scoring is one projection " +
+        "pass; ranking shuffles only (label, cos, id) triples.")
   )
 }

@@ -826,5 +826,39 @@ object TrainingQueries {
       "Conditional bigram LM with add-one smoothing: avg -ln p(w|prev) " +
         "per doc — the fluency upgrade of the q64 unigram score. Pair " +
         "generation is a shift-zip projection (no self-join), counts " +
-        "are map-side-combined hash aggs, V broadcasts as one scalar."))
+        "are map-side-combined hash aggs, V broadcasts as one scalar."),
+
+    // ---- q116: DSIR importance weights ------------------------------------
+    "q116_dsir_weights" -> Q(
+      (s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d),
+          "doc_id", "text", targetPred = col("lang") === "en", m = 64)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang = 'en' AS is_t, unnest($W) AS term FROM documents
+        ), tb AS (
+          SELECT doc_id, is_t,
+                 CAST(concat('0x', substr(md5(term), 1, 13)) AS BIGINT) % 64 AS b
+          FROM tok
+        ), c AS (
+          SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+          FROM tb GROUP BY b
+        ), t AS (
+          SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM c
+        ), lam AS (
+          SELECT b,
+                 ln((CAST(ct AS DOUBLE) + 1) / (CAST(tt AS DOUBLE) + 64)) -
+                 ln((CAST(cr AS DOUBLE) + 1) / (CAST(tr AS DOUBLE) + 64)) AS lam
+          FROM c CROSS JOIN t
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(CAST(lam AS DECIMAL(38,18))) AS DOUBLE), 6) AS dsir_logw
+        FROM tb JOIN lam USING (b)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "DSIR data selection (Xie et al. 2023): per-doc log importance " +
+        "weight between hashed-unigram target (lang='en') and raw bucket " +
+        "LMs — the principled 'more like the target domain' scorer. One " +
+        "bounded m-bucket aggregate; the log-ratio table broadcasts; " +
+        "scoring is explode + broadcast-join + per-doc decimal sum."))
 }
