@@ -333,7 +333,13 @@ object Retrieval {
         .select(col("q"), col("d"), col("v"), col("nrm"), col("mmr"),
           lit(rank).as("rank"))
     }
+    // each step references `selected` THREE times (anti-join, max-sim
+    // join, union) — left as lineage that's ~3^k plan copies by step k
+    // (the sf0.001 bench measured 9 s of pure planning at k=5).
+    // `selected` is ≤ |queries| rows per step: checkpoint it each
+    // iteration so every step optimizes a constant-size plan.
     var selected = argmax(c, round(lit(lambda) * col("rel"), roundTo), 1)
+      .localCheckpoint()
     for (i <- 2 to k) {
       val remaining = c.join(selected.select(col("q"), col("d")),
         Seq("q", "d"), "left_anti")
@@ -347,7 +353,7 @@ object Retrieval {
         .agg(max(col("sim")).as("max_sim"))
       selected = selected.unionByName(argmax(maxSim,
         round(lit(lambda) * col("rel") - lit(1 - lambda) * col("max_sim"),
-          roundTo), i))
+          roundTo), i)).localCheckpoint()
     }
     selected.select(col("q").as(qId), col("d").as(id), col("mmr"), col("rank"))
       .orderBy(col(qId), col("rank"))

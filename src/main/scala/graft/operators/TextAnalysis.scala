@@ -934,11 +934,17 @@ object TextAnalysis {
   def entropyStats(docs: DataFrame, id: String, text: String,
       roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
     def entropyOf(sym: Column): DataFrame = {
+      // n (total symbols) is re-derived as Σcnt AFTER the count agg —
+      // projecting size(sym) next to explode(sym) re-evaluates the
+      // split for every exploded row (O(len²) per doc on the char
+      // split; the sf0.001 bench caught it at 5 s for 500 docs)
       val cnts = docs
-        .select(col(id), size(sym).as("n"), explode(sym).as("s"))
-        .groupBy(col(id), col("n"), col("s"))
+        .select(col(id), explode(sym).as("s"))
+        .groupBy(col(id), col("s"))
         .agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(id))))
       val p = col("cnt").cast("double") / col("n").cast("double")
       cnts.groupBy(col(id), col("n"))
         .agg(
