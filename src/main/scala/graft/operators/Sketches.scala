@@ -388,4 +388,75 @@ object Sketches {
       spark.table(s"${prefix}_deltas")
         .groupBy(col(group), col("idx")).agg(max(col("r")).as("r")),
       group)
+
+  /** Bottom-k / KMV distinct sketch (Bar-Yossef et al. 2002; the
+    * "K Minimum Values" estimator): keep the k smallest distinct
+    * 52-bit md5 hashes per group; with h₍ₖ₎ the k-th smallest as a
+    * fraction of the hash space, distinct ≈ (k−1)/ (h₍ₖ₎/2⁵²). The
+    * third portable cardinality sketch beside [[hllDistinct]] (better
+    * accuracy per byte at small k, and — unlike HLL registers — the
+    * retained hash SAMPLE also supports set operations downstream).
+    * Groups with fewer than k distinct values report their exact count
+    * (the sketch IS the full distinct set there).
+    *
+    * Scale shape: one distinct shuffle of (group, h) 16-byte rows
+    * (map-side combined), then a per-group bottom-k that Spark 4
+    * plans as WindowGroupLimit — each map task forwards at most k
+    * rows per group to the ranking shuffle, so no unbounded per-group
+    * sort materializes. Estimate folds ≤ k rows per group.
+    * Exactness: the estimate is one double division of exact integers,
+    * identical on any engine; rounded to 4 like the HLL estimator.
+    * Output: (group, kmv_estimate, n_kept, exact_distinct, rel_err). */
+  def kmvDistinct(df: DataFrame, group: String, value: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "kmvDistinct: k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val TwoPow52 = 4503599627370496.0
+    val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val distinctH = df.select(col(group), h.as("h")).distinct()
+    val w = Window.partitionBy(col(group)).orderBy(col("h"))
+    val bottom = distinctH.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val est = bottom.groupBy(col(group))
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("kmv_estimate", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow52) /
+            col("hk").cast("double")), 4))
+    val exact = df.groupBy(col(group))
+      .agg(countDistinct(col(value)).as("exact_distinct"))
+    est.join(exact, group)
+      .select(col(group), col("kmv_estimate"), col("n_kept"),
+        col("exact_distinct"),
+        round(abs(col("kmv_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  /** EXACT grouped PERCENTILE_DISC without a global sort, for
+    * bounded-domain numeric columns (quantities, lengths, counts —
+    * anywhere |distinct values| ≪ |rows|). The classic two-phase
+    * shape: a (group, value) frequency table is the only corpus-wide
+    * shuffle (map-side combined, one row per distinct value per group
+    * whatever the row count), then the quantile selection — smallest v
+    * whose cumulative count reaches ⌈q·n⌉ — runs entirely over that
+    * bounded relation. The exact companion of [[histogramQuantiles]]
+    * (which handles continuous domains approximately, with audit).
+    * Output: (group, q, quantile_disc), one row per group × quantile. */
+  def exactQuantiles(df: DataFrame, group: String, value: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "exactQuantiles: quantiles must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.groupBy(col(group), col(value).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = freq
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col(group)).orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(group))))
+    val target = greatest(ceil(col("q") * col("n")), lit(1L))
+    cum.withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") >= target && col("cum") - col("cnt") < target)
+      .select(col(group), col("q"), col("v").as("quantile_disc"))
+  }
 }

@@ -568,6 +568,44 @@ object EventQueries {
         "before it, via tag-union + one per-key ordered window (the " +
         "matched row rides as a struct so columns can't mix). One " +
         "key-shuffle total at any size — the range-join form expands " +
-        "each left row by its right history; this one is linear.")
+        "each left row by its right history; this one is linear."),
+
+    // ---- q118: bottom-k (KMV) distinct sketch -----------------------------
+    "q118_kmv_distinct" -> Q(
+      (s, d) => graft.operators.Sketches.kmvDistinct(
+          Tables.events(s, d), "event_type", "user_id", k = 64)
+        .orderBy(col("event_type")),
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT event_type AS g,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT g, h,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM h
+        ), est AS (
+          SELECT g, CAST(COUNT(*) AS INT) AS n_kept, MAX(h) AS hk
+          FROM r WHERE rn <= 64 GROUP BY g
+        ), e AS (
+          SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT est.g AS event_type,
+               round(CASE WHEN est.n_kept < 64 THEN CAST(est.n_kept AS DOUBLE)
+                          ELSE CAST(63 AS DOUBLE) * 4503599627370496e0 / CAST(est.hk AS DOUBLE)
+                     END, 4) AS kmv_estimate,
+               est.n_kept, e.exact_distinct,
+               round(abs(CASE WHEN est.n_kept < 64 THEN CAST(est.n_kept AS DOUBLE)
+                              ELSE CAST(63 AS DOUBLE) * 4503599627370496e0 / CAST(est.hk AS DOUBLE)
+                         END - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
+        FROM est JOIN e ON e.g = est.g
+        ORDER BY event_type"""),
+      "Bottom-k / KMV cardinality sketch on the md5 hash family — the " +
+        "third portable distinct estimator beside q82's HLL, " +
+        "self-auditing against the exact count. The per-group bottom-k " +
+        "plans as WindowGroupLimit, so map tasks forward at most k rows " +
+        "per group; the distinct shuffle carries 16-byte (group, hash) " +
+        "rows.")
   )
 }

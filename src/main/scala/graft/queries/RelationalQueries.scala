@@ -581,6 +581,34 @@ object RelationalQueries {
         ORDER BY c_custkey"""),
       "Correlated scalar subquery through spark.sql — Catalyst " +
         "decorrelates it into an aggregate + join; the threshold uses " +
-        "the decimal-exact mean so membership is engine-portable.")
+        "the decimal-exact mean so membership is engine-portable."),
+
+    // ---- q119: exact grouped quantiles, no global sort -------------------
+    "q119_exact_quantiles" -> Q(
+      (s, d) => graft.operators.Sketches.exactQuantiles(
+          Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+          qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("l_returnflag"), col("q")),
+      Some("""
+        WITH f AS (
+          SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+        ), c AS (
+          SELECT g, v, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+                 SUM(cnt) OVER (PARTITION BY g) AS n
+          FROM f
+        ), qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT g AS l_returnflag, q, v AS quantile_disc
+        FROM c CROSS JOIN qv
+        WHERE cum >= greatest(ceil(q * n), 1)
+          AND cum - cnt < greatest(ceil(q * n), 1)
+        ORDER BY l_returnflag, q"""),
+      "Exact PERCENTILE_DISC per group with NO global sort: a bounded " +
+        "(group, value) frequency table is the only corpus shuffle " +
+        "(map-side combined — one row per distinct value whatever the " +
+        "row count); selection runs over that bounded relation. The " +
+        "exact companion of q83's histogram quantiles for discrete " +
+        "domains.")
   )
 }

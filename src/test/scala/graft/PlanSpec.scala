@@ -283,4 +283,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must be a per-partition heap + driver merge:\n${p.take(1500)}")
   }
+
+  test("kmv bottom-k plans a WindowGroupLimit (bounded per-group state map-side)") {
+    val p = graft.operators.Sketches.kmvDistinct(
+        Tables.events(spark, sf("0.001")), "event_type", "user_id", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k must prune to k rows per group before the rank shuffle:\n${p.take(1500)}")
+  }
 }
