@@ -137,4 +137,38 @@ class QueriesSpec extends SparkSuite {
       est >= exact && over == est - exact })
     assert(cramped.exists(_._3 > 0), "a saturated CMS must show overcounts")
   }
+
+  test("KMV bottom-k estimates known cardinalities; exact below k") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => ("big", i % 1300)) ++
+      (1 to 500).map(i => ("mid", i % 90)) ++
+      (1 to 50).map(_ => ("tiny", 7))
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Sketches.kmvDistinct(df, "g", "v", k = 256)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getInt(2), r.getLong(3))).toMap
+    // below k distinct: the sketch holds the whole set -> exact
+    assert(got("tiny") == ((1.0, 1, 1L)))
+    assert(got("mid") == ((90.0, 90, 90L)), "90 < k must be exact")
+    // big has 1300 distinct > k: estimator std err ~ 1/sqrt(k-2) ~ 6%
+    val (est, kept, exact) = got("big")
+    assert(kept == 256)
+    val err = math.abs(est - exact) / exact
+    assert(err <= 0.2, s"big: est=$est exact=$exact err=$err")
+  }
+
+  test("exactQuantiles equals DuckDB-style PERCENTILE_DISC by construction") {
+    import spark.implicits._
+    val rows = Seq.tabulate(101)(i => ("a", i.toDouble)) ++ // 0..100 once
+      Seq.fill(10)(("b", 5.0)) ++ Seq(("b", 9.0))           // skewed dups
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Sketches
+      .exactQuantiles(df, "g", "v", Seq(0.5, 0.9, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // group a: n=101, ceil(.5*101)=51 -> v=50; ceil(.9*101)=91 -> v=90; q=1 -> 100
+    assert(got(("a", 0.5)) == 50.0 && got(("a", 0.9)) == 90.0 &&
+      got(("a", 1.0)) == 100.0)
+    // group b: n=11, ceil(.5*11)=6 -> 5.0 (dup mass); q=1 -> max 9.0
+    assert(got(("b", 0.5)) == 5.0 && got(("b", 1.0)) == 9.0)
+  }
 }

@@ -414,4 +414,20 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(md == exp, s"encoded bytes must match the greedy rewrite: $md vs $exp")
   }
+
+  test("dsirWeights scores target-like docs above off-domain docs") {
+    import spark.implicits._
+    // target domain speaks {alpha beta gamma}; off-domain speaks
+    // {zeta eta theta}; two raw docs to score, one from each dialect
+    val df = (Seq.tabulate(20)(i => (i.toLong, "alpha beta gamma alpha beta", "t")) ++
+      Seq.tabulate(20)(i => (100L + i, "zeta eta theta zeta eta", "r")) ++
+      Seq((900L, "alpha beta gamma", "r"), (901L, "zeta eta theta", "r")))
+      .toDF("doc_id", "text", "kind")
+    val w = TextAnalysis.dsirWeights(df, "doc_id", "text",
+        targetPred = col("kind") === "t", m = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(900L) > 0, s"target-dialect doc must score positive: ${w(900L)}")
+    assert(w(901L) < 0, s"off-domain doc must score negative: ${w(901L)}")
+    assert(w(900L) > w(901L) + 1.0, "separation must be decisive")
+  }
 }

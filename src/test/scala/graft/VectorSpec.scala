@@ -483,4 +483,25 @@ class VectorSpec extends SparkSuite {
     val maxAbs = out.values.map(math.abs).max
     assert(maxAbs <= 11.0, s"unit-direction projections stay in data range, got $maxAbs")
   }
+
+  test("prototypicality prunes the centroid-nearest fraction per label") {
+    import spark.implicits._
+    // label 0: nine near-identical prototypes + one outlier pointing away
+    val proto = Seq.tabulate(9)(i =>
+      (i.toLong, Seq(1.0, 0.01 * i, 0.0), 0))
+    val outlier = Seq((9L, Seq(-1.0, 0.5, 0.0), 0))
+    // label 1: a second class so the grouping is exercised
+    val other = Seq.tabulate(5)(i => (10L + i, Seq(0.0, 1.0, 0.02 * i), 1))
+    val df = (proto ++ outlier ++ other).toDF("vec_id", "v", "label")
+    val out = Similarity.prototypicality(df, "vec_id", "v", "label",
+        pruneFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // the outlier is least prototypical -> always kept
+    assert(out(9L)._2, "outlier must survive pruning")
+    assert(out(9L)._1 == out.filterKeys(_ <= 9L).values.map(_._1).min,
+      "outlier must have the lowest cosine to its label centroid")
+    // 30% of 10 = 3 pruned in label 0; 30% of 5 -> ceil(1.5)=2 pruned in label 1
+    assert(out.filterKeys(_ <= 9L).values.count(!_._2) == 3)
+    assert(out.filterKeys(_ >= 10L).values.count(!_._2) == 2)
+  }
 }
