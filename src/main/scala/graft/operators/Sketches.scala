@@ -409,21 +409,7 @@ object Sketches {
     * Output: (group, kmv_estimate, n_kept, exact_distinct, rel_err). */
   def kmvDistinct(df: DataFrame, group: String, value: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2, "kmvDistinct: k must be >= 2")
-    import org.apache.spark.sql.expressions.Window
-    val TwoPow52 = 4503599627370496.0
-    val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
-      .cast("long")
-    val distinctH = df.select(col(group), h.as("h")).distinct()
-    val w = Window.partitionBy(col(group)).orderBy(col("h"))
-    val bottom = distinctH.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-    val est = bottom.groupBy(col(group))
-      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("hk"))
-      .withColumn("kmv_estimate", round(
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(TwoPow52) /
-            col("hk").cast("double")), 4))
+    val est = kmvEstimateFrom(kmvHashes(df, group, value, k), group, k)
     val exact = df.groupBy(col(group))
       .agg(countDistinct(col(value)).as("exact_distinct"))
     est.join(exact, group)
@@ -431,6 +417,60 @@ object Sketches {
         col("exact_distinct"),
         round(abs(col("kmv_estimate") - col("exact_distinct")) /
           col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  /** The bottom-k hash relation alone — (group, h), at most k rows per
+    * group. MERGES by union → re-bottom-k (the k smallest of a union
+    * are among the per-part bottom-k's — min-wise, like the HLL max),
+    * which is what makes the sketch incrementally maintainable. */
+  def kmvHashes(df: DataFrame, group: String, value: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvHashes: k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(group)).orderBy(col("h"))
+    df.select(col(group), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(group), col("h"))
+  }
+
+  /** The pinned KMV estimator over a bottom-k relation:
+    * (group, kmv_estimate, n_kept). */
+  def kmvEstimateFrom(bottom: DataFrame, group: String, k: Int): DataFrame = {
+    val TwoPow52 = 4503599627370496.0
+    bottom.groupBy(col(group))
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("kmv_estimate", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow52) /
+            col("hk").cast("double")), 4))
+      .select(col(group), col("kmv_estimate"), col("n_kept"))
+  }
+
+  /** Streaming KMV maintenance: per-batch bottom-k hash relations
+    * (≤ k rows per group) landed as idempotent delta partitions — the
+    * [[hllIngest]] pattern under the min-wise merge. */
+  def kmvIngest(group: String, value: String, prefix: String,
+      k: Int = 64): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      writeDelta(kmvHashes(batch, group, value, k), batchId, prefix)
+    }
+
+  /** Merged bottom-k + the pinned estimator over everything
+    * [[kmvIngest]] has landed — equals the one-shot batch estimate
+    * (union → distinct → bottom-k is associative). */
+  def kmvMergedEstimate(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, group: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(col("h"))
+    val merged = spark.table(s"${prefix}_deltas")
+      .select(col(group), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(group), col("h"))
+    kmvEstimateFrom(merged, group, k)
   }
 
   /** EXACT grouped PERCENTILE_DISC without a global sort, for

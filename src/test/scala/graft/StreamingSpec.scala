@@ -765,6 +765,34 @@ class StreamingSpec extends SparkSuite {
     } finally { Catalog.dropTables(spark, prefix); () }
   }
 
+  test("kmvIngest: streamed bottom-k merge equals the one-shot batch estimate") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_kmving"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+      val input = MemoryStream[(String, Long)]
+      val q = input.toDF().toDF("event_type", "user_id")
+        .writeStream
+        .foreachBatch(Sketches.kmvIngest("event_type", "user_id", prefix, k = 32))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = Sketches.kmvMergedEstimate(spark, prefix, "event_type", k = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      val batch = Sketches.kmvEstimateFrom(
+          Sketches.kmvHashes(rows.toSeq.toDF("event_type", "user_id"),
+            "event_type", "user_id", k = 32), "event_type", k = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
