@@ -105,7 +105,9 @@ object BenchScale {
     "q88_oov_rate", "q89_random_projection", "q90_countmin_tokens",
     "q91_input_ids", "q92_training_rows", "q93_rag_retrieval",
     "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
-    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean")
+    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
+    "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
+    "q119_exact_quantiles")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -117,7 +119,9 @@ object BenchScale {
     "q85_bloom_decontaminate", "q87_semdedup", "q90_countmin_tokens",
     "q91_input_ids", "q92_training_rows", "q93_rag_retrieval",
     "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
-    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean")
+    "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
+    "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
+    "q119_exact_quantiles")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
