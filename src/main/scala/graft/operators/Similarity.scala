@@ -477,18 +477,32 @@ object Similarity {
     val n = targets.count()
     require(n <= exactLimit,
       s"hammingTopK: $n targets exceed the exact-baseline cap $exactLimit")
-    val p = probes.withColumn("p_code", signPack(col(pVec), d))
-    val t = targets.withColumn("t_code", signPack(col(tVec), d))
+    // the coarse scan carries ONLY (pId, tId, ham) — never the float
+    // vectors — so the candidate shuffle moves ~20-byte rows instead of
+    // two 64-float payloads per pair; full vectors re-join for the
+    // mCand survivors only (candidate count = |probes|·mCand).
+    // The target code relation is CHECKPOINTED: left as lineage,
+    // CollapseProject inlines signPack into the per-pair projection and
+    // the 64-term pack re-evaluates |probes|× per target (measured 10×
+    // on the coarse stage). Bounded: ≤ exactLimit × (8+d/8) bytes —
+    // this IS the binary index build, materialized once per call.
+    val p = broadcast(probes.select(col(pId), signPack(col(pVec), d).as("p_code")))
+    val t = targets.select(col(tId), signPack(col(tVec), d).as("t_code"))
+      .localCheckpoint()
     val wc = Window.partitionBy(col(pId)).orderBy(col("ham"), col(tId))
-    val cand = broadcast(p).crossJoin(t)
-      .select(col(pId), col(pVec), col(tId), col(tVec),
+    val cand = p.crossJoin(t)
+      .select(col(pId), col(tId),
         hammingDist(col("p_code"), col("t_code"), d).as("ham"))
       .withColumn("rn", row_number().over(wc)).filter(col("rn") <= mCand)
+      .select(col(pId), col(tId), col("ham"))
     val sim = round(
       cosineWithNorms(col(pVec), col(tVec), fastNorm(col(pVec)), fastNorm(col(tVec))),
       roundTo).as("sim")
     val wf = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
-    cand.select(col(pId), col(tId), col("ham"), sim)
+    cand
+      .join(broadcast(probes.select(col(pId), col(pVec))), pId)
+      .join(targets.select(col(tId), col(tVec)), tId)
+      .select(col(pId), col(tId), col("ham"), sim)
       .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
   }
 
