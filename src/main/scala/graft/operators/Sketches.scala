@@ -317,8 +317,10 @@ object Sketches {
   // --------------------------------------------------------------------
 
   /** Write one batch's sketch rows into `<prefix>_deltas` partition
-    * batch_id=`batchId`, idempotently, and advance `<prefix>_state`. */
-  private def writeDelta(delta: DataFrame, batchId: Long,
+    * batch_id=`batchId`, idempotently, and advance `<prefix>_state`.
+    * Package-visible: the DSIR ingest loop (TextAnalysis) lands its
+    * bucket-LM deltas through the same contract. */
+  private[operators] def writeDelta(delta: DataFrame, batchId: Long,
       prefix: String): Unit = {
     val spark = delta.sparkSession
     import spark.implicits._

@@ -1056,24 +1056,65 @@ object TextAnalysis {
     * as DECIMAL(38,18) (order-independent), surfaced rounded. */
   def dsirWeights(docs: DataFrame, id: String, text: String,
       targetPred: Column, m: Int = 64, roundTo: Int = 6): DataFrame = {
+    val counts = dsirCounts(docs, text, targetPred, m).localCheckpoint()
+    dsirScore(docs, id, text, counts, m, roundTo)
+  }
+
+  /** The hashed-bucket token pair (doc stream projection): b = 52-bit
+    * md5 prefix of the token, mod m. */
+  private def dsirBucket(m: Int): Column =
+    conv(substring(md5(col("term")), 1, 13), 16, 10).cast("long") % m
+
+  /** The bucket-count relation alone — (b, ct, cr), ≤ m rows. MERGES by
+    * sum (integer counts commute across any batch split), so the LM
+    * state is incrementally maintainable exactly like the count-min
+    * counters. */
+  def dsirCounts(docs: DataFrame, text: String, targetPred: Column,
+      m: Int): DataFrame = {
+    require(m > 0, "dsirCounts: m must be positive")
+    docs.select(targetPred.as("is_t"), explode(tokens(col(text))).as("term"))
+      .withColumn("b", dsirBucket(m))
+      .groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+  }
+
+  /** Score `docs` against a (b, ct, cr) bucket-count relation: the
+    * add-one-smoothed log-ratio table broadcasts (≤ m rows), so
+    * scoring is explode → broadcast-join → per-doc decimal sum. */
+  def dsirScore(docs: DataFrame, id: String, text: String,
+      counts: DataFrame, m: Int, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    require(m > 0, "dsirWeights: m must be positive")
-    val tok = docs.select(col(id).as("doc"), targetPred.as("is_t"),
-        explode(tokens(col(text))).as("term"))
-      .withColumn("b", conv(substring(md5(col("term")), 1, 13), 16, 10)
-        .cast("long") % m)
-    val counts = tok.groupBy(col("b")).agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr")).localCheckpoint()
     val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val lam = counts.crossJoin(broadcast(totals)).select(col("b"),
       (log((col("ct").cast("double") + 1) / (col("tt").cast("double") + m)) -
        log((col("cr").cast("double") + 1) / (col("tr").cast("double") + m))).as("lam"))
-    tok.join(broadcast(lam), "b")
+    docs.select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .withColumn("b", dsirBucket(m))
+      .join(broadcast(lam), "b")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("lam").cast(DecimalType(38, 18))).cast("double"), roundTo)
           .as("dsir_logw"))
       .select(col("doc").as(id), col("n_tokens"), col("dsir_logw"))
   }
+
+  /** Streaming DSIR maintenance: per-batch bucket-count deltas (≤ m
+    * rows) landed as idempotent delta partitions — the count-min
+    * pattern applied to the selection tier. [[dsirMergedCounts]] sums
+    * them back to the exact batch LM state, so scores computed against
+    * the streamed counts equal the one-shot [[dsirWeights]] answer. */
+  def dsirIngest(text: String, targetPred: Column, prefix: String,
+      m: Int = 64): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      graft.operators.Sketches.writeDelta(
+        dsirCounts(batch, text, targetPred, m), batchId, prefix)
+    }
+
+  /** The merged bucket counts over everything [[dsirIngest]] landed. */
+  def dsirMergedCounts(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): DataFrame =
+    spark.table(s"${prefix}_deltas")
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 }

@@ -213,7 +213,11 @@ object RefreshableTargets {
       sink: (DataFrame, Long) => Unit,
       topicPrefix: String = "predicted_object_raw_frame_topic",
       model: SauronPipeline.FaceModel = SauronPipeline.defaultModel): DataStreamWriter[Row] = {
-    // reload state lives on the driver (foreachBatch runs there)
+    // reload state lives on the driver (foreachBatch runs there).
+    // A query RESTART resets it: the first post-restart batch reloads
+    // the target set regardless of wall-clock — intentional (restart
+    // must not serve a set pinned before the crash), at worst one
+    // early reload.
     var cached: DataFrame = null
     var loadedAt = Long.MinValue
     frames.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

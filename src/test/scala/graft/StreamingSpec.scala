@@ -793,6 +793,36 @@ class StreamingSpec extends SparkSuite {
     } finally { Catalog.dropTables(spark, prefix); () }
   }
 
+  test("dsirIngest: scores against streamed bucket LMs equal the batch answer") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_dsiring"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect()
+      val input = MemoryStream[(Long, String, String)]
+      val q = input.toDF().toDF("doc_id", "text", "lang")
+        .writeStream
+        .foreachBatch(TextAnalysis.dsirIngest("text", col("lang") === "en", prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val docs = rows.toSeq.toDF("doc_id", "text", "lang")
+      val streamed = TextAnalysis.dsirScore(docs, "doc_id", "text",
+          TextAnalysis.dsirMergedCounts(spark, prefix), m = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+          targetPred = col("lang") === "en", m = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
