@@ -984,17 +984,51 @@ object TextAnalysis {
     *
     * Output: (by, rank, id, w, key), rank 1..k per stratum. */
   def weightedSample(docs: DataFrame, id: String, weight: Column,
-      by: String, k: Int, salt: String = "samp"): DataFrame = {
-    require(k > 0, "weightedSample: k must be positive")
-    import org.apache.spark.sql.expressions.Window
+      by: String, k: Int, salt: String = "samp"): DataFrame =
+    sampleBottomK(sampleKeyed(docs, id, weight, by, salt), id, by, k)
+
+  /** The clock-keyed relation behind [[weightedSample]]:
+    * (by, id, w, key) with key = −ln(u)/w from the row's own md5 urn. */
+  private def sampleKeyed(docs: DataFrame, id: String, weight: Column,
+      by: String, salt: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit(s"$salt:"), col(id))), 1, 13),
       16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0)
-    val keyed = docs.select(col(by), col(id), weight.cast("double").as("w"),
+    docs.select(col(by), col(id), weight.cast("double").as("w"),
       round(-log(u) / weight.cast("double"), 12).as("key"))
+  }
+
+  /** Per-stratum bottom-k of a keyed relation, ranked. Min-wise, so it
+    * MERGES: the k smallest keys of a union are among the per-part
+    * bottom-k's — the property the streaming twin rides. */
+  private def sampleBottomK(keyed: DataFrame, id: String, by: String,
+      k: Int): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(by)).orderBy(col("key"), col(id))
     keyed.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
       .select(col(by), col("rank"), col(id), col("w"), col("key"))
   }
+
+  /** Streaming weighted-sample maintenance: each batch's per-stratum
+    * bottom-k clock rows (≤ k per stratum) land as idempotent delta
+    * partitions; [[weightedSampleMerged]] re-ranks the union. Clocks
+    * are content-derived (no RNG), so the streamed winner set equals
+    * the one-shot batch [[weightedSample]] over everything ingested —
+    * reservoir sampling with an exact, engine-portable reservoir. */
+  def weightedSampleIngest(id: String, weight: Column, by: String,
+      k: Int, prefix: String, salt: String = "samp"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      graft.operators.Sketches.writeDelta(
+        sampleBottomK(sampleKeyed(batch, id, weight, by, salt), id, by, k)
+          .drop("rank"), batchId, prefix)
+    }
+
+  /** The merged per-stratum winners over everything
+    * [[weightedSampleIngest]] landed — drop-in for [[weightedSample]]. */
+  def weightedSampleMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, id: String, by: String, k: Int): DataFrame =
+    sampleBottomK(spark.table(s"${prefix}_deltas")
+      .select(col(by), col(id), col("w"), col("key")), id, by, k)
 
   /** Heaps-law vocabulary growth curve: cumulative distinct-token count
     * as a function of cumulative corpus size, at `nBuckets` id-range

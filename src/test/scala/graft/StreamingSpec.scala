@@ -823,6 +823,37 @@ class StreamingSpec extends SparkSuite {
     } finally { Catalog.dropTables(spark, prefix); () }
   }
 
+  test("weightedSampleIngest: streamed reservoir equals the batch sample") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_wsing"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .as[(Long, String, Long)].collect()
+      val input = MemoryStream[(Long, String, Long)]
+      val q = input.toDF().toDF("doc_id", "source", "n_chars")
+        .writeStream
+        .foreachBatch(TextAnalysis.weightedSampleIngest(
+          "doc_id", col("n_chars"), "source", k = 5, prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 4 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = TextAnalysis.weightedSampleMerged(
+          spark, prefix, "doc_id", "source", k = 5)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = TextAnalysis.weightedSample(
+          rows.toSeq.toDF("doc_id", "source", "n_chars"),
+          "doc_id", col("n_chars"), "source", k = 5)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
   test("semDedupIngest: streamed survivors equal the batch semDedup keep-set") {
     // incremental semantic dedup with a fixed offline quantizer and a
     // persistent all-arrivals index — streamed keeps must match the
