@@ -273,6 +273,56 @@ object TextAnalysis {
       .select(col("doc").as(id), col("n_bigrams"), col("avg_neg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram score (Kneser & Ney 1995; the
+    * standard smoothing the add-one [[bigramLmScore]] approximates):
+    * p(w|v) = (max(c(vw)−D, 0) + D·N₁₊(v·)·p_cont(w)) / c(v·) with
+    * p_cont(w) = N₁₊(·w)/N₁₊(··) and fixed discount D. Continuation
+    * probability is what separates "frequent only inside one collocation"
+    * from genuinely productive tokens — the fluency scorer's classic
+    * fix for boilerplate.
+    *
+    * Scale shape: four inverted-index aggregates over the pair relation
+    * (pair counts, context totals, forward/backward continuation
+    * fan-outs — all map-side combined, keyed by 1–2 tokens), rejoined
+    * by equi-join; the N₁₊(··) scalar broadcasts. Scoring the corpus
+    * against its own LM means every pair has c(v·) > 0 — no unseen-
+    * context branch. Exactness: every probability is a fixed arithmetic
+    * chain over integer counts (identical doubles on any engine),
+    * per-doc sums accumulate as DECIMAL(38,18).
+    *
+    * Output: (id, n_bigrams, avg_neg_logp_kn). */
+  def knBigramScore(docs: DataFrame, id: String, text: String,
+      discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(discount > 0 && discount < 1, "knBigramScore: discount in (0,1)")
+    val toks = docs.select(col(id).as("doc"), tokens(col(text)).as("ts"))
+    val pairs = toks.select(col("doc"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+      .localCheckpoint() // feeds c1/n1f/n1b/tot AND the scoring join
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"),
+      count(lit(1)).as("n1f")) // contexts: total mass + distinct followers
+    val n1b = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = c2.agg(count(lit(1)).as("n1all"))
+    val d = lit(discount)
+    val pkn = (greatest(col("cnt2").cast("double") - d, lit(0.0)) +
+      d * col("n1f").cast("double") *
+        (col("n1b").cast("double") / col("n1all").cast("double"))) /
+      col("cnt1").cast("double")
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(n1b, Seq("w2")).crossJoin(broadcast(tot))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum((-log(pkn)).cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1)), 6).as("avg_neg_logp_kn"))
+      .select(col("doc").as(id), col("n_bigrams"), col("avg_neg_logp_kn"))
+  }
+
   /** Duplicated n-gram coverage per document: what fraction of a doc's
     * distinct n-gram shingles occur in at least one OTHER document —
     * the corpus-level "how much of this text is boilerplate/copied"

@@ -860,5 +860,39 @@ object TrainingQueries {
         "weight between hashed-unigram target (lang='en') and raw bucket " +
         "LMs — the principled 'more like the target domain' scorer. One " +
         "bounded m-bucket aggregate; the log-ratio table broadcasts; " +
-        "scoring is explode + broadcast-join + per-doc decimal sum."))
+        "scoring is explode + broadcast-join + per-doc decimal sum."),
+
+    // ---- q120: Kneser–Ney bigram fluency ----------------------------------
+    "q120_kneser_ney" -> Q(
+      (s, d) => TextAnalysis.knBigramScore(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH prs AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+          FROM (SELECT doc_id, $W AS t FROM documents)
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS cnt2 FROM prs GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, SUM(cnt2) AS cnt1, COUNT(*) AS n1f FROM c2 GROUP BY w1
+        ), nb AS (
+          SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY w2
+        ), tot AS (
+          SELECT COUNT(*) AS n1all FROM c2
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(CAST(-ln(
+                 (greatest(CAST(cnt2 AS DOUBLE) - 0.75e0, 0e0) +
+                  0.75e0 * CAST(n1f AS DOUBLE) *
+                    (CAST(n1b AS DOUBLE) / CAST(n1all AS DOUBLE))) /
+                 CAST(cnt1 AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_neg_logp_kn
+        FROM prs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                 JOIN nb USING (w2) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Interpolated Kneser-Ney bigram fluency (the canonical smoothing; " +
+        "q107's add-one twin upgraded with continuation probabilities). " +
+        "Four map-side-combined inverted-index aggregates + equi-join " +
+        "rescoring; the N1+(..) scalar broadcasts."))
 }

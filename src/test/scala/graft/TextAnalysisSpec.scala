@@ -415,6 +415,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(md == exp, s"encoded bytes must match the greedy rewrite: $md vs $exp")
   }
 
+  test("knBigramScore matches the hand-computed Kneser-Ney chain") {
+    import spark.implicits._
+    // "a b a b a c": c2 = {(a,b):2,(b,a):2,(a,c):1}; c1(a)=3,n1f(a)=2;
+    // c1(b)=2,n1f(b)=1; n1b(a)=n1b(b)=n1b(c)=1; N1+(..)=3; D=0.75
+    // p(b|a)=(1.25+0.75*2/3)/3, p(a|b)=(1.25+0.25)/2, p(c|a)=(0.25+0.5)/3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramScore(df, "doc_id", "text")
+      .head()
+    assert(out.getLong(1) == 5)
+    val expected = (2 * -math.log((1.25 + 0.5) / 3.0) +
+      2 * -math.log(1.5 / 2.0) + -math.log(0.75 / 3.0)) / 5.0
+    assert(out.getDouble(2) == math.rint(expected * 1e6) / 1e6 ||
+      math.abs(out.getDouble(2) - expected) < 1e-6,
+      s"got ${out.getDouble(2)}, expected ~$expected")
+  }
+
   test("dsirWeights scores target-like docs above off-domain docs") {
     import spark.implicits._
     // target domain speaks {alpha beta gamma}; off-domain speaks
