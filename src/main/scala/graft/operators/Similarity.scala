@@ -649,21 +649,25 @@ object Similarity {
     def gridMean(c: Column): Column =
       sum(round(c * Grid).cast("long").cast(DecimalType(38, 0)))
         .cast("double") / count(lit(1)) / Grid
-    val meanRow = data.agg(
-      gridMean(element_at(col("v"), 1)).as("m0"),
-      (2 to d).map(j => gridMean(element_at(col("v"), j))): _*).head()
-    val mean = (0 until d).map(meanRow.getDouble)
+    // per-dimension means via posexplode + a d-key hash agg (the kMeans
+    // (cell, pos) shape) rather than d separate scalar aggregates: the
+    // d-wide agg compiled a fresh ~64-aggregate codegen unit per
+    // iteration, which dominated the trainer's wall-clock at small d×n
+    def gridMeans(df: DataFrame, value: Column): Array[Double] = {
+      val byPos = df.groupBy(col("pos")).agg(gridMean(value).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      Array.tabulate(d)(byPos(_))
+    }
+    val mean = gridMeans(
+      data.select(posexplode(col("v")).as(Seq("pos", "x"))), col("x")).toSeq
     val centered = data.select(col("vid"),
       zip_with(col("v"), typedlit(mean), (x, m) => x - m).as("xc"))
     var w = Array.fill(d)(1.0)
     for (_ <- 1 to iters) {
-      val withS = centered.select(col("xc"),
-        fastDot(col("xc"), typedlit(w.toSeq)).as("s"))
-      val yRow = withS.agg(
-        gridMean(col("s") * element_at(col("xc"), 1)).as("y0"),
-        (2 to d).map(j => gridMean(col("s") * element_at(col("xc"), j))): _*)
-        .head()
-      val y = Array.tabulate(d)(yRow.getDouble)
+      val y = gridMeans(
+        centered.select(fastDot(col("xc"), typedlit(w.toSeq)).as("s"),
+          posexplode(col("xc")).as(Seq("pos", "x"))),
+        col("s") * col("x"))
       val mx = y.map(math.abs).max
       require(mx > 0, "pcaPowerProject: degenerate (all-zero centered) input")
       w = y.map(_ / mx)
