@@ -121,6 +121,55 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual-hash-shaped signature of a binary payload: the
+    * payload splits into 64 position-aligned chunks (chunk width =
+    * ⌈bytes/64⌉) and bit i is the md5 parity of chunk i. The DCT of a
+    * real pHash is stubbed (no codecs in the sandbox — the SURVEY §7.4
+    * stance), but the LOCALITY is real: payloads sharing most chunks
+    * share most bits, so banded candidate generation behaves exactly
+    * as it would over a production perceptual hash. md5-derived, so
+    * any engine recomputes the signature bit-for-bit. */
+  def chunkSignature(payload: Column): Column = {
+    val cw = greatest(
+      ((octet_length(payload) + lit(63)) / lit(64)).cast("int"), lit(1))
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      conv(substring(md5(payload.substr(i * cw + 1, cw)), 1, 1), 16, 10)
+        .cast("long") % 2L)
+    val powers = typedlit((0 until 64).map(j => 1L << j))
+    aggregate(zip_with(bits, powers, (b, p) => b * p),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Banded near-duplicate pairs over binary payloads — the multimodal
+    * member of the dedup family (image/audio near-dup in a production
+    * pipeline). Signatures from [[chunkSignature]]; candidates must
+    * share at least one of `bands` 16-bit bands (the SimHash pigeonhole:
+    * any pair within `maxHamming` ≤ bands−1 differing bands is found);
+    * survivors keep integer Hamming distance ≤ `maxHamming`.
+    *
+    * Scale shape: the signature is a pure projection; the band
+    * candidate join is an 8-byte-key equi-join (never payload×payload);
+    * Hamming is one xor+popcount per candidate. Payload bytes never
+    * shuffle. Output: (a_id, b_id, hamming). */
+  def phashNearDup(df: DataFrame, id: String, payload: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = df.select(col(id).as("mid"),
+      chunkSignature(col(payload)).as("sig"))
+    val bands = sigs.select(col("mid"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bv", expr("(sig >> (k * 16)) & 65535"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+        col("a.mid") < col("b.mid"))
+      .select(col("a.mid").as("a_id"), col("b.mid").as("b_id"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+    cand.withColumn("hamming",
+        expr("bit_count(a_sig ^ b_sig)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Full stub pipeline over a text-as-media corpus: ingest → decode →
     * features + chunk sample. */
   def featurize(df: DataFrame, id: String, text: String): DataFrame =

@@ -125,5 +125,45 @@ object PipelineQueries {
       "End-to-end topology: detect(md5 stub) -> broadcast match -> " +
         "route; the portable stub model makes the whole pipeline " +
         "recomputable by the SQL oracle.")
+    ,
+
+    // ---- q121: perceptual-hash near-dup over binary payloads --------------
+    "q121_phash_neardup" -> Q(
+      (s, d) => {
+        import graft.operators.Multimodal
+        val media = Multimodal.ingestText(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.phashNearDup(media, "doc_id", "payload", maxHamming = 6)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, text,
+                 greatest(CAST((strlen(text) + 63) // 64 AS INT), 1) AS cw
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   (CAST(concat('0x', substr(md5(substr(text, i*cw + 1, cw)), 1, 1)) AS BIGINT) % 2) *
+                   (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (CAST(1 AS BIGINT) << i) END)))
+                   AS BIGINT) AS sig
+          FROM m
+        ), bands AS (
+          SELECT doc_id, sig, k, (sig >> (k * 16)) & 65535 AS bv
+          FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.sig AS a_sig, b.sig AS b_sig
+          FROM bands a JOIN bands b
+            ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
+        ORDER BY a_id, b_id"""),
+      "Multimodal dedup: perceptual-hash-shaped 64-bit chunk-parity " +
+        "signature over binary payloads (DCT stubbed, locality real), " +
+        "16-bit-band candidate generation, integer Hamming verify. " +
+        "Signatures are a projection; candidates come from an " +
+        "8-byte-key equi-join — payload bytes never shuffle.")
   )
 }

@@ -104,4 +104,25 @@ class MultimodalSpec extends SparkSuite {
     assert(canon(native).exceptAll(canon(declarative)).count() == 0)
     assert(canon(declarative).exceptAll(canon(native)).count() == 0)
   }
+
+  test("phashNearDup: exact payload dups at hamming 0, one-chunk edits nearby") {
+    import spark.implicits._
+    val base = Array.tabulate(256)(i => ('a' + i % 26).toChar).mkString
+    // doc 3 = doc 1 with ONE 4-byte chunk (chunk 5 at cw=4) rewritten
+    val edited = base.substring(0, 20) + "ZZZZ" + base.substring(24)
+    val far = Array.fill(256)('q').mkString
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, far))
+      .toDF("doc_id", "text")
+    val media = Multimodal.ingestText(docs, "doc_id", "text")
+    val out = Multimodal.phashNearDup(media, "doc_id", "payload", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 0, "identical payloads must pair at hamming 0")
+    // one edited chunk flips at most one signature bit: three bands are
+    // untouched, so banding MUST surface the pair
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) <= 1,
+      s"one-chunk edit must stay a candidate with tiny hamming: $out")
+    assert(!out.keys.exists { case (a, b) => b == 4L || a == 4L } ||
+      out.filter { case ((a, b), _) => a == 4L || b == 4L }.values.forall(_ > 0),
+      "the unrelated payload must not alias an exact dup")
+  }
 }
