@@ -200,4 +200,58 @@ object EventOps {
       .agg(max(col("d")).as("steps_completed"),
         min(col("t1")).as("t_first"), max(col("ti")).as("t_last"))
   }
+
+  /** Time-series subsequence similarity search (the UCR/MASS motif
+    * query, batch form): slide a length-L window along each key's
+    * value series, z-normalize each window, and rank windows by
+    * normalized correlation against a z-normalized query `pattern` —
+    * "where does this shape occur in each user's signal". The
+    * distributed shape of the EDBT'19 streaming-similarity problem on
+    * Spark primitives.
+    *
+    * Scale design: ONE key shuffle (the per-key ordered window);
+    * windows materialize as L-element arrays per row (L ≤ ~10² —
+    * bounded, no per-key history buffer); z-norm and the correlation
+    * are per-row left-assoc array folds (engine-deterministic, the
+    * cosine-parity precedent); per-key top-k cuts through
+    * WindowGroupLimit. The query pattern is a literal — no second
+    * input to broadcast.
+    *
+    * Constant (zero-variance) windows carry no shape and are skipped.
+    * Output: (key, start_id, corr, rank) — top `k` windows per key by
+    * (corr DESC, start id). */
+  def motifTopK(events: DataFrame, key: String, orderCol: String,
+      idCol: String, valueCol: String, pattern: Seq[Double], k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val L = pattern.length
+    require(L >= 2, "motifTopK: pattern needs >= 2 points")
+    require(k >= 1, "motifTopK: k must be >= 1")
+    val pMean = pattern.sum / L
+    val pVar = pattern.map(x => (x - pMean) * (x - pMean)).sum / L
+    require(pVar > 0, "motifTopK: constant pattern has no shape")
+    val pSd = math.sqrt(pVar)
+    val zq = pattern.map(x => (x - pMean) / pSd)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(orderCol), col(idCol))
+      .rowsBetween(Window.currentRow, L - 1)
+    val windows = events
+      .select(col(key), col(idCol).as("start_id"),
+        collect_list(col(valueCol)).over(w).as("win"))
+      .filter(size(col("win")) === L)
+    val mean = aggregate(col("win"), lit(0.0), (a, x) => a + x) / L
+    val varr = aggregate(col("win"), lit(0.0),
+      (a, x) => a + (x - col("m")) * (x - col("m"))) / L
+    val scored = windows.withColumn("m", mean)
+      .withColumn("v", varr)
+      .filter(col("v") > 0)
+      .withColumn("corr", round(
+        aggregate(zip_with(col("win"), typedlit(zq),
+          (x, q) => (x - col("m")) / sqrt(col("v")) * q),
+          lit(0.0), (a, x) => a + x) / L, roundTo))
+    val rankW = Window.partitionBy(col(key))
+      .orderBy(col("corr").desc, col("start_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(key), col("start_id"), col("corr"), col("rank"))
+  }
 }

@@ -606,6 +606,58 @@ object EventQueries {
         "self-auditing against the exact count. The per-group bottom-k " +
         "plans as WindowGroupLimit, so map tasks forward at most k rows " +
         "per group; the distinct shuffle carries 16-byte (group, hash) " +
-        "rows.")
+        "rows."),
+
+    // ---- q122: time-series motif search -----------------------------------
+    "q122_ts_motif" -> {
+      val pattern = Seq(0.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0)
+      val pMean = pattern.sum / pattern.length
+      val pSd = math.sqrt(
+        pattern.map(x => (x - pMean) * (x - pMean)).sum / pattern.length)
+      val zq = pattern.map(x => (x - pMean) / pSd)
+      val zqSql = zq.mkString("[", ", ", "]")
+      Q(
+        (s, d) => graft.operators.EventOps.motifTopK(
+            Tables.events(s, d)
+              .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+            "user_id", "ts", "event_id", "value", pattern, k = 3)
+          .orderBy(col("user_id"), col("rank")),
+        Some(s"""
+          WITH e AS (
+            SELECT user_id, event_id, value, $TS AS tsu FROM events
+          ), w AS (
+            SELECT user_id, event_id AS start_id,
+                   list(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+            FROM e
+          ), f AS (
+            SELECT * FROM w WHERE len(win) = 8
+          ), z1 AS (
+            SELECT user_id, start_id, win, list_sum(win) / 8 AS m FROM f
+          ), z2 AS (
+            SELECT user_id, start_id, win, m,
+                   list_sum(list_transform(win, x -> (x - m) * (x - m))) / 8 AS v
+            FROM z1
+          ), sc AS (
+            SELECT user_id, start_id,
+                   round(list_sum(list_transform(generate_series(1, 8), i ->
+                     ((win[i] - m) / sqrt(v)) * ($zqSql[i]))) / 8, 6) AS corr
+            FROM z2 WHERE v > 0
+          ), r AS (
+            SELECT user_id, start_id, corr,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY corr DESC, start_id) AS rank
+            FROM sc
+          )
+          SELECT user_id, start_id, corr, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 3
+          ORDER BY user_id, rank"""),
+        "Time-series subsequence similarity (UCR/MASS motif query): " +
+          "slide a z-normalized length-8 window along each user's value " +
+          "series, rank by normalized correlation against the query " +
+          "shape. One key shuffle; windows are bounded L-element arrays; " +
+          "folds are per-row and engine-deterministic; per-user top-k " +
+          "cuts via WindowGroupLimit.")
+    }
   )
 }

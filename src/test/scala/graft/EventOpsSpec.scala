@@ -56,4 +56,22 @@ class EventOpsSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
     assert(noHorizon == Map(1 -> 2L, 2 -> 2L))
   }
+
+  test("motifTopK finds an affine-transformed planted pattern at corr 1.0") {
+    import spark.implicits._
+    val pattern = Seq(0.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0)
+    // noise prefix, then the pattern scaled by 2 and shifted by 10
+    // (z-normalized correlation is affine-invariant), then noise
+    val series = Seq(5.0, -3.0, 8.0, 1.0) ++ pattern.map(10.0 + 2.0 * _) ++
+      Seq(7.0, 0.5, -2.0, 4.0)
+    val rows = series.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+    val df = rows.toDF("user_id", "t", "event_id", "value")
+    val out = EventOps.motifTopK(df, "user_id", "t", "event_id", "value",
+        pattern, k = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4L, s"motif must start at offset 4, got ${r.getLong(1)}")
+    assert(r.getDouble(2) == 1.0, s"planted motif must score corr 1.0, got ${r.getDouble(2)}")
+  }
 }
