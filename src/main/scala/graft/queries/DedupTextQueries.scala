@@ -565,6 +565,60 @@ object DedupTextQueries {
         "keep the iterative float walk bit-identical across engines."),
 
     // ---- q114: weighted sampling without replacement ---------------------
+    "q123_length_fences" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // exact quartiles per language over the bounded length domain,
+        // Tukey 1.5·IQR fences, per-doc keep flag — the robust
+        // length-outlier gate (truncation/concatenation artifacts)
+        val q = graft.operators.Sketches.exactQuantiles(
+            docs, "lang", "n_chars", qs = Seq(0.25, 0.75))
+          .groupBy(col("lang"))
+          .agg(min(when(col("q") === 0.25, col("quantile_disc"))).as("q1"),
+               min(when(col("q") === 0.75, col("quantile_disc"))).as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+          .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+          .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+        docs.join(broadcast(q), "lang")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("lo"), col("hi"),
+            (col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+              .as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT lang AS g, n_chars AS v, COUNT(*) AS cnt
+          FROM documents GROUP BY 1, 2
+        ), c AS (
+          SELECT g, v, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+                 SUM(cnt) OVER (PARTITION BY g) AS n
+          FROM f
+        ), qv AS (SELECT unnest([0.25, 0.75]) AS q)
+        , qq AS (
+          SELECT g, q, v AS qd
+          FROM c CROSS JOIN qv
+          WHERE cum >= greatest(ceil(q * n), 1)
+            AND cum - cnt < greatest(ceil(q * n), 1)
+        ), fences AS (
+          SELECT g AS lang,
+                 MIN(CASE WHEN q = 0.25 THEN qd END) AS q1,
+                 MIN(CASE WHEN q = 0.75 THEN qd END) AS q3
+          FROM qq GROUP BY g
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               f.q1 - 1.5 * (f.q3 - f.q1) AS lo,
+               f.q3 + 1.5 * (f.q3 - f.q1) AS hi,
+               d.n_chars >= f.q1 - 1.5 * (f.q3 - f.q1) AND
+               d.n_chars <= f.q3 + 1.5 * (f.q3 - f.q1) AS keep
+        FROM documents d JOIN fences f USING (lang)
+        ORDER BY d.doc_id"""),
+      "Robust per-language length gate: exact quartiles (q119's " +
+        "sort-free path), Tukey 1.5*IQR fences broadcast back, per-doc " +
+        "keep flag — the classic truncation/concat artifact filter. " +
+        "Bounded frequency-table shuffle only; gating is a projection."),
+
     "q114_weighted_sample" -> Q(
       (s, d) => TextAnalysis.weightedSample(Tables.documents(s, d),
           "doc_id", col("n_chars"), "source", k = 5)

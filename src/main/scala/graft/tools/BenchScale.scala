@@ -107,7 +107,7 @@ object BenchScale {
     "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
-    "q119_exact_quantiles")
+    "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -121,7 +121,7 @@ object BenchScale {
     "q96_countmin_probe", "q97_bm25_topk", "q98_hybrid_rrf",
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
-    "q119_exact_quantiles")
+    "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
