@@ -608,6 +608,67 @@ object EventQueries {
         "per group; the distinct shuffle carries 16-byte (group, hash) " +
         "rows."),
 
+    // ---- q124: AQP estimate with CLT error bound --------------------------
+    "q124_aqp_avg" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.events(s, d)
+        val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4),
+          16, 10).cast("int") % 100
+        // deterministic 10% sample (content-derived — any engine and
+        // any partitioning draws the same rows)
+        val samp = e.filter(bucket < 10)
+        val est = samp.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_s"),
+          sum(col("value").cast(DecimalType(27, 6))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+        val exact = e.groupBy(col("event_type")).agg(
+          (sum(col("value").cast(DecimalType(27, 6))).cast("double") /
+            count(lit(1))).as("exact_avg_raw"))
+        val estAvg = col("s1").cast("double") / col("n_s")
+        val varS = (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n_s")) /
+          (col("n_s") - 1)
+        val half = lit(1.96) * sqrt(varS / col("n_s"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n_s"),
+            round(estAvg, 6).as("est_avg"),
+            round(col("exact_avg_raw"), 6).as("exact_avg"),
+            round(half, 6).as("half_width"),
+            (abs(estAvg - col("exact_avg_raw")) <= half).as("within_ci"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT event_type, value FROM events
+          WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 10
+        ), est AS (
+          SELECT event_type, COUNT(*) AS n_s,
+                 SUM(CAST(value AS DECIMAL(27,6))) AS s1,
+                 SUM(CAST(value * value AS DECIMAL(38,12))) AS s2
+          FROM s GROUP BY event_type
+        ), ex AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS exact_avg_raw
+          FROM events GROUP BY event_type
+        )
+        SELECT est.event_type, est.n_s,
+               round(CAST(s1 AS DOUBLE) / n_s, 6) AS est_avg,
+               round(exact_avg_raw, 6) AS exact_avg,
+               round(1.96e0 * sqrt(((CAST(s2 AS DOUBLE) -
+                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_s) / (n_s - 1)) / n_s), 6) AS half_width,
+               abs(CAST(s1 AS DOUBLE) / n_s - exact_avg_raw) <=
+                 1.96e0 * sqrt(((CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_s) / (n_s - 1)) / n_s) AS within_ci
+        FROM est JOIN ex ON ex.event_type = est.event_type
+        ORDER BY est.event_type"""),
+      "Approximate query processing with an error bound: a 10% " +
+        "content-hash sample estimates per-group mean with a 95% CLT " +
+        "half-width, the exact answer rides along as the audit. " +
+        "Decimal-exact moments make the whole chain engine-identical; " +
+        "the sample is partitioning-independent, so at 100 TB the " +
+        "estimate scans 10% of the data with zero coordination."),
+
     // ---- q122: time-series motif search -----------------------------------
     "q122_ts_motif" -> {
       val pattern = Seq(0.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0)
