@@ -475,6 +475,44 @@ object Sketches {
     kmvEstimateFrom(merged, group, k)
   }
 
+  /** Count-min JOIN-SIZE estimation (the sketch inner product of
+    * Alon–Gilbert–Matias–Szegedy / Cormode–Muthukrishnan): with both
+    * join columns sketched into the same d×w cells,
+    * |A ⋈ B| = Σ_v f_A(v)·f_B(v) is estimated by
+    * min_r Σ_w cA[r][w]·cB[r][w] — never an undercount, because every
+    * true (v, v) pair shares its cells in every row and all terms are
+    * non-negative. The cardinality estimator a cost-based planner wants
+    * BEFORE running the join: each side is sketched in one pass
+    * (bounded d×w integer state), the product folds 2·d·w numbers, and
+    * the sides never meet in a shuffle. The exact join size rides along
+    * as the audit (computed from per-value counts, not a materialized
+    * join).
+    * Output: one row (w, d, cms_join_estimate, exact_join_size,
+    * rel_overcount ≥ 0). */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      w: Int = 1024, d: Int = 4): DataFrame = {
+    val spark = a.sparkSession
+    val ca = countMinCounters(a, aCol, w, d)
+      .select(col("row"), col("pos"), col("c").as("ca"))
+    val cb = countMinCounters(b, bCol, w, d)
+      .select(col("row"), col("pos"), col("c").as("cb"))
+    val perRow = ca.join(cb, Seq("row", "pos"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
+    val est = spark.range(d).select(col("id").cast("int").as("row"))
+      .join(perRow, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("cms_join_estimate"))
+    val fa = a.groupBy(col(aCol).as("v")).agg(count(lit(1)).as("na"))
+    val fb = b.groupBy(col(bCol).as("v")).agg(count(lit(1)).as("nb"))
+    val exact = fa.join(fb, "v")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join_size"))
+    est.crossJoin(exact).select(
+      lit(w).as("w"), lit(d).as("d"),
+      col("cms_join_estimate"), col("exact_join_size"),
+      round((col("cms_join_estimate") - col("exact_join_size")).cast("double") /
+        greatest(col("exact_join_size"), lit(1L)).cast("double"), 6)
+        .as("rel_overcount"))
+  }
+
   /** EXACT grouped PERCENTILE_DISC without a global sort, for
     * bounded-domain numeric columns (quantities, lengths, counts —
     * anywhere |distinct values| ≪ |rows|). The classic two-phase

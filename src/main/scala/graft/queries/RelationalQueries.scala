@@ -609,6 +609,50 @@ object RelationalQueries {
         "(map-side combined — one row per distinct value whatever the " +
         "row count); selection runs over that bounded relation. The " +
         "exact companion of q83's histogram quantiles for discrete " +
-        "domains.")
+        "domains."),
+
+    // ---- q125: sketch join-size estimation --------------------------------
+    "q125_cms_joinsize" -> Q(
+      (s, d) => graft.operators.Sketches.cmsJoinSize(
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", w = 256, d = 4),
+      Some("""
+        WITH ca AS (
+          SELECT i.range AS row, (h1 + i.range * h2) % 256 AS pos,
+                 COUNT(*) AS ca
+          FROM (SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+                FROM orders), range(0, 4) i
+          GROUP BY 1, 2
+        ), cb AS (
+          SELECT i.range AS row, (h1 + i.range * h2) % 256 AS pos,
+                 COUNT(*) AS cb
+          FROM (SELECT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+                FROM customer), range(0, 4) i
+          GROUP BY 1, 2
+        ), ip AS (
+          SELECT r.range AS row,
+                 COALESCE((SELECT SUM(ca.ca * cb.cb) FROM ca JOIN cb
+                           ON ca.row = cb.row AND ca.pos = cb.pos
+                           WHERE ca.row = r.range), 0) AS ip
+          FROM range(0, 4) r
+        ), est AS (
+          SELECT CAST(MIN(ip) AS BIGINT) AS cms_join_estimate FROM ip
+        ), ex AS (
+          SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact_join_size
+          FROM (SELECT o_custkey AS v, COUNT(*) AS na FROM orders GROUP BY 1) fa
+          JOIN (SELECT c_custkey AS v, COUNT(*) AS nb FROM customer GROUP BY 1) fb
+          USING (v)
+        )
+        SELECT 256 AS w, 4 AS d, cms_join_estimate, exact_join_size,
+               round(CAST(cms_join_estimate - exact_join_size AS DOUBLE) /
+                 CAST(greatest(exact_join_size, 1) AS DOUBLE), 6) AS rel_overcount
+        FROM est CROSS JOIN ex"""),
+      "Sketch join-size estimation (AGMS/count-min inner product): " +
+        "|A JOIN B| estimated from two one-pass d*w sketches that never " +
+        "meet in a shuffle — the pre-join cardinality signal a planner " +
+        "wants; provably never an undercount, exact size rides along " +
+        "as the audit.")
   )
 }

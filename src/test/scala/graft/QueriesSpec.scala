@@ -138,6 +138,26 @@ class QueriesSpec extends SparkSuite {
     assert(cramped.exists(_._3 > 0), "a saturated CMS must show overcounts")
   }
 
+  test("cmsJoinSize never undercounts; exact when the sketch is roomy") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L, 7L).toDF("k")   // f = {1:3, 2:2, 3:1, 7:1}
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")               // f = {1:1, 2:2, 4:1}
+    // true join size = 3*1 + 2*2 = 7
+    val roomy = graft.operators.Sketches.cmsJoinSize(a, "k", b, "k",
+        w = 1024, d = 4).head()
+    assert(roomy.getLong(2) == 7L && roomy.getLong(3) == 7L,
+      s"roomy sketch must be exact: $roomy")
+    // cramped sketch: collisions may only ever OVERcount
+    val cramped = graft.operators.Sketches.cmsJoinSize(a, "k", b, "k",
+        w = 2, d = 2).head()
+    assert(cramped.getLong(2) >= cramped.getLong(3))
+    // disjoint keys: exact 0, estimate stays non-negative
+    val disjoint = graft.operators.Sketches.cmsJoinSize(
+        Seq(1L, 2L).toDF("k"), "k", Seq(9L, 10L).toDF("k"), "k",
+        w = 1024, d = 4).head()
+    assert(disjoint.getLong(3) == 0L && disjoint.getLong(2) >= 0L)
+  }
+
   test("KMV bottom-k estimates known cardinalities; exact below k") {
     import spark.implicits._
     val rows = (1 to 2000).map(i => ("big", i % 1300)) ++
