@@ -513,6 +513,51 @@ object Sketches {
         .as("rel_overcount"))
   }
 
+  /** KMV set-operation estimates (Bar-Yossef et al. / Beyer et al.
+    * "distinct sampling"): because the bottom-k sketch RETAINS a
+    * uniform hash sample (unlike HLL registers), two sketches compose:
+    * the bottom-k of A ∪ B estimates the union cardinality with the
+    * usual KMV estimator, and the fraction of that bottom-k present in
+    * BOTH sides is an unbiased Jaccard estimate — intersection ≈
+    * J·|A∪B|. The audience-overlap primitive. One distinct pass per
+    * side; the global bottom-k is an ORDER BY h LIMIT k — planned as
+    * TakeOrderedAndProject (per-partition heap + driver merge, no
+    * global sort); membership flags come from broadcast semi-joins of
+    * a k-row set. Exact union/intersection ride along as the audit.
+    * Output: one row (k, n_kept, jaccard_est, union_est, inter_est,
+    * exact_union, exact_inter). */
+  def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvOverlap: k must be >= 2")
+    val TwoPow52 = 4503599627370496.0
+    def hashes(df: DataFrame, c: String): DataFrame = df.select(
+      conv(substring(md5(col(c).cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h")).distinct()
+    val ha = hashes(a, aCol).localCheckpoint()
+    val hb = hashes(b, bCol).localCheckpoint()
+    val bottom = ha.union(hb).distinct().orderBy(col("h")).limit(k)
+    val flagged = bottom
+      .join(ha.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(hb.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+    val agg = flagged.agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      max(col("h")).as("hk"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val exact = ha.union(hb).distinct().agg(count(lit(1)).as("exact_union"))
+      .crossJoin(ha.join(hb, "h", "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+    val unionEst = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(TwoPow52) / col("hk").cast("double"))
+    agg.crossJoin(exact).select(
+      lit(k).as("k"), col("n_kept"),
+      round(col("n_both").cast("double") / col("n_kept"), 6).as("jaccard_est"),
+      round(unionEst, 4).as("union_est"),
+      round(col("n_both").cast("double") / col("n_kept") * unionEst, 4)
+        .as("inter_est"),
+      col("exact_union"), col("exact_inter"))
+  }
+
   /** EXACT grouped PERCENTILE_DISC without a global sort, for
     * bounded-domain numeric columns (quantities, lengths, counts —
     * anywhere |distinct values| ≪ |rows|). The classic two-phase

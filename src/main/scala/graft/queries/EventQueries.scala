@@ -608,6 +608,53 @@ object EventQueries {
         "per group; the distinct shuffle carries 16-byte (group, hash) " +
         "rows."),
 
+    // ---- q126: KMV audience overlap ---------------------------------------
+    "q126_kmv_overlap" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        graft.operators.Sketches.kmvOverlap(
+          e.filter(col("event_type") === "view").select(col("user_id")),
+          "user_id",
+          e.filter(col("event_type") === "purchase").select(col("user_id")),
+          "user_id", k = 64)
+      },
+      Some("""
+        WITH ha AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          FROM events WHERE event_type = 'view'
+        ), hb AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          FROM events WHERE event_type = 'purchase'
+        ), bottom AS (
+          SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+          ORDER BY h LIMIT 64
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS INT) AS n_kept, MAX(h) AS hk,
+                 SUM(CASE WHEN h IN (SELECT h FROM ha)
+                           AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END) AS n_both
+          FROM bottom
+        ), ex AS (
+          SELECT (SELECT COUNT(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS exact_union,
+                 (SELECT COUNT(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS exact_inter
+        )
+        SELECT 64 AS k, n_kept,
+               round(CAST(n_both AS DOUBLE) / n_kept, 6) AS jaccard_est,
+               round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                          ELSE CAST(63 AS DOUBLE) * 4503599627370496e0 / CAST(hk AS DOUBLE)
+                     END, 4) AS union_est,
+               round(CAST(n_both AS DOUBLE) / n_kept *
+                     CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                          ELSE CAST(63 AS DOUBLE) * 4503599627370496e0 / CAST(hk AS DOUBLE)
+                     END, 4) AS inter_est,
+               exact_union, exact_inter
+        FROM agg CROSS JOIN ex"""),
+      "KMV set algebra: the retained bottom-k hash sample composes — " +
+        "union via the KMV estimator over the combined bottom-k, " +
+        "Jaccard as the both-sides fraction of that sample, " +
+        "intersection as their product (audience overlap). Global " +
+        "bottom-k plans as TakeOrderedAndProject; exact union/" +
+        "intersection audit the estimates."),
+
     // ---- q124: AQP estimate with CLT error bound --------------------------
     "q124_aqp_avg" -> Q(
       (s, d) => {
