@@ -695,6 +695,53 @@ object SimilarityQueries {
       "Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022): " +
         "cosine to own-label centroid, prune the easiest 20% per label. " +
         "Bounded centroid agg broadcast back — scoring is one projection " +
-        "pass; ranking shuffles only (label, cos, id) triples.")
+        "pass; ranking shuffles only (label, cos, id) triples."),
+
+    // ---- q127: the SQL surface, end to end --------------------------------
+    "q127_sql_topk" -> Q(
+      (s, d) => {
+        // pure spark.sql through the injected native expressions — the
+        // surface a SQL-only user of the library sees (GraftExtensions /
+        // register()); same plan and hash as the DataFrame q31 path
+        graft.plans.VectorExpressions.register(s)
+        emb(s, d).createOrReplaceTempView("emb_v")
+        s.sql("""
+          WITH p AS (SELECT vec_id, emb FROM emb_v WHERE vec_id < 100),
+          t AS (SELECT vec_id, emb FROM emb_v WHERE label >= 5),
+          sims AS (
+            SELECT p.vec_id AS p_id, t.vec_id AS t_id,
+                   round(vec_dot(p.emb, t.emb) /
+                     (sqrt(vec_dot(p.emb, p.emb)) * sqrt(vec_dot(t.emb, t.emb))),
+                     6) AS sim
+            FROM p CROSS JOIN t
+          ), ranked AS (
+            SELECT p_id, t_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                                      ORDER BY sim DESC, t_id) AS rank
+            FROM sims
+          )
+          SELECT p_id, t_id, sim, rank FROM ranked WHERE rank <= 3
+          ORDER BY p_id, rank""")
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        sims AS (
+          SELECT p.vec_id AS p_id, t.vec_id AS t_id,
+            round(list_inner_product(p.emb, t.emb) /
+              (sqrt(list_inner_product(p.emb, p.emb)) * sqrt(list_inner_product(t.emb, t.emb))),
+              6) AS sim
+          FROM e p, e t
+          WHERE p.vec_id < 100 AND t.label >= 5),
+        ranked AS (
+          SELECT p_id, t_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, t_id) AS rank
+          FROM sims)
+        SELECT p_id, t_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY p_id, rank"""),
+      "The SQL-user surface end to end: a pure spark.sql program " +
+        "through the injected codegen'd vec_dot expression, hash-equal " +
+        "to the DataFrame path (q31). Proves SURVEY §2.12's SQL " +
+        "registration is first-class, not decoration.")
   )
 }
