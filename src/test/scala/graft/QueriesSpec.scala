@@ -158,6 +158,17 @@ class QueriesSpec extends SparkSuite {
     assert(disjoint.getLong(3) == 0L && disjoint.getLong(2) >= 0L)
   }
 
+  test("kmvOverlap is exact when k covers the union") {
+    import spark.implicits._
+    val a = (1 to 30).map(_.toLong).toDF("u")       // 1..30
+    val b = (21 to 50).map(_.toLong).toDF("u")      // 21..50; inter=10, union=50
+    val r = graft.operators.Sketches.kmvOverlap(a, "u", b, "u", k = 256).head()
+    assert(r.getInt(1) == 50, "sketch must hold the whole union below k")
+    assert(r.getDouble(2) == 10.0 / 50.0, s"jaccard exact: $r")
+    assert(r.getDouble(3) == 50.0 && r.getDouble(4) == 10.0, s"union/inter exact: $r")
+    assert(r.getLong(5) == 50L && r.getLong(6) == 10L)
+  }
+
   test("KMV bottom-k estimates known cardinalities; exact below k") {
     import spark.implicits._
     val rows = (1 to 2000).map(i => ("big", i % 1300)) ++
