@@ -201,6 +201,43 @@ object EventOps {
         min(col("t1")).as("t_first"), max(col("ti")).as("t_last"))
   }
 
+  /** AS-OF JOIN through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]] — the mandate's (c) tier): for each
+    * left row, the latest right row of the same key with time at or
+    * before the left time; left-outer, right columns nullable. The
+    * planner strategy registers itself on first use
+    * (`spark.experimental.extraStrategies`); Catalyst then plans ONE
+    * exchange + sort per side and the exec merges each co-partition in
+    * a single forward pass with O(1) state — no window buffers, no
+    * tag-union detour (contrast q115's composed form).
+    *
+    * Ties on (key, time) are broken by right sort order, so pass a
+    * time expression that is UNIQUE per key (e.g. a (epoch, id)
+    * composite) for deterministic results. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    // fresh exprIds on the right so self-joins (same source both sides)
+    // don't alias attributes across children
+    val rp0 = right.queryExecution.analyzed
+    val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+        n: String) = out.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asOfJoinNative: no column $n"))
+    val plan = AsOfJoin(lp, rp,
+      attr(lp.output, leftKey), attr(rp.output.map(_.toAttribute), rightKey),
+      attr(lp.output, leftTime), attr(rp.output.map(_.toAttribute), rightTime))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+
   /** Time-series subsequence similarity search (the UCR/MASS motif
     * query, batch form): slide a length-L window along each key's
     * value series, z-normalize each window, and rank windows by

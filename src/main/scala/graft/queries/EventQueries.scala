@@ -608,6 +608,51 @@ object EventQueries {
         "per group; the distinct shuffle carries 16-byte (group, hash) " +
         "rows."),
 
+    // ---- q128: as-of join through the custom physical operator -------------
+    "q128_asof_native" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        // unique-per-key join time: (epoch, event_id) composite — the
+        // exec breaks time ties by right sort order, so determinism
+        // needs a total order (event ids are unique)
+        val jt = (col("ep") * 10000000L + col("event_id")).as("jt")
+        val l = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            (col("ep") * 10000000L + lit(9999999L)).as("jt"))
+        val r = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("value").as("view_value"), col("ep").as("asof_t"), jt)
+        graft.operators.EventOps.asOfJoinNative(l, r,
+            "user_id", "v_user", "jt", "jt")
+          .select(col("user_id"), col("ep"), col("event_id"),
+            col("asof_t"), col("view_id"), col("view_value"),
+            (col("ep") - col("asof_t")).as("gap_sec"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep FROM events
+        ), p AS (
+          SELECT user_id, event_id, ep FROM e WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, ep AS asof_t, value AS view_value
+          FROM e WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.ep, p.event_id,
+               m.asof_t, m.view_id, m.view_value,
+               p.ep - m.asof_t AS gap_sec
+        FROM p LEFT JOIN LATERAL (
+          SELECT asof_t, view_id, view_value FROM v
+          WHERE v.user_id = p.user_id AND v.asof_t <= p.ep
+          ORDER BY asof_t DESC, view_id DESC LIMIT 1) m ON true
+        ORDER BY p.event_id"""),
+      "The same as-of semantics as q115, but through the library's " +
+        "custom LogicalPlan + SparkStrategy + physical exec " +
+        "(AsOfJoinExec): Catalyst plans one exchange + sort per side " +
+        "and each co-partition merges in a single forward pass with " +
+        "O(1) state — no window buffer, no tag-union detour. " +
+        "Hash-equal to a LATERAL last-row-per-key oracle."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {

@@ -57,6 +57,27 @@ class EventOpsSpec extends SparkSuite {
     assert(noHorizon == Map(1 -> 2L, 2 -> 2L))
   }
 
+  test("asOfJoinNative matches a hand-built fixture incl. no-match and ties") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p1"), (1L, 5L, "p0"), (2L, 7L, "p2"), (3L, 9L, "p3"))
+      .toDF("k", "t", "tag")
+    // unique per-key time for determinism on the (2,7) tie: compose id
+    val rr = Seq((1L, 4L, "v1", 0L), (1L, 10L, "v2", 1L), (1L, 12L, "v3", 2L),
+      (2L, 7L, "v4", 3L), (2L, 7L, "v5", 4L))
+      .toDF("k", "t", "vtag", "rid")
+      .select(col("k").as("rk"), (col("t") * 100 + col("rid")).as("jt"),
+        col("t").as("rt"), col("vtag"))
+    val ll = l.select(col("k"), (col("t") * 100 + lit(99)).as("jt"),
+      col("t"), col("tag"))
+    val out = EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt")
+      .select(col("k"), col("tag"), col("vtag"))
+      .collect().map(x => x.getString(1) -> Option(x.getString(2))).toMap
+    assert(out("p1") == Some("v2"), "t=10 matches the t=10 view (<= semantics)")
+    assert(out("p0") == Some("v1"))
+    assert(out("p2") == Some("v5"), "tie at t=7 resolves to the last by rid")
+    assert(out("p3") == None, "key with no right rows matches nothing")
+  }
+
   test("motifTopK finds an affine-transformed planted pattern at corr 1.0") {
     import spark.implicits._
     val pattern = Seq(0.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0)

@@ -284,6 +284,18 @@ class PlanSpec extends SparkSuite {
       s"top-k must be a per-partition heap + driver merge:\n${p.take(1500)}")
   }
 
+  test("q128 plans the custom AsOfJoinExec with one exchange+sort per side") {
+    val df = SparkEntry.queries("q128_asof_native")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"must plan the custom exec:\n${p.take(1500)}")
+    assert(!p.contains("Window "), "no window buffer in the native form")
+    // sides co-partition: the exec's two children each get exactly one
+    // hash exchange (the final orderBy adds one range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n${p.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("kmv bottom-k plans a WindowGroupLimit (bounded per-group state map-side)") {
     val p = graft.operators.Sketches.kmvDistinct(
         Tables.events(spark, sf("0.001")), "event_type", "user_id", k = 64)
