@@ -238,6 +238,37 @@ object EventOps {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }
 
+  /** Broadcast as-of join — the zero-left-shuffle sibling of
+    * [[asOfJoinNative]] for a SMALL right side (device state, camera
+    * telemetry, reference curves): the right relation folds into one
+    * sorted history array per key, broadcasts, and each left row
+    * resolves its match with a pure projection over the equi-joined
+    * history — the LEFT (big) side never shuffles, the batch analog of
+    * the reference's stream-static broadcast join (J4).
+    *
+    * Per-row match cost is linear in the key's history length (bounded
+    * by assumption — that's what makes the side broadcastable); ties on
+    * `rTime` resolve by the sort order of the payload struct
+    * (deterministic when (time, payload) is unique).
+    *
+    * Output: left columns + asof_t + `rCols` (null when no history row
+    * at or before the left time). */
+  def asOfJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String, rCols: Seq[String]): DataFrame = {
+    val entry = struct((col(rTime).as("_t") +: rCols.map(col)): _*)
+    val idx = right.groupBy(col(key))
+      .agg(array_sort(collect_list(entry)).as("_hist"))
+    val lt = col(lTime)
+    val n = size(filter(col("_hist"), e => e.getField("_t") <= lt))
+    val matched = when(col("_hist").isNotNull && n > 0,
+      element_at(col("_hist"), n))
+    val leftCols = left.columns.toSeq.map(col)
+    left.join(broadcast(idx), Seq(key), "left")
+      .withColumn("_m", matched)
+      .select(leftCols ++ (col("_m").getField("_t").as("asof_t") +:
+        rCols.map(c => col("_m").getField(c).as(c))): _*)
+  }
+
   /** Time-series subsequence similarity search (the UCR/MASS motif
     * query, batch form): slide a length-L window along each key's
     * value series, z-normalize each window, and rank windows by

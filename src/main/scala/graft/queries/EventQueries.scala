@@ -653,6 +653,46 @@ object EventQueries {
         "O(1) state — no window buffer, no tag-union detour. " +
         "Hash-equal to a LATERAL last-row-per-key oracle."),
 
+    // ---- q129: broadcast as-of join ----------------------------------------
+    "q129_asof_broadcast" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val l = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            (col("ep") * 10000000L + lit(9999999L)).as("jt"))
+        val r = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("value").as("view_value"), col("ep").as("view_ep"),
+            (col("ep") * 10000000L + col("event_id")).as("jt"))
+        graft.operators.EventOps.asOfJoinBroadcast(l, r, "user_id",
+            "jt", "jt", rCols = Seq("view_ep", "view_id", "view_value"))
+          .select(col("user_id"), col("ep"), col("event_id"),
+            col("view_ep").as("asof_t"), col("view_id"), col("view_value"),
+            (col("ep") - col("view_ep")).as("gap_sec"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep FROM events
+        ), p AS (
+          SELECT user_id, event_id, ep FROM e WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, ep AS asof_t, value AS view_value
+          FROM e WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.ep, p.event_id,
+               m.asof_t, m.view_id, m.view_value,
+               p.ep - m.asof_t AS gap_sec
+        FROM p LEFT JOIN LATERAL (
+          SELECT asof_t, view_id, view_value FROM v
+          WHERE v.user_id = p.user_id AND v.asof_t <= p.ep
+          ORDER BY asof_t DESC, view_id DESC LIMIT 1) m ON true
+        ORDER BY p.event_id"""),
+      "The third as-of form: small right side folds into per-key sorted " +
+        "histories that BROADCAST, so the big left side never shuffles " +
+        "(the batch analog of the reference's stream-static broadcast " +
+        "join). Same answer as q115/q128, plan-pinned left-shuffle-free."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {

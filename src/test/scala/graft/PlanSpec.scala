@@ -296,6 +296,24 @@ class PlanSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("broadcast as-of join never shuffles the left side") {
+    val e = Tables.events(spark, sf("0.001"))
+      .withColumn("ep", unix_timestamp(col("ts")))
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ep"))
+    val r = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ep").as("vep"))
+    val p = graft.operators.EventOps.asOfJoinBroadcast(l, r, "user_id",
+        "ep", "vep", rCols = Seq("view_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    // exactly ONE hash exchange: the right-side history fold (which
+    // then broadcasts); the big left side must not shuffle
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"only the small right side may shuffle, got $hashExchanges:\n${p.take(2000)}")
+  }
+
   test("kmv bottom-k plans a WindowGroupLimit (bounded per-group state map-side)") {
     val p = graft.operators.Sketches.kmvDistinct(
         Tables.events(spark, sf("0.001")), "event_type", "user_id", k = 64)
