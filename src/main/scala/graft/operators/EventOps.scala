@@ -254,14 +254,31 @@ object EventOps {
     * Output: left columns + asof_t + `rCols` (null when no history row
     * at or before the left time). */
   def asOfJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
-      lTime: String, rTime: String, rCols: Seq[String]): DataFrame = {
+      lTime: String, rTime: String, rCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asOfJoinBroadcast: unknown direction $direction")
     val entry = struct((col(rTime).as("_t") +: rCols.map(col)): _*)
     val idx = right.groupBy(col(key))
       .agg(array_sort(collect_list(entry)).as("_hist"))
     val lt = col(lTime)
-    val n = size(filter(col("_hist"), e => e.getField("_t") <= lt))
-    val matched = when(col("_hist").isNotNull && n > 0,
-      element_at(col("_hist"), n))
+    val hist = col("_hist")
+    // backward candidate: last entry with t <= lt; forward: first with
+    // t >= lt — both O(history) index arithmetic over the sorted array
+    val nLe = size(filter(hist, e => e.getField("_t") <= lt))
+    val nLt = size(filter(hist, e => e.getField("_t") < lt))
+    val back = when(hist.isNotNull && nLe > 0, element_at(hist, nLe))
+    val fwd = when(hist.isNotNull && nLt < size(hist),
+      element_at(hist, nLt + 1))
+    val matched = direction match {
+      case "backward" => back
+      case "forward" => fwd
+      case "nearest" => // tie → backward (the earlier row)
+        when(back.isNull, fwd).when(fwd.isNull, back)
+          .when(abs(fwd.getField("_t") - lt) < abs(lt - back.getField("_t")),
+            fwd)
+          .otherwise(back)
+    }
     val leftCols = left.columns.toSeq.map(col)
     left.join(broadcast(idx), Seq(key), "left")
       .withColumn("_m", matched)

@@ -693,6 +693,48 @@ object EventQueries {
         "(the batch analog of the reference's stream-static broadcast " +
         "join). Same answer as q115/q128, plan-pinned left-shuffle-free."),
 
+    // ---- q130: forward as-of (next event after) ---------------------------
+    "q130_asof_forward" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val l = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            (col("ep") * 10000000L).as("jt"))
+        val r = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("value").as("view_value"), col("ep").as("view_ep"),
+            (col("ep") * 10000000L + col("event_id")).as("jt"))
+        graft.operators.EventOps.asOfJoinBroadcast(l, r, "user_id",
+            "jt", "jt", rCols = Seq("view_ep", "view_id", "view_value"),
+            direction = "forward")
+          .select(col("user_id"), col("ep"), col("event_id"),
+            col("view_ep").as("next_t"), col("view_id"), col("view_value"),
+            (col("view_ep") - col("ep")).as("wait_sec"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep FROM events
+        ), p AS (
+          SELECT user_id, event_id, ep FROM e WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, ep AS next_t, value AS view_value
+          FROM e WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.ep, p.event_id,
+               m.next_t, m.view_id, m.view_value,
+               m.next_t - p.ep AS wait_sec
+        FROM p LEFT JOIN LATERAL (
+          SELECT next_t, view_id, view_value FROM v
+          WHERE v.user_id = p.user_id AND v.next_t >= p.ep
+          ORDER BY next_t ASC, view_id ASC LIMIT 1) m ON true
+        ORDER BY p.event_id"""),
+      "Forward as-of through the broadcast form: the FIRST view at or " +
+        "after each purchase (did the user come back, and how long did " +
+        "it take) — the time-reversed direction completing the as-of " +
+        "family alongside q115/q128/q129; nearest is the unit-tested " +
+        "third mode."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {

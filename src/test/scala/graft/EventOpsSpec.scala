@@ -78,6 +78,24 @@ class EventOpsSpec extends SparkSuite {
     assert(out("p3") == None, "key with no right rows matches nothing")
   }
 
+  test("asOfJoinBroadcast directions: backward, forward, nearest with tie->backward") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p")).toDF("k", "lt", "tag")
+    val r = Seq((1L, 7L, "early"), (1L, 12L, "late"), (1L, 30L, "far"))
+      .toDF("k", "rt", "vtag")
+    def run(dir: String) = EventOps.asOfJoinBroadcast(l, r, "k", "lt", "rt",
+        rCols = Seq("vtag"), direction = dir)
+      .head().getString(4)
+    assert(run("backward") == "early")
+    assert(run("forward") == "late")
+    assert(run("nearest") == "late", "12 is nearer to 10 than 7")
+    // equidistant: 7 and 13 around 10 -> backward wins
+    val r2 = Seq((1L, 7L, "early"), (1L, 13L, "late")).toDF("k", "rt", "vtag")
+    val near = EventOps.asOfJoinBroadcast(l, r2, "k", "lt", "rt",
+        rCols = Seq("vtag"), direction = "nearest").head().getString(4)
+    assert(near == "early", "equidistant tie must resolve backward")
+  }
+
   test("motifTopK finds an affine-transformed planted pattern at corr 1.0") {
     import spark.implicits._
     val pattern = Seq(0.0, 1.0, 2.0, 3.0, 3.0, 2.0, 1.0, 0.0)
