@@ -735,6 +735,55 @@ object EventQueries {
         "family alongside q115/q128/q129; nearest is the unit-tested " +
         "third mode."),
 
+    // ---- q131: cohort retention matrix ------------------------------------
+    "q131_cohort_retention" -> Q(
+      (s, d) => {
+        val wk = date_trunc("week", col("ts"))
+        val userWeeks = Tables.events(s, d)
+          .select(col("user_id"), wk.as("w")).distinct()
+        val cohorts = userWeeks.groupBy(col("user_id"))
+          .agg(min(col("w")).as("cohort_week"))
+        val sizes = cohorts.groupBy(col("cohort_week"))
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        userWeeks.join(cohorts, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("w"), col("cohort_week")) / 7).cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some(s"""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', $TS) AS TIMESTAMP) AS w
+          FROM events
+        ), c AS (
+          SELECT user_id, MIN(w) AS cohort_week FROM uw GROUP BY user_id
+        ), sz AS (
+          SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+          FROM c GROUP BY cohort_week
+        ), act AS (
+          SELECT c.cohort_week,
+                 CAST(date_diff('day', c.cohort_week, uw.w) // 7 AS INT) AS week_offset,
+                 COUNT(DISTINCT uw.user_id) AS n_active
+          FROM uw JOIN c USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT act.cohort_week, act.week_offset, act.n_active, sz.cohort_size,
+               round(CAST(act.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
+        FROM act JOIN sz USING (cohort_week)
+        ORDER BY cohort_week, week_offset"""),
+      "Cohort retention matrix: users cohorted by first-activity week, " +
+        "fraction active at each week offset — the standard product-" +
+        "analytics companion to q108's funnel. Shuffles carry distinct " +
+        "(user, week) pairs with map-side combine; output is bounded by " +
+        "weeks^2 whatever the event volume."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {
