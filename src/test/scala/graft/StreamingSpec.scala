@@ -823,6 +823,37 @@ class StreamingSpec extends SparkSuite {
     } finally { Catalog.dropTables(spark, prefix); () }
   }
 
+  test("broadcast as-of enriches a stream identically to batch (stream-static)") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val e = Tables.events(spark, sf("0.001"))
+      .withColumn("ep", unix_timestamp(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ep"))
+      .as[(Long, Long, Long)].collect()
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ep").as("vep"))
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = input.toDF().toDF("user_id", "event_id", "ep")
+    val q = EventOps.asOfJoinBroadcast(stream, views, "user_id",
+        "ep", "vep", rCols = Seq("view_id"))
+      .writeStream.format("memory").queryName("asof_stream").start()
+    for (chunk <- purchases.grouped(purchases.length / 3 + 1)) {
+      input.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_t"), col("view_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val streamed = canon(spark.table("asof_stream"))
+    val batch = canon(EventOps.asOfJoinBroadcast(
+      purchases.toSeq.toDF("user_id", "event_id", "ep"), views,
+      "user_id", "ep", "vep", rCols = Seq("view_id")))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("weightedSampleIngest: streamed reservoir equals the batch sample") {
     import graft.operators.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
