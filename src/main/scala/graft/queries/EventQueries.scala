@@ -784,6 +784,58 @@ object EventQueries {
         "(user, week) pairs with map-side combine; output is bounded by " +
         "weeks^2 whatever the event volume."),
 
+    // ---- q132: association lift between event types ------------------------
+    "q132_event_lift" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        // per-user distinct event-type sets; pair space bounded by
+        // |types|^2 regardless of event volume
+        val ut = e.select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint() // feeds totals, singles, and the pair join
+        val nUsers = ut.select(col("user_id")).distinct().count()
+        val singles = ut.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+          .agg(countDistinct(col("a.user_id")).as("n_both"))
+        pairs
+          .join(singles.select(col("event_type").as("t1"), col("n").as("n1")), "t1")
+          .join(singles.select(col("event_type").as("t2"), col("n").as("n2")), "t2")
+          .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+            round(col("n_both").cast("double") * nUsers /
+              (col("n1") * col("n2")).cast("double"), 6).as("lift"),
+            round(col("n_both").cast("double") / col("n1"), 6).as("conf_1_to_2"))
+          .orderBy(col("t1"), col("t2"))
+      },
+      Some("""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ), nu AS (
+          SELECT COUNT(DISTINCT user_id) AS n_users FROM ut
+        ), s AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS n FROM ut GROUP BY 1
+        ), p AS (
+          SELECT a.event_type AS t1, b.event_type AS t2,
+                 COUNT(DISTINCT a.user_id) AS n_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT p.t1, p.t2, p.n_both, s1.n AS n1, s2.n AS n2,
+               round(CAST(p.n_both AS DOUBLE) * nu.n_users /
+                 CAST(s1.n * s2.n AS DOUBLE), 6) AS lift,
+               round(CAST(p.n_both AS DOUBLE) / s1.n, 6) AS conf_1_to_2
+        FROM p JOIN s s1 ON s1.event_type = p.t1
+               JOIN s s2 ON s2.event_type = p.t2
+               CROSS JOIN nu
+        ORDER BY p.t1, p.t2"""),
+      "Association mining over per-user behavior sets: support, " +
+        "confidence, and lift for every event-type pair. The pair join " +
+        "runs on DISTINCT (user, type) rows — at most |types| per user — " +
+        "so the pair space is |types|^2-bounded at any event volume."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {
