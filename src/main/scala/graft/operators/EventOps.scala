@@ -286,6 +286,60 @@ object EventOps {
         rCols.map(c => col("_m").getField(c).as(c))): _*)
   }
 
+  /** Kaplan–Meier survival estimator over event streams: time from a
+    * user's first `isStart` event to their first subsequent `isEvent`
+    * event, right-censored at last activity for users who never
+    * convert — the classic time-to-event curve (here: "how long until
+    * a viewer purchases"), with the product-limit estimate
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Exactness/scale shape: per-user reduction is one min/max
+    * aggregate; risk sets come from ONE pass over the bounded distinct-
+    * duration relation (≤ study length in buckets, never per-user
+    * rows) via a cumulative window; the running product is computed as
+    * exp(Σ ln terms) with the ln terms rounded to 12 and accumulated
+    * as DECIMAL — order-independent, so any engine re-derives the
+    * curve bit-for-bit. A duration where the whole risk set converts
+    * (d = n) drops survival to exactly 0 without touching ln(0).
+    *
+    * Output per distinct event duration (ascending): (dur, n_risk,
+    * n_events, survival). */
+  def kaplanMeier(events: DataFrame, user: String, epCol: String,
+      isStart: Column, isEvent: Column, bucketSec: Long = 86400,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = events.groupBy(col(user)).agg(
+      min(when(isStart, col(epCol))).as("t0"),
+      max(col(epCol)).as("t_last"),
+      min(when(isEvent, col(epCol))).as("te_any"))
+    val u = perUser.filter(col("t0").isNotNull)
+      .withColumn("te", when(col("te_any") >= col("t0"), col("te_any")))
+      .withColumn("observed", col("te").isNotNull)
+      .withColumn("dur",
+        floor((coalesce(col("te"), col("t_last")) - col("t0")) /
+          lit(bucketSec.toDouble)).cast("long"))
+    val byDur = u.groupBy(col("dur")).agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("c"))
+    val total = u.count()
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", lit(total) - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("term", when(col("d") < col("n_risk"),
+        round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 12)
+          .cast(DecimalType(28, 12))).otherwise(lit(null)))
+      .withColumn("extinct",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("survival", when(col("extinct") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(wCum).cast("double")), roundTo)))
+      .select(col("dur"), col("n_risk"), col("d").as("n_events"), col("survival"))
+      .orderBy(col("dur"))
+  }
+
   /** Time-series subsequence similarity search (the UCR/MASS motif
     * query, batch form): slide a length-L window along each key's
     * value series, z-normalize each window, and rank windows by

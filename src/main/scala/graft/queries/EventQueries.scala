@@ -836,6 +836,62 @@ object EventQueries {
         "runs on DISTINCT (user, type) rows — at most |types| per user — " +
         "so the pair space is |types|^2-bounded at any event volume."),
 
+    // ---- q133: Kaplan-Meier time-to-convert -------------------------------
+    "q133_survival_km" -> Q(
+      (s, d) => graft.operators.EventOps.kaplanMeier(
+          Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts"))),
+          "user_id", "ep",
+          isStart = col("event_type") === "view",
+          isEvent = col("event_type") === "purchase"),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, $EPOCH AS ep FROM events
+        ), pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+                 MAX(ep) AS t_last,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ep END) AS te_any
+          FROM e GROUP BY user_id
+        ), u AS (
+          SELECT user_id, t0, t_last,
+                 CASE WHEN te_any >= t0 THEN te_any END AS te
+          FROM pu WHERE t0 IS NOT NULL
+        ), du AS (
+          SELECT user_id, te IS NOT NULL AS observed,
+                 CAST(floor((COALESCE(te, t_last) - t0) / 86400.0) AS BIGINT) AS dur
+          FROM u
+        ), bd AS (
+          SELECT dur, SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+                 COUNT(*) AS c
+          FROM du GROUP BY dur
+        ), risk AS (
+          SELECT dur, d, c,
+                 (SELECT COUNT(*) FROM du) - COALESCE(SUM(c) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+          FROM bd
+        ), ev AS (
+          SELECT dur, d, n_risk,
+                 CASE WHEN d < n_risk THEN
+                   CAST(round(ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 12)
+                     AS DECIMAL(28,12)) END AS term
+          FROM risk WHERE d > 0
+        )
+        SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w = 1
+                    THEN 0.0
+                    ELSE round(exp(CAST(SUM(term) OVER w AS DOUBLE)), 6)
+               END AS survival
+        FROM ev
+        WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY dur"""),
+      "Kaplan-Meier time-to-convert: product-limit survival from first " +
+        "view to first purchase, right-censored at last activity. The " +
+        "running product is exp of an order-independent decimal ln-sum " +
+        "(engine-exact); risk sets come from one cumulative window over " +
+        "the bounded distinct-duration relation, never per-user rows."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {
