@@ -892,6 +892,57 @@ object EventQueries {
         "(engine-exact); risk sets come from one cumulative window over " +
         "the bounded distinct-duration relation, never per-user rows."),
 
+    // ---- q134: funnel time-to-convert quantiles ---------------------------
+    "q134_funnel_durations" -> Q(
+      (s, d) => {
+        val fu = graft.operators.EventOps.funnelUsers(
+          Tables.events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        val completed = fu.filter(col("steps_completed") === 3)
+          .select(lit("all").as("g"),
+            floor((col("t_last") - col("t_first")) / lit(60.0)).cast("long")
+              .as("dur_min"))
+        graft.operators.Sketches.exactQuantiles(
+            completed, "g", "dur_min", qs = Seq(0.5, 0.9, 0.99))
+          .select(col("q"), col("quantile_disc").as("dur_min"))
+          .orderBy(col("q"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, $EPOCH AS ep FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(ep) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ep) AS t2
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ep >= s1.t1
+          GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.ep) AS t3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ep >= s2.t2
+          GROUP BY 1
+        ), du AS (
+          SELECT CAST(floor((t3 - t1) / 60.0) AS BIGINT) AS v FROM s3
+        ), f AS (
+          SELECT v, COUNT(*) AS cnt FROM du GROUP BY v
+        ), c AS (
+          SELECT v, cnt,
+                 SUM(cnt) OVER (ORDER BY v) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM f
+        ), qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT q, v AS dur_min
+        FROM c CROSS JOIN qv
+        WHERE cum >= greatest(ceil(q * n), 1)
+          AND cum - cnt < greatest(ceil(q * n), 1)
+        ORDER BY q"""),
+      "Funnel latency distribution: exact time-to-convert quantiles " +
+        "(view -> click -> purchase, in-order earliest-completion " +
+        "chain) over minute buckets via the q119 sort-free quantile " +
+        "path — the composition of the funnel and quantile operators."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {
