@@ -653,6 +653,61 @@ object RelationalQueries {
         "|A JOIN B| estimated from two one-pass d*w sketches that never " +
         "meet in a shuffle — the pre-join cardinality signal a planner " +
         "wants; provably never an undercount, exact size rides along " +
-        "as the audit.")
+        "as the audit."),
+
+    // ---- q135: correlation matrix from exact moments ----------------------
+    "q135_corr_matrix" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+        // ONE pass computes every moment exactly (decimal sums commute);
+        // correlations derive from the moments in a fixed double chain
+        val aggs = count(lit(1)).as("n") +:
+          (cols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+           cols.map(c => sum(dec(col(c) * col(c))).as(s"ss_$c")) ++
+           cols.combinations(2).toSeq.map { case Seq(a, b) =>
+             sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") })
+        val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          m.select(lit(a).as("x"), lit(b).as("y"),
+            round((col("n").cast("double") * col(s"sp_${a}_$b").cast("double") -
+              col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+              (sqrt(col("n").cast("double") * col(s"ss_$a").cast("double") -
+                 col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
+               sqrt(col("n").cast("double") * col(s"ss_$b").cast("double") -
+                 col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))),
+              6).as("corr"))
+        }
+        pairs.reduce(_ unionAll _).orderBy(col("x"), col("y"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def mom = s"""
+          SELECT COUNT(*) AS n,
+            ${cols.map(c => s"SUM(CAST($c AS DECIMAL(38,12))) AS s_$c").mkString(", ")},
+            ${cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(38,12))) AS ss_$c").mkString(", ")},
+            ${cols.combinations(2).toSeq.map { case Seq(a, b) =>
+              s"SUM(CAST($a * $b AS DECIMAL(38,12))) AS sp_${a}_$b" }.mkString(", ")}
+          FROM lineitem"""
+        val rows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"""SELECT '$a' AS x, '$b' AS y,
+            round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) -
+              CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+              (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) -
+                 CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+               sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) -
+                 CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))),
+              6) AS corr FROM m"""
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH m AS ($mom)
+        $rows
+        ORDER BY x, y"""
+      },
+      "Pearson correlation matrix from ONE exact-moment pass: decimal " +
+        "sums/sum-squares/cross-products (order-independent, map-side " +
+        "combined), correlations derived in a fixed double chain — the " +
+        "column-profiling primitive, engine-identical by construction.")
   )
 }
