@@ -708,6 +708,48 @@ object RelationalQueries {
       "Pearson correlation matrix from ONE exact-moment pass: decimal " +
         "sums/sum-squares/cross-products (order-independent, map-side " +
         "combined), correlations derived in a fixed double chain — the " +
-        "column-profiling primitive, engine-identical by construction.")
+        "column-profiling primitive, engine-identical by construction."),
+
+    // ---- q136: Benford first-digit audit -----------------------------------
+    "q136_benford_audit" -> Q(
+      (s, d) => {
+        // leading digit via string head of the integral part — exact on
+        // any engine (no log10 float branch)
+        val digit = substring(floor(col("l_extendedprice")).cast("long")
+          .cast("string"), 1, 1).cast("int")
+        val counts = Tables.lineitem(s, d)
+          .filter(col("l_extendedprice") >= 1)
+          .select(digit.as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("observed"),
+            round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("benford"),
+            round((col("n").cast("double") / col("total").cast("double")) -
+              log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")),
+              6).as("excess"))
+          .orderBy(col("digit"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM lineitem WHERE l_extendedprice >= 1
+          GROUP BY 1
+        ), t AS (SELECT SUM(n) AS total FROM c)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed,
+               round(log10(1e0 + 1e0 / CAST(digit AS DOUBLE)), 6) AS benford,
+               round((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) -
+                 log10(1e0 + 1e0 / CAST(digit AS DOUBLE)), 6) AS excess
+        FROM c CROSS JOIN t
+        ORDER BY digit"""),
+      "Benford first-digit audit over monetary values — the fraud/" +
+        "data-quality profiling classic: observed leading-digit " +
+        "distribution vs log10(1+1/d), with per-digit excess. The digit " +
+        "comes from the integral part's string head (no float-log " +
+        "branching), one 9-key map-side-combined aggregate.")
   )
 }
