@@ -943,6 +943,89 @@ object EventQueries {
         "chain) over minute buckets via the q119 sort-free quantile " +
         "path — the composition of the funnel and quantile operators."),
 
+    // ---- q137: CUSUM changepoint detection --------------------------------
+    "q137_cusum_changepoint" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .select(col("user_id"), col("event_id"), col("ep"), col("value"))
+        val stats = e.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(27, 6))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("sd", sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            col("n")))
+          .filter(col("sd") > 0)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ep"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ep"), col("event_id"))
+        // S_k = Σ_{i<=k} x_i − k·mean: the cumulative term is a DECIMAL
+        // window sum (order-independent exact; the q71 segment-tree
+        // parity concern), the rest a fixed double chain
+        val scored = e.join(stats, "user_id")
+          .withColumn("k", row_number().over(wOrd))
+          .withColumn("cum",
+            sum(col("value").cast(DecimalType(27, 6))).over(w).cast("double"))
+          .withColumn("s_k", col("cum") - col("k") * col("mean"))
+          .withColumn("abs_s", abs(col("s_k")))
+        val pick = Window.partitionBy(col("user_id"))
+          .orderBy(col("abs_s").desc, col("event_id"))
+        scored.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n"),
+            col("event_id").as("cp_event_id"), col("k").as("cp_k"),
+            round(col("abs_s") / (col("sd") * sqrt(col("n").cast("double"))), 6)
+              .as("cusum_stat"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, value, $EPOCH AS ep, $TS AS tsu FROM events
+        ), st AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(27,6))) AS s1,
+                 SUM(CAST(value * value AS DECIMAL(38,12))) AS s2
+          FROM e GROUP BY user_id
+        ), g AS (
+          SELECT user_id, n,
+                 CAST(s1 AS DOUBLE) / n AS mean,
+                 sqrt((CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
+          FROM st
+        ), sc AS (
+          SELECT e.user_id, e.event_id, g.n, g.mean, g.sd,
+                 ROW_NUMBER() OVER w AS k,
+                 CAST(SUM(CAST(e.value AS DECIMAL(27,6))) OVER (
+                   PARTITION BY e.user_id ORDER BY e.tsu, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+          FROM e JOIN g USING (user_id)
+          WHERE g.sd > 0
+          WINDOW w AS (PARTITION BY e.user_id ORDER BY e.tsu, e.event_id)
+        ), ab AS (
+          SELECT user_id, event_id, n, sd, k,
+                 abs(cum - k * mean) AS abs_s
+          FROM sc
+        ), pick AS (
+          SELECT user_id, event_id, n, sd, k, abs_s,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY abs_s DESC, event_id) AS rn
+          FROM ab
+        )
+        SELECT user_id, n, event_id AS cp_event_id, CAST(k AS INT) AS cp_k,
+               round(abs_s / (sd * sqrt(CAST(n AS DOUBLE))), 6) AS cusum_stat
+        FROM pick WHERE rn = 1
+        ORDER BY user_id"""),
+      "CUSUM changepoint per user series: argmax |S_k| of the centered " +
+        "cumulative sum, standardized — the mean-shift detector. The " +
+        "cumulative term is a DECIMAL window sum (order-independent " +
+        "exact, the q71 parity technique); everything else is a fixed " +
+        "double chain. One key shuffle; per-key top-1 via " +
+        "WindowGroupLimit."),
+
     // ---- q126: KMV audience overlap ---------------------------------------
     "q126_kmv_overlap" -> Q(
       (s, d) => {
