@@ -108,7 +108,8 @@ object BenchScale {
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
     "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif",
-    "q131_cohort_retention", "q132_event_lift", "q133_survival_km")
+    "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
+    "q135_corr_matrix", "q136_benford_audit", "q137_cusum_changepoint")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -123,7 +124,8 @@ object BenchScale {
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
     "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif",
-    "q131_cohort_retention", "q132_event_lift", "q133_survival_km")
+    "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
+    "q137_cusum_changepoint")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
