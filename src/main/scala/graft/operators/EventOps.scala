@@ -213,10 +213,16 @@ object EventOps {
     *
     * Ties on (key, time) are broken by right sort order, so pass a
     * time expression that is UNIQUE per key (e.g. a (epoch, id)
-    * composite) for deterministic results. */
+    * composite) for deterministic results.
+    *
+    * `direction = "forward"` flips the match to the EARLIEST right row
+    * at or after the left time — big-big "next event after" with the
+    * same one-exchange-one-sort-per-side plan (no broadcast size
+    * assumption, contrast [[asOfJoinBroadcast]]). */
   def asOfJoinNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward"): DataFrame = {
     import graft.plans.{AsOfJoin, AsOfJoinStrategy}
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -234,7 +240,8 @@ object EventOps {
       throw new IllegalArgumentException(s"asOfJoinNative: no column $n"))
     val plan = AsOfJoin(lp, rp,
       attr(lp.output, leftKey), attr(rp.output.map(_.toAttribute), rightKey),
-      attr(lp.output, leftTime), attr(rp.output.map(_.toAttribute), rightTime))
+      attr(lp.output, leftTime), attr(rp.output.map(_.toAttribute), rightTime),
+      direction)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }
 
@@ -251,15 +258,39 @@ object EventOps {
     * `rTime` resolve by the sort order of the payload struct
     * (deterministic when (time, payload) is unique).
     *
+    * The right side must be GENUINELY bounded — a dimension, a
+    * calibration table, a reference-curve set — not a data-proportional
+    * relation: the folded histories are built on the driver-broadcast
+    * path and copied to every executor, so a right side that grows with
+    * the corpus eventually OOMs the driver at scale. Like the exact
+    * similarity baselines ([[Similarity.DefaultExactLimit]]), the
+    * operator REFUSES oversized inputs (`maxRightRows`, checked with an
+    * early-exit limit probe) instead of silently becoming the job that
+    * dies at 100 TB; big-big as-of belongs in [[asOfJoinNative]].
+    * Right rows with a null `rTime` carry no position on the time axis
+    * and are dropped before folding (they would otherwise sort last and
+    * masquerade as forward matches).
+    *
     * Output: left columns + asof_t + `rCols` (null when no history row
     * at or before the left time). */
   def asOfJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
       lTime: String, rTime: String, rCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      maxRightRows: Long = 1L << 20): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asOfJoinBroadcast: unknown direction $direction")
+    val rightBounded = right.filter(col(rTime).isNotNull)
+    if (maxRightRows < Long.MaxValue) {
+      val probe = rightBounded.limit(
+        (maxRightRows + 1).min(Int.MaxValue.toLong).toInt).count()
+      require(probe <= maxRightRows,
+        s"asOfJoinBroadcast: right side exceeds $maxRightRows rows — it " +
+          "broadcasts in full, so it must be a bounded dimension; use " +
+          "asOfJoinNative for big-big as-of (or raise maxRightRows " +
+          "explicitly if the side truly fits)")
+    }
     val entry = struct((col(rTime).as("_t") +: rCols.map(col)): _*)
-    val idx = right.groupBy(col(key))
+    val idx = rightBounded.groupBy(col(key))
       .agg(array_sort(collect_list(entry)).as("_hist"))
     val lt = col(lTime)
     val hist = col("_hist")
@@ -321,13 +352,18 @@ object EventOps {
     val byDur = u.groupBy(col("dur")).agg(
       sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
       count(lit(1)).as("c"))
-    val total = u.count()
+    // grand total as a 1-row scalar aggregate crossJoined in (the q136
+    // shape) — building the query plans ZERO jobs, and at scale the
+    // total derives from the already-bounded per-duration relation
+    // instead of a second pass over the per-user rows
+    val total = byDur.groupBy().agg(sum(col("c")).as("_total"))
     val wPrev = Window.orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDur
-      .withColumn("n_risk", lit(total) - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+    byDur.crossJoin(total)
+      .withColumn("n_risk",
+        col("_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
       .filter(col("d") > 0)
       .withColumn("term", when(col("d") < col("n_risk"),
         round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 12)

@@ -16,7 +16,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * every left row, attach the latest right row of the same key whose
   * time is at or before the left row's time (the kdb/polars `asof`,
   * the reference's "latest detection for this camera at this frame"
-  * lookup generalized).
+  * lookup generalized). `direction = "forward"` mirrors it: the
+  * EARLIEST right row at or after the left time ("next view after this
+  * purchase") — big-big forward as-of with the same two-linear-shuffle
+  * plan, no broadcast size assumption.
   *
   * Why a physical operator when q115 already composes the same
   * semantics from a tag-union + window: the composed form materializes
@@ -30,14 +33,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * two linear shuffles, zero window buffers, no struct detour.
   *
   * Left rows always survive (left-outer as-of); right columns are
-  * nullable in the output. Ties (right.time == left.time) match, and
-  * among equal times the LAST right row in (key, time) sort order wins
-  * — deterministic when (key, time) is unique per side.
-  */
+  * nullable in the output. Ties (right.time == left.time) match; among
+  * equal times the LAST right row in (key, time) sort order wins for
+  * backward and the FIRST for forward — deterministic when (key, time)
+  * is unique per side. */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward") extends BinaryNode {
+  require(Seq("backward", "forward").contains(direction),
+    s"AsOfJoin: unknown direction $direction")
+  // an int-vs-long mismatch would otherwise silently read garbage
+  // through the wrong accessor — fail analysis instead
+  require(leftKey.dataType == rightKey.dataType,
+    s"AsOfJoin: key types differ (${leftKey.dataType} vs ${rightKey.dataType})")
+  require(leftTime.dataType == rightTime.dataType,
+    s"AsOfJoin: time types differ (${leftTime.dataType} vs ${rightTime.dataType})")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -50,19 +62,20 @@ case class AsOfJoin(
   * `EventOps.asOfJoinNative`) or `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Sort-merge as-of join: children arrive key-clustered and
   * (key, time)-sorted (declared requirements — EnsureRequirements
-  * plans the exchanges/sorts), then one forward pass per partition
-  * with a single retained right row as state. */
+  * plans the exchanges/sorts), then one forward pass per partition.
+  * Backward keeps a single retained right row as state; forward keeps
+  * none — the match is the right head after discarding passed rows. */
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression,
+    leftTime: Expression, rightTime: Expression, direction: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -90,17 +103,22 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lSchema = left.output
     val rSchema = right.output
+    val outSchema = output
     val lk = leftKey; val rk = rightKey; val lt = leftTime; val rt = rightTime
+    val forward = direction == "forward"
     val nRight = rSchema.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key, time) extractors — bound UnsafeProjections, one per side
       val lProj = UnsafeProjection.create(Seq(lk, lt), lSchema)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rSchema)
+      // result rows leave as UnsafeRow so a parent exchange/collect can
+      // cast them (SortMergeJoinExec does the same)
+      val resProj = UnsafeProjection.create(outSchema, outSchema)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val kDt = lk.dataType; val tDt = lt.dataType
       val rBuf = rIter.buffered
-      // O(1) merge state: the latest consumed right row and its key
+      // backward merge state: the latest consumed right row and its key
       var lastRight: InternalRow = null
       var lastKey: Any = null
       new Iterator[InternalRow] {
@@ -111,16 +129,25 @@ case class AsOfJoinExec(
           val lKey = lkt.get(0, kDt)
           val lTime = lkt.get(1, tDt)
           var advance = lKey != null // null left keys match nothing
+          var fwdMatch = false
           while (advance && rBuf.hasNext) {
             val rkt = rProj(rBuf.head)
             val rKey = rkt.get(0, kDt)
-            if (rKey == null) { rBuf.next(); () } // null right keys: skip
+            val rTime = rkt.get(1, tDt)
+            if (rKey == null || rTime == null) { rBuf.next(); () } // skip
             else {
               val c = keyOrd.compare(rKey.asInstanceOf[AnyRef],
                 lKey.asInstanceOf[AnyRef])
-              if (c < 0 ||
-                  (c == 0 && timeOrd.compare(rkt.get(1, tDt).asInstanceOf[AnyRef],
-                    lTime.asInstanceOf[AnyRef]) <= 0)) {
+              val tc = if (c == 0)
+                timeOrd.compare(rTime.asInstanceOf[AnyRef],
+                  lTime.asInstanceOf[AnyRef]) else 0
+              if (forward) {
+                // discard rows strictly behind this left row; the match
+                // (if any) is the surviving head — NOT consumed, later
+                // left rows may share it
+                if (c < 0 || (c == 0 && tc < 0)) { rBuf.next(); () }
+                else { fwdMatch = c == 0; advance = false }
+              } else if (c < 0 || (c == 0 && tc <= 0)) {
                 lastRight = rBuf.next().copy()
                 lastKey = rKey match {
                   case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
@@ -129,10 +156,15 @@ case class AsOfJoinExec(
               } else advance = false
             }
           }
-          val matched = lKey != null && lastKey != null &&
-            keyOrd.compare(lastKey.asInstanceOf[AnyRef],
-              lKey.asInstanceOf[AnyRef]) == 0
-          joined(l, if (matched) lastRight else nullRight)
+          val r =
+            if (forward) { if (fwdMatch) rBuf.head else nullRight }
+            else {
+              val matched = lKey != null && lastKey != null &&
+                keyOrd.compare(lastKey.asInstanceOf[AnyRef],
+                  lKey.asInstanceOf[AnyRef]) == 0
+              if (matched) lastRight else nullRight
+            }
+          resProj(joined(l, r))
         }
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{Q, Tables}
-import graft.Tables.{moneySum, sqlMoneySum}
+import graft.Tables.{moneySum, sqlMoneySum, sqlMoneyAvg}
 
 /** Event-time analytics over the `events` table — the batch twins of the
   * reference's streaming semantics (SURVEY.md §2.8, §2.11): tumbling
@@ -653,63 +653,76 @@ object EventQueries {
         "O(1) state — no window buffer, no tag-union detour. " +
         "Hash-equal to a LATERAL last-row-per-key oracle."),
 
-    // ---- q129: broadcast as-of join ----------------------------------------
+    // ---- q129: broadcast as-of join (bounded dimension right side) ---------
     "q129_asof_broadcast" -> Q(
       (s, d) => {
         val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
-        val l = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ep"),
-            (col("ep") * 10000000L + lit(9999999L)).as("jt"))
-        val r = e.filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            col("value").as("view_value"), col("ep").as("view_ep"),
-            (col("ep") * 10000000L + col("event_id")).as("jt"))
-        graft.operators.EventOps.asOfJoinBroadcast(l, r, "user_id",
-            "jt", "jt", rCols = Seq("view_ep", "view_id", "view_value"))
-          .select(col("user_id"), col("ep"), col("event_id"),
-            col("view_ep").as("asof_t"), col("view_id"), col("view_value"),
-            (col("ep") - col("view_ep")).as("gap_sec"))
+        // reference-curve dimension: per (event_type, day) exact-decimal
+        // daily average, PUBLISHED at end of day (avail_t = midnight+24h)
+        // — |types| × |days| rows, bounded by the calendar not the
+        // corpus, the shape the broadcast as-of exists for
+        val daily = e.groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(round(Tables.moneyAvg(col("value")), 6).as("day_avg"),
+            count(lit(1)).as("n_day"))
+          .select(col("event_type"),
+            (unix_timestamp(col("day")) + 86400L).as("avail_t"),
+            col("day_avg"), col("n_day"))
+        val l = e.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ep"), col("value"))
+        graft.operators.EventOps.asOfJoinBroadcast(l, daily, "event_type",
+            "ep", "avail_t", rCols = Seq("day_avg", "n_day"))
+          .withColumn("rel_day", round(col("value") / col("day_avg"), 6))
           .orderBy(col("event_id"))
       },
       Some(s"""
         WITH e AS (
-          SELECT user_id, event_id, event_type, value, $EPOCH AS ep FROM events
-        ), p AS (
-          SELECT user_id, event_id, ep FROM e WHERE event_type = 'purchase'
-        ), v AS (
-          SELECT user_id, event_id AS view_id, ep AS asof_t, value AS view_value
-          FROM e WHERE event_type = 'view'
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep,
+                 CAST(date_trunc('day', $TS) AS TIMESTAMP) AS day
+          FROM events
+        ), dim AS (
+          SELECT event_type,
+                 CAST(floor(epoch(day)) AS BIGINT) + 86400 AS avail_t,
+                 round(${sqlMoneyAvg("value")}, 6) AS day_avg,
+                 COUNT(*) AS n_day
+          FROM e GROUP BY event_type, day
         )
-        SELECT p.user_id, p.ep, p.event_id,
-               m.asof_t, m.view_id, m.view_value,
-               p.ep - m.asof_t AS gap_sec
-        FROM p LEFT JOIN LATERAL (
-          SELECT asof_t, view_id, view_value FROM v
-          WHERE v.user_id = p.user_id AND v.asof_t <= p.ep
-          ORDER BY asof_t DESC, view_id DESC LIMIT 1) m ON true
-        ORDER BY p.event_id"""),
-      "The third as-of form: small right side folds into per-key sorted " +
+        SELECT e.user_id, e.event_id, e.event_type, e.ep, e.value,
+               m.avail_t AS asof_t, m.day_avg, m.n_day,
+               round(e.value / m.day_avg, 6) AS rel_day
+        FROM e LEFT JOIN LATERAL (
+          SELECT avail_t, day_avg, n_day FROM dim
+          WHERE dim.event_type = e.event_type AND dim.avail_t <= e.ep
+          ORDER BY avail_t DESC LIMIT 1) m ON true
+        ORDER BY event_id"""),
+      "The third as-of form: each event joined to its type's latest " +
+        "PUBLISHED daily reference average (available the following " +
+        "midnight). The right side is a true dimension — |types| x " +
+        "|days|, bounded by the calendar — folded into per-key sorted " +
         "histories that BROADCAST, so the big left side never shuffles " +
         "(the batch analog of the reference's stream-static broadcast " +
-        "join). Same answer as q115/q128, plan-pinned left-shuffle-free."),
+        "join); asOfJoinBroadcast REFUSES data-proportional right sides " +
+        "past maxRightRows. Plan-pinned left-shuffle-free."),
 
-    // ---- q130: forward as-of (next event after) ---------------------------
+    // ---- q130: forward as-of (next event after), big-big native exec ------
     "q130_asof_forward" -> Q(
       (s, d) => {
         val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        // forward tie order: at equal epoch the SMALLEST view_id wins,
+        // so the composite time puts left at (ep, 0) and right at
+        // (ep, id) — right jt >= left jt iff view at-or-after purchase
         val l = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ep"),
             (col("ep") * 10000000L).as("jt"))
         val r = e.filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            col("value").as("view_value"), col("ep").as("view_ep"),
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("value").as("view_value"), col("ep").as("next_t"),
             (col("ep") * 10000000L + col("event_id")).as("jt"))
-        graft.operators.EventOps.asOfJoinBroadcast(l, r, "user_id",
-            "jt", "jt", rCols = Seq("view_ep", "view_id", "view_value"),
-            direction = "forward")
+        graft.operators.EventOps.asOfJoinNative(l, r,
+            "user_id", "v_user", "jt", "jt", direction = "forward")
           .select(col("user_id"), col("ep"), col("event_id"),
-            col("view_ep").as("next_t"), col("view_id"), col("view_value"),
-            (col("view_ep") - col("ep")).as("wait_sec"))
+            col("next_t"), col("view_id"), col("view_value"),
+            (col("next_t") - col("ep")).as("wait_sec"))
           .orderBy(col("event_id"))
       },
       Some(s"""
@@ -729,11 +742,12 @@ object EventQueries {
           WHERE v.user_id = p.user_id AND v.next_t >= p.ep
           ORDER BY next_t ASC, view_id ASC LIMIT 1) m ON true
         ORDER BY p.event_id"""),
-      "Forward as-of through the broadcast form: the FIRST view at or " +
-        "after each purchase (did the user come back, and how long did " +
-        "it take) — the time-reversed direction completing the as-of " +
-        "family alongside q115/q128/q129; nearest is the unit-tested " +
-        "third mode."),
+      "Forward as-of through the NATIVE exec (direction flag on " +
+        "AsOfJoinExec): the FIRST view at or after each purchase (did " +
+        "the user come back, and how long did it take). Big-big safe — " +
+        "one exchange + sort per side, single merge pass with zero " +
+        "retained state in the forward direction, no broadcast size " +
+        "assumption; nearest and the broadcast forms stay unit-tested."),
 
     // ---- q131: cohort retention matrix ------------------------------------
     "q131_cohort_retention" -> Q(

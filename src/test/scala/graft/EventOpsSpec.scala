@@ -78,6 +78,74 @@ class EventOpsSpec extends SparkSuite {
     assert(out("p3") == None, "key with no right rows matches nothing")
   }
 
+  test("asOfJoinNative forward: first at-or-after, shared matches, no-match") {
+    import spark.implicits._
+    // p0@5 and p1@10 both precede v2@12 (shared forward match); p2@7
+    // has a same-time view (>= semantics, ties to FIRST in sort order);
+    // p3's key has only earlier views -> null
+    val ll = Seq((1L, 5L, "p0"), (1L, 10L, "p1"), (2L, 7L, "p2"), (3L, 9L, "p3"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), (col("t") * 100).as("jt"), col("t"), col("tag"))
+    val rr = Seq((1L, 12L, "v2", 0L), (1L, 20L, "v3", 1L),
+      (2L, 7L, "v4", 2L), (2L, 7L, "v5", 3L), (3L, 2L, "v6", 4L))
+      .toDF("k", "t", "vtag", "rid")
+      .select(col("k").as("rk"), (col("t") * 100 + col("rid")).as("jt"),
+        col("t").as("rt"), col("vtag"))
+    val out = EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt",
+        direction = "forward")
+      .select(col("tag"), col("vtag"))
+      .collect().map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out("p0") == Some("v2"))
+    assert(out("p1") == Some("v2"), "two left rows share the same forward match")
+    assert(out("p2") == Some("v4"), "same-time tie resolves to the FIRST right row")
+    assert(out("p3") == None, "no right row at or after -> null")
+  }
+
+  test("asOfJoinNative output survives a direct exchange above the exec") {
+    import spark.implicits._
+    // regression: the exec must emit UnsafeRow — an orderBy placed
+    // immediately above (no projection between) casts rows to UnsafeRow
+    val ll = Seq((1L, 10L, "p")).toDF("k", "jt", "tag")
+    val rr = Seq((1L, 4L, "v")).toDF("rk", "jt", "vtag")
+    val rows = EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt")
+      .orderBy(col("k")).collect()
+    assert(rows.length == 1 && rows.head.getString(5) == "v")
+  }
+
+  test("asOfJoinNative rejects mismatched key/time types at build") {
+    import spark.implicits._
+    val ll = Seq((1, 10L)).toDF("k", "jt")
+    val rr = Seq((1L, 4L)).toDF("rk", "jt")
+    val err = intercept[IllegalArgumentException] {
+      EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt")
+    }
+    assert(err.getMessage.contains("key types differ"))
+  }
+
+  test("asOfJoinBroadcast refuses a right side past maxRightRows") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p")).toDF("k", "lt", "tag")
+    val r = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
+      .toDF("k", "rt", "vtag")
+    val err = intercept[IllegalArgumentException] {
+      EventOps.asOfJoinBroadcast(l, r, "k", "lt", "rt",
+        rCols = Seq("vtag"), maxRightRows = 2L)
+    }
+    assert(err.getMessage.contains("asOfJoinNative"),
+      "refusal must route the caller to the big-big form")
+  }
+
+  test("asOfJoinBroadcast drops null right times (no spurious forward match)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p")).toDF("k", "lt", "tag")
+    val r = Seq((1L, Some(7L), "early"), (1L, None, "ghost"))
+      .toDF("k", "rt", "vtag")
+    val fwd = EventOps.asOfJoinBroadcast(l, r, "k", "lt", "rt",
+        rCols = Seq("vtag"), direction = "forward").head()
+    assert(fwd.isNullAt(3) && fwd.isNullAt(4),
+      "a null-time right row must not masquerade as a forward match")
+  }
+
   test("asOfJoinBroadcast directions: backward, forward, nearest with tie->backward") {
     import spark.implicits._
     val l = Seq((1L, 10L, "p")).toDF("k", "lt", "tag")

@@ -296,6 +296,29 @@ class PlanSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("q130 forward as-of plans the native exec, one exchange+sort per side") {
+    val df = SparkEntry.queries("q130_asof_forward")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"must plan the custom exec:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastExchange"),
+      "big-big forward as-of must not assume a broadcastable side")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n${p.take(2000)}")
+    assert(df.count() > 0)
+  }
+
+  test("q129 broadcasts only the calendar-bounded dimension; left never shuffles") {
+    val df = SparkEntry.queries("q129_asof_broadcast")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    // the ONLY hash exchanges belong to the |types|x|days| dimension
+    // build (daily agg + per-key history fold); the event side reaches
+    // the join shuffle-free (orderBy adds a range exchange only)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"only the dimension side may hash-shuffle, got $hashExchanges:\n${p.take(2000)}")
+  }
+
   test("broadcast as-of join never shuffles the left side") {
     val e = Tables.events(spark, sf("0.001"))
       .withColumn("ep", unix_timestamp(col("ts")))
