@@ -21,10 +21,13 @@ import org.apache.spark.sql.SparkSession
   *  - each query runs once UNTIMED immediately before its timed run,
   *    so JIT/codegen/classloader and file-cache warm-up land in the
   *    warm-up, not the measurement (set SPARK_GRAFT_WARMUP=0 to skip);
-  *  - the JSON line puts "value" (the total) LAST, so a consumer that
-  *    truncates the head of the line keeps the per-query map and one
-  *    that truncates the tail still usually keeps it — and the total
-  *    can no longer be lost to tail truncation of the queries map. */
+  *  - the FINAL line is total-only and stays far under any tail-capture
+  *    window: at 134+ queries the combined line overflowed the
+  *    consumer's ~4 kB tail and parsed as null two rounds running. The
+  *    full per-query map now prints on separate PRECEDING lines
+  *    ("metric":"queries_part", ~1.5 kB chunks, each valid standalone
+  *    JSON), so a tail capture of any width keeps a parseable total and
+  *    a full-log consumer recovers every per-query number. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,14 +62,16 @@ object Bench {
           name -> -1.0
       }
     }
-    // ms precision keeps the whole line under the consumer's ~4 kB tail
-    // capture (full-precision doubles pushed it past the window and the
-    // head of the JSON line was lost)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val entries = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // per-query map first, chunked so every line is small standalone JSON
+    val chunks = entries.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${fmt(total)}}""")
+    val crashed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"queries":{},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -143,21 +143,32 @@ object Multimodal {
   /** Banded near-duplicate pairs over binary payloads — the multimodal
     * member of the dedup family (image/audio near-dup in a production
     * pipeline). Signatures from [[chunkSignature]]; candidates must
-    * share at least one of `bands` 16-bit bands (the SimHash pigeonhole:
-    * any pair within `maxHamming` ≤ bands−1 differing bands is found);
-    * survivors keep integer Hamming distance ≤ `maxHamming`.
+    * share at least one signature band (the SimHash pigeonhole: a pair
+    * differing in at most bands−1 bits cannot differ in every band, so
+    * FULL recall requires bands > maxHamming). The band count adapts to
+    * the threshold: maxHamming ≤ 3 uses 4 × 16-bit bands (sparse
+    * buckets — the scale-friendly cut), ≤ 7 uses 8 × 8-bit bands
+    * (denser buckets, more candidates to verify); beyond 7 the 64-bit
+    * signature cannot band losslessly and the call is refused.
+    * Survivors keep integer Hamming distance ≤ `maxHamming`.
     *
     * Scale shape: the signature is a pure projection; the band
     * candidate join is an 8-byte-key equi-join (never payload×payload);
     * Hamming is one xor+popcount per candidate. Payload bytes never
     * shuffle. Output: (a_id, b_id, hamming). */
   def phashNearDup(df: DataFrame, id: String, payload: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 7,
+      "phashNearDup: a 64-bit signature bands losslessly only up to " +
+        "maxHamming 7 (8 x 8-bit bands)")
+    val nBands = if (maxHamming < 4) 4 else 8
+    val bandBits = 64 / nBands
+    val bandMask = (1L << bandBits) - 1L
     val sigs = df.select(col(id).as("mid"),
       chunkSignature(col(payload)).as("sig"))
     val bands = sigs.select(col("mid"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("bv", expr("(sig >> (k * 16)) & 65535"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("k"))
+      .withColumn("bv", expr(s"(sig >> (k * $bandBits)) & $bandMask"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
         col("a.mid") < col("b.mid"))

@@ -1074,11 +1074,16 @@ object TextAnalysis {
     }
 
   /** The merged per-stratum winners over everything
-    * [[weightedSampleIngest]] landed — drop-in for [[weightedSample]]. */
+    * [[weightedSampleIngest]] landed — drop-in for [[weightedSample]].
+    * Deltas are deduped first (the kmvMergedEstimate discipline): an id
+    * re-ingested across batches lands identical (by, id, w, key) rows —
+    * the clock is content-derived — and without distinct() one id could
+    * occupy several of the k reservoir slots, breaking the streamed ==
+    * one-shot-batch contract. */
   def weightedSampleMerged(spark: org.apache.spark.sql.SparkSession,
       prefix: String, id: String, by: String, k: Int): DataFrame =
     sampleBottomK(spark.table(s"${prefix}_deltas")
-      .select(col(by), col(id), col("w"), col("key")), id, by, k)
+      .select(col(by), col(id), col("w"), col("key")).distinct(), id, by, k)
 
   /** Heaps-law vocabulary growth curve: cumulative distinct-token count
     * as a function of cumulative corpus size, at `nBuckets` id-range

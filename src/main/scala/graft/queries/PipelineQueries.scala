@@ -132,7 +132,10 @@ object PipelineQueries {
       (s, d) => {
         import graft.operators.Multimodal
         val media = Multimodal.ingestText(Tables.documents(s, d), "doc_id", "text")
-        Multimodal.phashNearDup(media, "doc_id", "payload", maxHamming = 6)
+        // maxHamming 3 rides the 4 x 16-bit banding: bands > maxHamming,
+        // so the pigeonhole recall guarantee is total (a 6-bit radius
+        // would auto-switch to 8 x 8-bit bands — denser buckets)
+        Multimodal.phashNearDup(media, "doc_id", "payload", maxHamming = 3)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some("""
@@ -158,12 +161,13 @@ object PipelineQueries {
             ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
         )
         SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
+        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
         ORDER BY a_id, b_id"""),
       "Multimodal dedup: perceptual-hash-shaped 64-bit chunk-parity " +
         "signature over binary payloads (DCT stubbed, locality real), " +
-        "16-bit-band candidate generation, integer Hamming verify. " +
-        "Signatures are a projection; candidates come from an " +
+        "16-bit-band candidate generation with bands > maxHamming so " +
+        "the pigeonhole recall guarantee is total, integer Hamming " +
+        "verify. Signatures are a projection; candidates come from an " +
         "8-byte-key equi-join — payload bytes never shuffle.")
   )
 }

@@ -49,23 +49,29 @@ object SimilarityQueries {
         "doc_id", "text", chunkSize = 32, stride = 24)
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
     // content-derived stub chunk embedding (no model in the sandbox;
-    // the q60 pattern): dim j = 52-bit md5 prefix of "hash:j" / 2^52
+    // the q60 pattern): ONE md5 per chunk, dim j = hex digits
+    // [4j+1..4j+4] / 2^16 — eight substrings of one digest, not eight
+    // digests (the hash stage is the corpus-wide hot loop at scale)
     def enc(h: org.apache.spark.sql.Column) = array((0 until 8).map(j =>
-      conv(substring(md5(concat(h, lit(s":$j"))), 1, 13), 16, 10)
-        .cast("double") / lit(4503599627370496.0)): _*)
+      conv(substring(h, 1 + 4 * j, 4), 16, 10)
+        .cast("double") / lit(65536.0)): _*)
     val embedded = chunks.withColumn("emb", enc(col("h")))
     val probes = embedded.filter(col("doc_id") < 5 && col("chunk_idx") === 0)
       .select(col("doc_id").as("q_id"), col("emb").as("p_vec"))
+    // provenance rides INSIDE the target id — 1e6 chunk space per doc
+    // (stride-24 chunks collide only past a 24M-word document), decoded
+    // arithmetically after scoring, so no corpus-wide join-back and the
+    // chunk+embed pipeline is planned once on the target side (the
+    // probe branch prunes to the 5 query docs at the scan)
     val targets = embedded.select(
-      // 1e6 chunk space per doc: stride-24 chunks collide only past
-      // a 24M-word document (1000 would collide at 24k words)
       (col("doc_id") * 1000000L + col("chunk_idx")).as("t_id"),
-      col("doc_id"), col("chunk_idx"), col("emb").as("t_vec"))
-    Similarity.topKAuto(probes, "q_id", "p_vec",
-        targets.select(col("t_id"), col("t_vec")), "t_id", "t_vec", k = 3,
-        exactLimit = exactLimit)
-      .join(targets.select(col("t_id"), col("doc_id"), col("chunk_idx")), "t_id")
-      .select(col("q_id"), col("doc_id"), col("chunk_idx"), col("sim"), col("rank"))
+      col("emb").as("t_vec"))
+    Similarity.topKAuto(probes, "q_id", "p_vec", targets, "t_id", "t_vec",
+        k = 3, exactLimit = exactLimit)
+      .select(col("q_id"),
+        floor(col("t_id") / 1000000L).cast("long").as("doc_id"),
+        (col("t_id") % 1000000L).cast("int").as("chunk_idx"),
+        col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -563,8 +569,8 @@ object SimilarityQueries {
         ), emb AS (
           SELECT doc_id, chunk_idx,
                  list_transform(range(0, 8), j ->
-                   CAST(concat('0x', substr(md5(h || ':' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
-                     / 4503599627370496.0) AS e
+                   CAST(concat('0x', substr(h, CAST(j*4 + 1 AS INT), 4)) AS BIGINT)
+                     / 65536.0) AS e
           FROM ch
         ), p AS (
           SELECT doc_id AS q_id, e AS pv FROM emb WHERE doc_id < 5 AND chunk_idx = 0

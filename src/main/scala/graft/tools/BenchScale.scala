@@ -108,6 +108,7 @@ object BenchScale {
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
     "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif",
+    "q128_asof_native", "q129_asof_broadcast", "q130_asof_forward",
     "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
     "q135_corr_matrix", "q136_benford_audit", "q137_cusum_changepoint")
 
@@ -124,6 +125,7 @@ object BenchScale {
     "q99_hard_negatives", "q100_substring_spans", "q101_substring_clean",
     "q116_dsir_weights", "q117_prototypicality", "q118_kmv_distinct",
     "q119_exact_quantiles", "q121_phash_neardup", "q122_ts_motif",
+    "q128_asof_native", "q129_asof_broadcast", "q130_asof_forward",
     "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
     "q137_cusum_changepoint")
 

@@ -873,6 +873,11 @@ class StreamingSpec extends SparkSuite {
       for (chunk <- rows.grouped(rows.length / 4 + 1)) {
         input.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
+      // re-ingest the head chunk: duplicate arrivals land identical
+      // clock rows and must NOT occupy extra reservoir slots (merge
+      // dedupes deltas before re-ranking)
+      input.addData(rows.take(rows.length / 4 + 1).toSeq: _*)
+      q.processAllAvailable()
       q.stop()
       val streamed = TextAnalysis.weightedSampleMerged(
           spark, prefix, "doc_id", "source", k = 5)
