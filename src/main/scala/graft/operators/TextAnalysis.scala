@@ -97,6 +97,21 @@ object TextAnalysis {
   def blocklistPattern(words: Seq[String]): String =
     words.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
 
+  /** Single-pass multi-pattern blocklist scrub
+    * ([[graft.plans.BlocklistScan]]): ONE trie-guided walk of the text
+    * yields both the non-overlapping leftmost-longest match count and
+    * the redacted text — scan cost independent of the blocklist size,
+    * where the [[blocklistPattern]] alternation re-tries every pattern
+    * at every position (the 100 TB PII-scrub shape is thousands of
+    * patterns). Returns struct<n_hits:int, redacted:string>; equals
+    * regex `\b(...)\b` with alternatives ordered longest-first. */
+  def blocklistScan(df: DataFrame, text: Column, patterns: Seq[String],
+      replacement: String = "[REDACTED]"): Column = {
+    graft.plans.TextExpressions.register(df.sparkSession)
+    call_function("blocklist_scan", text,
+      lit(patterns.toArray), lit(replacement))
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles appear anywhere in the benchmark set.
     * Output: (id, n_sh, n_hits, overlap_frac) for EVERY corpus doc

@@ -507,6 +507,94 @@ case class ChunkWords(child: Expression, size: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** Single-pass multi-pattern blocklist scan — the Aho–Corasick-shaped
+  * trie scan that replaces per-pattern regex alternation for PII/
+  * bad-word scrubbing. One walk over the text; at each word boundary
+  * the pattern TRIE is probed for the longest boundary-delimited match
+  * (leftmost-longest, non-overlapping — RE2 semantics, and what a
+  * length-desc-ordered alternation gives a leftmost-first engine); a
+  * probe aborts on the first byte with no trie edge, so scan cost is
+  * O(text) and INDEPENDENT of the pattern count — a 10× larger
+  * blocklist costs the same pass, where the alternation form re-tries
+  * every alternative at every position.
+  *
+  * Boundary semantics are ASCII \b (word char = [0-9A-Za-z_], the
+  * Java-regex and RE2 default): a match must have a word/non-word
+  * transition on both flanks. Bytes ≥ 0x80 count as non-word — exact
+  * regex parity on ASCII text and patterns (the blocklist contract).
+  * Multi-word phrase patterns ("credit card") work and outrank their
+  * word prefixes by the longest-match rule.
+  *
+  * Returns struct<n_hits:int, redacted:string> from the same pass —
+  * count and scrubbed text without a second scan. */
+case class BlocklistScan(child: Expression, patterns: Seq[String],
+    repl: String) extends UnaryExpression with CodegenFallback {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "blocklist_scan: patterns must be non-empty")
+  override def prettyName: String = "blocklist_scan"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  // flat byte trie: children(node)(byte) = next node or -1; terminal
+  // marks a complete pattern. Built once per expression instance
+  // (driver + one rebuild per executor on deserialize), size = total
+  // pattern bytes — never per row.
+  @transient private lazy val (trieChildren, trieTerminal) = {
+    val ch = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
+    val term = scala.collection.mutable.ArrayBuffer(false)
+    patterns.foreach { p =>
+      var node = 0
+      p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        val k = b & 0xFF
+        if (ch(node)(k) < 0) {
+          ch(node)(k) = ch.size
+          ch += Array.fill(256)(-1)
+          term += false
+        }
+        node = ch(node)(k)
+      }
+      term(node) = true
+    }
+    (ch.toArray, term.toArray)
+  }
+  @transient private lazy val replBytes =
+    repl.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def isWord(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+      (b >= 'a' && b <= 'z') || b == '_'
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String].getBytes
+    val n = t.length
+    val out = new java.io.ByteArrayOutputStream(n)
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      var best = -1
+      // \b before the match: word/non-word transition into byte i
+      if ((i > 0 && isWord(t(i - 1))) != isWord(t(i))) {
+        var node = 0
+        var j = i
+        while (node >= 0 && j < n) {
+          node = trieChildren(node)(t(j) & 0xFF)
+          j += 1
+          if (node >= 0 && trieTerminal(node) &&
+              isWord(t(j - 1)) != (j < n && isWord(t(j)))) best = j
+        }
+      }
+      if (best > i) { hits += 1; out.write(replBytes, 0, replBytes.length); i = best }
+      else { out.write(t(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hits, UTF8String.fromBytes(out.toByteArray)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -554,6 +642,13 @@ object TextExpressions {
       "window_md5s",
       exprs => WindowMd5s(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "blocklist_scan",
+      exprs => BlocklistScan(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType).map(_.toString).toSeq,
+        exprs(2).eval().asInstanceOf[UTF8String].toString),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5",

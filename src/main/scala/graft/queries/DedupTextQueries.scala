@@ -14,6 +14,14 @@ object DedupTextQueries {
 
   /** DuckDB: whitespace tokens of text. */
   private val W = "string_split(text, ' ')"
+
+  /** q138's blocklist: 20 patterns over the corpus vocabulary, with
+    * multi-word phrases nesting their own word prefixes so the
+    * leftmost-longest rule is actually exercised. */
+  private[queries] val BigBlocklist = Seq(
+    "hash join", "hash", "merge join", "merge", "window agg", "window",
+    "sort", "group", "stream", "scan", "filter", "batch", "customer",
+    "vector", "spark", "value", "order", "data", "column", "key")
   /** DuckDB: distinct 3-word shingles (mirrors TextFunctions.shingles). */
   private val Shingles3 =
     s"list_distinct(list_transform(range(1, len($W) - 1), i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2]))"
@@ -239,11 +247,12 @@ object DedupTextQueries {
     // ---- q52: blocklist scan + redaction (PII machinery) ------------------
     "q52_blocklist_scan" -> Q(
       (s, d) => {
-        val pat = TextAnalysis.blocklistPattern(Seq("customer", "vector", "spark"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          TextAnalysis.patternCount(col("text"), pat).as("n_hits"),
-          md5(TextAnalysis.redact(col("text"), pat, "[X]")).as("redacted_md5"))
+        val docs = Tables.documents(s, d)
+        val sc = TextAnalysis.blocklistScan(docs, col("text"),
+          Seq("customer", "vector", "spark"), "[X]")
+        docs.select(col("doc_id"),
+          sc.getField("n_hits").as("n_hits"),
+          md5(sc.getField("redacted")).as("redacted_md5"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -252,8 +261,40 @@ object DedupTextQueries {
           md5(regexp_replace(text, '\b(customer|vector|spark)\b', '[X]', 'g')) AS redacted_md5
         FROM documents
         ORDER BY doc_id"""),
-      "Blocklist/PII scrub: regex scan + redaction as pure projections; " +
-        "planted-PII patterns exercised in TextAnalysisSpec."),
+      "Blocklist/PII scrub through the single-pass trie expression " +
+        "(BlocklistScan): count + redaction from one walk, cost " +
+        "independent of the blocklist size — hash-equal to the regex " +
+        "alternation oracle; planted-PII patterns in TextAnalysisSpec."),
+
+    // ---- q138: large-blocklist trie scrub with phrase patterns ------------
+    "q138_blocklist_trie" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 20 patterns including multi-word phrases that NEST their
+        // word prefixes — leftmost-longest must pick the phrase
+        val sc = TextAnalysis.blocklistScan(docs, col("text"),
+          DedupTextQueries.BigBlocklist, "[X]")
+        docs.select(col("doc_id"),
+          sc.getField("n_hits").as("n_hits"),
+          md5(sc.getField("redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // leftmost-first + longest-first alternation == the trie's
+        // leftmost-longest
+        val alt = DedupTextQueries.BigBlocklist
+          .sortBy(p => (-p.length, p)).mkString("|")
+        s"""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\\b($alt)\\b')) AS INT) AS n_hits,
+          md5(regexp_replace(text, '\\b($alt)\\b', '[X]', 'g')) AS redacted_md5
+        FROM documents
+        ORDER BY doc_id"""
+      },
+      "The scale form of q52: a 20-pattern blocklist with nested " +
+        "multi-word phrases (hash join > hash) through one trie walk " +
+        "per document — the pass the alternation form re-runs per " +
+        "pattern. 10x the blocklist = the same scan."),
 
     // ---- q53: dup clusters (connected components + canonical keep) --------
     "q53_dup_clusters" -> Q(

@@ -43,6 +43,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(n2 == 1)
   }
 
+  test("blocklistScan: one-pass trie scrub, leftmost-longest, boundary-exact") {
+    def scan(text: String, pats: Seq[String]) = {
+      val df = Seq((1L, text)).toDF("id", "text")
+      val sc = TextAnalysis.blocklistScan(df, col("text"), pats, "[X]")
+      val r = df.select(sc.getField("n_hits"), sc.getField("redacted")).head
+      (r.getInt(0), r.getString(1))
+    }
+    // phrase outranks its nested word prefix; invalid end boundary
+    // falls back to the shorter valid match; mid-word never matches
+    assert(scan("hash join hash joinx rehash",
+        Seq("hash join", "hash", "join")) == (2, "[X] [X] joinx rehash"))
+    // punctuation and string edges are boundaries; count matches regex
+    assert(scan("spark, spark.x sparkly spark",
+        Seq("spark")) == (3, "[X], [X].x sparkly [X]"))
+    // phrase at end-of-string; overlapping phrase candidates resolve
+    // non-overlapping left to right
+    assert(scan("merge join", Seq("merge join", "join")) == (1, "[X]"))
+    assert(scan("", Seq("x")) == (0, ""))
+    // parity with the longest-first regex alternation on a busy line
+    val text = "hash join hash merge join window agg window sort key.key"
+    val pats = Seq("hash join", "hash", "merge join", "window agg",
+      "window", "sort", "key")
+    val alt = pats.sortBy(p => (-p.length, p))
+      .map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val viaRegex = df.select(
+      TextAnalysis.patternCount(col("text"), alt),
+      TextAnalysis.redact(col("text"), alt, "[X]")).head
+    assert(scan(text, pats) == (viaRegex.getInt(0), viaRegex.getString(1)))
+  }
+
   test("TF-IDF ranks a document's rare term above corpus-common terms") {
     val corpus = (0 until 20).map(i => (i.toLong, "common words everywhere")) :+
       (99L, "common words everywhere plus zyzzyva")
