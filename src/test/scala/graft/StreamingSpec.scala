@@ -8,6 +8,28 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{FrameEvent, FrameMessages, ReorderBuffer, SauronPipeline}
 
+/** File-backed chunked-arrival plumbing shared by the kill-and-resume
+  * tests: each chunk lands as one parquet file whose mtime forces the
+  * file source's arrival order. */
+private[graft] object RestartHarness {
+  import scala.jdk.CollectionConverters._
+  def rmTree(p: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+  def writeChunk(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, i: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_rck_w$i")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = dir.resolve(f"c$i%02d.parquet")
+    java.nio.file.Files.move(part, dest)
+    dest.toFile.setLastModified(60000L * (i + 1))
+    rmTree(tmp)
+  }
+}
+
 /** Streaming semantics (SURVEY.md §2.11): per-key reorder with bounded
   * state, watermarked windows on MemoryStream, and the full pipeline
   * topology batch + stream. */
@@ -1091,5 +1113,223 @@ class StreamingSpec extends SparkSuite {
     val got = spark.table("ss_join_out").collect()
     assert(got.length == 1, s"exactly the in-interval same-camera pair joins, got ${got.length}")
     assert(got.head.getInt(0) == 0 && got.head.getDouble(3) == 20.5)
+  }
+
+  test("kmvIngest resumes from a checkpoint: resumed == uninterrupted == batch") {
+    // kill the stream mid-corpus, let new chunks arrive while it is
+    // down, restart with the SAME checkpoint — the merged estimate must
+    // equal the one-shot batch estimate (delta partitions are keyed by
+    // batch id, so a replayed batch overwrites itself)
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvck_src")
+    val ck = java.nio.file.Files.createTempDirectory("graft_kmvck_ck")
+    val prefix = "graft_kmvck"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val all = Tables.events(spark, sf("0.001"))
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      def chunk(i: Int) = all
+        .filter(col("event_id") % 4 === i).drop("event_id")
+      def start() = spark.readStream
+        .schema("event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(Sketches.kmvIngest("event_type", "user_id", prefix, k = 32))
+        .start()
+      (0 until 2).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed mid-corpus; chunks 2-3 arrive while it is down
+      (2 until 4).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val resumed = Sketches.kmvMergedEstimate(spark, prefix, "event_type", k = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      val batch = Sketches.kmvEstimateFrom(
+          Sketches.kmvHashes(all.drop("event_id"), "event_type", "user_id", k = 32),
+          "event_type", k = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(resumed.nonEmpty && resumed == batch,
+        "resumed merge must equal the one-shot batch estimate")
+    } finally {
+      Catalog.dropTables(spark, prefix)
+      RestartHarness.rmTree(dir); RestartHarness.rmTree(ck)
+    }
+  }
+
+  test("bm25Ingest resumes from a checkpoint: postings answer like the batch index") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmck_src")
+    val ck = java.nio.file.Files.createTempDirectory("graft_bmck_ck")
+    val prefix = "graft_bmck"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("text"))
+      def start() = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(Retrieval.bm25Ingest("doc_id", "text", prefix))
+        .start()
+      def chunk(i: Int) = docs.filter(col("doc_id") % 4 === i)
+      (0 until 2).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed mid-corpus
+      (2 until 4).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      Retrieval.bm25RefreshStats(spark, prefix)
+      val terms = docs.orderBy(col("doc_id")).head().getString(1)
+        .split(" ").distinct.take(3)
+      val queries = terms.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("q_id", "term")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val resumed = norm(Retrieval.bm25TopKIndexed(spark, prefix,
+        queries, "q_id", "term", k = 10))
+      val batch = norm(Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "q_id", "term", k = 10))
+      assert(resumed.nonEmpty && resumed == batch,
+        "resumed postings must answer identically to the batch index")
+    } finally {
+      Catalog.dropTables(spark, prefix)
+      RestartHarness.rmTree(dir); RestartHarness.rmTree(ck)
+    }
+  }
+
+  test("funnelUsersIngest resumes its keyed state from a checkpoint") {
+    // the state-store restart proof: per-user FunnelState lives in the
+    // checkpoint, so killing the query between time slices and resuming
+    // must reach exactly the batch funnel depths — no user reset, no
+    // double-count
+    import graft.operators.EventOps
+    import scala.collection.mutable
+    val dir = java.nio.file.Files.createTempDirectory("graft_fnck_src")
+    val ck = java.nio.file.Files.createTempDirectory("graft_fnck_ck")
+    val steps = Seq("view", "click", "purchase")
+    try {
+      val all = Tables.events(spark, sf("0.001"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ep"))
+      // chunks cut by TIME so per-user arrival order holds across
+      // batches (the ingest contract; disorder composes with
+      // ReorderBuffer — see the next test)
+      val cuts = all.stat.approxQuantile("ep", Array(0.25, 0.5, 0.75), 0.0)
+        .map(_.toLong)
+      def chunk(i: Int) = {
+        val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+        val hi = if (i == 3) Long.MaxValue else cuts(i)
+        all.filter(col("ep") >= lo && col("ep") < hi)
+      }
+      val updates = mutable.Map[Long, (Int, Long, Long)]()
+      def start() = EventOps.funnelUsersIngest(
+          spark.readStream
+            .schema("user_id BIGINT, event_type STRING, ep BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dir.toString)
+            .withColumn("ts", timestamp_seconds(col("ep"))),
+          "user_id", "event_type", "ts", steps, horizonSec = 86400L)
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => updates(r.getLong(0)) =
+            (r.getInt(1), r.getLong(2), r.getLong(3)))
+        }
+        .start()
+      (0 until 2).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed between time slices; the rest arrives while down
+      (2 until 4).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val batch = EventOps.funnelUsers(
+          all.withColumn("ts", timestamp_seconds(col("ep"))),
+          "user_id", "event_type", "ts", steps, horizonSec = 86400L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(updates.nonEmpty && updates.toMap == batch,
+        s"resumed funnel state must reach batch depths: " +
+          s"${updates.size} streamed vs ${batch.size} batch users")
+    } finally { RestartHarness.rmTree(dir); RestartHarness.rmTree(ck) }
+  }
+
+  test("disordered stream -> ReorderBuffer -> funnel equals the batch funnel") {
+    // the composition the funnel ingest's contract names: cross-batch
+    // per-user time order restored by the reorder buffer, then the
+    // keyed-state funnel — streamed depths equal the order-independent
+    // batch funnel over the same events
+    import graft.operators.EventOps
+    import scala.collection.mutable
+    implicit val sqlCtx = spark.sqlContext
+    // 3 users x 30 in-order events (view->click->purchase cycles with
+    // filler); frameNum IS the per-user sequence/time axis
+    val types = Seq("view", "noise", "click", "noise", "purchase", "view")
+    val ordered = for (u <- 0 until 3; i <- 0 until 30) yield
+      FrameEvent(u, i.toLong, 1000L + i, types(i % types.size))
+    // bounded disorder: swap adjacent pairs within each user (window 2)
+    val disordered = ordered.grouped(2).flatMap(_.reverse).toSeq
+    // sentinels flush the reorder tail (ignored by the funnel)
+    val sentinels = for (u <- 0 until 3; i <- 30 until 40) yield
+      FrameEvent(u, i.toLong, 1000L + i, "noise")
+    val input = MemoryStream[FrameEvent]
+    val emitted = mutable.ArrayBuffer[(Long, Seq[FrameEvent])]()
+    val q = ReorderBuffer.reorder(input.toDS(), emitThreshold = 8, maxBuffer = 12)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FrameEvent], id: Long) =>
+        val rows = b.collect().toSeq
+        if (rows.nonEmpty) emitted.synchronized { emitted += id -> rows }; ()
+      }
+      .start()
+    for (chunk <- (disordered ++ sentinels).grouped(15)) {
+      input.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // per-user emission order must be frameNum order (reorder worked)
+    emitted.flatMap(_._2).groupBy(_.camera).foreach { case (_, evs) =>
+      assert(evs.map(_.frameNum) == evs.map(_.frameNum).sorted,
+        "reorder must emit each user's events in order")
+    }
+    // stage 2: replay the reordered emissions, batch-aligned, into the
+    // keyed-state funnel
+    val steps = Seq("view", "click", "purchase")
+    val f2 = MemoryStream[(Long, String, Long)]
+    val depths = mutable.Map[Long, Int]()
+    val q2 = EventOps.funnelUsersIngest(
+        f2.toDF().toDF("user_id", "event_type", "ep")
+          .withColumn("ts", timestamp_seconds(col("ep"))),
+        "user_id", "event_type", "ts", steps)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => depths(r.getLong(0)) = r.getInt(1)); ()
+      }
+      .start()
+    for ((_, rows) <- emitted.sortBy(_._1)) {
+      f2.addData(rows.map(e => (e.camera.toLong, e.payload, e.epochMs)): _*)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val batch = EventOps.funnelUsers(
+        ordered.map(e => (e.camera.toLong, e.payload, e.epochMs))
+          .toDF("user_id", "event_type", "ep")
+          .withColumn("ts", timestamp_seconds(col("ep"))),
+        "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths.nonEmpty && depths.toMap == batch,
+      s"reorder+funnel must equal the batch funnel: $depths vs $batch")
   }
 }
