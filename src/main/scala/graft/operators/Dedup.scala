@@ -70,6 +70,63 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard ≥ threshold WITHOUT blocking — the prefix
+    * filter of the All-Pairs / PPJoin family (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08): order every document's shingles by global
+    * rarity (document frequency asc, hash asc — one shared total
+    * order), keep only the first |A| − ⌈t·|A|⌉ + 1 of each document
+    * ("the prefix"), and generate candidates by equi-joining PREFIXES.
+    * Any pair with Jaccard ≥ t has overlap ≥ ⌈t·|A|⌉, so by pigeonhole
+    * it shares at least one prefix element — candidate generation is
+    * LOSSLESS, and the exact verify (set intersection of the two hash
+    * signatures, candidates only) makes the result identical to the
+    * quadratic all-pairs join. The exact complement of [[lshNearDup]]
+    * (probabilistic recall) and [[jaccardPairs]] (needs a blocking
+    * key): rare-first prefixes mean candidates must share a RARE
+    * shingle, so the pair space collapses at corpus scale while
+    * common shingles ("the quick") never generate candidates.
+    *
+    * Scale shape: shingles are 8-byte hashes end to end; one shuffle
+    * for document frequency, one per-doc window for the prefix cut,
+    * one equi-join on the (rare) prefix hashes, and a per-candidate
+    * array intersection — never a doc×doc pair space. The ceil is
+    * epsilon-relaxed so float rounding can only LENGTHEN a prefix
+    * (extra candidates), never shorten it (lost pairs).
+    *
+    * Output: (a_id, b_id, inter, uni, jaccard), exact. */
+  def prefixJaccardPairs(docs: DataFrame, id: String, text: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "prefixJaccardPairs: threshold must be in (0, 1]")
+    TextExpressions.register(docs.sparkSession)
+    // localCheckpoint: the signature relation feeds three arms (df,
+    // prefix, verify) — same diamond rationale as jaccardPairs
+    val hashed = docs.select(col(id).as("doc"),
+        call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+      .localCheckpoint()
+    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
+    val sh = hashed.select(col("doc"), explode(col("shs")).as("shingle"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("freq"), col("shingle"))
+    val prefix = sh.join(df, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc")
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
+      .select(col("doc"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a_id"), col("b.doc").as("b_id")).distinct()
+    cand
+      .join(hashed.select(col("doc").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(hashed.select(col("doc").as("b_id"), col("shs").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
+  }
+
   /** Cross-source duplicate-overlap matrix — the corpus diagnostic that
     * tells you which sources are copies of each other before you start
     * mixing them: for every pair of sources, how many distinct n-gram

@@ -565,7 +565,16 @@ object Similarity {
     ensureRegistered(vecs)
     val spark = vecs.sparkSession
     import spark.implicits._
+    // re-spread the training input before persisting: the canonical
+    // caller feeds a sort().limit() sample (topKAuto/pqCodebooks), and a
+    // global limit collapses to ONE partition — every assignment pass
+    // (k×d×n FMAs, the training hot loop) would then run single-threaded
+    // (measured: 14.7 s of a 20 s q93 at 100× before this). The sample
+    // is bounded by contract, so the extra shuffle is noise; k-means
+    // math here is grid-snapped decimal — partitioning cannot change
+    // the trained model.
     val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] =
       data.orderBy(col("vid")).limit(k).collect()

@@ -89,6 +89,38 @@ object DedupTextQueries {
         ORDER BY a_id, b_id"""),
       "Exact 3-shingle Jaccard, blocked by source to bound the pair space."),
 
+    // ---- q139: exact all-pairs Jaccard via prefix filtering ---------------
+    "q139_prefix_jaccard" -> Q(
+      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, threshold = 0.02)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id AS doc, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc)
+        SELECT a_id, b_id, inter,
+               sa.n_sh + sb.n_sh - inter AS uni,
+               CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = a_id
+        JOIN sizes sb ON sb.doc = b_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ORDER BY a_id, b_id"""),
+      "EXACT all-pairs Jaccard with NO blocking key: All-Pairs/PPJoin " +
+        "prefix filtering — rare-first global shingle order, per-doc " +
+        "prefix cut, candidates only from shared RARE prefix hashes, " +
+        "exact array-intersection verify on candidates. Hash-equal to " +
+        "the quadratic oracle (lossless candidate generation by " +
+        "pigeonhole) while the pair space never materializes — the " +
+        "exact complement of the LSH recall family."),
+
     // ---- q42: token statistics / quality scoring -------------------------
     "q42_text_stats" -> Q(
       (s, d) => {

@@ -147,11 +147,17 @@ object BenchScale {
     // noop-sink write, not count(): count() join-eliminates and
     // column-prunes subtrees (see Bench's scaladoc), which at 100×
     // silently measured nothing for the apply-shaped queries
+    // per-query warm-up (the Bench methodology): one untimed run right
+    // before the timed one, so codegen/JIT/page-cache cold starts land
+    // in the warm-up — single cold runs at mult=100 wobbled up to 2.5×
+    // between captures (GC + cache state), which swamped real slope
+    // changes
     def time(name: String, dir: String): Double = {
+      def run(): Unit = graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      try { run() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { graft.SparkEntry.queries(name)(spark, dir)
-              .write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - t0) / 1e9 }
+      try { run(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[benchscale] $name @ $dir failed: ${e.getMessage}"); -1.0 }
     }

@@ -20,6 +20,38 @@ class DedupSpec extends SparkSuite {
     assert(missed.isEmpty, s"minhash LSH missed high-sim pairs: $missed")
   }
 
+  test("prefixJaccardPairs is lossless at a high threshold (short prefixes)") {
+    import spark.implicits._
+    // at t = 0.5 the prefix keeps only ~half of each doc's shingles, so
+    // the filter genuinely prunes — yet candidate generation must still
+    // surface EVERY qualifying pair (pigeonhole), including pairs whose
+    // shared shingles are the corpus-common ones (worst case for a
+    // rare-first order)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, base),                                      // original
+      (2L, base),                                      // exact copy (j=1)
+      (3L, (1 to 40).map(i => if (i % 4 == 0) s"x$i" else s"w$i").mkString(" ")),
+      (4L, (1 to 20).map(i => s"w$i").mkString(" ")),  // prefix half
+      (5L, (1 to 40).map(i => s"z$i").mkString(" ")))  // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(rows, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // brute-force oracle over the same shingle sets
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(expect.nonEmpty && got == expect,
+      s"prefix filter must find exactly the brute-force pairs: $got vs $expect")
+  }
+
   test("ShingleHashes matches the declarative shingle form (distinct count)") {
     graft.plans.TextExpressions.register(spark)
     val cmp = docs.select(
