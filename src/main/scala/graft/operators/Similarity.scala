@@ -565,24 +565,49 @@ object Similarity {
     ensureRegistered(vecs)
     val spark = vecs.sparkSession
     import spark.implicits._
-    // re-spread the training input before persisting: the canonical
-    // caller feeds a sort().limit() sample (topKAuto/pqCodebooks), and a
-    // global limit collapses to ONE partition — every assignment pass
-    // (k×d×n FMAs, the training hot loop) would then run single-threaded
-    // (measured: 14.7 s of a 20 s q93 at 100× before this). The sample
-    // is bounded by contract, so the extra shuffle is noise; k-means
-    // math here is grid-snapped decimal — partitioning cannot change
-    // the trained model.
-    val data = vecs.select(col(id).as("vid"), col(vec).as("v"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // re-spread the training input before persisting IF it arrives
+    // under-partitioned: the canonical caller feeds a sort().limit()
+    // sample (topKAuto/pqCodebooks), and a global limit collapses to
+    // ONE partition — every assignment pass (k×d×n FMAs, the training
+    // hot loop) then runs single-threaded (measured: 14.7 s of a 20 s
+    // q93 at 100× before this). Guarded on the ACTUAL partition count
+    // because an unconditional repartition taxes every small
+    // well-partitioned trainer with shuffle + 32-task scheduling per
+    // pass (+0.6-1.6 s each on q61/q72/q73/q76/q87 at sf0.1, measured).
+    // k-means math is grid-snapped decimal — partitioning cannot
+    // change the trained model either way.
+    val src = vecs.select(col(id).as("vid"), col(vec).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = src.count()
     var centroids: Seq[(Int, Seq[Double])] =
-      data.orderBy(col("vid")).limit(k).collect()
+      src.orderBy(col("vid")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     // fewer than k inputs would silently train a smaller model than the
     // promised k cells — downstream PQ/IVF callers index cells 0..k-1
     require(centroids.length == k,
       s"kMeans: need at least k=$k vectors, got ${centroids.length}")
+    // re-spread the training input IF it is both heavy and
+    // under-partitioned: the canonical topKAuto/pqCodebooks sample
+    // arrives via sort().limit(), whose global limit collapses to ONE
+    // partition, so every assignment pass (n·k·d FMAs, the training
+    // hot loop) runs single-threaded — measured 14.7 s of a 20 s q93
+    // at 100×. But the repartition shuffle + per-pass multi-task
+    // scheduling costs ~0.5 s, which TAXES the small well-warmed
+    // trainers (q61/q72/q73 at sf0.1, measured +0.6 s each), so it is
+    // gated on the estimated assignment work. Grid-snapped decimal
+    // math means partitioning cannot change the trained model.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val d0 = centroids.head._2.length
+    val heavy = n.toDouble * k * d0 > 5e8
+    val inParts = src.queryExecution.toRdd.getNumPartitions
+    val data =
+      if (heavy && inParts * 4 < parts) {
+        val re = src.repartition(parts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        re.count() // materialize before dropping the source cache
+        src.unpersist(false)
+        re
+      } else src
     // cells stay 0..k-1 throughout, so the matrix row index IS the cell
     def assigned: DataFrame = {
       val matrix = typedlit(centroids.sortBy(_._1).map(_._2))
