@@ -113,9 +113,23 @@ object Dedup {
       .join(sizes, "doc")
       .filter(col("rk") <=
         col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col("doc"), col("shingle"))
+      .select(col("doc"), col("shingle"), col("rk"), col("n_sh"))
+    // PPJoin positional filter on top of the prefix join: a shared
+    // token at ranks (i, j) bounds the pair's possible overlap by
+    // 1 + min(|A|−i, |B|−j); if even that best case misses the pair
+    // requirement α = ⌈t/(1+t)·(|A|+|B|)⌉ the token cannot witness a
+    // qualifying pair. A pair qualifies if ANY shared prefix token
+    // passes, so the filter is lossless — and it is what keeps
+    // candidates near the true pair count when the vocabulary is small
+    // and even "rare" shingles recur across many documents. The ceil
+    // is epsilon-relaxed like the prefix cut (rounding may only weaken
+    // the filter, never drop a true pair).
+    val pairAlpha = ceil((col("a.n_sh") + col("b.n_sh")) *
+      lit(threshold / (1 + threshold)) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          lit(1) + least(col("a.n_sh") - col("a.rk"),
+            col("b.n_sh") - col("b.rk")) >= pairAlpha)
       .select(col("a.doc").as("a_id"), col("b.doc").as("b_id")).distinct()
     cand
       .join(hashed.select(col("doc").as("a_id"), col("shs").as("sa")), "a_id")

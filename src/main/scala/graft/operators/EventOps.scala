@@ -279,16 +279,23 @@ object EventOps {
       maxRightRows: Long = 1L << 20): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asOfJoinBroadcast: unknown direction $direction")
-    val rightBounded = right.filter(col(rTime).isNotNull)
-    if (maxRightRows < Long.MaxValue) {
-      val probe = rightBounded.limit(
-        (maxRightRows + 1).min(Int.MaxValue.toLong).toInt).count()
-      require(probe <= maxRightRows,
-        s"asOfJoinBroadcast: right side exceeds $maxRightRows rows — it " +
-          "broadcasts in full, so it must be a bounded dimension; use " +
-          "asOfJoinNative for big-big as-of (or raise maxRightRows " +
-          "explicitly if the side truly fits)")
-    }
+    val rightFiltered = right.filter(col(rTime).isNotNull)
+    val rightBounded =
+      if (maxRightRows < Long.MaxValue) {
+        // limit probe FIRST (early-exits on raw relations, so a 100 TB
+        // right side is refused without a full pass), THEN checkpoint
+        // the now-proven-small dimension so every execution of the
+        // returned query reuses the materialized rows instead of
+        // re-deriving the dimension per run
+        val probe = rightFiltered.limit(
+          (maxRightRows + 1).min(Int.MaxValue.toLong).toInt).count()
+        require(probe <= maxRightRows,
+          s"asOfJoinBroadcast: right side exceeds $maxRightRows rows — it " +
+            "broadcasts in full, so it must be a bounded dimension; use " +
+            "asOfJoinNative for big-big as-of (or raise maxRightRows " +
+            "explicitly if the side truly fits)")
+        rightFiltered.localCheckpoint()
+      } else rightFiltered
     val entry = struct((col(rTime).as("_t") +: rCols.map(col)): _*)
     val idx = rightBounded.groupBy(col(key))
       .agg(array_sort(collect_list(entry)).as("_hist"))

@@ -90,14 +90,35 @@ object DedupTextQueries {
       "Exact 3-shingle Jaccard, blocked by source to bound the pair space."),
 
     // ---- q139: exact all-pairs Jaccard via prefix filtering ---------------
+    // corpus = documents ∪ deterministic 60%-truncated copies (id +
+    // 10^7): every doc then has a known ~0.6-Jaccard near-dup, so the
+    // t = 0.4 threshold is a REAL near-dup cut and the prefix filter
+    // genuinely prunes (each doc indexes only its ~60% rarest
+    // shingles; unrelated docs almost never share those)
     "q139_prefix_jaccard" -> Q(
-      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
-          "doc_id", "text", n = 3, threshold = 0.02)
-        .orderBy(col("a_id"), col("b_id")),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val w = split(col("text"), " ")
+        val truncated = docs.select(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(w, lit(1),
+            greatest(floor(size(w) * 0.6).cast("int"), lit(1))), " ").as("text"))
+        Dedup.prefixJaccardPairs(docs.unionByName(truncated),
+            "doc_id", "text", n = 3, threshold = 0.4)
+          .orderBy(col("a_id"), col("b_id"))
+      },
       Some(s"""
-        WITH sh AS (
+        WITH w0 AS (
+          SELECT doc_id, $W AS w FROM documents
+        ), corpus AS (
+          SELECT doc_id, array_to_string(w, ' ') AS text FROM w0
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 array_to_string(w[1:greatest(CAST(floor(0.6 * len(w)) AS INT), 1)], ' ')
+          FROM w0
+        ), sh AS (
           SELECT doc_id AS doc, unnest($Shingles3) AS shingle
-          FROM documents
+          FROM corpus
         ), sizes AS (
           SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
         ), inter AS (
@@ -111,15 +132,17 @@ object DedupTextQueries {
         FROM inter
         JOIN sizes sa ON sa.doc = a_id
         JOIN sizes sb ON sb.doc = b_id
-        WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.4
         ORDER BY a_id, b_id"""),
-      "EXACT all-pairs Jaccard with NO blocking key: All-Pairs/PPJoin " +
-        "prefix filtering — rare-first global shingle order, per-doc " +
-        "prefix cut, candidates only from shared RARE prefix hashes, " +
-        "exact array-intersection verify on candidates. Hash-equal to " +
-        "the quadratic oracle (lossless candidate generation by " +
-        "pigeonhole) while the pair space never materializes — the " +
-        "exact complement of the LSH recall family."),
+      "EXACT all-pairs near-dup Jaccard (t=0.4) with NO blocking key: " +
+        "All-Pairs/PPJoin prefix filtering — rare-first global shingle " +
+        "order, per-doc prefix cut, candidates only from shared RARE " +
+        "prefix hashes, exact array-intersection verify on candidates. " +
+        "Hash-equal to the quadratic oracle (lossless candidate " +
+        "generation by pigeonhole) while the pair space never " +
+        "materializes — the exact complement of the LSH recall family. " +
+        "Inputs are the corpus plus deterministic truncated copies so " +
+        "the threshold cuts through real near-duplicates."),
 
     // ---- q42: token statistics / quality scoring -------------------------
     "q42_text_stats" -> Q(

@@ -1198,6 +1198,95 @@ object EventQueries {
           "shape. One key shuffle; windows are bounded L-element arrays; " +
           "folds are per-row and engine-deterministic; per-user top-k " +
           "cuts via WindowGroupLimit.")
-    }
+    },
+
+    // ---- q140: first/last-touch attribution via the native as-of ----------
+    "q140_attribution" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val Lookback = 604800L // 7 days
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5L)
+              .as("channel"),
+            col("ep").as("view_ep"),
+            (col("ep") * 10000000L + col("event_id")).as("jt"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ep"))
+        // last-touch: latest view at or before the purchase (backward
+        // as-of, ties to the later view), credited only if inside the
+        // lookback window
+        val last = graft.operators.EventOps.asOfJoinNative(
+            p.withColumn("jt", col("ep") * 10000000L + lit(9999999L)), v,
+            "user_id", "v_user", "jt", "jt")
+          .select(col("p_id"),
+            when(col("view_ep") >= col("ep") - Lookback, col("channel"))
+              .as("last_ch"))
+        // first-touch: earliest view at or after (purchase − lookback)
+        // (forward as-of), credited only if at or before the purchase
+        val first = graft.operators.EventOps.asOfJoinNative(
+            p.withColumn("jt", (col("ep") - Lookback) * 10000000L), v,
+            "user_id", "v_user", "jt", "jt", direction = "forward")
+          .select(col("p_id"),
+            when(col("view_ep") <= col("ep"), col("channel")).as("first_ch"))
+        val total = p.groupBy().agg(count(lit(1)).as("_total"))
+        val f = first.filter(col("first_ch").isNotNull)
+          .groupBy(col("first_ch").as("channel"))
+          .agg(count(lit(1)).as("n_first"))
+        val l = last.filter(col("last_ch").isNotNull)
+          .groupBy(col("last_ch").as("channel"))
+          .agg(count(lit(1)).as("n_last"))
+        f.join(l, Seq("channel"), "full_outer").crossJoin(total)
+          .select(col("channel"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            round(coalesce(col("n_first"), lit(0L)).cast("double") /
+              col("_total"), 6).as("first_share"),
+            round(coalesce(col("n_last"), lit(0L)).cast("double") /
+              col("_total"), 6).as("last_share"))
+          .orderBy(col("channel"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, $EPOCH AS ep,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 AS channel
+          FROM events
+        ), p AS (
+          SELECT user_id, event_id AS p_id, ep FROM e
+          WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, channel, event_id AS view_id, ep AS view_ep
+          FROM e WHERE event_type = 'view'
+        ), a AS (
+          SELECT p.p_id,
+                 (SELECT CASE WHEN v.view_ep >= p.ep - 604800
+                              THEN v.channel END
+                  FROM v WHERE v.user_id = p.user_id AND v.view_ep <= p.ep
+                  ORDER BY v.view_ep DESC, v.view_id DESC LIMIT 1) AS last_ch,
+                 (SELECT CASE WHEN v.view_ep <= p.ep THEN v.channel END
+                  FROM v WHERE v.user_id = p.user_id
+                    AND v.view_ep >= p.ep - 604800
+                  ORDER BY v.view_ep ASC, v.view_id ASC LIMIT 1) AS first_ch
+          FROM p
+        ), f AS (
+          SELECT first_ch AS channel, COUNT(*) AS n_first FROM a
+          WHERE first_ch IS NOT NULL GROUP BY 1
+        ), l AS (
+          SELECT last_ch AS channel, COUNT(*) AS n_last FROM a
+          WHERE last_ch IS NOT NULL GROUP BY 1
+        ), t AS (SELECT COUNT(*) AS total FROM p)
+        SELECT COALESCE(f.channel, l.channel) AS channel,
+               COALESCE(f.n_first, 0) AS n_first,
+               COALESCE(l.n_last, 0) AS n_last,
+               round(COALESCE(f.n_first, 0) / t.total, 6) AS first_share,
+               round(COALESCE(l.n_last, 0) / t.total, 6) AS last_share
+        FROM f FULL OUTER JOIN l ON f.channel = l.channel CROSS JOIN t
+        ORDER BY channel"""),
+      "Marketing attribution composed from BOTH directions of the " +
+        "native as-of exec: last-touch = backward as-of (latest view " +
+        "before each purchase, window-gated), first-touch = forward " +
+        "as-of from the lookback horizon — each a two-linear-shuffle " +
+        "merge at any scale, channel credit shares against a " +
+        "scalar-aggregate purchase total (no driver-side count).")
   )
 }

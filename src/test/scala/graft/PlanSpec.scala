@@ -311,12 +311,13 @@ class PlanSpec extends SparkSuite {
     val df = SparkEntry.queries("q129_asof_broadcast")(spark, sf("0.001"))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p.take(1500))
-    // the ONLY hash exchanges belong to the |types|x|days| dimension
-    // build (daily agg + per-key history fold); the event side reaches
-    // the join shuffle-free (orderBy adds a range exchange only)
+    // the ONLY hash exchange is the per-key history fold of the
+    // checkpointed |types|x|days| dimension (its daily agg ran once at
+    // guard time and is reused from the checkpoint); the event side
+    // reaches the join shuffle-free (orderBy adds a range exchange)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges == 2,
-      s"only the dimension side may hash-shuffle, got $hashExchanges:\n${p.take(2000)}")
+    assert(hashExchanges == 1,
+      s"only the dimension fold may hash-shuffle, got $hashExchanges:\n${p.take(2000)}")
   }
 
   test("broadcast as-of join never shuffles the left side") {
