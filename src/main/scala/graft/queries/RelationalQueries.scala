@@ -750,6 +750,49 @@ object RelationalQueries {
         "data-quality profiling classic: observed leading-digit " +
         "distribution vs log10(1+1/d), with per-digit excess. The digit " +
         "comes from the integral part's string head (no float-log " +
-        "branching), one 9-key map-side-combined aggregate.")
+        "branching), one 9-key map-side-combined aggregate."),
+
+    // ---- q141: Z-order (Morton) clustering audit --------------------------
+    "q141_zorder_stats" -> Q(
+      (s, d) => graft.operators.ZOrder.bucketStats(
+          Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bits = 16, nBuckets = 64)
+        .orderBy(col("z_bucket")),
+      Some("""
+        WITH b AS (
+          SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+                 min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+          FROM lineitem
+        ), r AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CASE WHEN b.maxp - b.minp <= 0 THEN 0
+                      ELSE (l.l_partkey - b.minp) * 65535 // (b.maxp - b.minp)
+                 END AS rp,
+                 CASE WHEN b.maxs - b.mins <= 0 THEN 0
+                      ELSE (l.l_suppkey - b.mins) * 65535 // (b.maxs - b.mins)
+                 END AS rs
+          FROM lineitem l CROSS JOIN b
+        ), z AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(list_sum(list_transform(range(0, 16), j ->
+                   (((rp >> j) & 1) << (2*j)) + (((rs >> j) & 1) << (2*j + 1))))
+                   AS BIGINT) AS zv
+          FROM r
+        )
+        SELECT zv >> 26 AS z_bucket, COUNT(*) AS n_rows,
+               min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+        FROM z
+        GROUP BY 1
+        ORDER BY z_bucket"""),
+      "Z-order (Morton) clustering audit — the lakehouse data-skipping " +
+        "layout: interleave exact integer ranks of (part, supplier) " +
+        "into one key, cut the key space into 64 range buckets (what " +
+        "repartitionByRange on the key produces as files), and report " +
+        "each bucket's per-dimension bounding box — tight boxes in " +
+        "BOTH dimensions at once are what parquet footer min/max " +
+        "pruning needs for multi-predicate scans at 100 TB. Key " +
+        "arithmetic is exact integer end to end, bit-identical across " +
+        "engines.")
   )
 }
