@@ -413,6 +413,7 @@ object EventOps {
     require(pVar > 0, "motifTopK: constant pattern has no shape")
     val pSd = math.sqrt(pVar)
     val zq = pattern.map(x => (x - pMean) / pSd)
+    graft.plans.VectorExpressions.register(events.sparkSession)
     val w = Window.partitionBy(col(key))
       .orderBy(col(orderCol), col(idCol))
       .rowsBetween(Window.currentRow, L - 1)
@@ -420,16 +421,14 @@ object EventOps {
       .select(col(key), col(idCol).as("start_id"),
         collect_list(col(valueCol)).over(w).as("win"))
       .filter(size(col("win")) === L)
-    val mean = aggregate(col("win"), lit(0.0), (a, x) => a + x) / L
-    val varr = aggregate(col("win"), lit(0.0),
-      (a, x) => a + (x - col("m")) * (x - col("m"))) / L
-    val scored = windows.withColumn("m", mean)
-      .withColumn("v", varr)
-      .filter(col("v") > 0)
-      .withColumn("corr", round(
-        aggregate(zip_with(col("win"), typedlit(zq),
-          (x, q) => (x - col("m")) / sqrt(col("v")) * q),
-          lit(0.0), (a, x) => a + x) / L, roundTo))
+    // ONE fused native pass per window (motif_corr) instead of three
+    // interpreted HOF folds — identical strict left-to-right double
+    // arithmetic (see MotifCorr), so rows and hashes are unchanged;
+    // rounding stays the built-in round()
+    val scored = windows
+      .withColumn("mc", call_function("motif_corr", col("win"), typedlit(zq)))
+      .filter(col("mc.v") > 0)
+      .withColumn("corr", round(col("mc.corr"), roundTo))
     val rankW = Window.partitionBy(col(key))
       .orderBy(col("corr").desc, col("start_id"))
     scored.withColumn("rank", row_number().over(rankW))

@@ -455,6 +455,60 @@ case class AdcScore(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Z-normalized correlation of a sliding window against a driver-held
+  * z-normalized query pattern — the per-row hot loop of
+  * [[graft.operators.EventOps.motifTopK]] fused into ONE pass. The
+  * declarative form ran three interpreted higher-order folds per row
+  * (mean, variance, correlation over zip_with), each with per-element
+  * expression-tree overhead; this computes the identical strict
+  * left-to-right double arithmetic — sum, Σ(x−m)², then
+  * Σ((x−m)/√v)·q — in a primitive loop, so results are bit-identical
+  * to the HOF form and the SQL oracle. Returns
+  * struct<v:double, corr:double> with corr UNROUNDED (callers keep the
+  * built-in round() so rounding semantics stay Spark's); windows whose
+  * length differs from the pattern yield null, zero-variance windows
+  * yield corr 0 (callers filter v > 0 first, matching the oracle). */
+case class MotifCorr(child: Expression, zq: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(zq.nonEmpty, "motif_corr: empty pattern")
+  override def prettyName: String = "motif_corr"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("corr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    if (n != zq.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += w.getDouble(i); i += 1 }
+    val m = s / n
+    var s2 = 0.0
+    i = 0
+    while (i < n) { val d = w.getDouble(i) - m; s2 += d * d; i += 1 }
+    val v = s2 / n
+    var corr = 0.0
+    if (v > 0) {
+      val sd = math.sqrt(v)
+      var s3 = 0.0
+      i = 0
+      while (i < n) { s3 += (w.getDouble(i) - m) / sd * zq(i); i += 1 }
+      corr = s3 / n
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](v, corr))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration of the native vector expressions as SQL functions, so
   * call sites can use the public `call_function` API (no dependence on
   * Column↔Expression internals). Idempotent; call per SparkSession. */
@@ -485,6 +539,10 @@ object VectorExpressions {
       val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
       NearestCells(exprs(0), m, exprs(2).eval().asInstanceOf[Number].intValue())
     }, "built-in")
+    // second arg must be a foldable array<double> literal (the
+    // z-normalized query pattern)
+    registry.createOrReplaceTempFunction("motif_corr", exprs => MotifCorr(
+      exprs(0), exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray), "built-in")
     if (!spark.experimental.extraOptimizations.contains(SimplifySqrtThreshold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifySqrtThreshold

@@ -25,6 +25,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("l_tax"), "scan should not read l_tax")
   }
 
+  test("relational hot paths stay inside whole-stage codegen") {
+    // `*(n)` prefixes mark codegen'd stages; a hot path that fell out
+    // of codegen (an interpreted expression snuck in) loses the fused
+    // loop and shows up here before it shows up in the bench
+    for (q <- Seq("q01_pricing_summary", "q26_math_funcs", "q14_string_funcs")) {
+      val df = SparkEntry.queries(q)(spark, sf("0.001"))
+      df.collect() // AQE finalizes (and codegen-marks) the plan on execution
+      val sp = df.queryExecution.executedPlan.toString
+      assert(sp.contains("*("), s"$q must run inside WholeStageCodegen:\n${sp.take(800)}")
+      assert("\\*\\(\\d+\\) (HashAggregate|Project)".r.findFirstIn(sp).isDefined,
+        s"$q's aggregate/projection must be codegen'd:\n${sp.take(800)}")
+    }
+  }
+
   test("q30 similarity match plans a broadcast NLJ with the squared predicate") {
     val p = plan("q30_broadcast_match")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
