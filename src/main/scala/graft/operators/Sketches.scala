@@ -584,4 +584,60 @@ object Sketches {
       .filter(col("cum") >= target && col("cum") - col("cnt") < target)
       .select(col(group), col("q"), col("v").as("quantile_disc"))
   }
+
+  /** EXACT heavy hitters at sketch cost — the Misra–Gries (1982) /
+    * SpaceSaving two-pass pattern that replaces a full-vocabulary
+    * aggregation when |distinct| ≫ memory (tokens, URLs, user agents
+    * at 100 TB):
+    *
+    * Pass 1 runs k-counter Misra–Gries PER PARTITION (`mapPartitions` —
+    * genuinely per-partition imperative state, the sanctioned use) and
+    * emits only each partition's surviving candidate keys. The MG
+    * guarantee makes the union a SUPERSET of every value with global
+    * frequency > N/(k+1): such a value must exceed its share in at
+    * least one partition (pigeonhole over the weighted average), and MG
+    * never evicts a key whose partition frequency exceeds n_p/(k+1).
+    * Candidates are ≤ k × partitions rows — broadcastable whatever the
+    * corpus size.
+    *
+    * Pass 2 is exact and cheap: a broadcast LEFT SEMI join filters the
+    * corpus to candidate rows only, so the only corpus-wide aggregation
+    * shuffles ≤ k·partitions distinct keys (map-side combined), never
+    * the full vocabulary. The final filter `n·(k+1) > N` is exact
+    * integer arithmetic, so the OUTPUT is deterministic and
+    * hash-provable even though pass-1 candidate sets vary with
+    * partitioning — wrong extra candidates are filtered, and the
+    * superset guarantee means no true heavy hitter is ever missed.
+    *
+    * Output: (`value`, n, frac) for every value with n > N/(k+1),
+    * ordered by n desc. */
+  def heavyHitters(df: DataFrame, value: String, k: Int): DataFrame = {
+    require(k >= 1, "heavyHitters: k must be >= 1")
+    import org.apache.spark.sql.Encoders
+    val vals = df.select(col(value).cast("string").as("v"))
+    val candidates = vals.as(Encoders.STRING).mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1L
+        else if (counters.size < k) counters(v) = 1L
+        else {
+          // decrement-all step; runs at most n/(k+1) times total
+          counters.toArray.foreach { case (key, c) =>
+            if (c == 1L) counters.remove(key) else counters(key) = c - 1L
+          }
+        }
+      }
+      counters.keysIterator
+    }(Encoders.STRING).toDF("candidate").distinct()
+    val counts = vals
+      .join(broadcast(candidates), col("v") === col("candidate"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val total = vals.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * (k + 1) > col("total"))
+      .select(col("v").as(value), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("frac"))
+      .orderBy(col("n").desc, col(value))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, EntityResolution, Sketches, TextAnalysis}
 import graft.functions.TextFunctions._
 
 /** Dedup + text-analysis queries over `documents.parquet` — the
@@ -740,6 +740,52 @@ object DedupTextQueries {
         "-ln(u)/w keys per source — P(pick) proportional to n_chars with " +
         "no RNG, stable under any partitioning or re-run. One projection " +
         "+ one per-stratum top-k window; 12dp key rounding makes the " +
-        "rank walk engine-exact.")
+        "rank walk engine-exact."),
+
+    // ---- q142: FastSS edit-distance-1 entity-resolution join --------------
+    "q142_fastss_editjoin" -> Q(
+      (s, d) => EntityResolution.editDistanceOnePairs(
+          Tables.customer(s, d), "c_custkey", "c_name")
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+               a.c_name AS a_name, b.c_name AS b_name,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY a_id, b_id"""),
+      "Fuzzy entity resolution under edit distance 1 via FastSS " +
+        "deletion neighborhoods: each name explodes into len+1 deletion " +
+        "variants, candidates come from an EQUI-join on those blocking " +
+        "keys (two names are within ed 1 iff they share one), and the " +
+        "exact codegen'd levenshtein verifies candidates only. " +
+        "Hash-equal to the quadratic oracle scan while the engine side " +
+        "never plans a cross join — the record-linkage shape for " +
+        "author/site dedup at 100 TB."),
+
+    // ---- q145: Misra-Gries two-pass exact heavy hitters -------------------
+    "q145_heavy_hitters" -> Q(
+      (s, d) => Sketches.heavyHitters(
+          Tables.documents(s, d)
+            .select(explode(split(col("text"), " ")).as("tok")),
+          "tok", k = 30),
+      Some(s"""
+        WITH t AS (SELECT unnest($W) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        tot AS (SELECT SUM(n) AS total FROM c)
+        SELECT tok, n,
+               round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac
+        FROM c CROSS JOIN tot
+        WHERE n * 31 > total
+        ORDER BY n DESC, tok"""),
+      "Exact heavy hitters at sketch cost: per-partition Misra-Gries " +
+        "(k=30 counters) emits candidate keys only — a guaranteed " +
+        "superset of every token above N/31 frequency — then one exact " +
+        "count pass over the broadcast-semi-filtered candidates. The " +
+        "full vocabulary never shuffles; the integer threshold filter " +
+        "makes the output deterministic under any partitioning. k=30 " +
+        "against a 31-token corpus vocabulary forces real MG " +
+        "evictions, so the candidate pruning is exercised, not " +
+        "vacuous.")
   )
 }

@@ -1287,6 +1287,136 @@ object EventQueries {
         "before each purchase, window-gated), first-touch = forward " +
         "as-of from the lookback horizon — each a two-linear-shuffle " +
         "merge at any scale, channel credit shares against a " +
-        "scalar-aggregate purchase total (no driver-side count).")
+        "scalar-aggregate purchase total (no driver-side count)."),
+
+    // ---- q143: SCD Type-2 dimension build (change capture + intervals) ----
+    "q143_scd2_intervals" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tiers = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") / 100).cast("int").as("tier"))
+        val changed = tiers
+          .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+          .filter(!(col("tier") <=> col("prev_tier")))
+        changed
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version"),
+            col("ts").as("valid_from"), col("valid_to"), col("tier"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT user_id, $TS AS ts, event_id,
+                 CAST(floor(value / 100) AS INT) AS tier
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT *, lag(tier) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+          FROM p
+        ), f AS (
+          SELECT * FROM c WHERE tier IS DISTINCT FROM prev_tier
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS INT) AS version,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               tier,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM f
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version"""),
+      "Slowly-changing-dimension Type 2 build from a change stream — " +
+        "the warehouse dimension-maintenance classic: per-user purchase " +
+        "tier states, CONSECUTIVE duplicates collapsed by a lag() " +
+        "change-capture filter (null-safe), surviving changes numbered " +
+        "and framed into [valid_from, valid_to) intervals with an " +
+        "is_current flag. Two window passes over the user-partitioned " +
+        "relation, no self-join — the interval table the as-of/range " +
+        "joins (q25/q128) then probe at any scale."),
+
+    // ---- q144: gaps-and-islands activity streaks --------------------------
+    "q144_activity_streaks" -> Q(
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        days
+          .withColumn("anchor",
+            date_sub(col("d"), row_number().over(w)))
+          .groupBy(col("user_id"), col("anchor"))
+          .agg(count(lit(1)).cast("int").as("streak_days"),
+            date_format(min(col("d")), "yyyy-MM-dd").as("streak_start"),
+            date_format(max(col("d")), "yyyy-MM-dd").as("streak_end"))
+          .select(col("user_id"), col("streak_start"), col("streak_end"),
+            col("streak_days"))
+          .orderBy(col("user_id"), col("streak_start"))
+      },
+      Some(s"""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST($TS AS DATE) AS d FROM events
+        ), g AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+          FROM days
+        )
+        SELECT user_id,
+               strftime(min(d), '%Y-%m-%d') AS streak_start,
+               strftime(max(d), '%Y-%m-%d') AS streak_end,
+               CAST(COUNT(*) AS INT) AS streak_days
+        FROM g
+        GROUP BY user_id, anchor
+        ORDER BY user_id, streak_start"""),
+      "Gaps-and-islands via the date-minus-row_number anchor trick: " +
+        "distinct active days per user collapse to one row per " +
+        "CONSECUTIVE run (the retention 'streak'), each with start/end/" +
+        "length. One distinct + one user-partitioned window + one " +
+        "bounded aggregate — no self-join, no sequence explosion; the " +
+        "complement of q19's gap-based sessionization (time gaps " +
+        "there, calendar-day runs here)."),
+
+    // ---- q146: Markov transition matrix over event sequences --------------
+    "q146_markov_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val srcTotal = Window.partitionBy(col("src"))
+        trans
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(srcTotal).cast("double"), 6))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(s"""
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY $TS, event_id) AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               round(CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        FROM t
+        ORDER BY src, dst"""),
+      "First-order Markov transition matrix over per-user event " +
+        "sequences — the journey-mining/next-event primitive: one " +
+        "user-partitioned lead() pass, then a |types|²-bounded " +
+        "aggregate (25 rows here whatever the corpus size) with row " +
+        "probabilities from a partition-sum window over that bounded " +
+        "relation. The behavioral twin of q107's token bigram LM.")
   )
 }

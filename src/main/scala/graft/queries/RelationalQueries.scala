@@ -794,5 +794,49 @@ object RelationalQueries {
         "pruning needs for multi-predicate scans at 100 TB. Key " +
         "arithmetic is exact integer end to end, bit-identical across " +
         "engines.")
+    ,
+    // ---- q147: degree-ordered triangle counting ---------------------------
+    "q147_triangle_count" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val l2 = li.toDF("o2", "p2")
+        val edges = li.join(l2,
+            li("l_orderkey") === l2("o2") && li("l_partkey") < l2("p2"))
+          .select(col("l_partkey").as("a"), col("p2").as("b"))
+        graft.operators.Graph.triangleStats(edges, "a", "b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+        ), deg AS (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+          FROM deg
+        ), tri AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               round(3e0 * CAST(n_triangles AS DOUBLE) /
+                 CAST(n_wedges AS DOUBLE), 6) AS global_cc
+        FROM agg, tri, ne"""),
+      "Triangle count + global clustering coefficient over the " +
+        "part co-purchase graph, by DEGREE-ORDERED edge orientation " +
+        "(Suri & Vassilvitskii): every triangle generated once from " +
+        "its lowest-(degree,id) corner, wedge fan-out capped at " +
+        "O(sqrt(m)) per node — the skew bound that survives power-law " +
+        "hubs at 100 TB. Equi-joins only (corner share + closing-edge " +
+        "probe); counts are orientation-invariant, so the id-ordered " +
+        "oracle agrees exactly.")
   )
 }

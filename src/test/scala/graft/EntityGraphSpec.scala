@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EntityResolution, Graph, Sketches}
+
+/** Unit pins for the round-7 additions: FastSS edit-distance blocking,
+  * Misra-Gries two-pass heavy hitters, degree-ordered triangles. */
+class EntityGraphSpec extends SparkSuite {
+
+  test("editDistanceOnePairs equals the brute-force ed<=1 scan") {
+    import spark.implicits._
+    // substitution, deletion, insertion, identical-distance-2 negatives
+    val names = Seq(
+      1L -> "carol", 2L -> "caroll", // insertion
+      3L -> "carol", // exact dup of 1 (ed 0)
+      4L -> "carla", // ed 2 from carol
+      5L -> "czrol", // substitution vs carol
+      6L -> "caro", // deletion vs carol
+      7L -> "xavier", 8L -> "xavjer", // substitution
+      9L -> "zz")
+    val df = names.toDF("id", "name")
+    val got = EntityResolution.editDistanceOnePairs(df, "id", "name")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (i, a) <- names; (j, b) <- names
+      if i < j && levDist(a, b) <= 1
+    } yield (i, j)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 5L)) &&
+      got.contains((1L, 6L)) && got.contains((7L, 8L)) &&
+      !got.contains((1L, 4L)))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("heavyHitters output is exact and invariant to partitioning") {
+    import spark.implicits._
+    // 3 heavy values above n/(k+1), long uniform tail below it
+    val rows = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(150)("gamma") ++ (1 to 350).map(i => s"tail${i % 70}")
+    val df = rows.toDF("v")
+    val k = 10 // threshold n/(k+1) = 1200/11 ~ 109
+    val expect = rows.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, n) => n * (k + 1) > rows.size }
+      .keySet.toSet
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Sketches.heavyHitters(df.repartition(parts), "v", k)
+        .select("v").as[String].collect().toSet
+      assert(got == expect, s"parts=$parts got=$got expect=$expect")
+    }
+  }
+
+  test("triangleStats on K4 plus a pendant edge") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (2, 1) /* dup reversed */).toDF("s", "t")
+    val row = Graph.triangleStats(edges, "s", "t").collect().head
+    assert(row.getAs[Long]("n_nodes") == 5L)
+    assert(row.getAs[Long]("n_edges") == 7L)
+    // degrees: 1:3 2:3 3:3 4:4 5:1 -> wedges 3+3+3+6+0 = 15
+    assert(row.getAs[Long]("n_wedges") == 15L)
+    assert(row.getAs[Long]("n_triangles") == 4L)
+    assert(math.abs(row.getAs[Double]("global_cc") - 0.8) < 1e-9)
+  }
+
+  test("triangleStats counts match a brute-force enumeration") {
+    import spark.implicits._
+    // deterministic pseudo-random graph on 30 nodes
+    val edges = (for (i <- 0 until 30; j <- i + 1 until 30
+      if (i * 31 + j * 17) % 5 == 0) yield (i, j))
+    val df = edges.toDF("s", "t")
+    val es = edges.toSet
+    def has(a: Int, b: Int) = es.contains((a min b, a max b))
+    val brute = (for (a <- 0 until 30; b <- a + 1 until 30; c <- b + 1 until 30
+      if has(a, b) && has(a, c) && has(b, c)) yield 1).size
+    val row = Graph.triangleStats(df, "s", "t").collect().head
+    assert(row.getAs[Long]("n_triangles") == brute.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+  }
+}
