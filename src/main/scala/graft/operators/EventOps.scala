@@ -218,7 +218,11 @@ object EventOps {
     * `direction = "forward"` flips the match to the EARLIEST right row
     * at or after the left time — big-big "next event after" with the
     * same one-exchange-one-sort-per-side plan (no broadcast size
-    * assumption, contrast [[asOfJoinBroadcast]]). */
+    * assumption, contrast [[asOfJoinBroadcast]]). `direction =
+    * "nearest"` picks whichever of the backward/forward candidates has
+    * the smaller |Δtime| (ties → backward; time type must be numeric/
+    * timestamp so a distance exists) — same merge pass, state still
+    * one retained row plus the un-consumed head. */
   def asOfJoinNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

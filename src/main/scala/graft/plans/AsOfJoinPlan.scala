@@ -19,7 +19,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * lookup generalized). `direction = "forward"` mirrors it: the
   * EARLIEST right row at or after the left time ("next view after this
   * purchase") — big-big forward as-of with the same two-linear-shuffle
-  * plan, no broadcast size assumption.
+  * plan, no broadcast size assumption. `direction = "nearest"` picks
+  * whichever of the backward/forward candidates is closer in time
+  * (strictly closer forward wins, ties go backward) — still one merge
+  * pass, with the forward candidate read from the un-consumed right
+  * head.
   *
   * Why a physical operator when q115 already composes the same
   * semantics from a tag-union + window: the composed form materializes
@@ -42,8 +46,16 @@ case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     direction: String = "backward") extends BinaryNode {
-  require(Seq("backward", "forward").contains(direction),
+  require(Seq("backward", "forward", "nearest").contains(direction),
     s"AsOfJoin: unknown direction $direction")
+  // nearest needs a numeric time DISTANCE, not just an ordering
+  require(direction != "nearest" || (leftTime.dataType match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }), s"AsOfJoin nearest: time type ${leftTime.dataType} has no distance")
   // an int-vs-long mismatch would otherwise silently read garbage
   // through the wrong accessor — fail analysis instead
   require(leftKey.dataType == rightKey.dataType,
@@ -117,10 +129,20 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val kDt = lk.dataType; val tDt = lt.dataType
+      val nearest = direction == "nearest"
+      // nearest needs |Δt| — internal reps are all numeric (timestamps
+      // are micros-as-long, dates days-as-int)
+      def timeVal(t: Any): Double = t match {
+        case n: java.lang.Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalStateException(
+          s"asof nearest: non-numeric time $other")
+      }
       val rBuf = rIter.buffered
-      // backward merge state: the latest consumed right row and its key
+      // backward/nearest merge state: latest consumed right row + key
       var lastRight: InternalRow = null
       var lastKey: Any = null
+      var lastTime: Any = null
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -130,6 +152,7 @@ case class AsOfJoinExec(
           val lTime = lkt.get(1, tDt)
           var advance = lKey != null // null left keys match nothing
           var fwdMatch = false
+          var fwdTime: Any = null
           while (advance && rBuf.hasNext) {
             val rkt = rProj(rBuf.head)
             val rKey = rkt.get(0, kDt)
@@ -148,22 +171,37 @@ case class AsOfJoinExec(
                 if (c < 0 || (c == 0 && tc < 0)) { rBuf.next(); () }
                 else { fwdMatch = c == 0; advance = false }
               } else if (c < 0 || (c == 0 && tc <= 0)) {
+                // backward + nearest: consume rows at or behind lTime,
+                // retaining the latest as the backward candidate
                 lastRight = rBuf.next().copy()
                 lastKey = rKey match {
                   case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
                   case other => other
                 }
-              } else advance = false
+                lastTime = rTime
+              } else {
+                // head is ahead; for nearest a same-key head is the
+                // forward candidate (not consumed — shared by later
+                // left rows)
+                fwdMatch = nearest && c == 0
+                fwdTime = rTime
+                advance = false
+              }
             }
           }
+          val backMatched = !forward && lKey != null && lastKey != null &&
+            keyOrd.compare(lastKey.asInstanceOf[AnyRef],
+              lKey.asInstanceOf[AnyRef]) == 0
           val r =
             if (forward) { if (fwdMatch) rBuf.head else nullRight }
-            else {
-              val matched = lKey != null && lastKey != null &&
-                keyOrd.compare(lastKey.asInstanceOf[AnyRef],
-                  lKey.asInstanceOf[AnyRef]) == 0
-              if (matched) lastRight else nullRight
+            else if (nearest && fwdMatch &&
+                (!backMatched ||
+                 math.abs(timeVal(fwdTime) - timeVal(lTime)) <
+                   math.abs(timeVal(lTime) - timeVal(lastTime)))) {
+              rBuf.head // strictly closer forward row wins; ties backward
             }
+            else if (backMatched) lastRight
+            else nullRight
           resProj(joined(l, r))
         }
       }

@@ -1417,6 +1417,58 @@ object EventQueries {
         "user-partitioned lead() pass, then a |types|²-bounded " +
         "aggregate (25 rows here whatever the corpus size) with row " +
         "probabilities from a partition-sum window over that bounded " +
-        "relation. The behavioral twin of q107's token bigram LM.")
+        "relation. The behavioral twin of q107's token bigram LM."),
+
+    // ---- q148: nearest-direction as-of through the native exec ------------
+    "q148_asof_nearest" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        // unique total-order join time (epoch, event_id composite) so
+        // the |Δ| comparison and tie-break are engine-exact
+        val jt = (col("ep") * 10000000L + col("event_id")).as("jt")
+        val l = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("ep"), jt)
+        val r = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purch_id"), col("value").as("purch_value"),
+            col("ep").as("purch_ep"), jt)
+        graft.operators.EventOps.asOfJoinNative(l, r,
+            "user_id", "p_user", "jt", "jt", direction = "nearest")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            col("purch_id"), col("purch_value"),
+            (col("purch_ep") - col("ep")).as("delta_sec"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep
+          FROM events
+        ), err AS (
+          SELECT user_id, event_id, ep,
+                 ep * 10000000 + event_id AS jt
+          FROM e WHERE event_type = 'error'
+        ), p AS (
+          SELECT user_id, event_id AS purch_id, value AS purch_value,
+                 ep AS purch_ep, ep * 10000000 + event_id AS jt
+          FROM e WHERE event_type = 'purchase'
+        )
+        SELECT err.user_id, err.event_id, err.ep,
+               m.purch_id, m.purch_value,
+               m.purch_ep - err.ep AS delta_sec
+        FROM err LEFT JOIN LATERAL (
+          SELECT purch_id, purch_value, purch_ep FROM p
+          WHERE p.user_id = err.user_id
+          ORDER BY abs(p.jt - err.jt),
+                   (CASE WHEN p.jt <= err.jt THEN 0 ELSE 1 END)
+          LIMIT 1) m ON true
+        ORDER BY err.event_id"""),
+      "NEAREST-direction as-of through the custom physical exec: for " +
+        "each error, the closest purchase by the same user in EITHER " +
+        "time direction (ties backward) — root-cause correlation at " +
+        "big-big scale. Same single merge pass as q128/q130 (one " +
+        "exchange + sort per side, O(1) retained state plus the " +
+        "un-consumed right head); |Δ| compares a unique " +
+        "(epoch, event_id) composite so both engines resolve " +
+        "identically. Hash-equal to a LATERAL min-|Δ| oracle.")
   )
 }

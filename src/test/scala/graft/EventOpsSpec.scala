@@ -101,6 +101,40 @@ class EventOpsSpec extends SparkSuite {
     assert(out("p3") == None, "no right row at or after -> null")
   }
 
+  test("asOfJoinNative nearest: closer side wins, ties backward, one-sided falls back") {
+    import spark.implicits._
+    // p0@10: back v@8 (d=2) vs fwd v@13 (d=3) -> backward
+    // p1@12: back v@8 (d=4) vs fwd v@13 (d=1) -> forward
+    // p2@10: back v@8 (d=2) vs fwd v@12 (d=2) -> tie, backward wins
+    // p3@5 (key 3): only forward exists -> forward; p4 (key 4): none
+    val ll = Seq((1L, 10L, "p0"), (1L, 12L, "p1"), (2L, 10L, "p2"),
+      (3L, 5L, "p3"), (4L, 5L, "p4"))
+      .toDF("k", "jt", "tag")
+    val rr = Seq((1L, 8L, "b1"), (1L, 13L, "f1"),
+      (2L, 8L, "b2"), (2L, 12L, "f2"), (3L, 7L, "f3"))
+      .toDF("rk", "jt", "vtag")
+    val out = EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt",
+        direction = "nearest")
+      .select(col("tag"), col("vtag"))
+      .collect().map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out("p0") == Some("b1"), "strictly closer backward wins")
+    assert(out("p1") == Some("f1"), "strictly closer forward wins")
+    assert(out("p2") == Some("b2"), "equal distance resolves backward")
+    assert(out("p3") == Some("f3"), "forward-only key still matches")
+    assert(out("p4") == None)
+  }
+
+  test("asOfJoinNative nearest rejects a non-numeric time type") {
+    import spark.implicits._
+    val ll = Seq((1L, "a")).toDF("k", "jt")
+    val rr = Seq((1L, "b")).toDF("rk", "jt")
+    val err = intercept[IllegalArgumentException] {
+      EventOps.asOfJoinNative(ll, rr, "k", "rk", "jt", "jt",
+        direction = "nearest")
+    }
+    assert(err.getMessage.contains("no distance"))
+  }
+
   test("asOfJoinNative output survives a direct exchange above the exec") {
     import spark.implicits._
     // regression: the exec must emit UnsafeRow — an orderBy placed
