@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing — the Deequ/great-expectations
+  * shape (Schelter et al., VLDB 2018): a rule set compiles into ONE
+  * conditional-aggregate pass over the relation, producing a
+  * per-rule metrics report with pass/fail flags. At 100 TB this is the
+  * only acceptable shape — one map-side-combined scan computes every
+  * completeness/bounds/pattern metric at once (no per-rule jobs);
+  * only the uniqueness rules add a distinct aggregation on their
+  * column. The audit report is rows, so it lands in the same
+  * lakehouse tables it audits.
+  */
+object Quality {
+
+  /** One audit rule: `metric` must be an aggregate expression over the
+    * input producing a DOUBLE in [0,1]; the rule passes when
+    * metric >= minRatio. */
+  final case class Rule(name: String, column: String, metric: Column,
+      minRatio: Double)
+
+  /** Share of non-null values (completeness >= minRatio). */
+  def complete(column: String, minRatio: Double = 1.0): Rule =
+    Rule("complete", column,
+      count(col(column)).cast("double") / count(lit(1)), minRatio)
+
+  /** Share of rows inside [lo, hi] among non-nulls. */
+  def inRange(column: String, lo: Double, hi: Double,
+      minRatio: Double = 1.0): Rule =
+    Rule("in_range", column,
+      count(when(col(column) >= lo && col(column) <= hi, 1))
+        .cast("double") / count(col(column)), minRatio)
+
+  /** Share of non-null values matching the anchored regexp. */
+  def matches(column: String, regex: String, minRatio: Double = 1.0): Rule =
+    Rule("matches", column,
+      count(when(col(column).rlike(regex), 1)).cast("double") /
+        count(col(column)), minRatio)
+
+  /** Distinct-to-row ratio (1.0 = unique key). Exact distinct — the
+    * one rule kind that costs a shuffle on its column. */
+  def unique(column: String): Rule =
+    Rule("unique", column,
+      countDistinct(col(column)).cast("double") / count(lit(1)), 1.0)
+
+  /** Run every rule in one aggregate job. Output: (rule, column,
+    * metric rounded to 6, min_ratio, pass), one row per rule, in rule
+    * order. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit: at least one rule")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      round(r.metric, 6).as(s"_m$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val report = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+        col(s"_m$i").as("metric"), lit(r.minRatio).as("min_ratio"),
+        (col(s"_m$i") >= r.minRatio).as("pass"))
+    }
+    one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.Tables.{moneySum, sqlMoneySum, sqlMoneyAvg}
@@ -1469,6 +1470,97 @@ object EventQueries {
         "exchange + sort per side, O(1) retained state plus the " +
         "un-consumed right head); |Δ| compares a unique " +
         "(epoch, event_id) composite so both engines resolve " +
-        "identically. Hash-equal to a LATERAL min-|Δ| oracle.")
+        "identically. Hash-equal to a LATERAL min-|Δ| oracle."),
+
+    // ---- q149: unpivot (wide -> long), the pivot round-trip ---------------
+    "q149_unpivot_roundtrip" -> Q(
+      (s, d) => {
+        val wide = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+        wide.unpivot(
+            Array(col("user_id")),
+            Array(col("click"), col("error"), col("purchase"),
+              col("signup"), col("view")),
+            "event_type", "n")
+          .filter(col("n") > 0)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY user_id, event_type"""),
+      "Unpivot/melt (wide -> long): q21's pivoted matrix runs back " +
+        "through Dataset.unpivot and must hash-equal the plain long " +
+        "groupBy — the round-trip proof that pivot and unpivot are " +
+        "exact inverses (zero-count cells drop out). Unpivot is a " +
+        "projection-time explode, no shuffle beyond the originating " +
+        "aggregate."),
+
+    // ---- q151: dyadic EWMA smoothing + deviation ---------------------------
+    "q151_ewma_smooth" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        // (14,6) not (27,6): the 8-term product-sum chain must stay
+        // under Spark's 38-digit cap or it silently REDUCES scale
+        // (allowPrecisionLoss) and truncates the grid
+        val v6 = col("value").cast(DecimalType(14, 6))
+        // dyadic weights 2^-1..2^-7 + a second 2^-7 sum to exactly 1;
+        // every product lands on the decimal grid — engine-exact
+        val weights = Seq("0.5", "0.25", "0.125", "0.0625", "0.03125",
+          "0.015625", "0.0078125", "0.0078125")
+        val ewmaDec = weights.zipWithIndex.map { case (wt, i) =>
+            lag(v6, i).over(w) * lit(new java.math.BigDecimal(wt))
+          }.reduce(_ + _)
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts"), v6.as("v6"),
+            lag(v6, 7).over(w).as("l7"), ewmaDec.as("ewma_dec"))
+          .filter(col("l7").isNotNull)
+          // no round(): dyadic weights park values EXACTLY on .5e-6
+          // boundaries where engine tie rules differ; the scale-13
+          // decimal -> double cast is itself engine-exact (unscaled
+          // < 2^53, one correctly-rounded division)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ewma_dec").cast("double").as("ewma"),
+            (col("v6") - col("ewma_dec")).cast("double").as("dev"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT user_id, event_id, value, $TS AS ts,
+                 CAST(value AS DECIMAL(27,6)) AS v6
+          FROM events WHERE event_type = 'purchase'
+        ), l AS (
+          SELECT user_id, event_id, value, v6,
+                 v6 AS l0, lag(v6, 1) OVER w AS l1,
+                 lag(v6, 2) OVER w AS l2, lag(v6, 3) OVER w AS l3,
+                 lag(v6, 4) OVER w AS l4, lag(v6, 5) OVER w AS l5,
+                 lag(v6, 6) OVER w AS l6, lag(v6, 7) OVER w AS l7
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, value,
+               CAST(l0*0.5 + l1*0.25 + l2*0.125 + l3*0.0625 +
+                 l4*0.03125 + l5*0.015625 + l6*0.0078125 +
+                 l7*0.0078125 AS DOUBLE) AS ewma,
+               CAST(v6 - (l0*0.5 + l1*0.25 + l2*0.125 + l3*0.0625 +
+                 l4*0.03125 + l5*0.015625 + l6*0.0078125 +
+                 l7*0.0078125) AS DOUBLE) AS dev
+        FROM l WHERE l7 IS NOT NULL
+        ORDER BY event_id"""),
+      "Exponentially-weighted moving average per user series with " +
+        "DYADIC weights (2^-1..2^-7, tail doubled to sum to exactly 1): " +
+        "every product lands on the decimal grid, so the smoothed " +
+        "series is bit-identical across engines — no float-accumulation " +
+        "drift. One window pass (8 lags), no self-join; the smoothing " +
+        "companion of q137's CUSUM drift detector, and `dev` is the " +
+        "per-point anomaly signal.")
   )
 }

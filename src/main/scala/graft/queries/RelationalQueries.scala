@@ -837,6 +837,51 @@ object RelationalQueries {
         "O(sqrt(m)) per node — the skew bound that survives power-law " +
         "hubs at 100 TB. Equi-joins only (corner share + closing-edge " +
         "probe); counts are orientation-invariant, so the id-ordered " +
-        "oracle agrees exactly.")
+        "oracle agrees exactly."),
+
+    // ---- q150: declarative data-quality audit (Deequ shape) ---------------
+    "q150_quality_audit" -> Q(
+      (s, d) => {
+        import graft.operators.Quality
+        Quality.audit(Tables.orders(s, d), Seq(
+            Quality.complete("o_custkey"),
+            Quality.unique("o_orderkey"),
+            Quality.inRange("o_totalprice", 0, 250000, minRatio = 0.9),
+            Quality.matches("o_orderpriority", "^[1-5]-")))
+          .orderBy(col("rule"), col("column"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT
+            round(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6) AS m0,
+            round(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) AS m1,
+            round(CAST(COUNT(CASE WHEN o_totalprice >= 0 AND
+              o_totalprice <= 250000 THEN 1 END) AS DOUBLE) /
+              COUNT(o_totalprice), 6) AS m2,
+            round(CAST(COUNT(CASE WHEN regexp_matches(o_orderpriority,
+              '^[1-5]-') THEN 1 END) AS DOUBLE) /
+              COUNT(o_orderpriority), 6) AS m3
+          FROM orders
+        )
+        SELECT * FROM (
+          SELECT 'complete' AS rule, 'o_custkey' AS "column", m0 AS metric,
+                 CAST(1.0 AS DOUBLE) AS min_ratio, m0 >= 1.0 AS pass FROM m
+          UNION ALL
+          SELECT 'unique', 'o_orderkey', m1, CAST(1.0 AS DOUBLE),
+                 m1 >= 1.0 FROM m
+          UNION ALL
+          SELECT 'in_range', 'o_totalprice', m2, CAST(0.9 AS DOUBLE),
+                 m2 >= 0.9 FROM m
+          UNION ALL
+          SELECT 'matches', 'o_orderpriority', m3, CAST(1.0 AS DOUBLE),
+                 m3 >= 1.0 FROM m)
+        ORDER BY rule, "column""""),
+      "Declarative data-quality audit, the Deequ/great-expectations " +
+        "shape: completeness, key uniqueness, range conformance and " +
+        "regexp conformance rules compile into ONE conditional-" +
+        "aggregate scan (map-side combined; only the uniqueness rule " +
+        "adds a distinct agg), exploding into a per-rule pass/fail " +
+        "report. The in_range rule is calibrated to FAIL (~0.5 < 0.9) " +
+        "so both verdict polarities are exercised at any scale.")
   )
 }

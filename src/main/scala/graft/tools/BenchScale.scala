@@ -60,7 +60,17 @@ object BenchScale {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(shifted(read("customer"), Seq("c_custkey")), "customer")
+    // per-copy name tag with DOUBLED digits ("17" -> "_1177"): any two
+    // distinct copy tags differ in >= 2 aligned positions, so q142's
+    // ed<=1 join never pairs across copies — verbatim names would make
+    // its output quadratic in the multiplier by fixture construction
+    // (the entity analog of the per-copy token renaming below)
+    write(copies(read("customer")) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_custkey", col("c_custkey") + lit(i * Cap))
+        .withColumn("c_name", concat(col("c_name"),
+          lit("_" + f"$i%02d".flatMap(c => s"$c$c"))))
+    }, "customer")
     write(shifted(read("supplier"), Seq("s_suppkey")), "supplier")
     write(shifted(read("part"), Seq("p_partkey")), "part")
     write(shifted(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
@@ -112,7 +122,9 @@ object BenchScale {
     "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
     "q135_corr_matrix", "q136_benford_audit", "q137_cusum_changepoint",
     "q138_blocklist_trie", "q139_prefix_jaccard", "q140_attribution",
-    "q141_zorder_stats")
+    "q141_zorder_stats", "q142_fastss_editjoin", "q144_activity_streaks",
+    "q145_heavy_hitters", "q146_markov_transitions", "q147_triangle_count",
+    "q148_asof_nearest")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -130,7 +142,8 @@ object BenchScale {
     "q128_asof_native", "q129_asof_broadcast", "q130_asof_forward",
     "q131_cohort_retention", "q132_event_lift", "q133_survival_km",
     "q137_cusum_changepoint", "q138_blocklist_trie", "q140_attribution",
-    "q141_zorder_stats")
+    "q141_zorder_stats", "q142_fastss_editjoin", "q145_heavy_hitters",
+    "q147_triangle_count", "q148_asof_nearest")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,27 @@ class EntityGraphSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("global_cc") - 0.8) < 1e-9)
   }
 
+  test("Quality.audit: null handling, both polarities, one row per rule") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val df = Seq((1, Some(10.0), "a-x"), (2, Some(50.0), "b-y"),
+      (3, None, "zz"), (3, Some(500.0), "a-q"))
+      .toDF("id", "v", "tag")
+    val rep = Quality.audit(df, Seq(
+        Quality.complete("v", 1.0), // 3/4 -> fail
+        Quality.unique("id"), // 3 distinct / 4 -> fail
+        Quality.inRange("v", 0, 100, 0.5), // 2/3 non-null in range -> pass
+        Quality.matches("tag", "^[ab]-", 0.7))) // 3/4 -> pass
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getBoolean(4))).toList
+    assert(rep.size == 4)
+    val byRule = rep.map(x => x._1 -> x).toMap
+    assert(byRule("complete")._3 == 0.75 && !byRule("complete")._4)
+    assert(byRule("unique")._3 == 0.75 && !byRule("unique")._4)
+    assert(byRule("in_range")._4 && byRule("in_range")._3 == 0.666667)
+    assert(byRule("matches")._4 && byRule("matches")._3 == 0.75)
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
