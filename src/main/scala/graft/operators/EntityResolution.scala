@@ -12,16 +12,18 @@ import org.apache.spark.sql.functions._
   * for author/site/license dedup before mixing corpora.
   *
   * Scale design — FastSS deletion neighborhoods (Bocek et al. 2007),
-  * NOT an all-pairs Levenshtein scan: two strings are within edit
-  * distance 1 iff they share a member of their deletion neighborhoods
-  * (the string itself plus every single-character deletion). Each row
-  * therefore explodes into len+1 blocking keys, candidates come from an
-  * EQUI-join on those keys, and the exact `levenshtein` verifier runs
-  * only on candidates. At 100 TB: the shuffle is a hash join on short
-  * string keys (×(len+1) fan-out, each key shared by at most ~alphabet
-  * ×len rows), and no registered path ever plans a CartesianProduct —
-  * the same bucketed-not-all-pairs contract as MinHash/SimHash
-  * (PlanSpec pins it).
+  * NOT an all-pairs Levenshtein scan: each string explodes into len+1
+  * blocking keys (itself plus every single-character deletion), and
+  * candidates come from an EQUI-join on those keys. Carrying the
+  * deletion POSITION makes the k=1 candidate set EXACT, no verify pass:
+  * two distinct strings are within edit distance 1 iff they share a
+  * deletion at the SAME position (that is precisely a substitution) or
+  * one equals a deletion of the other (insertion/deletion) — different-
+  * position collisions like "ab"/"ba" (ed 2) never join. At 100 TB:
+  * one hash equi-join on short string keys (×(len+1) fan-out, each key
+  * shared by at most ~alphabet×len rows), no cartesian anywhere, no
+  * per-candidate DP — the same bucketed-not-all-pairs contract as
+  * MinHash/SimHash (PlanSpec pins it).
   */
 object EntityResolution {
 
@@ -36,23 +38,41 @@ object EntityResolution {
         .otherwise(concat(c.substr(lit(1), i - 1),
                           c.substr(i + 1, length(c)))))
 
+  /** [[deletionNeighborhood]] keeping each variant's deletion position
+    * (0 = the string itself) — the tag that makes k=1 blocking exact. */
+  def deletionNeighborhoodPos(c: Column): Column =
+    transform(
+      sequence(lit(0), length(c)),
+      i => struct(
+        when(i === 0, c)
+          .otherwise(concat(c.substr(lit(1), i - 1),
+                            c.substr(i + 1, length(c)))).as("v"),
+        i.as("p")))
+
   /** All pairs of rows whose `name` strings are within edit distance 1
-    * (Hamming substitution, insertion, or deletion), found via the
-    * deletion-neighborhood equi-join and verified with the exact
-    * codegen'd `levenshtein` built-in. Output:
-    * (a_id, b_id, a_name, b_name, dist) with a_id < b_id, one row per
-    * pair however many blocking keys it shares. */
+    * (substitution, insertion, or deletion — or exact duplicates),
+    * found via the position-tagged deletion-neighborhood equi-join.
+    * Output: (a_id, b_id, a_name, b_name, dist) with a_id < b_id and
+    * dist = 0 for equal names, 1 otherwise; one row per pair however
+    * many blocking keys it shares (exact duplicates share them all —
+    * the aggregation collapses the routes). */
   def editDistanceOnePairs(df: DataFrame, idCol: String,
       nameCol: String): DataFrame = {
     val keyed = df.select(
         col(idCol).as("_id"), col(nameCol).as("_name"),
-        explode(deletionNeighborhood(col(nameCol))).as("_blk"))
-    val a = keyed.toDF("a_id", "a_name", "_blk")
-    val b = keyed.toDF("b_id", "b_name", "_blkb")
-    a.join(b, a("_blk") === b("_blkb") && a("a_id") < b("b_id"))
+        explode(deletionNeighborhoodPos(col(nameCol))).as("_kp"))
+      .select(col("_id"), col("_name"),
+        col("_kp.v").as("_blk"), col("_kp.p").as("_pos"))
+    val a = keyed.toDF("a_id", "a_name", "_blk", "_apos")
+    val b = keyed.toDF("b_id", "b_name", "_blkb", "_bpos")
+    a.join(b, a("_blk") === b("_blkb") && a("a_id") < b("b_id") &&
+        // same-position deletion = substitution; position 0 on either
+        // side = insertion/deletion (or equality); anything else is
+        // ed >= 2 and must not match
+        (a("_apos") === b("_bpos") || a("_apos") === 0 || b("_bpos") === 0))
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
       .distinct()
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 1)
+      .withColumn("dist",
+        when(col("a_name") === col("b_name"), 0).otherwise(1))
   }
 }

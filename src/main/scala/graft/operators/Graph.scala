@@ -72,22 +72,29 @@ object Graph {
   }
 
   /** Degree-ordered triangle counting + global clustering coefficient —
-    * the MapReduce node-iterator++ scheme (Suri & Vassilvitskii, WWW
-    * 2011): orient every undirected edge from its (degree, id)-smaller
-    * endpoint toward the larger, so each triangle is generated exactly
-    * once, from its unique lowest-ordered corner. The wedge fan-out per
-    * node is then bounded by its OUT-degree, which the orientation caps
-    * at O(√m) — the skew killer that makes triangle counting survive
-    * power-law graphs at 100 TB, where id-ordered wedging would
-    * enumerate a hub's full C(deg,2).
+    * the edge-iterator scheme over a (degree, id)-oriented graph (Suri
+    * & Vassilvitskii, WWW 2011 lineage): orient every undirected edge
+    * from its (degree, id)-smaller endpoint toward the larger, so each
+    * triangle {x<y<z} is counted exactly once, at its lowest-ordered
+    * edge (x,y), as z ∈ N⁺(x) ∩ N⁺(y). The orientation caps every
+    * out-degree at O(√m) — the skew killer that makes this survive
+    * power-law hubs at 100 TB, where id-ordered counting would
+    * enumerate a hub's full neighborhood.
     *
-    * All joins are equi-joins (wedges share the corner node; the
-    * closing probe is an equi-join on the (v,w) pair) — no cartesian
-    * anywhere. The (degree, id) total order is computed by joining the
-    * degree relation (one row per node) to the edge list — no global
-    * sort, no rank window. Triangle/wedge counts are
-    * orientation-invariant, so the output is deterministic and the
-    * DuckDB oracle can count with plain id-ordering.
+    * Shape: the wedge relation (Σ C(outdeg,2) rows — easily 100× the
+    * edge count) NEVER materializes. Instead each oriented edge picks
+    * up both endpoints' sorted out-neighbor arrays (two equi-joins
+    * against a per-node adjacency relation, each array O(√m) long) and
+    * counts the intersection with a codegen'd `array_intersect` — the
+    * shuffled volume stays O(m·√m) worst-case but O(m·avg-outdeg)
+    * typical, in m rows rather than Σ C(d,2) rows. The edge list is
+    * localCheckpointed once (O(edges) executor-local storage) because
+    * it feeds degree/orientation/count branches — without it the
+    * upstream edge derivation (often itself a self-join) re-executes
+    * per branch.
+    *
+    * Triangle/wedge counts are orientation-invariant, so the output is
+    * deterministic and a plain id-ordered oracle agrees exactly.
     *
     * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     * global_cc = 3·triangles/wedges rounded to `roundTo`). */
@@ -98,6 +105,7 @@ object Graph {
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -108,22 +116,19 @@ object Graph {
     val oriented = withDeg.select(
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("u"), col("b").as("h"), col("db").as("dh")))
-        .otherwise(
-        struct(col("b").as("u"), col("a").as("h"), col("da").as("dh")))
+        struct(col("a").as("u"), col("b").as("h")))
+        .otherwise(struct(col("b").as("u"), col("a").as("h")))
         .as("o"))
-      .select(col("o.u").as("u"), col("o.h").as("h"), col("o.dh").as("dh"))
-    val o1 = oriented.toDF("u", "v", "dv")
-    val o2 = oriented.toDF("u2", "w", "dw")
-    val wedgePairs = o1.join(o2, col("u") === col("u2") &&
-        (col("dv") < col("dw") ||
-         (col("dv") === col("dw") && col("v") < col("w"))))
-      .select(col("v"), col("w"))
-    val closing = oriented.select(col("u").as("cv"), col("h").as("cw"))
-    val triangles = wedgePairs
-      .join(closing, col("v") === col("cv") && col("w") === col("cw"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("o.u").as("u"), col("o.h").as("h"))
+    // per-node out-neighbor arrays, O(sqrt m) each by orientation
+    val adj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("h")).as("nbrs"))
+    val triangles = oriented
+      .join(adj, "u")
+      .withColumnRenamed("nbrs", "nu")
+      .join(adj.toDF("u2", "nv"), col("h") === col("u2"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val nWedges = deg
       .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
