@@ -321,6 +321,17 @@ class PlanSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("q148 nearest as-of plans the native exec, one exchange+sort per side") {
+    val df = SparkEntry.queries("q148_asof_nearest")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"must plan the custom exec:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastExchange"),
+      "big-big nearest as-of must not assume a broadcastable side")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n${p.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("q129 broadcasts only the calendar-bounded dimension; left never shuffles") {
     val df = SparkEntry.queries("q129_asof_broadcast")(spark, sf("0.001"))
     val p = df.queryExecution.executedPlan.toString
