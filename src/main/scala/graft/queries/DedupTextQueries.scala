@@ -786,6 +786,63 @@ object DedupTextQueries {
         "makes the output deterministic under any partitioning. k=30 " +
         "against a 31-token corpus vocabulary forces real MG " +
         "evictions, so the candidate pruning is exercised, not " +
-        "vacuous.")
+        "vacuous."),
+
+    // ---- q154: Fellegi-Sunter probabilistic record linkage ----------------
+    "q154_record_linkage" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val pairs = EntityResolution.editDistanceOnePairs(
+          cust, "c_custkey", "c_name")
+        val fa = cust.select(col("c_custkey").as("a_id"),
+          col("c_nationkey").as("a_nat"), col("c_acctbal").as("a_bal"),
+          col("c_mktsegment").as("a_seg"))
+        val fb = cust.select(col("c_custkey").as("b_id"),
+          col("c_nationkey").as("b_nat"), col("c_acctbal").as("b_bal"),
+          col("c_mktsegment").as("b_seg"))
+        pairs.join(broadcast(fa), "a_id").join(broadcast(fb), "b_id")
+          .withColumn("score",
+            when(col("dist") === 0, 220).otherwise(100) +
+            when(col("a_nat") === col("b_nat"), 180).otherwise(-60) +
+            when(col("a_seg") === col("b_seg"), 90).otherwise(-110) +
+            when(abs(col("a_bal") - col("b_bal")) <= 500, 120)
+              .otherwise(-80))
+          .withColumn("class",
+            when(col("score") >= 400, "match")
+              .when(col("score") >= 150, "possible")
+              .otherwise("non_match"))
+          .select(col("a_id"), col("b_id"), col("dist"), col("score"),
+            col("class"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH cand AS (
+          SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                 CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+                 CAST(
+                   CASE WHEN a.c_name = b.c_name THEN 220 ELSE 100 END +
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                        THEN 180 ELSE -60 END +
+                   CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 90 ELSE -110 END +
+                   CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 500
+                        THEN 120 ELSE -80 END AS INT) AS score
+          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1
+        )
+        SELECT a_id, b_id, dist, score,
+               CASE WHEN score >= 400 THEN 'match'
+                    WHEN score >= 150 THEN 'possible'
+                    ELSE 'non_match' END AS class
+        FROM cand
+        ORDER BY a_id, b_id"""),
+      "Probabilistic record linkage, the Fellegi-Sunter shape: " +
+        "candidates from the FastSS blocking join (never all-pairs), " +
+        "then per-field agreement log-odds weights (name/nation/" +
+        "segment/balance-proximity) sum to a match score classified " +
+        "into match / possible / non-match by dual thresholds — the " +
+        "clerical-review triage every entity-dedup pipeline runs. " +
+        "Integer weights keep the score engine-exact; the balance " +
+        "comparison is a deterministic IEEE subtract on both engines.")
   )
 }

@@ -1561,6 +1561,77 @@ object EventQueries {
         "series is bit-identical across engines — no float-accumulation " +
         "drift. One window pass (8 lags), no self-join; the smoothing " +
         "companion of q137's CUSUM drift detector, and `dev` is the " +
-        "per-point anomaly signal.")
+        "per-point anomaly signal."),
+
+    // ---- q152: bucketized interval-overlap join ---------------------------
+    "q152_interval_overlap" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+        val sess = ev
+          .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .withColumn("sess", sum(col("is_new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ep")).as("s_start"), max(col("ep")).as("s_end"))
+        val inc = ev.filter(col("event_type") === "error")
+          .groupBy((expr("ep div 900") * 900).as("inc_start"))
+          .agg(count(lit(1)).as("n_errors"))
+          .filter(col("n_errors") >= 2)
+        // explode each session into the 900s buckets it touches; an
+        // incident IS one full bucket, so the bucket equi-join is the
+        // EXACT overlap join (no residual predicate, no theta join)
+        sess
+          .withColumn("b", explode(sequence(
+            expr("s_start div 900"), expr("s_end div 900"))))
+          .join(inc, col("b") === expr("inc_start div 900"))
+          .select(col("user_id"), col("sess").cast("int").as("sess"),
+            col("s_start"), col("s_end"), col("inc_start"), col("n_errors"),
+            (least(col("s_end"), col("inc_start") + 899) -
+              greatest(col("s_start"), col("inc_start")) + 1)
+              .as("overlap_sec"))
+          .orderBy(col("user_id"), col("sess"), col("inc_start"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, $EPOCH AS ep, $TS AS tsu
+          FROM events
+        ), g AS (
+          SELECT user_id, ep, tsu, event_id,
+            CASE WHEN ep - LAG(ep) OVER w IS NULL
+                   OR ep - LAG(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), sessed AS (
+          SELECT user_id, ep,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        ), per_sess AS (
+          SELECT user_id, sess, MIN(ep) AS s_start, MAX(ep) AS s_end
+          FROM sessed GROUP BY user_id, sess
+        ), inc AS (
+          SELECT (ep // 900) * 900 AS inc_start, COUNT(*) AS n_errors
+          FROM e WHERE event_type = 'error'
+          GROUP BY 1 HAVING COUNT(*) >= 2
+        )
+        SELECT s.user_id, CAST(s.sess AS INT) AS sess, s.s_start, s.s_end,
+               i.inc_start, i.n_errors,
+               least(s.s_end, i.inc_start + 899) -
+                 greatest(s.s_start, i.inc_start) + 1 AS overlap_sec
+        FROM per_sess s JOIN inc i
+          ON s.s_start <= i.inc_start + 899 AND i.inc_start <= s.s_end
+        ORDER BY user_id, sess, inc_start"""),
+      "Interval-overlap join (which user sessions overlapped a " +
+        "platform incident window) computed as a BUCKETIZED EQUI-join: " +
+        "sessions explode into the 900s epoch buckets they touch, " +
+        "incidents occupy exactly one bucket, so bucket equality IS " +
+        "interval overlap — hash-joinable at any scale, bucket fan-out " +
+        "= span/900 per row. Hash-equal to the theta-join oracle, " +
+        "which is the whole point: the O(n·m) overlap predicate " +
+        "becomes a shuffle on bounded integer keys.")
   )
 }
