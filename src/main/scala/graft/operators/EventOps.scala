@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * the deepest step. */
 case class FunnelState(depth: Int, t1: Long, ti: Long)
 
+/** The open SCD2 interval carried across micro-batches: current
+  * attribute value, its version number, and when it became valid. */
+case class Scd2State(tier: Int, version: Int, from: Long)
+
 /** Ordered-sequence analytics over event streams — the conversion-funnel
   * family every product/ops pipeline runs next to the reference's
   * event-time metrics (SURVEY.md §2.8 generalized the way A2/q18 were).
@@ -127,6 +131,66 @@ object EventOps {
       }
       .filter(_._2 > 0)
       .toDF(user, "steps_completed", "t_first", "t_last")
+  }
+
+  /** STREAMING SCD Type-2 maintenance — the incremental twin of the
+    * q143 batch build: per-key state holds only the OPEN interval
+    * (value, version, valid_from); a change event closes it (emitting
+    * the finished [valid_from, valid_to) version) and opens the next.
+    * State is O(1) per key forever — the closed history lives in the
+    * sink, never in state — which is what makes dimension maintenance
+    * streamable at 100 TB.
+    *
+    * Contract matches [[funnelUsersIngest]]: events must arrive
+    * per-key time-ordered ACROSS batches (within a batch they are
+    * sorted here); compose with [[graft.streaming.ReorderBuffer]]
+    * upstream for disordered sources — StreamingSpec executes that
+    * composition for the funnel and the same applies here.
+    *
+    * Emits, per trigger: every interval CLOSED in that trigger plus a
+    * snapshot of the key's open interval (valid_to null). Update-mode
+    * dedup per (key, version): valid_from = min, valid_to = max
+    * (null only if never closed), is_current = valid_to IS NULL —
+    * StreamingSpec proves the deduped stream equals the batch q143
+    * build exactly.
+    *
+    * Output: (`user`, version, valid_from, valid_to, tier) on epoch
+    * seconds; runs identically on a batch DataFrame (state starts
+    * empty, one group pass). */
+  def scd2Ingest(events: DataFrame, user: String, tsCol: String,
+      tieCol: String, tierCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col(user).cast("long").as("u"),
+        unix_timestamp(col(tsCol)).as("ep"),
+        col(tieCol).cast("long").as("tie"),
+        col(tierCol).cast("int").as("tier"))
+      .as[(Long, Long, Long, Int)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, (Long, Int, Long, Option[Long], Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val ordered = it.toArray.sortBy(e => (e._2, e._3))
+        var st = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Option[Long], Int)]
+        for ((_, ep, _, tier) <- ordered) {
+          st match {
+            case None =>
+              st = Some(Scd2State(tier, 1, ep))
+            case Some(cur) if cur.tier != tier =>
+              out += ((uid, cur.version, cur.from, Some(ep), cur.tier))
+              st = Some(Scd2State(tier, cur.version + 1, ep))
+            case _ => () // unchanged value: no new version
+          }
+        }
+        st.foreach { cur =>
+          state.update(cur)
+          out += ((uid, cur.version, cur.from, None, cur.tier))
+        }
+        out.iterator
+      }
+      .toDF(user, "version", "valid_from", "valid_to", "tier")
   }
 
   /** As-of join (each left row matched to the LATEST right row with

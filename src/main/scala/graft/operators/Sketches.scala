@@ -585,6 +585,35 @@ object Sketches {
       .select(col(group), col("q"), col("v").as("quantile_disc"))
   }
 
+  /** Key Bloom filter over a dimension column — the build half of the
+    * RUNTIME-FILTER / semi-join-reduction pattern ([[bloomReduce]]).
+    * Positions come from [[cmsPositions]] (md5 Kirsch–Mitzenmacher), so
+    * the filter is engine-portable. The collect is bounded: distinct
+    * positions ≤ mBits whatever the dimension size. */
+  def keyBloomBits(dim: DataFrame, key: String, mBits: Int,
+      kHashes: Int): Array[Boolean] = {
+    val pos = dim.select(explode(cmsPositions(col(key), mBits, kHashes))
+        .as("p")).distinct().collect().map(_.getInt(0))
+    val bits = new Array[Boolean](mBits)
+    pos.foreach(bits(_) = true)
+    bits
+  }
+
+  /** Bloom semi-join reduction: filter the FACT side by dimension-key
+    * Bloom membership as a PURE PROJECTION before any exchange — the
+    * manual form of Spark's runtime row-level filtering, for when the
+    * dimension is too big to broadcast whole but its key Bloom (mBits
+    * booleans) is not. False positives survive to the real join (which
+    * eliminates them — correctness never depends on the filter); false
+    * negatives are impossible, so no fact row is lost. At 100 TB the
+    * win is shuffle volume: only fact rows whose keys probably join
+    * ever reach the exchange. */
+  def bloomReduce(fact: DataFrame, key: String, bits: Array[Boolean],
+      kHashes: Int): DataFrame =
+    fact.filter(forall(
+      cmsPositions(col(key), bits.length, kHashes),
+      p => element_at(typedlit(bits.toSeq), p + 1)))
+
   /** EXACT heavy hitters at sketch cost — the Misra–Gries (1982) /
     * SpaceSaving two-pass pattern that replaces a full-vocabulary
     * aggregation when |distinct| ≫ memory (tokens, URLs, user agents

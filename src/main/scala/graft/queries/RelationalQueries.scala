@@ -882,6 +882,45 @@ object RelationalQueries {
         "aggregate scan (map-side combined; only the uniqueness rule " +
         "adds a distinct agg), exploding into a per-rule pass/fail " +
         "report. The in_range rule is calibrated to FAIL (~0.5 < 0.9) " +
-        "so both verdict polarities are exercised at any scale.")
+        "so both verdict polarities are exercised at any scale."),
+
+    // ---- q155: Bloom semi-join reduction (runtime-filter shape) -----------
+    "q155_bloom_join_reduce" -> Q(
+      (s, d) => {
+        import graft.operators.Sketches
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > 4000)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val bits = Sketches.keyBloomBits(dim, "c_custkey",
+          mBits = 1 << 16, kHashes = 4)
+        val reduced = Sketches.bloomReduce(
+          Tables.orders(s, d), "o_custkey", bits, kHashes = 4)
+        // hint("merge") models the big-dim case the pattern exists
+        // for: the dim does NOT broadcast; the Bloom projection must
+        // carry the reduction instead
+        reduced.join(dim.hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""
+        SELECT c.c_nationkey, COUNT(*) AS n_orders,
+               ${sqlMoneySum("o.o_totalprice")} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 4000
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey"""),
+      "Bloom semi-join reduction — the runtime-filter pattern for " +
+        "fact⋈dim joins where the dimension is too big to broadcast " +
+        "but its key Bloom (64 Kbit here) is not: the fact side " +
+        "filters by md5-Bloom membership as a pure projection BEFORE " +
+        "its exchange (plan-pinned in PlanSpec), the sort-merge join " +
+        "then eliminates the false positives, so the answer is exactly " +
+        "the plain join's — hash-equal to the unfiltered oracle — " +
+        "while the fact shuffle carries only rows that probably join. " +
+        "No false negatives by construction.")
   )
 }

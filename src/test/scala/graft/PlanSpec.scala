@@ -332,6 +332,17 @@ class PlanSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("q155: bloom probe filters the fact side pre-exchange; SMJ, no broadcast") {
+    val df = SparkEntry.queries("q155_bloom_join_reduce")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim must not broadcast (the pattern models the big-dim case)")
+    assert(p.contains("forall"),
+      s"bloom membership must be a projection-time filter on the fact side:\n${p.take(1500)}")
+    assert(df.count() > 0)
+  }
+
   test("q129 broadcasts only the calendar-bounded dimension; left never shuffles") {
     val df = SparkEntry.queries("q129_asof_broadcast")(spark, sf("0.001"))
     val p = df.queryExecution.executedPlan.toString

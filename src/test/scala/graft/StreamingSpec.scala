@@ -719,6 +719,46 @@ class StreamingSpec extends SparkSuite {
       s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("scd2Ingest: streamed interval maintenance equals the batch q143 build") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = Tables.events(spark, sf("0.001"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"),
+        floor(col("value") / 100).cast("int").as("tier"))
+      .orderBy(col("ep"), col("event_id"))
+      .as[(Long, Long, Long, Int)].collect()
+    val input = MemoryStream[(Long, Long, Long, Int)]
+    val src = input.toDF().toDF("user_id", "event_id", "ep", "tier")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val q = EventOps.scd2Ingest(src, "user_id", "ts", "event_id", "tier")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("update").start()
+    for (chunk <- purchases.grouped(purchases.length / 7 + 1)) {
+      input.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // update-mode dedup: a version is emitted open (valid_to null)
+    // until the trigger that closes it
+    val streamed = spark.table("scd2_stream")
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("valid_from")).as("vf"), max(col("valid_to")).as("vt"),
+        max(col("tier")).as("tier"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toSet
+    val batch = SparkEntry.queries("q143_scd2_intervals")(spark, sf("0.001"))
+      .select(col("user_id"), col("version"),
+        unix_timestamp(col("valid_from")).as("vf"),
+        unix_timestamp(col("valid_to")).as("vt"), col("tier"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"diff=${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
+
   test("countMinIngest: streamed delta-merged counters equal the one-shot batch sketch") {
     // additive sketches double-count under at-least-once replay, so the
     // ingest must be exactly-once: batch_id delta partitions + dynamic
