@@ -124,7 +124,8 @@ object BenchScale {
     "q138_blocklist_trie", "q139_prefix_jaccard", "q140_attribution",
     "q141_zorder_stats", "q142_fastss_editjoin", "q144_activity_streaks",
     "q145_heavy_hitters", "q146_markov_transitions", "q147_triangle_count",
-    "q148_asof_nearest", "q152_interval_overlap", "q154_record_linkage")
+    "q148_asof_nearest", "q152_interval_overlap", "q154_record_linkage",
+    "q155_bloom_join_reduce")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -144,7 +145,7 @@ object BenchScale {
     "q137_cusum_changepoint", "q138_blocklist_trie", "q140_attribution",
     "q141_zorder_stats", "q142_fastss_editjoin", "q145_heavy_hitters",
     "q147_triangle_count", "q148_asof_nearest", "q152_interval_overlap",
-    "q154_record_linkage")
+    "q154_record_linkage", "q155_bloom_join_reduce")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1307,6 +1307,72 @@ class StreamingSpec extends SparkSuite {
     } finally { RestartHarness.rmTree(dir); RestartHarness.rmTree(ck) }
   }
 
+  test("scd2Ingest resumes its open-interval state from a checkpoint") {
+    // kill-and-resume for dimension maintenance: the OPEN interval per
+    // user lives in the checkpointed state store; restart must continue
+    // version numbering and close intervals exactly as an uninterrupted
+    // run (== the batch q143 build), no version reset, no re-emit drift
+    import graft.operators.EventOps
+    import scala.collection.mutable
+    val dir = java.nio.file.Files.createTempDirectory("graft_scdck_src")
+    val ck = java.nio.file.Files.createTempDirectory("graft_scdck_ck")
+    try {
+      val all = Tables.events(spark, sf("0.001"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ep"),
+          floor(col("value") / 100).cast("int").as("tier"))
+      val cuts = all.stat.approxQuantile("ep", Array(0.25, 0.5, 0.75), 0.0)
+        .map(_.toLong)
+      def chunk(i: Int) = {
+        val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+        val hi = if (i == 3) Long.MaxValue else cuts(i)
+        all.filter(col("ep") >= lo && col("ep") < hi)
+      }
+      // (user, version) -> (vf, vt, tier); later emits overwrite (the
+      // update-mode dedup rule: the close supersedes the open snapshot)
+      val seen = mutable.Map[(Long, Int), (Long, Option[Long], Int)]()
+      def start() = EventOps.scd2Ingest(
+          spark.readStream
+            .schema("user_id BIGINT, event_id BIGINT, ep BIGINT, tier INT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dir.toString)
+            .withColumn("ts", timestamp_seconds(col("ep"))),
+          "user_id", "ts", "event_id", "tier")
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            val vt = Option(r.get(3)).map(_.asInstanceOf[Long])
+            val key = (r.getLong(0), r.getInt(1))
+            // never let an open snapshot overwrite a recorded close
+            if (vt.isDefined || !seen.get(key).exists(_._2.isDefined))
+              seen(key) = (r.getLong(2), vt, r.getInt(4))
+          }
+        }
+        .start()
+      (0 until 2).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // killed mid-history; the rest arrives while down
+      (2 until 4).foreach(i => RestartHarness.writeChunk(chunk(i), dir, i))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val batch = SparkEntry.queries("q143_scd2_intervals")(spark, sf("0.001"))
+        .select(col("user_id"), col("version"),
+          unix_timestamp(col("valid_from")).as("vf"),
+          unix_timestamp(col("valid_to")).as("vt"), col("tier"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getInt(4)))).toMap
+      assert(seen.nonEmpty && seen.toMap == batch,
+        s"resumed SCD2 must equal the batch build: ${seen.size} streamed " +
+          s"vs ${batch.size} batch versions")
+    } finally { RestartHarness.rmTree(dir); RestartHarness.rmTree(ck) }
+  }
+
   test("disordered stream -> ReorderBuffer -> funnel equals the batch funnel") {
     // the composition the funnel ingest's contract names: cross-batch
     // per-user time order restored by the reorder buffer, then the
