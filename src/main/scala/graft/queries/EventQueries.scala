@@ -1632,6 +1632,118 @@ object EventQueries {
         "interval overlap — hash-joinable at any scale, bucket fan-out " +
         "= span/900 per row. Hash-equal to the theta-join oracle, " +
         "which is the whole point: the O(n·m) overlap predicate " +
-        "becomes a shuffle on bounded integer keys.")
+        "becomes a shuffle on bounded integer keys."),
+
+    // ---- q156: session path mining (top-k journeys) ------------------------
+    "q156_session_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sessed = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .withColumn("sess", sum(col("is_new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // per-session ordered path: sort (ep, event_id, type) structs in
+        // the agg (collect_list alone has no order guarantee), keep the
+        // first 5 steps
+        val paths = sessed.groupBy(col("user_id"), col("sess"))
+          .agg(array_join(transform(
+            slice(array_sort(collect_list(struct(col("ep"), col("event_id"),
+              col("event_type").as("et")))), 1, 5),
+            x => x.getField("et")), ">").as("path"))
+        val counts = paths.groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+        val total = counts.agg(sum(col("n_sessions")).as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("path"), col("n_sessions"),
+            round(col("n_sessions").cast("double") /
+              col("total").cast("double"), 6).as("share"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, $EPOCH AS ep, $TS AS tsu
+          FROM events
+        ), g AS (
+          SELECT *, CASE WHEN ep - LAG(ep) OVER w IS NULL
+                       OR ep - LAG(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), sessed AS (
+          SELECT user_id, event_id, event_type, ep,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        ), paths AS (
+          SELECT user_id, sess,
+            array_to_string(list(event_type ORDER BY ep, event_id)[1:5], '>') AS path
+          FROM sessed GROUP BY user_id, sess
+        ), c AS (
+          SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        ), t AS (SELECT SUM(n_sessions) AS total FROM c)
+        SELECT path, n_sessions,
+               round(CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                 AS share
+        FROM c CROSS JOIN t
+        ORDER BY n_sessions DESC, path
+        LIMIT 20"""),
+      "Session path mining — the journey-DISCOVERY primitive (q108's " +
+        "funnel measures a path you name; this surfaces the paths that " +
+        "exist): gap-sessionized events fold into ordered first-5-step " +
+        "path strings (struct-sorted inside the aggregate — " +
+        "collect_list alone has no order guarantee), counted globally, " +
+        "top-20 via TakeOrderedAndProject with a total-order " +
+        "tiebreak. Path space is bounded by |types|^5, counts " +
+        "map-side combine."),
+
+    // ---- q157: period-over-period BI ratios --------------------------------
+    "q157_mom_growth" -> Q(
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+            col("c_mktsegment"))
+          .agg(moneySum(col("o_totalprice")).as("revenue"))
+        val seg = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("month"))
+        val mon = Window.partitionBy(col("month"))
+        monthly
+          .withColumn("prev", lag(col("revenue"), 1).over(seg))
+          .withColumn("mom_growth",
+            round((col("revenue") - col("prev")) / col("prev"), 6))
+          .withColumn("month_share", round(col("revenue") /
+            sum(col("revenue")).over(mon), 6))
+          .select(col("month"), col("c_mktsegment"), col("revenue"),
+            col("mom_growth"), col("month_share"))
+          .orderBy(col("month"), col("c_mktsegment"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 c.c_mktsegment,
+                 ${sqlMoneySum("o.o_totalprice")} AS revenue
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT month, c_mktsegment, revenue,
+               round((revenue - LAG(revenue) OVER w) /
+                 LAG(revenue) OVER w, 6) AS mom_growth,
+               round(revenue / SUM(revenue) OVER
+                 (PARTITION BY month), 6) AS month_share
+        FROM m
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+        ORDER BY month, c_mktsegment"""),
+      "Period-over-period BI ratios: month × segment revenue (exact " +
+        "decimal accumulation) with lag()-based month-over-month " +
+        "growth and share-of-month window ratios — the reporting " +
+        "primitive every warehouse dashboard runs. One |months|×" +
+        "|segments|-bounded aggregate, two windows over that bounded " +
+        "relation; ratio arithmetic is single IEEE ops on " +
+        "decimal-exact inputs, identical across engines.")
   )
 }
