@@ -70,6 +70,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** Containment pairs — the asymmetric sibling of [[jaccardPairs]]:
+    * containment = |A ∩ B| / min(|A|, |B|), the measure that catches a
+    * SHORT document embedded in a long one (quotes, truncations,
+    * boilerplate wrappers) where symmetric Jaccard stays low because
+    * the union is dominated by the long side. Same shape: one native
+    * shingle-hash pass (checkpointed against the self-join diamond),
+    * block-keyed equi-join, per-pair intersection count — never a
+    * doc×doc pair space. Output adds `contained_id`, the smaller-set
+    * doc (ties → a_id: with equal sizes and containment 1.0 the docs
+    * are shingle-identical). */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      block: String, n: Int, threshold: Double): DataFrame = {
+    TextExpressions.register(docs.sparkSession)
+    val hashed = docs.select(col(id).as("doc"), col(block).as("blk"),
+      call_function("shingle_hashes", col(text), lit(n)).as("shs"))
+      .localCheckpoint()
+    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
+    val sh = hashed.select(col("doc"), col("blk"), explode(col("shs")).as("shingle"))
+    sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("n_a") <= col("n_b"), col("a_id")).otherwise(col("b_id")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"), col("contained_id"))
+  }
+
   /** Exact all-pairs Jaccard ≥ threshold WITHOUT blocking — the prefix
     * filter of the All-Pairs / PPJoin family (Bayardo et al., WWW'07;
     * Xiao et al., WWW'08): order every document's shingles by global

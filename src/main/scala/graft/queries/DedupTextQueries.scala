@@ -788,6 +788,62 @@ object DedupTextQueries {
         "evictions, so the candidate pruning is exercised, not " +
         "vacuous."),
 
+    // ---- q153: containment dedup (short-inside-long detection) ------------
+    // corpus = documents ∪ 60%-truncated copies carrying the SAME
+    // source (so every true containment pair is within-block); the
+    // truncated copy's shingle set is a subset of the original's ->
+    // containment ~1.0 where Jaccard would read only ~0.6
+    "q153_containment_pairs" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val w = split(col("text"), " ")
+        val truncated = docs.select(
+          (col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          array_join(slice(w, lit(1),
+            greatest(floor(size(w) * 0.6).cast("int"), lit(1))), " ").as("text"))
+        Dedup.containmentPairs(docs.unionByName(truncated),
+            "doc_id", "text", block = "source", n = 3, threshold = 0.9)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""
+        WITH w0 AS (
+          SELECT doc_id, source, $W AS w FROM documents
+        ), corpus AS (
+          SELECT doc_id, source, array_to_string(w, ' ') AS text FROM w0
+          UNION ALL
+          SELECT doc_id + 10000000, source,
+                 array_to_string(w[1:greatest(CAST(floor(0.6 * len(w)) AS INT), 1)], ' ')
+          FROM w0
+        ), sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM corpus
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc)
+        SELECT a_id, b_id, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+                 AS containment,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN a_id ELSE b_id END
+                 AS contained_id
+        FROM inter
+        JOIN sizes sa ON sa.doc = a_id
+        JOIN sizes sb ON sb.doc = b_id
+        WHERE CAST(inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.9
+        ORDER BY a_id, b_id"""),
+      "Containment dedup — |A∩B| / min(|A|,|B|): catches a SHORT doc " +
+        "embedded in a long one (quotes, truncations, boilerplate) " +
+        "where symmetric Jaccard stays low because the long side " +
+        "dominates the union. Fixture plants 60%-truncated copies, so " +
+        "every original/copy pair scores ~1.0 here but only ~0.6 " +
+        "Jaccard — the t=0.9 cut isolates exactly the containments. " +
+        "Same bucketed shape as q41: shingle-hash pass, block-keyed " +
+        "equi-join, per-pair count — no pair space."),
+
     // ---- q154: Fellegi-Sunter probabilistic record linkage ----------------
     "q154_record_linkage" -> Q(
       (s, d) => {
