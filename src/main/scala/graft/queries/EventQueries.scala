@@ -1744,6 +1744,75 @@ object EventQueries {
         "primitive every warehouse dashboard runs. One |months|×" +
         "|segments|-bounded aggregate, two windows over that bounded " +
         "relation; ratio arithmetic is single IEEE ops on " +
-        "decimal-exact inputs, identical across engines.")
+        "decimal-exact inputs, identical across engines."),
+
+    // ---- q158: point-in-time lookup against the SCD2 dimension ------------
+    "q158_pit_lookup" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+        // the q143 SCD2 build, on epochs
+        val intervals = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ep"), col("event_id"),
+            floor(col("value") / 100).cast("int").as("tier"))
+          .withColumn("prev_tier", lag(col("tier"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))))
+          .filter(!(col("tier") <=> col("prev_tier")))
+          .withColumn("version", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id")))
+            .cast("int"))
+          .select(col("user_id").as("i_user"), col("version"),
+            col("ep").as("uf"), col("tier"),
+            // unique-per-key composite: equal valid_from epochs break
+            // by version, latest wins (backward picks last in order)
+            (col("ep") * 10000000L + col("version")).as("jt"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            (col("ep") * 10000000L + lit(5000000L)).as("jt"))
+        graft.operators.EventOps.asOfJoinNative(views, intervals,
+            "user_id", "i_user", "jt", "jt")
+          .select(col("user_id"), col("event_id"), col("ep"),
+            col("version"), col("tier"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, $EPOCH AS ep
+          FROM events
+        ), p AS (
+          SELECT user_id, ep, event_id,
+                 CAST(floor(value / 100) AS INT) AS tier
+          FROM e WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT *, lag(tier) OVER
+            (PARTITION BY user_id ORDER BY ep, event_id) AS prev_tier
+          FROM p
+        ), f AS (
+          SELECT user_id, ep AS uf, tier,
+                 CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY ep, event_id) AS INT)
+                   AS version
+          FROM c WHERE tier IS DISTINCT FROM prev_tier
+        ), v AS (
+          SELECT user_id, event_id, ep FROM e WHERE event_type = 'view'
+        )
+        SELECT v.user_id, v.event_id, v.ep, m.version, m.tier
+        FROM v LEFT JOIN LATERAL (
+          SELECT version, tier FROM f
+          WHERE f.user_id = v.user_id AND f.uf <= v.ep
+          ORDER BY f.uf DESC, f.version DESC LIMIT 1) m ON true
+        ORDER BY v.event_id"""),
+      "Point-in-time dimensional lookup — the warehouse 'AS OF' read " +
+        "that q143's SCD2 build exists for, composed through the " +
+        "custom physical as-of exec: each view event resolves the tier " +
+        "version in effect at its timestamp via one sort-merge pass " +
+        "(no interval range-join, no window buffer), with a " +
+        "(valid_from, version) composite breaking same-second version " +
+        "changes deterministically. Hash-equal to a LATERAL " +
+        "latest-interval oracle; views before a user's first version " +
+        "stay with null dimension columns (left-outer semantics).")
   )
 }
