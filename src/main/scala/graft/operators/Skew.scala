@@ -41,4 +41,25 @@ object Skew {
       .agg(sum(col("_psum")).cast("double").as(alias),
            sum(col("_pcnt")).cast("long").as("n_rows"))
   }
+
+  /** Salted equi-join for a skewed fact key — the manual form of AQE's
+    * skew-join split, usable when the skew is known up front (and on
+    * streaming joins, where AQE can't replan): the fact side salts on
+    * content hash (same retry-safe derivation as [[saltedMoneySum]] —
+    * never rand()), the dimension side replicates each row across all
+    * `buckets` salts, and the join key becomes (key, salt) — a hot key
+    * spreads over `buckets` reducers instead of melting one. The
+    * output is EXACTLY the unsalted join (each fact row meets exactly
+    * the one dim replica carrying its salt); the cost is dim×buckets
+    * replication, the standard trade. */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, saltContent: Seq[String], buckets: Int = 16): DataFrame = {
+    val f = fact.withColumn("_salt",
+      salt(saltContent.map(col), buckets).cast("int"))
+    val dRep = dim.withColumn("_dsalt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    f.join(dRep, f("_salt") === dRep("_dsalt") &&
+        col(factKey) === col(dimKey))
+      .drop("_salt", "_dsalt")
+  }
 }

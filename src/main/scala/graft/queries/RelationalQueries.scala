@@ -921,6 +921,51 @@ object RelationalQueries {
         "then eliminates the false positives, so the answer is exactly " +
         "the plain join's — hash-equal to the unfiltered oracle — " +
         "while the fact shuffle carries only rows that probably join. " +
-        "No false negatives by construction.")
+        "No false negatives by construction."),
+
+    // ---- q159: salted join under planted key skew -------------------------
+    "q159_salted_join" -> Q(
+      (s, d) => {
+        import graft.operators.Skew
+        // plant a hot key: a third of all events collapse onto user 0
+        val fact = Tables.events(s, d)
+          .select(col("event_id"), col("value"),
+            when(col("event_id") % 3 === 0, 0L).otherwise(col("user_id"))
+              .as("skew_user"))
+        val dim = Tables.events(s, d)
+          .select(col("user_id").as("d_user")).distinct()
+          .withColumn("cohort", (col("d_user") % 7).cast("int"))
+        Skew.saltedJoin(fact, "skew_user", dim.hint("merge"), "d_user",
+            saltContent = Seq("event_id"), buckets = 16)
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("value")).as("sum_value"))
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH fact AS (
+          SELECT event_id, value,
+                 CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
+                   AS skew_user
+          FROM events
+        ), dim AS (
+          SELECT DISTINCT user_id AS d_user,
+                 CAST(user_id % 7 AS INT) AS cohort
+          FROM events
+        )
+        SELECT d.cohort, COUNT(*) AS n,
+               CAST(SUM(CAST(f.value AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_value
+        FROM fact f JOIN dim d ON f.skew_user = d.d_user
+        GROUP BY d.cohort
+        ORDER BY d.cohort"""),
+      "Salted equi-join under PLANTED key skew (a third of the fact " +
+        "collapses onto one user): the fact side salts on a retry-safe " +
+        "content hash, the dimension replicates across 16 salts, and " +
+        "the join key becomes (key, salt) — the hot key spreads over " +
+        "16 reducers instead of melting one. The manual form of AQE's " +
+        "skew split, for known skew and for streaming joins where AQE " +
+        "cannot replan; hash-equal to the plain-join oracle because " +
+        "each fact row meets exactly its salt's replica.")
   )
 }
