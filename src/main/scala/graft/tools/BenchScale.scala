@@ -125,7 +125,8 @@ object BenchScale {
     "q141_zorder_stats", "q142_fastss_editjoin", "q144_activity_streaks",
     "q145_heavy_hitters", "q146_markov_transitions", "q147_triangle_count",
     "q148_asof_nearest", "q152_interval_overlap", "q153_containment_pairs",
-    "q154_record_linkage", "q155_bloom_join_reduce", "q156_session_paths")
+    "q154_record_linkage", "q155_bloom_join_reduce", "q156_session_paths",
+    "q158_pit_lookup", "q159_salted_join")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
