@@ -1749,8 +1749,6 @@ object EventQueries {
     // ---- q158: point-in-time lookup against the SCD2 dimension ------------
     "q158_pit_lookup" -> Q(
       (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
         val ev = Tables.events(s, d)
           .withColumn("ep", unix_timestamp(col("ts")))
         // the q143 SCD2 build, on epochs
