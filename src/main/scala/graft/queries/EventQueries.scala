@@ -1812,5 +1812,127 @@ object EventQueries {
         "changes deterministically. Hash-equal to a LATERAL " +
         "latest-interval oracle; views before a user's first version " +
         "stay with null dimension columns (left-outer semantics).")
+    ,
+
+    // ---- q160: time-weighted average (TWAP) --------------------------------
+    "q160_twap" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("dt", lead(col("ep"), 1).over(w) - col("ep"))
+          .filter(col("dt").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(round(col("value") * col("dt").cast("double"), 6)
+              .cast(DecimalType(27, 6))).cast("double").as("sum_vdt"),
+            sum(col("dt")).as("sum_dt"),
+            count(lit(1)).as("n_intervals"))
+          .withColumn("twap", round(col("sum_vdt") /
+            col("sum_dt").cast("double"), 6))
+          .select(col("user_id"), col("n_intervals"), col("sum_dt"),
+            col("twap"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, value, $EPOCH AS ep, $TS AS tsu
+          FROM events
+        ), iv AS (
+          SELECT user_id, value,
+                 LEAD(ep) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) - ep AS dt
+          FROM e
+        )
+        SELECT user_id, COUNT(*) AS n_intervals, SUM(dt) AS sum_dt,
+               round(CAST(SUM(CAST(round(value * CAST(dt AS DOUBLE), 6)
+                   AS DECIMAL(27,6))) AS DOUBLE) /
+                 CAST(SUM(dt) AS DOUBLE), 6) AS twap
+        FROM iv WHERE dt IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      "Time-weighted average (the TWAP/uptime-metric primitive): each " +
+        "reading holds until the next one, so its weight is the " +
+        "interval length, not 1 — the correct mean for irregularly " +
+        "sampled gauges (sensor values, position sizes, feature " +
+        "freshness). One per-user window pass for interval lengths, " +
+        "one map-side-combinable aggregate; per-row value*dt is a " +
+        "single IEEE multiply and the sums accumulate on the exact " +
+        "decimal grid, so both engines produce bit-identical means."),
+
+    // ---- q161: two-proportion A/B z-test -----------------------------------
+    "q161_ab_ztest" -> Q(
+      (s, d) => {
+        val assigned = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 100, 1).otherwise(0))
+            .as("converted"))
+          .withColumn("variant",
+            when((conv(substring(md5(col("user_id").cast("string")), 1, 4),
+              16, 10).cast("int") % 2) === 0, "A").otherwise("B"))
+        val counts = assigned.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val a = counts.filter(col("variant") === "A")
+          .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        val b = counts.filter(col("variant") === "B")
+          .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        a.crossJoin(b).select(
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("conv_a").cast("double") / col("n_a").cast("double"), 6)
+            .as("p_a"),
+          round(col("conv_b").cast("double") / col("n_b").cast("double"), 6)
+            .as("p_b"),
+          round(
+            (col("conv_a").cast("double") / col("n_a").cast("double") -
+             col("conv_b").cast("double") / col("n_b").cast("double")) /
+            // nullif guards the degenerate p̂∈{0,1} case (zero pooled
+            // variance): ANSI mode throws on double div-by-zero
+            nullif(sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b")).cast("double")) *
+                 (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b")).cast("double")) *
+                 (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))), lit(0.0)),
+            6).as("z"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                     THEN 1 ELSE 0 END) AS converted,
+                 CASE WHEN CAST(concat('0x',
+                     substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+                     % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+          FROM events GROUP BY user_id
+        ), c AS (
+          SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+          FROM u GROUP BY variant
+        ), a AS (SELECT n AS n_a, conv AS conv_a FROM c WHERE variant = 'A'),
+           b AS (SELECT n AS n_b, conv AS conv_b FROM c WHERE variant = 'B')
+        SELECT n_a, conv_a, n_b, conv_b,
+               round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+               round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+               round(
+                 (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+                 nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) /
+                       CAST(n_a + n_b AS DOUBLE)) *
+                      (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
+                       CAST(n_a + n_b AS DOUBLE)) *
+                      (1.0 / CAST(n_a AS DOUBLE) +
+                       1.0 / CAST(n_b AS DOUBLE))), 0.0), 6) AS z
+        FROM a CROSS JOIN b"""),
+      "Two-proportion z-test over a HASH-assigned experiment split — " +
+        "the A/B readout primitive: variants come from the user-id " +
+        "content hash (q49's leak-proof stance: assignment is stable " +
+        "across runs, machines, and engines — no RNG state to sync), " +
+        "conversion is a per-user max-flag aggregate, and the pooled " +
+        "z-statistic is pure integer-derived IEEE arithmetic (exact " +
+        "int→double conversions, one correctly-rounded sqrt), so both " +
+        "engines compute the identical statistic. One user-keyed " +
+        "aggregate + a 2-row reduction — nothing here grows past " +
+        "|users| at any corpus size.")
   )
 }

@@ -967,5 +967,192 @@ object RelationalQueries {
         "skew split, for known skew and for streaming joins where AQE " +
         "cannot replan; hash-equal to the plain-join oracle because " +
         "each fact row meets exactly its salt's replica.")
+    ,
+
+    // ---- q162: 2-D skyline / Pareto frontier -------------------------------
+    "q162_skyline" -> Q(
+      (s, d) => {
+        val pp = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        // per exact price: the smallest size at that price
+        val perPrice = pp.groupBy(col("p_retailprice").as("pr"))
+          .agg(min(col("p_size")).as("gmin"))
+        // running min over STRICTLY cheaper prices = lag of the cum-min
+        val byPrice = Window.orderBy(col("pr"))
+        val frontier = perPrice
+          .withColumn("cm", min(col("gmin")).over(
+            byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_min", lag(col("cm"), 1).over(byPrice))
+        pp.join(frontier, col("p_retailprice") === col("pr"))
+          .filter(col("p_size") === col("gmin") &&
+            (col("prev_min").isNull || col("prev_min") > col("p_size")))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+      },
+      Some("""
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size <= p.p_size
+            AND (q.p_retailprice < p.p_retailprice
+                 OR q.p_size < p.p_size))
+        ORDER BY p.p_retailprice, p.p_partkey"""),
+      "2-D skyline (Pareto frontier) over (price, size) — the " +
+        "multi-objective 'best tradeoffs' query: a part survives iff " +
+        "nothing is <= on both dimensions and < on one. The oracle is " +
+        "the quadratic NOT-EXISTS self-join; the engine plan is " +
+        "O(n log n): group to one (price, min-size) row per distinct " +
+        "price, one ordered window for the strictly-cheaper running " +
+        "min, and a broadcast join back — dominance collapses to " +
+        "'my size equals my price-group min AND beats every cheaper " +
+        "group's min'. The window runs over |distinct prices| rows, " +
+        "not the corpus, so the single-partition global sort that " +
+        "kills naive skylines at 100 TB never touches the fact table."),
+
+    // ---- q163: chi-square independence test --------------------------------
+    "q163_chi_square" -> Q(
+      (s, d) => {
+        val joined = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+        val cells = joined.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("obs"))
+        val rowT = Window.partitionBy(col("c_mktsegment"))
+        val colT = Window.partitionBy(col("o_orderpriority"))
+        val tot = Window.partitionBy()
+        cells
+          .withColumn("rt", sum(col("obs")).over(rowT))
+          .withColumn("ct", sum(col("obs")).over(colT))
+          .withColumn("n", sum(col("obs")).over(tot))
+          .withColumn("expected",
+            (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+          .withColumn("contrib", round(
+            (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) / col("expected"), 6))
+          .withColumn("chi2", sum(col("contrib").cast(DecimalType(27, 6)))
+            .over(tot).cast("double"))
+          .select(col("c_mktsegment"), col("o_orderpriority"), col("obs"),
+            round(col("expected"), 6).as("expected"), col("contrib"),
+            col("chi2"))
+          .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS obs
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ), w AS (
+          SELECT c_mktsegment, o_orderpriority, obs,
+                 SUM(obs) OVER (PARTITION BY c_mktsegment) AS rt,
+                 SUM(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+                 SUM(obs) OVER () AS n
+          FROM cells
+        ), e AS (
+          SELECT c_mktsegment, o_orderpriority, obs,
+                 CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+                 round((CAST(obs AS DOUBLE) -
+                        CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(obs AS DOUBLE) -
+                        CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                       (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS contrib
+          FROM w
+        )
+        SELECT c_mktsegment, o_orderpriority, obs,
+               round(expected, 6) AS expected, contrib,
+               CAST(SUM(CAST(contrib AS DECIMAL(27,6))) OVER () AS DOUBLE)
+                 AS chi2
+        FROM e
+        ORDER BY c_mktsegment, o_orderpriority"""),
+      "Chi-square test of independence (segment × order priority): the " +
+        "contingency table collapses to |segments|×|priorities| cells " +
+        "in one map-side-combined aggregate, marginals ride three " +
+        "windows over that bounded relation (never the fact table), " +
+        "and each cell's (obs-exp)^2/exp is integer-derived IEEE " +
+        "arithmetic rounded onto the decimal grid before the exact " +
+        "decimal total — both engines report the identical statistic. " +
+        "The shape every categorical drift/feature-dependence check " +
+        "at 100 TB reduces to: full scan, tiny state."),
+
+    // ---- q164: within-basket co-occurrence, top-k neighbors ---------------
+    "q164_basket_cooc" -> Q(
+      (s, d) => {
+        val capped = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))))
+          .filter(col("rn") <= 8)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val r = capped.toDF("ok", "pk")
+        val pairs = capped.join(r,
+            capped("l_orderkey") === r("ok") &&
+            capped("l_partkey") < r("pk"))
+          .groupBy(col("l_partkey").as("i"), col("pk").as("j"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val itemN = capped.groupBy(col("l_partkey").as("it"))
+          .agg(count(lit(1)).as("ni"))
+        val sym = pairs.select(col("i"), col("j"), col("co"))
+          .union(pairs.select(col("j"), col("i"), col("co")))
+        val scored = sym
+          .join(itemN.toDF("it_a", "na"), col("i") === col("it_a"))
+          .join(itemN.toDF("it_b", "nb"), col("j") === col("it_b"))
+          .withColumn("cosine", round(col("co").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double")), 6))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy(col("i"))
+            .orderBy(col("cosine").desc, col("j"))))
+          .filter(col("rank") <= 3)
+          .select(col("i").as("item"), col("rank").cast("int").as("rank"),
+            col("j").as("neighbor"), col("co"), col("cosine"))
+          .orderBy(col("item"), col("rank"))
+      },
+      Some("""
+        WITH capped AS (
+          SELECT l_orderkey, l_partkey FROM (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          QUALIFY row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY l_partkey) <= 8
+        ), pairs AS (
+          SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS co
+          FROM capped a JOIN capped b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        ), item_n AS (
+          SELECT l_partkey AS it, COUNT(*) AS ni FROM capped GROUP BY 1
+        ), sym AS (
+          SELECT i, j, co FROM pairs
+          UNION ALL SELECT j, i, co FROM pairs
+        ), scored AS (
+          SELECT s.i, s.j, s.co,
+                 round(CAST(s.co AS DOUBLE) /
+                   sqrt(CAST(na.ni * nb.ni AS DOUBLE)), 6) AS cosine
+          FROM sym s
+          JOIN item_n na ON s.i = na.it
+          JOIN item_n nb ON s.j = nb.it
+        )
+        SELECT i AS item, CAST(rank AS INT) AS rank, j AS neighbor,
+               co, cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY i
+            ORDER BY cosine DESC, j) AS rank
+          FROM scored)
+        WHERE rank <= 3
+        ORDER BY item, rank"""),
+      "Item-item co-occurrence recommendations from order baskets: " +
+        "baskets CAP at 8 items (deterministic keep-lowest — the skew " +
+        "bound: a mega-basket contributes C(8,2)=28 pairs, not " +
+        "C(10^5,2); crawler carts and bot sessions are exactly the " +
+        "power-law hubs that quadratize uncapped basket self-joins at " +
+        "100 TB), pairs count via one same-key self-join with " +
+        "map-side combine, cosine normalizes by item frequencies, and " +
+        "per-item top-3 rides WindowGroupLimit so full neighbor lists " +
+        "never rank. Support floor co>=2 drops the singleton noise " +
+        "tail. The item-CF sketch every 'customers also bought' " +
+        "pipeline runs.")
   )
 }

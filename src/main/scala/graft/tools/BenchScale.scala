@@ -126,7 +126,8 @@ object BenchScale {
     "q145_heavy_hitters", "q146_markov_transitions", "q147_triangle_count",
     "q148_asof_nearest", "q152_interval_overlap", "q153_containment_pairs",
     "q154_record_linkage", "q155_bloom_join_reduce", "q156_session_paths",
-    "q158_pit_lookup", "q159_salted_join")
+    "q158_pit_lookup", "q159_salted_join", "q160_twap", "q161_ab_ztest",
+    "q162_skyline", "q163_chi_square", "q164_basket_cooc")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -151,7 +152,8 @@ object BenchScale {
     // local JVM — on a cluster it spills and distributes; here it
     // OOM-kills the context and takes the rest of the run with it
     "q148_asof_nearest", "q152_interval_overlap",
-    "q154_record_linkage", "q155_bloom_join_reduce")
+    "q154_record_linkage", "q155_bloom_join_reduce", "q160_twap",
+    "q164_basket_cooc")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
