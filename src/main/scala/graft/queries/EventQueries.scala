@@ -1934,5 +1934,149 @@ object EventQueries {
         "engines compute the identical statistic. One user-keyed " +
         "aggregate + a 2-row reduction — nothing here grows past " +
         "|users| at any corpus size.")
+    ,
+
+    // ---- q165: median/MAD robust outlier screen ---------------------------
+    "q165_mad_outliers" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+        val med = graft.operators.Sketches.exactQuantiles(
+            ev, "event_type", "value", Seq(0.5))
+          .select(col("event_type").as("mt"), col("quantile_disc").as("med"))
+        val dev = ev.join(broadcast(med), col("event_type") === col("mt"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = graft.operators.Sketches.exactQuantiles(
+            dev.select(col("event_type"), col("adev")),
+            "event_type", "adev", Seq(0.5))
+          .select(col("event_type").as("at"), col("quantile_disc").as("mad"))
+        dev.join(broadcast(mad), col("event_type") === col("at"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("median"),
+            max(col("mad")).as("mad"),
+            sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT event_type, quantile_disc(value, 0.5) AS med
+          FROM events GROUP BY 1
+        ), dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m ON e.event_type = m.event_type
+        ), mad AS (
+          SELECT event_type, quantile_disc(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type, COUNT(*) AS n,
+               MAX(d.med) AS median, MAX(a.mad) AS mad,
+               SUM(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad
+                   THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev d JOIN mad a ON d.event_type = a.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type"""),
+      "Robust outlier screen per event type: exact discrete median and " +
+        "MAD (median absolute deviation) — the estimators a 50%-" +
+        "contaminated metric cannot drag, unlike mean/stddev — then " +
+        "count values past the 3-sigma-equivalent 1.4826*MAD fence. " +
+        "Medians ride the q119 frequency-table machinery (group, " +
+        "value, count — the window runs over distinct values, with " +
+        "map-side combine shrinking repeated metrics first); the " +
+        "quantile is an ACTUAL data value by construction, so both " +
+        "engines pick the identical double and the fence compares " +
+        "identically. Two scans + two bounded windows; no global sort."),
+
+    // ---- q167: per-series OLS trend slope ----------------------------------
+    "q167_trend_slope" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+            round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6).as("slope_per_day"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type,
+                 datediff('day', DATE '1970-01-01', CAST($TS AS DATE)) AS x,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, COUNT(*) AS n_days, SUM(y) AS n_events,
+               round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
+                   AS DOUBLE) /
+                 CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
+                 6) AS slope_per_day
+        FROM daily
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      "Per-series OLS trend slope (events/day drift per type) from " +
+        "closed-form integer moments: daily counts collapse the corpus " +
+        "to |types|x|days| rows map-side, then slope = (n*Sxy - Sx*Sy) " +
+        "/ (n*Sxx - Sx^2) is computed ENTIRELY in BIGINT — exact, " +
+        "order-independent, engine-identical — with one double " +
+        "division at the end. The trend-detection primitive for metric " +
+        "regression alerts; at 100 TB the only state is the bounded " +
+        "daily grid."),
+
+    // ---- q168: decay-weighted recency score --------------------------------
+    "q168_decay_score" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")))
+        val ref = ev.agg(max(col("day")).as("ref_day"))
+        ev.crossJoin(broadcast(ref))
+          .withColumn("age", least(datediff(col("ref_day"), col("day")),
+            lit(40)))
+          // dyadic decay with ZERO float steps until the very end:
+          // score = sum(v * 2^(40-age)) / 2^40, the numerator pure
+          // decimal*bigint (exact, order-independent), the final
+          // decimal->double conversion one correctly-rounded op and
+          // the /2^40 an exact exponent decrement — round() on
+          // dyadic values tie-breaks differently across engines
+          .withColumn("term", (col("value").cast(DecimalType(14, 2)) *
+            expr("shiftleft(1L, 40 - cast(age as int))"))
+            .cast(DecimalType(38, 2)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("term")).cast("double") / lit(1099511627776.0))
+              .as("decay_score"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, value, CAST($TS AS DATE) AS day FROM events
+        ), ref AS (SELECT MAX(day) AS ref_day FROM e)
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2)) *
+                   (1::BIGINT << (40 - least(
+                     datediff('day', day, ref_day), 40)))) AS DOUBLE)
+                 / 1099511627776.0 AS decay_score
+        FROM e CROSS JOIN ref
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      "Exponential-decay recency score per user (the feature-store " +
+        "'engagement' primitive): each event contributes value * " +
+        "2^-age_days against the corpus max date, computed as " +
+        "sum(value * 2^(40-age)) / 2^40 so the accumulation is PURE " +
+        "decimal-times-integer (exact, order-independent, no libm " +
+        "pow(), no round() on dyadic midpoints — the q151 grid stance " +
+        "applied to time decay; ages cap at 40 where the weight is " +
+        "~1e-12). Reference date is a broadcast scalar aggregate " +
+        "(zero driver jobs); the score is one map-side-combinable " +
+        "decimal aggregate per user.")
   )
 }

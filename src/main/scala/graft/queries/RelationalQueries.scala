@@ -1154,5 +1154,65 @@ object RelationalQueries {
         "never rank. Support floor co>=2 drops the singleton noise " +
         "tail. The item-CF sketch every 'customers also bought' " +
         "pipeline runs.")
+    ,
+
+    // ---- q166: Gini concentration per segment ------------------------------
+    "q166_gini" -> Q(
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg(moneySum(col("o_totalprice")).as("spend"))
+        val seg = Window.partitionBy(col("c_mktsegment"))
+        val ranked = spend.withColumn("i", row_number().over(
+          seg.orderBy(col("spend"), col("c_custkey"))))
+        ranked.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("spend"), 2).cast(DecimalType(27, 6)))
+              .cast("double").as("s0"),
+            sum(round(col("i") * col("spend"), 4).cast(DecimalType(38, 6)))
+              .cast("double").as("s1"))
+          .select(col("c_mktsegment"), col("n_customers"),
+            round(col("s0"), 2).as("total_spend"),
+            round((lit(2.0) * col("s1") -
+              (col("n_customers") + 1).cast("double") * col("s0")) /
+              (col("n_customers").cast("double") * col("s0")), 6).as("gini"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT c.c_mktsegment, c.c_custkey,
+                 ${sqlMoneySum("o.o_totalprice")} AS spend
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY spend, c_custkey) AS i
+          FROM spend
+        ), agg AS (
+          SELECT c_mktsegment, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(round(spend, 2) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS s0,
+                 CAST(SUM(CAST(round(i * spend, 4) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS s1
+          FROM ranked GROUP BY 1
+        )
+        SELECT c_mktsegment, n_customers, round(s0, 2) AS total_spend,
+               round((2.0 * s1 - CAST(n_customers + 1 AS DOUBLE) * s0) /
+                 (CAST(n_customers AS DOUBLE) * s0), 6) AS gini
+        FROM agg
+        ORDER BY c_mktsegment"""),
+      "Gini coefficient of customer-spend concentration per segment — " +
+        "the inequality/concentration metric (whale detection, revenue " +
+        "risk, mixture skew): per-customer decimal-exact spend, ranks " +
+        "from one per-segment window (ties broken by key), and the " +
+        "closed-form G = (2*Sum(i*s_i) - (n+1)*Sum(s_i)) / (n*Sum(s_i)) " +
+        "from two decimal-gridded sums — no pairwise |s_i - s_j| " +
+        "matrix, which is how the textbook formula quadratizes. The " +
+        "rank window shuffles |customers| rows once; every product is " +
+        "a single IEEE multiply rounded onto the decimal grid, so both " +
+        "engines report identical coefficients.")
   )
 }

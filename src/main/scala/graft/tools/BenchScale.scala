@@ -127,7 +127,9 @@ object BenchScale {
     "q148_asof_nearest", "q152_interval_overlap", "q153_containment_pairs",
     "q154_record_linkage", "q155_bloom_join_reduce", "q156_session_paths",
     "q158_pit_lookup", "q159_salted_join", "q160_twap", "q161_ab_ztest",
-    "q162_skyline", "q163_chi_square", "q164_basket_cooc")
+    "q162_skyline", "q163_chi_square", "q164_basket_cooc",
+    "q165_mad_outliers", "q166_gini", "q167_trend_slope",
+    "q168_decay_score")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -153,7 +155,7 @@ object BenchScale {
     // OOM-kills the context and takes the rest of the run with it
     "q148_asof_nearest", "q152_interval_overlap",
     "q154_record_linkage", "q155_bloom_join_reduce", "q160_twap",
-    "q164_basket_cooc")
+    "q164_basket_cooc", "q165_mad_outliers", "q168_decay_score")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
