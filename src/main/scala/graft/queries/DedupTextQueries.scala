@@ -900,5 +900,72 @@ object DedupTextQueries {
         "clerical-review triage every entity-dedup pipeline runs. " +
         "Integer weights keep the score engine-exact; the balance " +
         "comparison is a deterministic IEEE subtract on both engines.")
+    ,
+
+    // ---- q169: dedup threshold calibration sweep ---------------------------
+    "q169_threshold_sweep" -> Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, d),
+            "doc_id", "text", block = "source", n = 3, threshold = 0.0)
+          .localCheckpoint()
+        val ts = Seq(20, 50, 100, 200, 400)
+        // EXACT rational threshold test: jaccard >= t/1000 iff
+        // inter*1000 >= t*uni — pure integer compare, no float cut
+        val surviving = pairs
+          .withColumn("t_permille", explode(array(ts.map(lit): _*)))
+          .filter(col("inter") * 1000 >= col("t_permille") * col("uni"))
+        val nPairs = surviving.groupBy(col("t_permille"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = surviving
+          .select(col("t_permille"),
+            explode(array(col("a_id"), col("b_id"))).as("doc"))
+          .groupBy(col("t_permille"))
+          .agg(countDistinct(col("doc")).as("n_dup_docs"))
+        nPairs.join(nDocs, Seq("t_permille"))
+          .orderBy(col("t_permille"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS (
+          SELECT a_id, b_id, inter,
+                 sa.n_sh + sb.n_sh - inter AS uni
+          FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+        ), surviving AS (
+          SELECT p.*, t.t_permille
+          FROM pairs p CROSS JOIN
+            (SELECT unnest([20, 50, 100, 200, 400]) AS t_permille) t
+          WHERE p.inter * 1000 >= t.t_permille * p.uni
+        ), np AS (
+          SELECT t_permille, COUNT(*) AS n_pairs
+          FROM surviving GROUP BY 1
+        ), nd AS (
+          SELECT t_permille, COUNT(DISTINCT doc) AS n_dup_docs FROM (
+            SELECT t_permille, a_id AS doc FROM surviving
+            UNION ALL SELECT t_permille, b_id FROM surviving)
+          GROUP BY 1
+        )
+        SELECT np.t_permille, np.n_pairs, nd.n_dup_docs
+        FROM np JOIN nd USING (t_permille)
+        ORDER BY t_permille"""),
+      "Dedup threshold calibration sweep — the knob-setting pass every " +
+        "dedup rollout runs first: ONE shingle-pair computation (the " +
+        "q41/q53 machinery, checkpointed), then five candidate " +
+        "thresholds evaluated against it by the EXACT rational test " +
+        "inter*1000 >= t*uni (integer compare — no float cut can " +
+        "disagree across engines), yielding the pairs-vs-threshold and " +
+        "affected-docs-vs-threshold curves. The expensive relation is " +
+        "computed once, not once per threshold — at 100 TB the sweep " +
+        "costs one scan plus five cheap filters over the pair set.")
   )
 }

@@ -2078,5 +2078,134 @@ object EventQueries {
         "~1e-12). Reference date is a broadcast scalar aggregate " +
         "(zero driver jobs); the score is one map-side-combinable " +
         "decimal aggregate per user.")
+    ,
+
+    // ---- q170: lagged cross-correlation between two series -----------------
+    "q170_lag_xcorr" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val x = hourly.filter(col("event_type") === "view")
+          .select(col("h").as("xh"), col("n").as("xn"))
+        val y = hourly.filter(col("event_type") === "purchase")
+          .select(col("h").as("yh"), col("n").as("yn"))
+        import s.implicits._
+        val lags = Seq(-2, -1, 0, 1, 2).toDF("lag")
+        val joined = x
+          .crossJoin(broadcast(lags))
+          .join(y, col("xh") === col("yh") + col("lag"))
+        joined.groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("xn")).as("sx"), sum(col("yn")).as("sy"),
+            sum(col("xn") * col("yn")).as("sxy"),
+            sum(col("xn") * col("xn")).as("sxx"),
+            sum(col("yn") * col("yn")).as("syy"))
+          .select(col("lag"), col("n_hours"),
+            round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_hours") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("xcorr"))
+          .orderBy(col("lag"))
+      },
+      Some(s"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor(epoch(date_trunc('hour', $TS))) AS BIGINT)
+                   // 3600 AS h,
+                 COUNT(*) AS n
+          FROM events
+          WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1, 2
+        ), x AS (SELECT h AS xh, n AS xn FROM hourly
+                 WHERE event_type = 'view'),
+           y AS (SELECT h AS yh, n AS yn FROM hourly
+                 WHERE event_type = 'purchase'),
+           j AS (
+          SELECT l.lag, x.xn, y.yn
+          FROM x CROSS JOIN
+            (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l
+          JOIN y ON x.xh = y.yh + l.lag
+        )
+        SELECT lag, COUNT(*) AS n_hours,
+               round(CAST(COUNT(*) * SUM(xn * yn) - SUM(xn) * SUM(yn)
+                   AS DOUBLE) /
+                 sqrt(CAST(COUNT(*) * SUM(xn * xn) - SUM(xn) * SUM(xn)
+                     AS DOUBLE) *
+                   CAST(COUNT(*) * SUM(yn * yn) - SUM(yn) * SUM(yn)
+                     AS DOUBLE)), 6) AS xcorr
+        FROM j
+        GROUP BY lag
+        ORDER BY lag"""),
+      "Lagged cross-correlation between two event series (does " +
+        "purchase volume FOLLOW view volume, and by how many hours?): " +
+        "both series collapse to bounded hourly-count grids map-side, " +
+        "five lag offsets join grid-to-grid (never event-to-event), " +
+        "and each lag's Pearson r comes from closed-form BIGINT " +
+        "moments — exact and order-independent — with the two variance " +
+        "factors cast to double BEFORE their product so the " +
+        "denominator cannot overflow int64 at 100x the counts. The " +
+        "lead-lag diagnostic behind attribution windows and campaign " +
+        "echo detection."),
+
+    // ---- q172: long-format column profiler ---------------------------------
+    "q172_column_profiler" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .selectExpr("""stack(4,
+            'o_custkey', cast(o_custkey as string),
+            'o_orderkey', cast(o_orderkey as string),
+            'o_orderpriority', cast(o_orderpriority as string),
+            'o_orderstatus', cast(o_orderstatus as string)
+          ) as (col_name, val)""")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("col_name")),
+      Some("""
+        SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT CAST(o_custkey AS VARCHAR)) AS n_distinct,
+               MIN(CAST(o_custkey AS VARCHAR)) AS min_val,
+               MAX(CAST(o_custkey AS VARCHAR)) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', COUNT(*),
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)),
+               MIN(CAST(o_orderkey AS VARCHAR)),
+               MAX(CAST(o_orderkey AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        ORDER BY col_name"""),
+      "Long-format column profiler — the discovery half of data " +
+        "quality (q150 checks rules you wrote; this tells you what to " +
+        "write): stack() unpivots the columns into (col_name, val) " +
+        "rows IN ONE SCAN — the UNION-ALL-per-column oracle shape " +
+        "reads the table once per column, which at 100 TB is the " +
+        "difference between one pass and N — then per-column " +
+        "null/distinct/min/max aggregate with map-side combine. " +
+        "String-cast values keep the output schema uniform; the " +
+        "profiled columns are exact string conversions on both " +
+        "engines (ints and categoricals — doubles would hit " +
+        "shortest-representation formatting differences).")
   )
 }

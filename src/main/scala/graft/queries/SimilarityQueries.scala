@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.operators.Similarity
@@ -749,5 +750,84 @@ object SimilarityQueries {
         "through the injected codegen'd vec_dot expression, hash-equal " +
         "to the DataFrame path (q31). Proves SURVEY §2.12's SQL " +
         "registration is first-class, not decoration.")
+    ,
+
+    // ---- q171: mutual-kNN + margin scoring (bitext-mining shape) ----------
+    "q171_mutual_knn" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val x = e.filter(col("label") <= 4)
+          .select(col("vec_id").as("x_id"), col("emb").as("x_vec"))
+        val y = e.filter(col("label") >= 5)
+          .select(col("vec_id").as("y_id"), col("emb").as("y_vec"))
+        val fwd = Similarity.topK(x, "x_id", "x_vec", y, "y_id", "y_vec",
+          k = 4).localCheckpoint()
+        val bwd = Similarity.topK(y, "y_id", "y_vec", x, "x_id", "x_vec",
+          k = 4).localCheckpoint()
+        val fx = fwd.groupBy(col("x_id"))
+          .agg(sum(col("sim").cast(DecimalType(27, 6))).cast("double")
+            .as("sx"), count(lit(1)).as("kx"))
+        val by = bwd.groupBy(col("y_id"))
+          .agg(sum(col("sim").cast(DecimalType(27, 6))).cast("double")
+            .as("sy"), count(lit(1)).as("ky"))
+        val fbest = fwd.filter(col("rank") === 1)
+          .select(col("x_id"), col("y_id"), col("sim"))
+        val bbest = bwd.filter(col("rank") === 1)
+          .select(col("y_id").as("b_y"), col("x_id").as("b_x"))
+        fbest
+          .join(bbest,
+            col("x_id") === col("b_x") && col("y_id") === col("b_y"))
+          .join(fx, Seq("x_id")).join(by, Seq("y_id"))
+          .select(col("x_id"), col("y_id"), col("sim"),
+            round(col("sim") * lit(2.0) /
+              (col("sx") / col("kx").cast("double") +
+               col("sy") / col("ky").cast("double")), 6).as("margin"))
+          .orderBy(col("x_id"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        x AS (SELECT vec_id AS x_id, emb AS x_vec FROM e WHERE label <= 4),
+        y AS (SELECT vec_id AS y_id, emb AS y_vec FROM e WHERE label >= 5),
+        sims AS (
+          SELECT x_id, y_id,
+            round(list_inner_product(x_vec, y_vec) /
+              (sqrt(list_inner_product(x_vec, x_vec)) *
+               sqrt(list_inner_product(y_vec, y_vec))), 6) AS sim
+          FROM x, y),
+        fwd AS (SELECT *, row_number() OVER (PARTITION BY x_id
+                  ORDER BY sim DESC, y_id) AS r FROM sims),
+        bwd AS (SELECT *, row_number() OVER (PARTITION BY y_id
+                  ORDER BY sim DESC, x_id) AS r FROM sims),
+        fx AS (SELECT x_id,
+                 CAST(SUM(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                 COUNT(*) AS kx
+               FROM fwd WHERE r <= 4 GROUP BY x_id),
+        byy AS (SELECT y_id,
+                 CAST(SUM(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                 COUNT(*) AS ky
+               FROM bwd WHERE r <= 4 GROUP BY y_id),
+        fb AS (SELECT x_id, y_id, sim FROM fwd WHERE r = 1),
+        bb AS (SELECT x_id, y_id FROM bwd WHERE r = 1)
+        SELECT f.x_id, f.y_id, f.sim,
+               round(f.sim * 2.0 /
+                 (fx.sx / CAST(fx.kx AS DOUBLE) +
+                  byy.sy / CAST(byy.ky AS DOUBLE)), 6) AS margin
+        FROM fb f
+        JOIN bb b ON f.x_id = b.x_id AND f.y_id = b.y_id
+        JOIN fx ON f.x_id = fx.x_id
+        JOIN byy ON f.y_id = byy.y_id
+        ORDER BY f.x_id"""),
+      "Mutual-kNN alignment with ratio-margin scoring — the bitext/" +
+        "cross-source mining shape (Artetxe & Schwenk's margin " +
+        "criterion): a pair survives only if each side is the OTHER's " +
+        "top-1, and its margin normalizes the pair cosine by both " +
+        "sides' average top-4 neighborhood — the local-density " +
+        "correction that kills hub matches a raw cosine cutoff keeps. " +
+        "Both direction top-k lists ride the SAME size-routed topK " +
+        "used by q31/q76 (checkpointed against the double-read), " +
+        "neighborhood means accumulate on the decimal grid, and the " +
+        "margin is two IEEE divisions in fixed order — hash-equal to " +
+        "the quadratic oracle. The training-pair miner for parallel " +
+        "corpora, cross-lingual alignment, and dedup-across-sources.")
   )
 }

@@ -129,7 +129,8 @@ object BenchScale {
     "q158_pit_lookup", "q159_salted_join", "q160_twap", "q161_ab_ztest",
     "q162_skyline", "q163_chi_square", "q164_basket_cooc",
     "q165_mad_outliers", "q166_gini", "q167_trend_slope",
-    "q168_decay_score")
+    "q168_decay_score", "q169_threshold_sweep", "q170_lag_xcorr",
+    "q171_mutual_knn", "q172_column_profiler")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
