@@ -50,9 +50,15 @@ object EventOps {
 
     val ep = unix_timestamp(col(tsCol))
     // reached(i): (user, t1, ti) — earliest in-order completion times
+    // LAZY localCheckpoint per level (no job at build time): level i's
+    // plan nests levels 1..i-1, and the per-step union below references
+    // every level — without the checkpoint the union re-executes each
+    // prefix chain per branch, scanning events O(k^2) times instead of
+    // k. The materialized relation is one row per surviving user.
     val step1 = events.filter(col(typeCol) === steps.head)
       .groupBy(col(user)).agg(min(ep).as("t1"))
       .withColumn("ti", col("t1"))
+      .localCheckpoint(false)
     val reached: Seq[DataFrame] = steps.indices.drop(1).scanLeft(step1) {
       (prev, i) =>
         events.filter(col(typeCol) === steps(i))
@@ -63,6 +69,7 @@ object EventOps {
              else col("e") <= col("t1") + horizonSec))
           .groupBy(col(user))
           .agg(min(col("t1")).as("t1"), min(col("e")).as("ti"))
+          .localCheckpoint(false)
     }
     val counts = reached.zipWithIndex.map { case (df, i) =>
       df.groupBy().agg(count(lit(1)).as("n_users"))
@@ -243,9 +250,12 @@ object EventOps {
       horizonSec: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnelUsers: at least one step")
     val ep = unix_timestamp(col(tsCol))
+    // lazy per-level checkpoint — same O(k) vs O(k^2) rationale as
+    // [[funnel]]: the union below references every nested level
     val step1 = events.filter(col(typeCol) === steps.head)
       .groupBy(col(user)).agg(min(ep).as("t1"))
       .withColumn("ti", col("t1"))
+      .localCheckpoint(false)
     val reached: Seq[DataFrame] = steps.indices.drop(1).scanLeft(step1) {
       (prev, i) =>
         events.filter(col(typeCol) === steps(i))
@@ -256,6 +266,7 @@ object EventOps {
              else col("e") <= col("t1") + horizonSec))
           .groupBy(col(user))
           .agg(min(col("t1")).as("t1"), min(col("e")).as("ti"))
+          .localCheckpoint(false)
     }
     reached.zipWithIndex.map { case (df, i) =>
       df.select(col(user), lit(i + 1).as("d"), col("t1"), col("ti"))

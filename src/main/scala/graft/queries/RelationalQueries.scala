@@ -669,8 +669,11 @@ object RelationalQueries {
            cols.combinations(2).toSeq.map { case Seq(a, b) =>
              sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") })
         val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-        val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-          m.select(lit(a).as("x"), lit(b).as("y"),
+        // all six pair correlations project from the ONE moment row via
+        // explode — a per-pair unionAll re-executed the full aggregate
+        // subtree once per branch (6 corpus scans for 6 output rows)
+        val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          struct(lit(a).as("x"), lit(b).as("y"),
             round((col("n").cast("double") * col(s"sp_${a}_$b").cast("double") -
               col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
               (sqrt(col("n").cast("double") * col(s"ss_$a").cast("double") -
@@ -679,7 +682,10 @@ object RelationalQueries {
                  col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))),
               6).as("corr"))
         }
-        pairs.reduce(_ unionAll _).orderBy(col("x"), col("y"))
+        m.select(explode(array(pairStructs: _*)).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"),
+            col("p.corr").as("corr"))
+          .orderBy(col("x"), col("y"))
       },
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
