@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{Q, Tables}
 import graft.operators.{Dedup, EntityResolution, Sketches, TextAnalysis}
@@ -967,5 +968,134 @@ object DedupTextQueries {
         "affected-docs-vs-threshold curves. The expensive relation is " +
         "computed once, not once per threshold — at 100 TB the sweep " +
         "costs one scan plus five cheap filters over the pair set.")
+    ,
+
+    // ---- q175: quality-ranked canonical selection per dup cluster ----------
+    "q175_cluster_canonical" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        val clustered = Dedup.dupClusters(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("component"))
+        val quality = docs.select(col("doc_id"),
+          size(array_distinct(tokens(col("text")))).as("n_uniq"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("n_uniq").desc, col("doc_id"))
+        clustered.join(quality, Seq("doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("component"), col("n_uniq"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ), walk(v, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.v
+        ), comp AS (
+          SELECT v, MIN(comp) AS comp FROM walk GROUP BY v
+        ), assigned AS (
+          SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component,
+                 CAST(len(list_distinct($W)) AS INT) AS n_uniq
+          FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        )
+        SELECT doc_id, component, n_uniq,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_uniq DESC, doc_id) = 1 AS keep
+        FROM assigned
+        ORDER BY doc_id"""),
+      "Quality-ranked canonical selection — the dedup KEEP policy as " +
+        "production runs it (q53 keeps the minimum id; real pipelines " +
+        "keep the best-quality member of each near-dup cluster): " +
+        "clusters from the q53 pair/label-propagation machinery, " +
+        "quality = distinct-token count (an integer — no float " +
+        "tiebreak ambiguity), winner per cluster via one " +
+        "WindowGroupLimit-able row_number over (quality desc, id). " +
+        "Cluster relations are pairs-of-near-dups sized, never corpus " +
+        "sized; the quality projection is one scan."),
+
+    // ---- q176: cluster-granular leak-proof split ---------------------------
+    "q176_cluster_cosplit" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        val clustered = Dedup.dupClusters(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("component"))
+        // split from the CLUSTER LABEL's hash, not the member text:
+        // near-dup members co-split by construction, so no train/test
+        // leakage across surviving textual variants
+        clustered
+          .withColumn("split",
+            TextAnalysis.hashSplit(col("component").cast("string")))
+          .select(col("doc_id"), col("component"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ), walk(v, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.v
+        ), comp AS (
+          SELECT v, MIN(comp) AS comp FROM walk GROUP BY v
+        ), assigned AS (
+          SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        )
+        SELECT doc_id, component,
+               CASE WHEN CAST(concat('0x', substr(md5(
+                      CAST(component AS VARCHAR)), 1, 4)) AS INT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(
+                      CAST(component AS VARCHAR)), 1, 4)) AS INT) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+        ORDER BY doc_id"""),
+      "Cluster-granular train/val/test assignment — the leak-proof " +
+        "split at the granularity that actually leaks: q49 co-splits " +
+        "EXACT duplicates (same text, same hash) but near-duplicate " +
+        "variants can still straddle train and test; hashing the " +
+        "CLUSTER label instead guarantees every member of a near-dup " +
+        "cluster lands in the same split. Composes the q53 cluster " +
+        "relation with the q49 content-hash stance — deterministic " +
+        "across runs, engines, and partitionings, no RNG state.")
   )
 }

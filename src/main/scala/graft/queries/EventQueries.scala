@@ -2207,5 +2207,115 @@ object EventQueries {
         "profiled columns are exact string conversions on both " +
         "engines (ints and categoricals — doubles would hit " +
         "shortest-representation formatting differences).")
+    ,
+
+    // ---- q173: time-of-week seasonal profile + anomaly counts --------------
+    "q173_seasonal_anomaly" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+            col("value"))
+        val cells = ev.groupBy(col("dow"), col("hr"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(27, 6))).cast("double")
+              .as("sv"),
+            sum(round(col("value") * col("value"), 6)
+              .cast(DecimalType(27, 6))).cast("double").as("svv"))
+          .withColumn("mean_v", col("sv") / col("n").cast("double"))
+          .withColumn("sd_v", sqrt(
+            (col("svv") - col("sv") * col("sv") / col("n").cast("double")) /
+            col("n").cast("double")))
+        ev.join(broadcast(cells), Seq("dow", "hr"))
+          .groupBy(col("dow"), col("hr"))
+          .agg(max(col("n")).as("n"),
+            round(max(col("mean_v")), 6).as("mean_v"),
+            round(max(col("sd_v")), 6).as("sd_v"),
+            sum(when(abs(col("value") - col("mean_v")) >
+              lit(2.0) * col("sd_v"), 1L).otherwise(0L)).as("n_anomalies"))
+          .orderBy(col("dow"), col("hr"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT dayofweek($TS) + 1 AS dow, hour($TS) AS hr, value
+          FROM events
+        ), cells AS (
+          SELECT dow, hr, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+                 CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS svv
+          FROM e GROUP BY 1, 2
+        ), stats AS (
+          SELECT dow, hr, n, sv / CAST(n AS DOUBLE) AS mean_v,
+                 sqrt((svv - sv * sv / CAST(n AS DOUBLE)) /
+                   CAST(n AS DOUBLE)) AS sd_v
+          FROM cells
+        )
+        SELECT e.dow, e.hr, MAX(s.n) AS n,
+               round(MAX(s.mean_v), 6) AS mean_v,
+               round(MAX(s.sd_v), 6) AS sd_v,
+               SUM(CASE WHEN abs(e.value - s.mean_v) > 2.0 * s.sd_v
+                   THEN 1 ELSE 0 END) AS n_anomalies
+        FROM e JOIN stats s ON e.dow = s.dow AND e.hr = s.hr
+        GROUP BY e.dow, e.hr
+        ORDER BY e.dow, e.hr"""),
+      "Time-of-week seasonal profile with per-cell anomaly counts — " +
+        "the STL-lite baseline every metrics-alerting pipeline " +
+        "subtracts before thresholding (an absolute fence fires every " +
+        "rush hour; a per-(weekday,hour) fence fires on deviations " +
+        "FROM the rhythm): cell means and variances from one " +
+        "decimal-moment pass over a 7x24-bounded grid, broadcast back " +
+        "for the anomaly count — the fact table never shuffles. The " +
+        "mean/sd arithmetic is a fixed IEEE chain over decimal-exact " +
+        "moments, identical across engines."),
+
+    // ---- q177: DAU / WAU rolling-activity ratios ---------------------------
+    "q177_dau_wau" -> Q(
+      (s, d) => {
+        val active = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .localCheckpoint()
+        val dau = active.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        import s.implicits._
+        val offsets = (0 to 6).toDF("off")
+        val wau = dau.select(col("day"))
+          .crossJoin(broadcast(offsets))
+          .join(active.select(col("user_id"), col("day").as("d2")),
+            col("d2") === date_sub(col("day"), col("off")))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day").cast("timestamp").as("day"), col("dau"),
+            col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH active AS (
+          SELECT DISTINCT user_id, CAST($TS AS DATE) AS day FROM events
+        ), dau AS (
+          SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY 1
+        ), wau AS (
+          SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+          FROM dau d
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off) o
+          JOIN active a ON a.day = d.day - o.off
+          GROUP BY d.day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, dau, wau,
+               round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+                 AS stickiness
+        FROM dau JOIN wau USING (day)
+        ORDER BY day"""),
+      "DAU / trailing-7-day WAU / stickiness — the engagement " +
+        "dashboard primitive: the corpus collapses once to distinct " +
+        "(user, day) pairs (checkpointed — both ratios read it), DAU " +
+        "is one grouped distinct, and WAU unrolls the trailing window " +
+        "as 7 explicit day-offset equi-joins against the bounded day " +
+        "grid — a distinct-count-over-range window is not partial-" +
+        "aggregatable, but 7 equi-joins on (user, day) are, and the " +
+        "expansion factor is the window length, not the corpus. " +
+        "Integer counts; one rounded division.")
   )
 }

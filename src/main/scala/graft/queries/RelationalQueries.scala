@@ -1220,5 +1220,71 @@ object RelationalQueries {
         "rank window shuffles |customers| rows once; every product is " +
         "a single IEEE multiply rounded onto the decimal grid, so both " +
         "engines report identical coefficients.")
+    ,
+
+    // ---- q174: decile concentration report ---------------------------------
+    "q174_decile_report" -> Q(
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(moneySum(col("o_totalprice")).as("spend"))
+        val byCust = Window.orderBy(col("spend").desc, col("o_custkey"))
+        val deciles = spend
+          .withColumn("decile", ntile(10).over(byCust))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("spend"), 2).cast(DecimalType(27, 6)))
+              .cast("double").as("rev"))
+        val tot = Window.partitionBy()
+        val cum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deciles
+          .withColumn("grand", sum(col("rev").cast(DecimalType(27, 6)))
+            .over(tot).cast("double"))
+          .withColumn("cum_rev", sum(col("rev").cast(DecimalType(27, 6)))
+            .over(cum).cast("double"))
+          .select(col("decile"), col("n_customers"),
+            round(col("rev"), 2).as("revenue"),
+            round(col("rev") / col("grand"), 6).as("rev_share"),
+            round(col("cum_rev") / col("grand"), 6).as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS spend
+          FROM orders GROUP BY 1
+        ), ranked AS (
+          SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+            AS decile
+          FROM spend
+        ), deciles AS (
+          SELECT decile, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(round(spend, 2) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS rev
+          FROM ranked GROUP BY 1
+        ), w AS (
+          SELECT decile, n_customers, rev,
+                 CAST(SUM(CAST(rev AS DECIMAL(27,6))) OVER ()
+                   AS DOUBLE) AS grand,
+                 CAST(SUM(CAST(rev AS DECIMAL(27,6))) OVER
+                   (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DOUBLE) AS cum_rev
+          FROM deciles
+        )
+        SELECT decile, n_customers, round(rev, 2) AS revenue,
+               round(rev / grand, 6) AS rev_share,
+               round(cum_rev / grand, 6) AS cum_share
+        FROM w
+        ORDER BY decile"""),
+      "Customer-spend decile report (the Pareto/'top 10% of customers " +
+        "drive X%' readout): decimal-exact per-customer spend, " +
+        "ntile(10) over a TOTAL order (spend desc, key — identical " +
+        "bucket boundaries on both engines), then per-decile revenue, " +
+        "share, and cumulative share from decimal window sums over the " +
+        "10-row decile relation. The single-partition ntile window " +
+        "runs over |customers| rows — at 100 TB swap it for the q141 " +
+        "range-bucket form (percent_rank via SUM over a value " +
+        "histogram) if customers outgrow one partition; the report " +
+        "windows stay 10 rows regardless.")
   )
 }

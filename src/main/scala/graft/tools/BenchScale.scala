@@ -130,7 +130,9 @@ object BenchScale {
     "q162_skyline", "q163_chi_square", "q164_basket_cooc",
     "q165_mad_outliers", "q166_gini", "q167_trend_slope",
     "q168_decay_score", "q169_threshold_sweep", "q170_lag_xcorr",
-    "q171_mutual_knn", "q172_column_profiler")
+    "q171_mutual_knn", "q172_column_profiler", "q173_seasonal_anomaly",
+    "q174_decile_report", "q175_cluster_canonical", "q176_cluster_cosplit",
+    "q177_dau_wau")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -156,7 +158,8 @@ object BenchScale {
     // OOM-kills the context and takes the rest of the run with it
     "q148_asof_nearest", "q152_interval_overlap",
     "q154_record_linkage", "q155_bloom_join_reduce", "q160_twap",
-    "q164_basket_cooc", "q165_mad_outliers", "q168_decay_score")
+    "q164_basket_cooc", "q165_mad_outliers", "q168_decay_score",
+    "q173_seasonal_anomaly", "q176_cluster_cosplit", "q177_dau_wau")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
