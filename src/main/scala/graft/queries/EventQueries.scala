@@ -2317,5 +2317,73 @@ object EventQueries {
         "aggregatable, but 7 equi-joins on (user, day) are, and the " +
         "expansion factor is the window length, not the corpus. " +
         "Integer counts; one rounded division.")
+    ,
+
+    // ---- q178: multi-touch linear attribution ------------------------------
+    "q178_linear_attribution" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+        val Lookback = 604800L // 7 days, the q140 window
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5L)
+              .as("channel"),
+            col("ep").as("view_ep"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ep"))
+        val touches = p.join(v,
+          col("user_id") === col("v_user") &&
+          col("view_ep") <= col("ep") &&
+          col("view_ep") >= col("ep") - Lookback)
+        val perPurchase = Window.partitionBy(col("p_id"))
+        touches
+          .withColumn("n_touch", count(lit(1)).over(perPurchase))
+          // linear credit: each touch gets 1/n of the conversion,
+          // rounded onto the decimal grid before the exact sum
+          .withColumn("credit", round(lit(1.0) /
+            col("n_touch").cast("double"), 6))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(col("p_id")).as("n_purchases"),
+            sum(col("credit").cast(DecimalType(27, 6))).cast("double")
+              .as("credited_conversions"))
+          .orderBy(col("channel"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, props, $EPOCH AS ep
+          FROM events
+        ), v AS (
+          SELECT user_id AS v_user,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5
+                   AS channel,
+                 ep AS view_ep
+          FROM e WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, event_id AS p_id, ep
+          FROM e WHERE event_type = 'purchase'
+        ), touches AS (
+          SELECT p.p_id, v.channel,
+                 COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch
+          FROM p JOIN v ON p.user_id = v.v_user
+            AND v.view_ep <= p.ep AND v.view_ep >= p.ep - 604800
+        )
+        SELECT channel, COUNT(*) AS n_touches,
+               COUNT(DISTINCT p_id) AS n_purchases,
+               CAST(SUM(CAST(round(1.0 / CAST(n_touch AS DOUBLE), 6)
+                 AS DECIMAL(27,6))) AS DOUBLE) AS credited_conversions
+        FROM touches
+        GROUP BY channel
+        ORDER BY channel"""),
+      "Multi-touch LINEAR attribution — the fair-share complement of " +
+        "q140's first/last-touch: every view inside the 7-day lookback " +
+        "shares the conversion equally (credit 1/n, rounded onto the " +
+        "decimal grid before the exact per-channel sum). The " +
+        "touch expansion is a USER-KEYED range join — each user's " +
+        "purchases only meet that user's views, so the pair space is " +
+        "per-user bounded, never |purchases|x|views|; the per-purchase " +
+        "count rides one window over each purchase's own touches. The " +
+        "marketing-mix readout every growth team reconciles against " +
+        "last-touch numbers.")
   )
 }

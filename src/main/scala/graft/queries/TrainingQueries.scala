@@ -894,5 +894,83 @@ object TrainingQueries {
       "Interpolated Kneser-Ney bigram fluency (the canonical smoothing; " +
         "q107's add-one twin upgraded with continuation probabilities). " +
         "Four map-side-combined inverted-index aggregates + equi-join " +
-        "rescoring; the N1+(..) scalar broadcasts."))
+        "rescoring; the N1+(..) scalar broadcasts."),
+
+    // ---- q179: popularity-corrected deterministic negative sampling -------
+    "q179_weighted_negatives" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val freq = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("f"))
+          // f^0.75 WITHOUT libm pow (engines differ in the last ulp):
+          // sqrt(sqrt(f^3)) — f^3 is exact integer, sqrt is
+          // correctly-rounded IEEE, so both engines get the same double
+          .withColumn("w", sqrt(sqrt((col("f") * col("f") * col("f"))
+            .cast("double"))))
+        val z = freq.agg(sum(round(col("w"), 6).cast(DecimalType(27, 6)))
+          .cast("double").as("z"))
+        val probs = freq.crossJoin(broadcast(z))
+          .withColumn("p", col("w") / col("z"))
+        val users = Tables.customer(s, d)
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("user"))
+        // hash-Bernoulli BEFORE the ownership anti-join: the keep test
+        // is a pure projection, so the candidate space shrinks ~64x
+        // before anything shuffles
+        val Oversample = 64.0
+        val cand = users.crossJoin(probs)
+          .withColumn("u01",
+            conv(substring(md5(concat_ws("_", col("user"), col("item"))),
+              1, 8), 16, 10).cast("double") / lit(4294967296.0))
+          .filter(col("u01") < lit(Oversample) * col("p"))
+        val owned = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+          .distinct()
+        cand.join(owned, Seq("user", "item"), "left_anti")
+          .select(col("user"), col("item"), col("f"),
+            round(col("p"), 9).as("p"))
+          .orderBy(col("user"), col("item"))
+      },
+      Some("""
+        WITH freq AS (
+          SELECT l_partkey AS item, COUNT(*) AS f,
+                 sqrt(sqrt(CAST(f * f * f AS DOUBLE))) AS w
+          FROM lineitem GROUP BY 1
+        ), z AS (
+          SELECT CAST(SUM(CAST(round(w, 6) AS DECIMAL(27,6))) AS DOUBLE)
+            AS z
+          FROM freq
+        ), probs AS (
+          SELECT item, f, w / z.z AS p FROM freq CROSS JOIN z
+        ), users AS (
+          SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 97 = 0
+        ), cand AS (
+          SELECT u."user", p.item, p.f, p.p
+          FROM users u CROSS JOIN probs p
+          WHERE CAST(concat('0x', substr(md5(
+                  concat(u."user", '_', p.item)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 64.0 * p.p
+        ), owned AS (
+          SELECT DISTINCT o.o_custkey AS "user", l.l_partkey AS item
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT c."user", c.item, c.f, round(c.p, 9) AS p
+        FROM cand c
+        LEFT JOIN owned w ON c."user" = w."user" AND c.item = w.item
+        WHERE w."user" IS NULL
+        ORDER BY c."user", c.item"""),
+      "Popularity-corrected negative sampling (the word2vec/" +
+        "recommender f^0.75 distribution) with ZERO randomness: the " +
+        "exponent comes from sqrt(sqrt(f^3)) — integer cube + two " +
+        "correctly-rounded sqrts, so no libm pow() divergence — and " +
+        "the Bernoulli draw is a content-hash uniform (q49's stance: " +
+        "stable across runs, engines, partitionings; resampling a " +
+        "shard re-selects IDENTICAL negatives). The keep test is a " +
+        "pure projection applied BEFORE the ownership anti-join, so " +
+        "the user x item candidate space collapses ~64x before any " +
+        "shuffle. The training-pair generator for contrastive/CF " +
+        "models at corpus scale."))
 }
