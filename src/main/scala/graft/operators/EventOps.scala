@@ -514,4 +514,56 @@ object EventOps {
       .filter(col("rank") <= k)
       .select(col(key), col("start_id"), col("corr"), col("rank"))
   }
+
+  /** DAU / trailing-`windowDays` WAU / stickiness from a DISTINCT
+    * (user, day) activity relation — the shared core of the batch query
+    * and [[activeDaysIngest]]'s merged reader. The trailing window
+    * unrolls into `windowDays` explicit day-offset equi-joins (a
+    * distinct-count-over-range window is not partial-aggregatable;
+    * day-offset joins are, and the expansion factor is the window
+    * length, never the corpus).
+    * Output: (day: timestamp, dau, wau, stickiness). */
+  def dauWau(active: DataFrame, user: String = "user_id",
+      day: String = "day", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "dauWau: window must be >= 1 day")
+    val spark = active.sparkSession
+    import spark.implicits._
+    val a = active.select(col(user).as("u"), col(day).as("dy"))
+      .localCheckpoint()
+    val dau = a.groupBy(col("dy")).agg(countDistinct(col("u")).as("dau"))
+    val offsets = (0 until windowDays).toDF("off")
+    val wau = dau.select(col("dy"))
+      .crossJoin(broadcast(offsets))
+      .join(a.select(col("u"), col("dy").as("d2")),
+        col("d2") === date_sub(col("dy"), col("off")))
+      .groupBy(col("dy"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, Seq("dy"))
+      .select(col("dy").cast("timestamp").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** Streaming activity maintenance: per-batch DISTINCT (user, day)
+    * pairs landed as idempotent delta partitions (the
+    * [[Sketches.writeDelta]] contract — replay overwrites, stale
+    * batches skip). State per batch is bounded by active (user, day)
+    * pairs, not events; distinct-of-union == union-of-distincts, so the
+    * merged reader equals the one-shot batch answer. */
+  def activeDaysIngest(user: String, tsCol: String,
+      prefix: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      Sketches.writeDelta(
+        batch.select(col(user).as("user_id"),
+          to_date(col(tsCol)).as("day")).distinct(),
+        batchId, prefix)
+    }
+
+  /** DAU/WAU over everything [[activeDaysIngest]] has landed. */
+  def dauWauMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, windowDays: Int = 7): DataFrame =
+    dauWau(spark.table(s"${prefix}_deltas")
+      .select(col("user_id"), col("day")).distinct(),
+      windowDays = windowDays)
 }

@@ -2270,27 +2270,9 @@ object EventQueries {
 
     // ---- q177: DAU / WAU rolling-activity ratios ---------------------------
     "q177_dau_wau" -> Q(
-      (s, d) => {
-        val active = Tables.events(s, d)
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-          .localCheckpoint()
-        val dau = active.groupBy(col("day"))
-          .agg(countDistinct(col("user_id")).as("dau"))
-        import s.implicits._
-        val offsets = (0 to 6).toDF("off")
-        val wau = dau.select(col("day"))
-          .crossJoin(broadcast(offsets))
-          .join(active.select(col("user_id"), col("day").as("d2")),
-            col("d2") === date_sub(col("day"), col("off")))
-          .groupBy(col("day"))
-          .agg(countDistinct(col("user_id")).as("wau"))
-        dau.join(wau, Seq("day"))
-          .select(col("day").cast("timestamp").as("day"), col("dau"),
-            col("wau"),
-            round(col("dau").cast("double") / col("wau").cast("double"), 6)
-              .as("stickiness"))
-          .orderBy(col("day"))
-      },
+      (s, d) => graft.operators.EventOps.dauWau(
+        Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()),
       Some(s"""
         WITH active AS (
           SELECT DISTINCT user_id, CAST($TS AS DATE) AS day FROM events

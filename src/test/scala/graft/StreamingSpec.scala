@@ -1438,4 +1438,39 @@ class StreamingSpec extends SparkSuite {
     assert(depths.nonEmpty && depths.toMap == batch,
       s"reorder+funnel must equal the batch funnel: $depths vs $batch")
   }
+
+  test("activeDaysIngest: streamed DAU/WAU merge equals the one-shot batch answer") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_dauing"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ep"))
+        .as[(Long, Long)].collect()
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("user_id", "ep")
+        .withColumn("ts", timestamp_seconds(col("ep")))
+        .writeStream
+        .foreachBatch(EventOps.activeDaysIngest("user_id", "ts", prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = EventOps.dauWauMerged(spark, prefix)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = EventOps.dauWau(
+          rows.toSeq.toDF("user_id", "ep")
+            .select(col("user_id"),
+              to_date(timestamp_seconds(col("ep"))).as("day")).distinct())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
 }
