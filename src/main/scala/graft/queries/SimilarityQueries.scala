@@ -760,10 +760,13 @@ object SimilarityQueries {
           .select(col("vec_id").as("x_id"), col("emb").as("x_vec"))
         val y = e.filter(col("label") >= 5)
           .select(col("vec_id").as("y_id"), col("emb").as("y_vec"))
-        val fwd = Similarity.topK(x, "x_id", "x_vec", y, "y_id", "y_vec",
-          k = 4).localCheckpoint()
-        val bwd = Similarity.topK(y, "y_id", "y_vec", x, "x_id", "x_vec",
-          k = 4).localCheckpoint()
+        // topKAuto: exact below the cap (this registered input — same
+        // hash as brute force), IVF-routed above it, so a corpus-sized
+        // side degrades to the bucketed plan instead of refusing
+        val fwd = Similarity.topKAuto(x, "x_id", "x_vec", y, "y_id",
+          "y_vec", k = 4).localCheckpoint()
+        val bwd = Similarity.topKAuto(y, "y_id", "y_vec", x, "x_id",
+          "x_vec", k = 4).localCheckpoint()
         val fx = fwd.groupBy(col("x_id"))
           .agg(sum(col("sim").cast(DecimalType(27, 6))).cast("double")
             .as("sx"), count(lit(1)).as("kx"))
