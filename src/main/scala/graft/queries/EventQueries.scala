@@ -2367,5 +2367,125 @@ object EventQueries {
         "count rides one window over each purchase's own touches. The " +
         "marketing-mix readout every growth team reconciles against " +
         "last-touch numbers.")
+    ,
+
+    // ---- q180: session bounce-rate by entry type ---------------------------
+    "q180_bounce_rate" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sessed = Tables.events(s, d)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .withColumn("sess", sum(col("is_new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sessions = sessed.groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_events"),
+            min_by(col("event_type"), struct(col("ep"), col("event_id")))
+              .as("entry_type"))
+        sessions.groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounces"))
+          .withColumn("bounce_rate", round(
+            col("n_bounces").cast("double") /
+            col("n_sessions").cast("double"), 6))
+          .orderBy(col("entry_type"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, $EPOCH AS ep, $TS AS tsu
+          FROM events
+        ), g AS (
+          SELECT *, CASE WHEN ep - LAG(ep) OVER w IS NULL
+                       OR ep - LAG(ep) OVER w > 1800 THEN 1 ELSE 0 END
+                   AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), sessed AS (
+          SELECT user_id, event_id, event_type, ep,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        ), counts AS (
+          SELECT user_id, sess, COUNT(*) AS n_events
+          FROM sessed GROUP BY user_id, sess
+        ), firsts AS (
+          SELECT user_id, sess, event_type AS entry_type
+          FROM sessed
+          QUALIFY row_number() OVER (PARTITION BY user_id, sess
+            ORDER BY ep, event_id) = 1
+        ), sessions AS (
+          SELECT c.user_id, c.sess, c.n_events, f.entry_type
+          FROM counts c JOIN firsts f
+            ON c.user_id = f.user_id AND c.sess = f.sess
+        )
+        SELECT entry_type, COUNT(*) AS n_sessions,
+               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+               round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS bounce_rate
+        FROM sessions
+        GROUP BY entry_type
+        ORDER BY entry_type"""),
+      "Session bounce rate by entry event — the landing-quality " +
+        "readout (which first-touch types lose the user immediately?): " +
+        "the q19/q156 gap-sessionization, per-session event count + " +
+        "deterministic first event via min_by on the (time, id) " +
+        "composite (no collect_list ordering hazard), then a " +
+        "|types|-bounded bounce aggregate. Two per-user windows and " +
+        "one bounded groupBy; integer ratio arithmetic."),
+
+    // ---- q181: semi-additive month-end balances ----------------------------
+    "q181_semi_additive" -> Q(
+      (s, d) => {
+        val weekly = Tables.events(s, d)
+          .withColumn("week", date_trunc("week", col("ts")))
+          .groupBy(col("user_id"), col("week"))
+          .agg(max_by(col("value"),
+            struct(unix_timestamp(col("ts")), col("event_id")))
+            .as("week_end_balance"))
+        val byWeek = Window.orderBy(col("week"))
+        weekly.groupBy(col("week"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(round(col("week_end_balance"), 2)
+              .cast(DecimalType(27, 6))).cast("double").as("total_balance"))
+          .withColumn("prev", lag(col("total_balance"), 1).over(byWeek))
+          .select(col("week"), col("n_users"),
+            round(col("total_balance"), 2).as("total_balance"),
+            round(col("total_balance") - col("prev"), 2).as("wow_delta"))
+          .orderBy(col("week"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', $TS) AS TIMESTAMP) AS week,
+                 value AS week_end_balance
+          FROM events
+          QUALIFY row_number() OVER (
+            PARTITION BY user_id, date_trunc('week', $TS)
+            ORDER BY $EPOCH DESC, event_id DESC) = 1
+        ), t AS (
+          SELECT week, COUNT(*) AS n_users,
+                 CAST(SUM(CAST(round(week_end_balance, 2)
+                   AS DECIMAL(27,6))) AS DOUBLE) AS total_balance
+          FROM m GROUP BY 1
+        )
+        SELECT week, n_users, round(total_balance, 2) AS total_balance,
+               round(total_balance - LAG(total_balance, 1) OVER
+                 (ORDER BY week), 2) AS wow_delta
+        FROM t
+        ORDER BY week"""),
+      "Semi-additive week-end balances — the balance-sheet measure " +
+        "warehouses cannot SUM across time (a balance is a POINT " +
+        "reading; only the period's LAST value per key may aggregate " +
+        "across keys): last-in-week per user via max_by on the " +
+        "(time, id) composite — one map-side-combinable aggregate, no " +
+        "row_number pass over raw events (the oracle's QUALIFY form is " +
+        "the sort-based shape this avoids) — then the cross-user " +
+        "decimal total and week-over-week delta over the bounded week " +
+        "relation. The snapshot-fact pattern for inventory, AUM, and " +
+        "account-balance marts.")
   )
 }

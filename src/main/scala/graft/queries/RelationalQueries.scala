@@ -1286,5 +1286,93 @@ object RelationalQueries {
         "range-bucket form (percent_rank via SUM over a value " +
         "histogram) if customers outgrow one partition; the report " +
         "windows stay 10 rows regardless.")
+    ,
+
+    // ---- q182: rollup hierarchy with ratio-to-parent -----------------------
+    "q182_rollup_ratios" -> Q(
+      (s, d) => {
+        val joined = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+        // ONE rollup pass; the three levels then self-assemble from the
+        // tiny (|nations|+|regions|+1)-row relation — lazy checkpoint so
+        // the corpus aggregate is not re-planned per level
+        val ru = joined.rollup(col("r_name"), col("n_name"))
+          .agg(moneySum(col("o_totalprice")).as("rev"),
+            grouping(col("r_name")).as("gr"),
+            grouping(col("n_name")).as("gn"))
+          .localCheckpoint(false)
+        val grand = ru.filter(col("gr") === 1)
+          .select(col("rev").as("grand_rev"))
+        val regions = ru.filter(col("gr") === 0 && col("gn") === 1)
+          .select(col("r_name"), col("rev"))
+        val nations = ru.filter(col("gn") === 0)
+          .select(col("r_name"), col("n_name"), col("rev"))
+        val regionOut = regions.crossJoin(broadcast(grand))
+          .select(lit("region").as("level"), col("r_name"),
+            lit(null).cast("string").as("n_name"),
+            round(col("rev"), 2).as("revenue"),
+            round(col("rev") / col("grand_rev"), 6).as("share_of_parent"))
+        val nationOut = nations
+          .join(broadcast(regions.select(col("r_name"),
+            col("rev").as("parent_rev"))), Seq("r_name"))
+          .select(lit("nation").as("level"), col("r_name"), col("n_name"),
+            round(col("rev"), 2).as("revenue"),
+            round(col("rev") / col("parent_rev"), 6).as("share_of_parent"))
+        val totalOut = grand.select(lit("total").as("level"),
+          lit(null).cast("string").as("r_name"),
+          lit(null).cast("string").as("n_name"),
+          round(col("grand_rev"), 2).as("revenue"),
+          lit(1.0).as("share_of_parent"))
+        totalOut.unionByName(regionOut).unionByName(nationOut)
+          .orderBy(col("level"),
+            coalesce(col("r_name"), lit("")),
+            coalesce(col("n_name"), lit("")))
+      },
+      Some(s"""
+        WITH ru AS (
+          SELECT r.r_name, n.n_name,
+                 ${sqlMoneySum("o.o_totalprice")} AS rev,
+                 GROUPING(r.r_name) AS gr, GROUPING(n.n_name) AS gn
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY ROLLUP (r.r_name, n.n_name)
+        ), grand AS (SELECT rev AS grand_rev FROM ru WHERE gr = 1),
+        regions AS (
+          SELECT r_name, rev FROM ru WHERE gr = 0 AND gn = 1
+        ), nations AS (
+          SELECT r_name, n_name, rev FROM ru WHERE gn = 0
+        )
+        SELECT * FROM (
+          SELECT 'total' AS level, CAST(NULL AS VARCHAR) AS r_name,
+                 CAST(NULL AS VARCHAR) AS n_name,
+                 round(grand_rev, 2) AS revenue, 1.0 AS share_of_parent
+          FROM grand
+          UNION ALL
+          SELECT 'region', r.r_name, NULL, round(r.rev, 2),
+                 round(r.rev / g.grand_rev, 6)
+          FROM regions r CROSS JOIN grand g
+          UNION ALL
+          SELECT 'nation', n.r_name, n.n_name, round(n.rev, 2),
+                 round(n.rev / r.rev, 6)
+          FROM nations n JOIN regions r ON n.r_name = r.r_name)
+        ORDER BY level, coalesce(r_name, ''), coalesce(n_name, '')"""),
+      "Hierarchy rollup with RATIO-TO-PARENT shares (total → region → " +
+        "nation) — the drill-down report primitive: one rollup pass " +
+        "over the corpus emits all three levels with grouping() tags " +
+        "(partial-aggregatable — Spark expands grouping sets map-side), " +
+        "then shares assemble from the tiny level relation via " +
+        "broadcast self-joins under a lazy checkpoint, so the corpus " +
+        "aggregate plans exactly once (the q135 lesson). Exact decimal " +
+        "revenue; one rounded division per row.")
   )
 }

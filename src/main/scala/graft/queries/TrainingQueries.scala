@@ -917,9 +917,13 @@ object TrainingQueries {
           .select(col("c_custkey").as("user"))
         // hash-Bernoulli BEFORE the ownership anti-join: the keep test
         // is a pure projection, so the candidate space shrinks ~64x
-        // before anything shuffles
+        // before anything shuffles. Repartition the item side FIRST:
+        // AQE coalesces the small post-aggregate probs relation to one
+        // partition, and the user-broadcast join then expands
+        // |users|x|items| rows inside that single task — re-spreading
+        // the pre-expansion side keeps the expansion parallel
         val Oversample = 64.0
-        val cand = users.crossJoin(probs)
+        val cand = users.crossJoin(probs.repartition(32, col("item")))
           .withColumn("u01",
             conv(substring(md5(concat_ws("_", col("user"), col("item"))),
               1, 8), 16, 10).cast("double") / lit(4294967296.0))
