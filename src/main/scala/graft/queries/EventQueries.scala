@@ -2487,5 +2487,194 @@ object EventQueries {
         "decimal total and week-over-week delta over the bounded week " +
         "relation. The snapshot-fact pattern for inventory, AUM, and " +
         "account-balance marts.")
+    ,
+
+    // ---- q183: cohort LTV triangle -----------------------------------------
+    "q183_ltv_cohorts" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("week", date_trunc("week", col("ts")))
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        val rev = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(cohorts), Seq("user_id"))
+          .withColumn("age_weeks",
+            floor(datediff(to_date(col("week")), to_date(col("cohort_week")))
+              / 7).cast("int"))
+          .groupBy(col("cohort_week"), col("age_weeks"))
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            sum(round(col("value"), 2).cast(DecimalType(27, 6)))
+              .cast("double").as("revenue"))
+        val sizes = cohorts.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val byAge = Window.partitionBy(col("cohort_week"))
+          .orderBy(col("age_weeks"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.join(broadcast(sizes), Seq("cohort_week"))
+          .withColumn("cum_rev", sum(col("revenue").cast(DecimalType(27, 6)))
+            .over(byAge).cast("double"))
+          .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+            col("n_buyers"), round(col("revenue"), 2).as("revenue"),
+            round(col("cum_rev") / col("cohort_size").cast("double"), 6)
+              .as("cum_ltv_per_user"))
+          .orderBy(col("cohort_week"), col("age_weeks"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, value,
+                 CAST(date_trunc('week', $TS) AS TIMESTAMP) AS week
+          FROM events
+        ), cohorts AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1
+        ), rev AS (
+          SELECT c.cohort_week,
+                 CAST(floor(datediff('day', CAST(c.cohort_week AS DATE),
+                   CAST(e.week AS DATE)) / 7) AS INT) AS age_weeks,
+                 COUNT(DISTINCT e.user_id) AS n_buyers,
+                 CAST(SUM(CAST(round(e.value, 2) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS revenue
+          FROM e JOIN cohorts c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT cohort_week, COUNT(*) AS cohort_size
+          FROM cohorts GROUP BY 1
+        )
+        SELECT r.cohort_week, r.age_weeks, s.cohort_size, r.n_buyers,
+               round(r.revenue, 2) AS revenue,
+               round(CAST(SUM(CAST(r.revenue AS DECIMAL(27,6))) OVER
+                   (PARTITION BY r.cohort_week ORDER BY r.age_weeks
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+                 AS cum_ltv_per_user
+        FROM rev r JOIN sizes s ON r.cohort_week = s.cohort_week
+        ORDER BY r.cohort_week, r.age_weeks"""),
+      "Cohort LTV triangle — cumulative revenue per signup-week cohort " +
+        "by week age, per cohort member (the unit-economics readout " +
+        "payback models are fit on; q131's retention triangle with " +
+        "money instead of presence): first-seen week per user, " +
+        "purchase revenue folded to the bounded (cohort, age) grid " +
+        "map-side, cohort sizes broadcast back, and the cumulative " +
+        "window runs over the grid — never events. Decimal-exact " +
+        "revenue; one rounded division per cell."),
+
+    // ---- q184: RFM segmentation --------------------------------------------
+    "q184_rfm_segments" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+        val rfm = ev.filter(col("event_type") === "purchase")
+          .crossJoin(broadcast(ref))
+          .groupBy(col("user_id"))
+          .agg(min(datediff(col("ref_day"), to_date(col("ts"))))
+            .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(round(col("value"), 2).cast(DecimalType(27, 6)))
+              .cast("double").as("monetary"))
+        // quintile scores; recency INVERTS (smaller = better = 5)
+        val r5 = ntile(5).over(Window.orderBy(col("recency_days").desc,
+          col("user_id")))
+        val f5 = ntile(5).over(Window.orderBy(col("frequency"),
+          col("user_id")))
+        val m5 = ntile(5).over(Window.orderBy(col("monetary"),
+          col("user_id")))
+        rfm.withColumn("r", r5).withColumn("f", f5).withColumn("m", m5)
+          .withColumn("segment",
+            when(col("r") >= 4 && col("f") >= 4, "champion")
+              .when(col("r") >= 4, "recent")
+              .when(col("f") >= 4, "loyal_at_risk")
+              .when(col("r") <= 2 && col("f") <= 2, "hibernating")
+              .otherwise("regular"))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            round(col("monetary"), 2).as("monetary"), col("r"), col("f"),
+            col("m"), col("segment"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, value, CAST($TS AS DATE) AS day
+          FROM events
+        ), ref AS (SELECT MAX(day) AS ref_day FROM e),
+        rfm AS (
+          SELECT user_id,
+                 MIN(datediff('day', day, ref_day)) AS recency_days,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST(round(value, 2) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS monetary
+          FROM e CROSS JOIN ref
+          WHERE event_type = 'purchase'
+          GROUP BY user_id
+        ), scored AS (
+          SELECT *,
+            ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+            ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+            ntile(5) OVER (ORDER BY monetary, user_id) AS m
+          FROM rfm
+        )
+        SELECT user_id, recency_days, frequency,
+               round(monetary, 2) AS monetary, r, f, m,
+               CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+                    WHEN r >= 4 THEN 'recent'
+                    WHEN f >= 4 THEN 'loyal_at_risk'
+                    WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        ORDER BY user_id"""),
+      "RFM segmentation — recency/frequency/monetary quintiles with " +
+        "rule-based segment labels, the CRM workhorse: per-user " +
+        "purchase aggregates in one pass (reference date is a " +
+        "broadcast scalar), three ntile windows over TOTAL orders " +
+        "(metric, user_id — identical bucket boundaries on both " +
+        "engines), integer scores, deterministic CASE labels. The " +
+        "single-partition score windows run over |users| rows — the " +
+        "q174 caveat and its histogram alternative apply identically."),
+
+    // ---- q185: new-vs-returning daily split --------------------------------
+    "q185_new_returning" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("first_day"))
+        ev.distinct()
+          .join(broadcast(firstDay), Seq("user_id"))
+          .groupBy(col("day"))
+          .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+            sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+              .as("returning_users"))
+          .withColumn("pct_new", round(col("new_users").cast("double") /
+            (col("new_users") + col("returning_users")).cast("double"), 6))
+          .select(col("day").cast("timestamp").as("day"), col("new_users"),
+            col("returning_users"), col("pct_new"))
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT DISTINCT user_id, CAST($TS AS DATE) AS day FROM events
+        ), f AS (
+          SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1
+        ), g AS (
+          SELECT a.day,
+                 SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                   AS new_users,
+                 SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END)
+                   AS returning_users
+          FROM a JOIN f ON a.user_id = f.user_id
+          GROUP BY a.day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, new_users, returning_users,
+               round(CAST(new_users AS DOUBLE) /
+                 CAST(new_users + returning_users AS DOUBLE), 6) AS pct_new
+        FROM g
+        ORDER BY day"""),
+      "New-vs-returning daily split — the acquisition/retention mix " +
+        "every growth dashboard leads with: distinct (user, day) " +
+        "activity, each user's first-seen day joined back (broadcast " +
+        "— the first-day relation is one row per user), and a bounded " +
+        "per-day aggregate. At 100 TB the first-day relation is the " +
+        "incremental piece: maintain it as a running MIN under " +
+        "streaming ingest (the activeDaysIngest delta contract) and " +
+        "the daily split becomes a pure map-side classification.")
   )
 }

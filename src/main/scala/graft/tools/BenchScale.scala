@@ -133,7 +133,8 @@ object BenchScale {
     "q171_mutual_knn", "q172_column_profiler", "q173_seasonal_anomaly",
     "q174_decile_report", "q175_cluster_canonical", "q176_cluster_cosplit",
     "q177_dau_wau", "q178_linear_attribution", "q180_bounce_rate",
-    "q181_semi_additive", "q182_rollup_ratios")
+    "q181_semi_additive", "q182_rollup_ratios", "q183_ltv_cohorts",
+    "q184_rfm_segments", "q185_new_returning")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -166,7 +167,7 @@ object BenchScale {
     // FIXTURE CONSTRUCTION — the operator itself is linear in
     // candidates at any one scale
     "q173_seasonal_anomaly", "q176_cluster_cosplit", "q177_dau_wau",
-    "q178_linear_attribution")
+    "q178_linear_attribution", "q183_ltv_cohorts", "q185_new_returning")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
