@@ -1473,4 +1473,40 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.nonEmpty && streamed == batch)
     } finally { Catalog.dropTables(spark, prefix); () }
   }
+
+  test("activeDaysIngest also answers new-vs-returning: merged first-day == batch") {
+    // the same (user, day) delta relation serves BOTH engagement
+    // readouts: DAU/WAU (above) and the q185 new-vs-returning split —
+    // first-day is a running MIN over the merged deltas, and
+    // min-of-union == union-of-mins
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_nring"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ep"))
+        .as[(Long, Long)].collect()
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("user_id", "ep")
+        .withColumn("ts", timestamp_seconds(col("ep")))
+        .writeStream
+        .foreachBatch(EventOps.activeDaysIngest("user_id", "ts", prefix))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val streamedFirst = spark.table(s"${prefix}_deltas")
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        .collect().map(r => (r.getLong(0), r.getDate(1))).toSet
+      val batchFirst = rows.toSeq.toDF("user_id", "ep")
+        .select(col("user_id"),
+          to_date(timestamp_seconds(col("ep"))).as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        .collect().map(r => (r.getLong(0), r.getDate(1))).toSet
+      assert(streamedFirst.nonEmpty && streamedFirst == batchFirst)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
 }
