@@ -377,6 +377,75 @@ object Similarity {
     }
   }
 
+  /** BOTH-direction top-k over one pair-space pass — the mutual-kNN
+    * shape (bitext mining, cross-source alignment): every x needs its
+    * top-k ys AND every y its top-k xs, so running [[topKAuto]] twice
+    * computes each pair's cosine twice. Below the cap this fuses the
+    * two rankings into ONE plan: the cross join scores each pair once,
+    * then two chained `row_number` windows rank it in each direction —
+    * same shuffle volume as one direction (the pair rows are (id, id,
+    * sim) triples either way), half the dot-product work, and the
+    * caller's "mutual top-1" test becomes a filter instead of a
+    * fwd⋈bwd join. Past the per-side cap OR the `pairBudget` (nx·ny —
+    * the mutual shape has no small side, so the target cap alone
+    * under-routes) it degrades to two size-routed [[topKAuto]] passes
+    * (IVF equi-join per direction — never quadratic) stitched by a
+    * full-outer join.
+    *
+    * Returns (xId, yId, sim, rank_f, rank_b) for every pair in EITHER
+    * direction's top-k; a rank is null (routed path) or > k (exact
+    * path) when the pair missed that direction's list, so callers
+    * filter `rank_f <= k` / `rank_b <= k` identically on both paths.
+    * Ranks tie-break by the opposite side's id after `roundTo`
+    * rounding, exactly like [[topK]] — the exact path is hash-equal to
+    * composing topK twice. */
+  def mutualTopK(
+      x: DataFrame, xId: String, xVec: String,
+      y: DataFrame, yId: String, yVec: String,
+      k: Int, exactLimit: Long = DefaultExactLimit,
+      pairBudget: Long = 1L << 31,
+      roundTo: Int = 6): DataFrame = {
+    ensureRegistered(x)
+    val nx = x.count(); val ny = y.count()
+    // the mutual shape has no small "target" side — BOTH sides are
+    // corpora — so the per-side cap alone under-routes: two 400k sides
+    // each clear the 2^20 target cap yet span 160G pairs. The exact
+    // fused pass therefore also requires the PAIR space to fit a
+    // budget; past either bound, both directions go through the
+    // IVF-routed equi-join path.
+    if (nx <= exactLimit && ny <= exactLimit && nx * ny <= pairBudget) {
+      val xs = x.withColumn("x_nrm", fastNorm(col(xVec)))
+      val ys = y.withColumn("y_nrm", fastNorm(col(yVec)))
+      val sim = round(
+        cosineWithNorms(col(xVec), col(yVec), col("x_nrm"), col("y_nrm")),
+        roundTo).as("sim")
+      val pairs = xs.crossJoin(ys).select(col(xId), col(yId), sim)
+      val wf = Window.partitionBy(col(xId)).orderBy(col("sim").desc, col(yId))
+      val wb = Window.partitionBy(col(yId)).orderBy(col("sim").desc, col(xId))
+      pairs
+        .withColumn("rank_f", row_number().over(wf))
+        .withColumn("rank_b", row_number().over(wb))
+        .filter(col("rank_f") <= k || col("rank_b") <= k)
+    } else {
+      // brute-force pair cost is nx·ny in EITHER direction, so a blown
+      // pair budget forces IVF both ways (exactLimit 0); a blown
+      // per-side cap alone lets topKAuto route each direction on its
+      // own target side (the small-targets direction stays exact)
+      val dirLimit = if (nx * ny <= pairBudget) exactLimit else 0L
+      val fwd = topKAuto(x, xId, xVec, y, yId, yVec, k, dirLimit,
+          roundTo = roundTo)
+        .select(col(xId), col(yId), col("sim"), col("rank").as("rank_f"))
+      val bwd = topKAuto(y, yId, yVec, x, xId, xVec, k, dirLimit,
+          roundTo = roundTo)
+        .select(col(xId), col(yId), col("sim").as("sim_b"),
+          col("rank").as("rank_b"))
+      fwd.join(bwd, Seq(xId, yId), "full_outer")
+        .select(col(xId), col(yId),
+          coalesce(col("sim"), col("sim_b")).as("sim"),
+          col("rank_f"), col("rank_b"))
+    }
+  }
+
   /** Size-routed near-dup pairs: exact quadratic below `exactLimit`
     * rows, LSH candidates + exact rescoring above it. Same contract as
     * [[topKAuto]]: one call site, never quadratic-unbounded.

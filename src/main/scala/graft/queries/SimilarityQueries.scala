@@ -760,26 +760,22 @@ object SimilarityQueries {
           .select(col("vec_id").as("x_id"), col("emb").as("x_vec"))
         val y = e.filter(col("label") >= 5)
           .select(col("vec_id").as("y_id"), col("emb").as("y_vec"))
-        // topKAuto: exact below the cap (this registered input — same
-        // hash as brute force), IVF-routed above it, so a corpus-sized
-        // side degrades to the bucketed plan instead of refusing
-        val fwd = Similarity.topKAuto(x, "x_id", "x_vec", y, "y_id",
+        // mutualTopK scores each pair ONCE for both direction rankings
+        // (exact below the cap — hash-equal to two brute-force topK
+        // passes; two IVF-routed passes above it), so the mutual-top-1
+        // test is a filter, not a fwd⋈bwd join. The either-direction
+        // top-k result is (|x|+|y|)·k rows — checkpoint that, not the
+        // pair space.
+        val mk = Similarity.mutualTopK(x, "x_id", "x_vec", y, "y_id",
           "y_vec", k = 4).localCheckpoint()
-        val bwd = Similarity.topKAuto(y, "y_id", "y_vec", x, "x_id",
-          "x_vec", k = 4).localCheckpoint()
-        val fx = fwd.groupBy(col("x_id"))
+        val fx = mk.filter(col("rank_f") <= 4).groupBy(col("x_id"))
           .agg(sum(col("sim").cast(DecimalType(27, 6))).cast("double")
             .as("sx"), count(lit(1)).as("kx"))
-        val by = bwd.groupBy(col("y_id"))
+        val by = mk.filter(col("rank_b") <= 4).groupBy(col("y_id"))
           .agg(sum(col("sim").cast(DecimalType(27, 6))).cast("double")
             .as("sy"), count(lit(1)).as("ky"))
-        val fbest = fwd.filter(col("rank") === 1)
+        mk.filter(col("rank_f") === 1 && col("rank_b") === 1)
           .select(col("x_id"), col("y_id"), col("sim"))
-        val bbest = bwd.filter(col("rank") === 1)
-          .select(col("y_id").as("b_y"), col("x_id").as("b_x"))
-        fbest
-          .join(bbest,
-            col("x_id") === col("b_x") && col("y_id") === col("b_y"))
           .join(fx, Seq("x_id")).join(by, Seq("y_id"))
           .select(col("x_id"), col("y_id"), col("sim"),
             round(col("sim") * lit(2.0) /
@@ -826,8 +822,9 @@ object SimilarityQueries {
         "top-1, and its margin normalizes the pair cosine by both " +
         "sides' average top-4 neighborhood — the local-density " +
         "correction that kills hub matches a raw cosine cutoff keeps. " +
-        "Both direction top-k lists ride the SAME size-routed topK " +
-        "used by q31/q76 (checkpointed against the double-read), " +
+        "Both direction rankings come from ONE mutualTopK pair pass " +
+        "(exact fused-window form below the size cap, two IVF-routed " +
+        "passes above it; checkpointed against the double-read), " +
         "neighborhood means accumulate on the decimal grid, and the " +
         "margin is two IEEE divisions in fixed order — hash-equal to " +
         "the quadratic oracle. The training-pair miner for parallel " +

@@ -209,7 +209,13 @@ object BenchScale {
     // cache churn from the inflated corpus) pollute the NEXT query's
     // base time — measured up to 8× base inflation at mult=100, which
     // silently flatters every ratio.
-    val list = if (mult >= 100) Headline100 else Headline
+    // SPARK_GRAFT_SCALE_ONLY=q171_mutual_knn,q93_... re-measures a
+    // subset (merge into the capture file by hand) — rerunning the full
+    // list to chase one slope costs ~30 min at mult=100
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = if (mult >= 100) Headline100 else Headline
+    val list = only.map(o => all.filter(o)).getOrElse(all)
     val bases = list.map(q => q -> time(q, base))
     spark.range(1000).selectExpr("sum(id)").collect()
     val scaleds = list.map(q => q -> time(q, out)).toMap

@@ -129,6 +129,28 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("mutualTopK routes both directions to IVF equi-joins past the pair budget") {
+    // the mutual-kNN shape has no small side: two sub-cap corpora can
+    // still span a quadratic pair space, so the routing bound is nx*ny.
+    // Force it below this corpus and pin that NO cartesian survives —
+    // both direction rankings must arrive via the IVF cell equi-join.
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.asDoubleVec(col("embedding")).as("emb"))
+    val x = e.filter(col("label") <= 4)
+      .select(col("vec_id").as("x_id"), col("emb").as("x_vec"))
+    val y = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("y_id"), col("emb").as("y_vec"))
+    val df = graft.operators.Similarity.mutualTopK(
+      x, "x_id", "x_vec", y, "y_id", "y_vec", k = 3, pairBudget = 10L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"mutualTopK routed path plans a cartesian:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"mutualTopK routed path must equi-join on IVF cells:\n${p.take(1500)}")
+    assert(df.count() > 0, "mutualTopK must still execute on the routed path")
+  }
+
   test("q93 RAG retrieval routes to an IVF equi-join past the cap (no refusal, no cartesian)") {
     // the registered q93 is the deployment surface: force the scale
     // path by shrinking the routing cap below the chunk count and pin

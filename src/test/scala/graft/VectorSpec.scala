@@ -52,6 +52,34 @@ class VectorSpec extends SparkSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("mutualTopK fused exact pass equals composing topK per direction") {
+    val e = Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), col("label"), asDoubleVec(col("embedding")).as("emb"))
+    val x = e.filter(col("label") <= 4)
+      .select(col("vec_id").as("x_id"), col("emb").as("x_vec"))
+    val y = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("y_id"), col("emb").as("y_vec"))
+    val k = 3
+    val mk = Similarity.mutualTopK(x, "x_id", "x_vec", y, "y_id", "y_vec", k)
+    val fwd = Similarity.topK(x, "x_id", "x_vec", y, "y_id", "y_vec", k)
+      .select("x_id", "y_id", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bwd = Similarity.topK(y, "y_id", "y_vec", x, "x_id", "x_vec", k)
+      .select("x_id", "y_id", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mf = mk.filter(col("rank_f") <= k)
+      .select("x_id", "y_id", "sim", "rank_f").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mb = mk.filter(col("rank_b") <= k)
+      .select("x_id", "y_id", "sim", "rank_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(mf == fwd, "forward ranking diverged from the per-direction topK")
+    assert(mb == bwd, "backward ranking diverged from the per-direction topK")
+    // the routed (above-cap) form filters identically: ranks beyond k
+    // are null there, and null <= k is null -> dropped, same as here
+    assert(mk.filter(col("rank_f") <= k || col("rank_b") <= k).count() == mk.count())
+  }
+
   test("SimplifySqrtThreshold removes the sqrt from similarity predicates") {
     import org.apache.spark.sql.functions.{col => c, lit, sqrt => sqrtF}
     graft.plans.VectorExpressions.register(spark)
