@@ -45,6 +45,38 @@ object Quality {
     Rule("unique", column,
       countDistinct(col(column)).cast("double") / count(lit(1)), 1.0)
 
+  /** Reliability-diagram calibration report for a scored binary
+    * classifier (the post-training eval step every learned quality
+    * filter needs before its scores gate a corpus): scores bucket into
+    * `bins` equal-width probability bins (top edge closed, so 1.0
+    * lands in the last bin), each populated bin reporting its support,
+    * mean predicted probability, empirical positive rate, and the
+    * signed calibration gap. The Murphy/Brier reliability term reads
+    * off this table as Σ n_b·gap_b²/N; a calibrated filter shows
+    * |gap| ≈ 0 in every populated bin. ONE hash aggregation into at
+    * most `bins` groups — bounded output at any corpus size; the mean
+    * accumulates on the 1e-6 decimal grid (scores arrive round(·,6)
+    * from [[TextAnalysis.qualityClassifier]]) and the gap is one IEEE
+    * subtraction of the two reported doubles, so the report is
+    * hash-stable cross-engine. */
+  def calibrationReport(scored: DataFrame, score: String, label: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibrationReport: bins >= 2")
+    import org.apache.spark.sql.types.DecimalType
+    scored
+      .withColumn("bin",
+        least(floor(col(score) * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col(score).cast(DecimalType(27, 6))).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col(label).cast("long")).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+      .withColumn("gap", col("frac_pos") - col("mean_score"))
+      .orderBy(col("bin"))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

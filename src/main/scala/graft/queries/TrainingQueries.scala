@@ -976,5 +976,55 @@ object TrainingQueries {
         "pure projection applied BEFORE the ownership anti-join, so " +
         "the user x item candidate space collapses ~64x before any " +
         "shuffle. The training-pair generator for contrastive/CF " +
-        "models at corpus scale."))
+        "models at corpus scale."),
+
+    // ---- q186: classifier calibration report ------------------------------
+    "q186_calibration" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.calibrationReport(scored, "score", "y",
+          bins = 10)
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        b AS (
+          SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, y
+          FROM sc),
+        g AS (
+          SELECT bin, COUNT(*) AS n,
+                 round(CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_score,
+                 round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+          FROM b GROUP BY bin)
+        SELECT bin, n, mean_score, frac_pos,
+               frac_pos - mean_score AS gap
+        FROM g ORDER BY bin"""),
+      "Reliability-diagram calibration of the q104 trained quality " +
+        "filter: equal-width probability bins, each reporting support, " +
+        "mean predicted probability, empirical positive rate, and the " +
+        "signed gap — the Murphy reliability decomposition reads off " +
+        "this table, and a filter whose scores gate a 100 TB corpus is " +
+        "deployable only when the populated bins show |gap| near 0. " +
+        "One hash aggregation into <= 10 groups after the projection-" +
+        "only scoring pass — bounded output at any corpus size; means " +
+        "accumulate on the 1e-6 decimal grid, the gap is one IEEE " +
+        "subtraction of the reported doubles."))
 }

@@ -93,6 +93,25 @@ class EntityGraphSpec extends SparkSuite {
     assert(byRule("matches")._4 && byRule("matches")._3 == 0.75)
   }
 
+  test("Quality.calibrationReport: bin edges, top-edge closure, exact means") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // scores straddling bin edges; 1.0 must land in bin 9, not a
+    // phantom bin 10; 0.0 in bin 0
+    val df = Seq(
+      (0.0, 0), (0.05, 0), (0.1, 0), (0.15, 1),
+      (0.55, 1), (0.55, 0), (1.0, 1))
+      .toDF("score", "y")
+    val rep = Quality.calibrationReport(df, "score", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rep.keySet == Set(0, 1, 5, 9))
+    assert(rep(0) == ((2L, 0.025, 0.0, -0.025)))
+    assert(rep(1)._1 == 2L && rep(1)._2 == 0.125 && rep(1)._3 == 0.5)
+    assert(rep(5) == ((2L, 0.55, 0.5, 0.5 - 0.55)))
+    assert(rep(9) == ((1L, 1.0, 1.0, 0.0)))
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
