@@ -77,6 +77,42 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Population-stability-index drift report between a reference and a
+    * current slice of one relation — the batch-over-batch input-drift
+    * monitor a standing curation pipeline needs (credit-scoring's PSI,
+    * applied to corpus statistics): `value` buckets into `bins`
+    * fixed-width bins (top bin open), each populated bin reporting both
+    * slices' counts, smoothed shares p = (n + 0.5)/(N + 0.5·bins)
+    * (add-half smoothing keeps empty-on-one-side bins finite), and its
+    * PSI contribution (p_ref − p_cur)·ln(p_ref/p_cur). Σ contrib < 0.1
+    * is the conventional "stable" read. ONE conditional-aggregate pass
+    * into ≤ `bins` groups, totals rejoined as a broadcast scalar
+    * aggregate (zero driver jobs) — bounded state at any corpus
+    * size. */
+  def psiReport(df: DataFrame, value: Column, isRef: Column,
+      binWidth: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && binWidth > 0, "psiReport: bins >= 2, binWidth > 0")
+    val g = df
+      .withColumn("bin",
+        least(floor(value / binWidth), lit(bins - 1)).cast("int"))
+      .withColumn("is_ref", isRef)
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val t = g.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val pRef = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("t_ref").cast("double") + lit(0.5 * bins))
+    val pCur = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("t_cur").cast("double") + lit(0.5 * bins))
+    g.crossJoin(t)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("ref_share"),
+        round(pCur, 6).as("cur_share"),
+        round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

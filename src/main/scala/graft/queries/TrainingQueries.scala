@@ -1026,5 +1026,43 @@ object TrainingQueries {
         "One hash aggregation into <= 10 groups after the projection-" +
         "only scoring pass — bounded output at any corpus size; means " +
         "accumulate on the 1e-6 decimal grid, the gap is one IEEE " +
-        "subtraction of the reported doubles."))
+        "subtraction of the reported doubles."),
+
+    // ---- q187: PSI input-drift monitor ------------------------------------
+    "q187_psi_drift" -> Q(
+      (s, dir) =>
+        graft.operators.Quality.psiReport(Tables.documents(s, dir),
+          value = length(col("text")), isRef = col("lang") === "en",
+          binWidth = 100.0, bins = 10),
+      Some("""
+        WITH b AS (
+          SELECT least(CAST(floor(length(text) / 100.0) AS INT), 9) AS bin,
+                 lang = 'en' AS is_ref
+          FROM documents),
+        g AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM b GROUP BY bin),
+        t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g),
+        p AS (
+          SELECT bin, n_ref, n_cur,
+                 (CAST(n_ref AS DOUBLE) + 0.5) /
+                   (CAST(t_ref AS DOUBLE) + 5.0) AS p_ref,
+                 (CAST(n_cur AS DOUBLE) + 0.5) /
+                   (CAST(t_cur AS DOUBLE) + 5.0) AS p_cur
+          FROM g CROSS JOIN t)
+        SELECT bin, n_ref, n_cur,
+               round(p_ref, 6) AS ref_share,
+               round(p_cur, 6) AS cur_share,
+               round((p_ref - p_cur) * ln(p_ref / p_cur), 6) AS psi_contrib
+        FROM p ORDER BY bin"""),
+      "Population-stability-index drift between the English reference " +
+        "slice and the rest of the corpus, binned on document length — " +
+        "the batch-over-batch input-drift gate for a standing curation " +
+        "pipeline (PSI > 0.1 = retune the quality filter before this " +
+        "batch trains anything). Add-half smoothing keeps one-sided " +
+        "bins finite; one conditional-aggregate pass into <= 10 " +
+        "groups, totals rejoined as a broadcast scalar aggregate — " +
+        "bounded state at any corpus size."))
 }

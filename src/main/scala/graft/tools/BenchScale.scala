@@ -134,7 +134,8 @@ object BenchScale {
     "q174_decile_report", "q175_cluster_canonical", "q176_cluster_cosplit",
     "q177_dau_wau", "q178_linear_attribution", "q180_bounce_rate",
     "q181_semi_additive", "q182_rollup_ratios", "q183_ltv_cohorts",
-    "q184_rfm_segments", "q185_new_returning")
+    "q184_rfm_segments", "q185_new_returning", "q186_calibration",
+    "q187_psi_drift")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,

@@ -112,6 +112,30 @@ class EntityGraphSpec extends SparkSuite {
     assert(rep(9) == ((1L, 1.0, 1.0, 0.0)))
   }
 
+  test("Quality.psiReport: one-sided bins stay finite, identical slices read ~0") {
+    import spark.implicits._
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.{col => c}
+    // ref: values 0,1 in bin 0 and 10,11 in bin 1; cur: bin 0 only —
+    // bin 1 is one-sided, add-half smoothing must keep ln finite
+    val df = Seq((0.0, true), (1.0, true), (10.0, true), (11.0, true),
+      (2.0, false), (3.0, false))
+      .toDF("v", "ref")
+    val rep = Quality.psiReport(df, c("v"), c("ref"), binWidth = 10.0,
+        bins = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(rep.keySet == Set(0, 1))
+    assert(rep(0)._1 == 2L && rep(0)._2 == 2L)
+    assert(rep(1)._1 == 2L && rep(1)._2 == 0L)
+    assert(!rep(1)._3.isNaN && !rep(1)._3.isInfinite && rep(1)._3 > 0)
+    // identical slice shapes => every contribution exactly 0
+    val mirrored = Seq((0.0, true), (0.0, false), (10.0, true),
+      (10.0, false), (10.0, true), (10.0, false)).toDF("v", "ref")
+    val same = Quality.psiReport(mirrored, c("v"), c("ref"), 10.0, 4)
+    assert(same.collect().forall(_.getDouble(5) == 0.0))
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
