@@ -64,8 +64,12 @@ object Quality {
     require(bins >= 2, "calibrationReport: bins >= 2")
     import org.apache.spark.sql.types.DecimalType
     scored
+      // clamp both edges: scores below 0 land in bin 0, >= 1 in the top
+      // bin, so the contract of "at most `bins` groups" holds for any
+      // input, not just well-formed probabilities
       .withColumn("bin",
-        least(floor(col(score) * bins), lit(bins - 1)).cast("int"))
+        greatest(lit(0L),
+          least(floor(col(score) * bins), lit(bins - 1))).cast("int"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
@@ -85,27 +89,37 @@ object Quality {
     * slices' counts, smoothed shares p = (n + 0.5)/(N + 0.5·bins)
     * (add-half smoothing keeps empty-on-one-side bins finite), and its
     * PSI contribution (p_ref − p_cur)·ln(p_ref/p_cur). Σ contrib < 0.1
-    * is the conventional "stable" read. ONE conditional-aggregate pass
-    * into ≤ `bins` groups, totals rejoined as a broadcast scalar
-    * aggregate (zero driver jobs) — bounded state at any corpus
-    * size. */
+    * is the conventional "stable" read. Exactly `bins` output rows: a
+    * bin spine left-joins the populated counts so bins empty in both
+    * slices still carry their smoothed mass and the reported
+    * psi_contrib column sums to the full smoothed PSI (and the share
+    * columns to 1). Values below 0 clamp into bin 0 (top bin stays
+    * open), and rows whose `isRef` evaluates to null count as current
+    * (coalesced to false). ONE conditional-aggregate pass into ≤
+    * `bins` groups, totals rejoined as a broadcast scalar aggregate
+    * (zero driver jobs) — bounded state at any corpus size. */
   def psiReport(df: DataFrame, value: Column, isRef: Column,
       binWidth: Double, bins: Int = 10): DataFrame = {
     require(bins >= 2 && binWidth > 0, "psiReport: bins >= 2, binWidth > 0")
     val g = df
       .withColumn("bin",
-        least(floor(value / binWidth), lit(bins - 1)).cast("int"))
-      .withColumn("is_ref", isRef)
+        greatest(lit(0L),
+          least(floor(value / binWidth), lit(bins - 1))).cast("int"))
+      .withColumn("is_ref", coalesce(isRef, lit(false)))
       .groupBy(col("bin"))
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val spine = df.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val full = spine.join(g, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
     val t = g.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     val pRef = (col("n_ref").cast("double") + lit(0.5)) /
       (col("t_ref").cast("double") + lit(0.5 * bins))
     val pCur = (col("n_cur").cast("double") + lit(0.5)) /
       (col("t_cur").cast("double") + lit(0.5 * bins))
-    g.crossJoin(t)
+    full.crossJoin(t)
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(pRef, 6).as("ref_share"),
         round(pCur, 6).as("cur_share"),

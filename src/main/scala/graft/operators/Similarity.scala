@@ -413,7 +413,10 @@ object Similarity {
     // fused pass therefore also requires the PAIR space to fit a
     // budget; past either bound, both directions go through the
     // IVF-routed equi-join path.
-    if (nx <= exactLimit && ny <= exactLimit && nx * ny <= pairBudget) {
+    // overflow-safe pair-space test: nx * ny overflows Long for two
+    // multi-billion-row sides, so compare via division instead
+    def pairsFit = nx <= pairBudget / math.max(ny, 1L)
+    if (nx <= exactLimit && ny <= exactLimit && pairsFit) {
       val xs = x.withColumn("x_nrm", fastNorm(col(xVec)))
       val ys = y.withColumn("y_nrm", fastNorm(col(yVec)))
       val sim = round(
@@ -431,7 +434,7 @@ object Similarity {
       // pair budget forces IVF both ways (exactLimit 0); a blown
       // per-side cap alone lets topKAuto route each direction on its
       // own target side (the small-targets direction stays exact)
-      val dirLimit = if (nx * ny <= pairBudget) exactLimit else 0L
+      val dirLimit = if (pairsFit) exactLimit else 0L
       val fwd = topKAuto(x, xId, xVec, y, yId, yVec, k, dirLimit,
           roundTo = roundTo)
         .select(col(xId), col(yId), col("sim"), col("rank").as("rank_f"))

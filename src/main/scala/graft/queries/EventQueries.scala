@@ -1845,7 +1845,8 @@ object EventQueries {
                    ORDER BY tsu, event_id) - ep AS dt
           FROM e
         )
-        SELECT user_id, COUNT(*) AS n_intervals, SUM(dt) AS sum_dt,
+        SELECT user_id, COUNT(*) AS n_intervals,
+               CAST(SUM(dt) AS BIGINT) AS sum_dt,
                round(CAST(SUM(CAST(round(value * CAST(dt AS DOUBLE), 6)
                    AS DECIMAL(27,6))) AS DOUBLE) /
                  CAST(SUM(dt) AS DOUBLE), 6) AS twap
@@ -1907,7 +1908,8 @@ object EventQueries {
                      % 2 = 0 THEN 'A' ELSE 'B' END AS variant
           FROM events GROUP BY user_id
         ), c AS (
-          SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+          SELECT variant, COUNT(*) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS conv
           FROM u GROUP BY variant
         ), a AS (SELECT n AS n_a, conv AS conv_a FROM c WHERE variant = 'A'),
            b AS (SELECT n AS n_b, conv AS conv_b FROM c WHERE variant = 'B')
@@ -1973,8 +1975,8 @@ object EventQueries {
         )
         SELECT d.event_type, COUNT(*) AS n,
                MAX(d.med) AS median, MAX(a.mad) AS mad,
-               SUM(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad
-                   THEN 1 ELSE 0 END) AS n_outliers
+               CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad a ON d.event_type = a.event_type
         GROUP BY d.event_type
         ORDER BY d.event_type"""),
@@ -2015,7 +2017,8 @@ object EventQueries {
                  COUNT(*) AS y
           FROM events GROUP BY 1, 2
         )
-        SELECT event_type, COUNT(*) AS n_days, SUM(y) AS n_events,
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(y) AS BIGINT) AS n_events,
                round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
                    AS DOUBLE) /
                  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
@@ -2171,27 +2174,31 @@ object EventQueries {
         .orderBy(col("col_name")),
       Some("""
         SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
                COUNT(DISTINCT CAST(o_custkey AS VARCHAR)) AS n_distinct,
                MIN(CAST(o_custkey AS VARCHAR)) AS min_val,
                MAX(CAST(o_custkey AS VARCHAR)) AS max_val
         FROM orders
         UNION ALL
         SELECT 'o_orderkey', COUNT(*),
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
                COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)),
                MIN(CAST(o_orderkey AS VARCHAR)),
                MAX(CAST(o_orderkey AS VARCHAR))
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', COUNT(*),
-               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
                COUNT(DISTINCT o_orderpriority),
                MIN(o_orderpriority), MAX(o_orderpriority)
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus', COUNT(*),
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
                COUNT(DISTINCT o_orderstatus),
                MIN(o_orderstatus), MAX(o_orderstatus)
         FROM orders
@@ -2253,8 +2260,8 @@ object EventQueries {
         SELECT e.dow, e.hr, MAX(s.n) AS n,
                round(MAX(s.mean_v), 6) AS mean_v,
                round(MAX(s.sd_v), 6) AS sd_v,
-               SUM(CASE WHEN abs(e.value - s.mean_v) > 2.0 * s.sd_v
-                   THEN 1 ELSE 0 END) AS n_anomalies
+               CAST(SUM(CASE WHEN abs(e.value - s.mean_v) > 2.0 * s.sd_v
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         FROM e JOIN stats s ON e.dow = s.dow AND e.hr = s.hr
         GROUP BY e.dow, e.hr
         ORDER BY e.dow, e.hr"""),
@@ -2422,7 +2429,8 @@ object EventQueries {
             ON c.user_id = f.user_id AND c.sess = f.sess
         )
         SELECT entry_type, COUNT(*) AS n_sessions,
-               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bounces,
                round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
                  AS bounce_rate
@@ -2656,10 +2664,10 @@ object EventQueries {
           SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1
         ), g AS (
           SELECT a.day,
-                 SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
-                   AS new_users,
-                 SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END)
-                   AS returning_users
+                 CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS new_users,
+                 CAST(SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS returning_users
           FROM a JOIN f ON a.user_id = f.user_id
           GROUP BY a.day
         )

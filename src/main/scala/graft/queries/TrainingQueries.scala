@@ -1006,7 +1006,8 @@ object TrainingQueries {
         ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
         sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
         b AS (
-          SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, y
+          SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9))
+                   AS bin, score, y
           FROM sc),
         g AS (
           SELECT bin, COUNT(*) AS n,
@@ -1036,14 +1037,21 @@ object TrainingQueries {
           binWidth = 100.0, bins = 10),
       Some("""
         WITH b AS (
-          SELECT least(CAST(floor(length(text) / 100.0) AS INT), 9) AS bin,
-                 lang = 'en' AS is_ref
+          SELECT greatest(0,
+                   least(CAST(floor(length(text) / 100.0) AS INT), 9)) AS bin,
+                 coalesce(lang = 'en', false) AS is_ref
           FROM documents),
         g AS (
           SELECT bin,
                  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
                  CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
           FROM b GROUP BY bin),
+        spine AS (SELECT CAST(r.range AS INT) AS bin FROM range(10) r),
+        full_g AS (
+          SELECT s.bin,
+                 coalesce(g.n_ref, CAST(0 AS BIGINT)) AS n_ref,
+                 coalesce(g.n_cur, CAST(0 AS BIGINT)) AS n_cur
+          FROM spine s LEFT JOIN g ON s.bin = g.bin),
         t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g),
         p AS (
           SELECT bin, n_ref, n_cur,
@@ -1051,7 +1059,7 @@ object TrainingQueries {
                    (CAST(t_ref AS DOUBLE) + 5.0) AS p_ref,
                  (CAST(n_cur AS DOUBLE) + 0.5) /
                    (CAST(t_cur AS DOUBLE) + 5.0) AS p_cur
-          FROM g CROSS JOIN t)
+          FROM full_g CROSS JOIN t)
         SELECT bin, n_ref, n_cur,
                round(p_ref, 6) AS ref_share,
                round(p_cur, 6) AS cur_share,

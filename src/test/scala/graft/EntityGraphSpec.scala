@@ -125,15 +125,27 @@ class EntityGraphSpec extends SparkSuite {
         bins = 4)
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
-    assert(rep.keySet == Set(0, 1))
+    // the bin spine emits ALL bins, including 2 and 3 (empty in both
+    // slices) — their smoothed shares differ when t_ref != t_cur, so
+    // omitting them would understate the total PSI
+    assert(rep.keySet == Set(0, 1, 2, 3))
     assert(rep(0)._1 == 2L && rep(0)._2 == 2L)
     assert(rep(1)._1 == 2L && rep(1)._2 == 0L)
     assert(!rep(1)._3.isNaN && !rep(1)._3.isInfinite && rep(1)._3 > 0)
+    assert(rep(2)._1 == 0L && rep(2)._2 == 0L && rep(2)._3 != 0.0)
     // identical slice shapes => every contribution exactly 0
     val mirrored = Seq((0.0, true), (0.0, false), (10.0, true),
       (10.0, false), (10.0, true), (10.0, false)).toDF("v", "ref")
     val same = Quality.psiReport(mirrored, c("v"), c("ref"), 10.0, 4)
     assert(same.collect().forall(_.getDouble(5) == 0.0))
+    // negative values clamp into bin 0; null isRef counts as current
+    val edge = Seq((Some(-5.0), Some(true)), (Some(1.0), Some(true)),
+      (Some(2.0), None), (Some(12.0), Some(false)))
+      .toDF("v", "ref")
+    val er = Quality.psiReport(edge, c("v"), c("ref"), 10.0, 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(er.keySet == Set(0, 1, 2, 3))
+    assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
   test("triangleStats counts match a brute-force enumeration") {
