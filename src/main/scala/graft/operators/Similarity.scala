@@ -651,6 +651,85 @@ object Similarity {
     val src = vecs.select(col(id).as("vid"), col(vec).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = src.count()
+    // DRIVER-LOCAL fast path for contract-bounded training samples: the
+    // canonical callers (pqCodebooks m subspaces, topKAuto trainSample)
+    // feed a few hundred rows, where ALL the distributed loop's cost is
+    // fixed per-job overhead — each of the iters+2 passes schedules a
+    // 32-task shuffle over <1 KB of data (measured: 1.9 s of q73's
+    // 2.9 s at sf0.1 was two such 200-row trainings). Below the cutoff
+    // the sorted sample is collected ONCE and Lloyd's loop runs in
+    // driver Scala with arithmetic bit-identical to the distributed
+    // path (same strict-< argmin over left-assoc squared-L2 folds as
+    // NearestCell, same round(x·1e9) exact-integer grid means), so the
+    // trained model — and every oracle hash downstream — is unchanged.
+    // 2^16 rows × 64-d ≈ 33 MB collected, driver-safe; anything larger
+    // is real distributed work and takes the cluster path below.
+    if (n <= (1L << 16)) {
+      val rows = src.orderBy(col("vid")).collect()
+      src.unpersist(false)
+      require(rows.length >= k,
+        s"kMeans: need at least k=$k vectors, got ${rows.length}")
+      val data: Array[Array[Double]] =
+        rows.filter(!_.isNullAt(1)).map(_.getSeq[Double](1).toArray)
+      var cents: Array[Array[Double]] = data.take(k).map(_.clone())
+      def nearest(v: Array[Double]): Int = {
+        var best = -1; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < cents.length) {
+          val ct = cents(c)
+          if (ct.length == v.length) {
+            var s = 0.0; var i = 0
+            while (i < v.length) { val dd = v(i) - ct(i); s += dd * dd; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+          }
+          c += 1
+        }
+        best
+      }
+      // Spark's round(double, 0) = BigDecimal HALF_UP, then cast(long)
+      // truncates the rounded double — replicated exactly
+      def gridLong(x: Double): Long =
+        java.math.BigDecimal.valueOf(x * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val asg = new Array[Int](data.length)
+      for (_ <- 1 to iters) {
+        var r = 0
+        while (r < data.length) { asg(r) = nearest(data(r)); r += 1 }
+        val sums = Array.ofDim[java.math.BigInteger](k)
+        val cnts = new Array[Long](k)
+        val dims = new Array[Array[java.math.BigInteger]](k)
+        r = 0
+        while (r < data.length) {
+          val c = asg(r)
+          if (c >= 0) {
+            val v = data(r)
+            if (dims(c) == null)
+              dims(c) = Array.fill(v.length)(java.math.BigInteger.ZERO)
+            val acc = dims(c)
+            var i = 0
+            while (i < v.length) {
+              acc(i) = acc(i).add(java.math.BigInteger.valueOf(gridLong(v(i))))
+              i += 1
+            }
+            cnts(c) += 1
+          }
+          r += 1
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          if (cnts(c) == 0) prev
+          // Decimal(38,0).cast(double)/count/1e9 left-assoc, mirrored:
+          // exact-integer sum -> double, / n, / 1e9
+          else dims(c).map(bi => bi.doubleValue() / cnts(c) / 1e9)
+        }
+      }
+      var r2 = 0
+      val members = new Array[Long](k)
+      while (r2 < data.length) {
+        val c = nearest(data(r2)); if (c >= 0) members(c) += 1; r2 += 1
+      }
+      return cents.toSeq.zipWithIndex
+        .map { case (cv, c) => (c, members(c), cv.toSeq) }
+        .toDF("cell", "n_members", "centroid_vec")
+    }
     var centroids: Seq[(Int, Seq[Double])] =
       src.orderBy(col("vid")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
