@@ -1036,6 +1036,197 @@ object Similarity {
     }
   }
 
+  /** Streaming IVF-index maintenance — the missing ingest twin of the
+    * batch-trained ANN path: the coarse quantizer is trained offline
+    * (kMeans/[[pqCodebooks]], the standard recipe — an IVF model is k×d
+    * doubles and retraining it per batch would move the cell boundaries
+    * under the existing postings), and this foreachBatch sink keeps the
+    * POSTING LISTS current as new vectors arrive. Each batch is one
+    * pure projection — nearest_cell assignment + norm, no join, no
+    * shuffle of the vectors — appended to a table BUCKETED on `cell`
+    * ([[graft.Catalog.createBucketedTable]] shape, indexBuckets
+    * buckets), so every future [[ivfSearchIndexed]] cell equi-join
+    * reads the index side shuffle-free and the assignment + norm work
+    * is paid once at ingest, not per query.
+    *
+    * Delivery mirrors [[semDedupIngest]]: `stateTable` records the last
+    * applied batch id and a REPLAYED batch (the foreachBatch
+    * redelivery after a crash past the state write) is skipped whole —
+    * without the guard a replay silently duplicates postings, which
+    * (unlike the dedup index) WOULD corrupt search results by emitting
+    * duplicate (probe, target) rows. Writes are index → state, so the
+    * remaining crash window replays at-least-once and the guard makes
+    * it exactly-once.
+    *
+    * Index schema: (id, cell, vec, nrm) under the caller's id/vec
+    * column names. */
+  def ivfIngest(model: DataFrame, id: String, vec: String,
+      indexTable: String, stateTable: String,
+      indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    val (cellIds, matrix) = quantizerLiterals(model)
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      ensureRegistered(batch)
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        batch.select(col(id),
+            element_at(cellIds,
+              call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+            col(vec), fastNorm(col(vec)).as("nrm"))
+          .write.mode("append")
+          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+  }
+
+  /** Search the [[ivfIngest]]-maintained postings table: probes fan out
+    * to their nProbe nearest cells (pure projection through
+    * nearest_cells) and equi-join the index on `cell` — the index side
+    * arrives bucketed on the join key, so only the query-sized probe
+    * fan-out shuffles; target assignment and norms were prepaid at
+    * ingest. Arithmetic is identical to [[ivfTopK]] (same quantizer
+    * expressions, same cosineWithNorms, same (sim desc, tId) rank
+    * order), so a search over the streamed index is bit-equal to batch
+    * ivfTopK over the same corpus and model — StreamingSpec pins the
+    * equality. `model` must be the same quantizer the index was
+    * ingested with. */
+  def ivfSearchIndexed(probes: DataFrame, pId: String, pVec: String,
+      indexTable: String, model: DataFrame, tId: String, tVec: String,
+      k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
+    ensureRegistered(probes)
+    val spark = probes.sparkSession
+    val (cellIds, matrix) = quantizerLiterals(model)
+    val indexed = spark.table(indexTable)
+    val probeCells = probes.withColumn("p_nrm", fastNorm(col(pVec)))
+      .select(col(pId), col(pVec), col("p_nrm"),
+        explode(transform(
+          call_function("nearest_cells", col(pVec), matrix, lit(nProbe)),
+          i => element_at(cellIds, i + 1))).as("cell"))
+    val sim = round(
+      cosineWithNorms(col(pVec), col(tVec), col("p_nrm"), col("nrm")),
+      roundTo).as("sim")
+    val joined = probeCells.join(indexed, Seq("cell"))
+      .select(col(pId), col(tId), sim)
+    val w = Window.partitionBy(col(pId)).orderBy(col("sim").desc, col(tId))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ streaming index maintenance — [[ivfIngest]]'s
+    * memory-bounded sibling and the shape a 100 TB ANN index actually
+    * ships: postings hold m-BYTE PQ codes instead of full d×8-byte
+    * vectors (a 64-d float corpus compresses 256×), so the index table
+    * a query must scan stays cache-sized. Both models are trained
+    * offline ([[kMeans]] coarse quantizer + [[pqCodebooks]]) and
+    * frozen; each batch is one pure projection — nearest_cell
+    * assignment + per-subspace code assignment, no join, no vector
+    * shuffle — appended to the cell-bucketed postings table. Code
+    * assignment arithmetic is IDENTICAL to [[pqEncode]] (same
+    * nearest_cell folds over the same subspace matrices), so streamed
+    * codes equal a batch encode of the same rows. Replay guard and
+    * write order mirror [[ivfIngest]].
+    *
+    * Index schema: (id, cell, codes array<int>). */
+  def ivfPqIngest(model: DataFrame, books: DataFrame, id: String,
+      vec: String, indexTable: String, stateTable: String,
+      indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    val (cellIds, matrix) = quantizerLiterals(model)
+    val (mats, sub) = pqMats(books)
+    val m = mats.length
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      ensureRegistered(batch)
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        batch.select(col(id),
+            element_at(cellIds,
+              call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+            array((0 until m).map(sp =>
+              call_function("nearest_cell",
+                slice(col(vec), sp * sub + 1, sub), typedlit(mats(sp)))): _*)
+              .as("codes"))
+          .write.mode("append")
+          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+  }
+
+  /** ADC search over the [[ivfPqIngest]]-maintained coded postings:
+    * each probe precomputes its m×k distance table against `books`
+    * (the [[pqTopK]] shape), fans out to its nProbe nearest coarse
+    * cells, and the cell equi-join + codegen'd adc_score ranks only
+    * the probed cells' codes — the index side arrives bucketed on the
+    * join key, so at any corpus size the scan is nProbe/kCells of the
+    * postings and shuffles nothing but the query-sized probe fan-out.
+    * With nProbe = kCells the candidate set is the whole corpus and
+    * the result is bit-equal to full-scan [[pqTopK]] over the same
+    * codes (VectorSpec pins it). */
+  def ivfPqSearchIndexed(probes: DataFrame, pId: String, pVec: String,
+      indexTable: String, model: DataFrame, books: DataFrame,
+      tId: String, k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
+    ensureRegistered(probes)
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val (cellIds, matrix) = quantizerLiterals(model)
+    val bk = books.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(bk.nonEmpty, "ivfPqSearchIndexed: empty codebook")
+    val m = bk.map(_._1).max + 1
+    val kCells = bk.map(_._2).max + 1
+    val subDim = bk.head._3.length
+    val pSub = probes.select(col(pId), col(pVec),
+      posexplode(array((0 until m).map(sp =>
+        slice(col(pVec), sp * subDim + 1, subDim)): _*)).as(Seq("sub", "subv")))
+    val table = pSub.join(broadcast(bk.toSeq.toDF("sub", "cell", "c_vec")), "sub")
+      .select(col(pId), col("sub"), col("cell"),
+        fastSquaredL2(col("subv"), col("c_vec")).as("d"))
+      .groupBy(col(pId))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell"), col("d")))),
+        x => x.getField("d")).as("dtab"))
+    val probeCells = probes
+      .select(col(pId),
+        explode(transform(
+          call_function("nearest_cells", col(pVec), matrix, lit(nProbe)),
+          i => element_at(cellIds, i + 1))).as("cell"))
+      .join(broadcast(table), Seq(pId))
+    val postings = spark.table(indexTable)
+    val w = Window.partitionBy(col(pId)).orderBy(col("adc"), col(tId))
+    probeCells.join(postings, Seq("cell"))
+      .select(col(pId), col(tId),
+        round(call_function("adc_score", col("codes"), col("dtab"),
+          lit(kCells)), roundTo).as("adc"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-subspace centroid matrices from a [[pqCodebooks]] relation —
+    * the shared decode of pqEncode and ivfPqIngest, so both assign
+    * codes with identical arithmetic. Returns (matrices, subDim). */
+  private def pqMats(books: DataFrame): (IndexedSeq[Seq[Seq[Double]]], Int) = {
+    val bk = books.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(bk.nonEmpty, "empty codebook")
+    val m = bk.map(_._1).max + 1
+    val mats = (0 until m).map { sp =>
+      val rows = bk.filter(_._1 == sp).sortBy(_._2)
+      require(rows.map(_._2).toSeq == rows.indices.toSeq,
+        s"codebook subspace $sp cells are not contiguous from 0")
+      rows.map(_._3).toSeq
+    }
+    (mats, bk.head._3.length)
+  }
+
   /** The pruning half of [[semDedup]] over a pre-assigned (id, vec,
     * cell) relation: distinct junior ids (`b_id`) that have a senior
     * in-cell near-duplicate. Exposed so tests can count candidate
@@ -1124,21 +1315,15 @@ object Similarity {
     * for any m, matching the oracle's in-order list fold. */
   def pqEncode(vecs: DataFrame, id: String, vec: String, books: DataFrame): DataFrame = {
     ensureRegistered(vecs)
-    val bk = books.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    require(bk.nonEmpty, "pqEncode: empty codebook")
-    val m = bk.map(_._1).max + 1
-    val sub = bk.head._3.length
+    // per-subspace centroid matrices, cell-indexed (kMeans guarantees
+    // contiguous cells 0..k-1; pqMats verifies so element_at(cell+1)
+    // is sound) — shared with ivfPqIngest so streamed codes are
+    // bit-equal to a batch encode
+    val (mats, sub) = pqMats(books)
+    val m = mats.length
     val dim = vecs.select(size(col(vec))).head.getInt(0)
     require(dim == m * sub,
       s"pqEncode: vectors are $dim-d but the codebook covers ${m}x$sub dims")
-    // per-subspace centroid matrices, cell-indexed (kMeans guarantees
-    // contiguous cells 0..k-1; verify so element_at(cell+1) is sound)
-    val mats: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      val rows = bk.filter(_._1 == s).sortBy(_._2)
-      require(rows.map(_._2).toSeq == rows.indices.toSeq,
-        s"pqEncode: subspace $s cells are not contiguous from 0")
-      rows.map(_._3).toSeq
-    }
     def subv(s: Int) = slice(col(vec), s * sub + 1, sub)
     val withCodes = vecs.select(col(id) +: col(vec) +:
       (0 until m).map(s =>

@@ -1015,6 +1015,161 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(corpusT, indexT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("ivfIngest: search over the streamed index equals batch ivfTopK") {
+    // streaming ANN-index maintenance: a fixed offline quantizer, new
+    // vectors appended to cell-bucketed postings per batch — search
+    // over the maintained index must be bit-equal to batch ivfTopK
+    // over the same corpus and model
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.VectorExpressions.register(spark)
+    val (indexT, stateT) = ("graft_ivf_index", "graft_ivf_state")
+    try {
+      Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val ordered = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = input.toDF().toDF("vec_id", "emb").writeStream
+        .foreachBatch(Similarity.ivfIngest(model, "vec_id", "emb",
+          indexT, stateT))
+        .start()
+      for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(spark.table(indexT).count() == ordered.length,
+        "the index must hold every arrival")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val streamed = key(Similarity.ivfSearchIndexed(probes, "p_id", "p_vec",
+        indexT, model, "vec_id", "emb", k = 3, nProbe = 2)
+        .select(col("p_id"), col("vec_id"), col("sim"), col("rank")))
+      val batch = key(Similarity.ivfTopK(probes, "p_id", "p_vec",
+        e, "vec_id", "emb", model, "cell", "centroid_vec", k = 3, nProbe = 2)
+        .select(col("p_id"), col("vec_id"), col("sim"), col("rank")))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"indexed search must equal batch ivfTopK: extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      // the postings table is bucketed on cell: the search equi-join
+      // must not shuffle the (large) index side — with broadcast off,
+      // the only exchange below the join is the probe fan-out aligning
+      // itself to the index's bucketing (rank adds its own post-join
+      // window exchange)
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = Similarity.ivfSearchIndexed(probes, "p_id", "p_vec",
+          indexT, model, "vec_id", "emb", k = 3, nProbe = 2)
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning\\(cell".r.findAllMatchIn(p).size == 1,
+          s"indexed search must shuffle only the probe side on cell:\n${p.take(2000)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("ivfIngest skips a replayed batch id (no duplicate postings)") {
+    // duplicate postings would emit duplicate (probe, target) rows and
+    // corrupt ranks — the batch-id guard makes redelivery exactly-once
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    graft.plans.VectorExpressions.register(spark)
+    val (indexT, stateT) = ("graft_ivfreplay_index", "graft_ivfreplay_state")
+    try {
+      Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val fn = Similarity.ivfIngest(model, "vec_id", "emb", indexT, stateT)
+      val b0 = e.filter(col("vec_id") < 30).localCheckpoint()
+      val b1 = e.filter(col("vec_id") >= 30).localCheckpoint()
+      fn(b0, 0L)
+      val after0 = (spark.table(indexT).count(),
+        spark.table(stateT).head().getLong(0))
+      fn(b0, 0L) // replay: must be a no-op
+      assert((spark.table(indexT).count(),
+        spark.table(stateT).head().getLong(0)) == after0,
+        "a replayed batch must not grow the postings")
+      fn(b1, 1L)
+      assert(spark.table(indexT).count() == e.count(),
+        "post-replay ingest must index every arrival exactly once")
+    } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("ivfPqIngest: streamed codes equal batch pqEncode; full-probe search equals pqTopK") {
+    // memory-bounded ANN index maintenance: postings carry m-byte PQ
+    // codes, not vectors. Streamed codes must equal a batch encode of
+    // the same rows, and with every coarse cell probed the ADC search
+    // over the index must be bit-equal to full-scan pqTopK
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDoubleVec
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.VectorExpressions.register(spark)
+    val (indexT, stateT) = ("graft_ivfpq_index", "graft_ivfpq_state")
+    try {
+      Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val books = Similarity.pqCodebooks(
+        e.filter(col("vec_id") < 100), "vec_id", "emb", m = 2, k = 4,
+        iters = 2).localCheckpoint()
+      val ordered = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = input.toDF().toDF("vec_id", "emb").writeStream
+        .foreachBatch(Similarity.ivfPqIngest(model, books, "vec_id", "emb",
+          indexT, stateT))
+        .start()
+      for (chunk <- ordered.grouped(ordered.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // streamed codes == batch encode (identical subspace assignment)
+      val streamedCodes = spark.table(indexT)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batchCodes = Similarity.pqEncode(e, "vec_id", "emb", books)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamedCodes == batchCodes,
+        "streamed postings must carry the exact batch-encode codes")
+      // full-probe indexed ADC == full-scan pqTopK
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val indexed = key(Similarity.ivfPqSearchIndexed(probes, "p_id", "p_vec",
+        indexT, model, books, "vec_id", k = 3, nProbe = 4)
+        .select(col("p_id"), col("vec_id"), col("adc"), col("rank")))
+      val coded = Similarity.pqEncode(e, "vec_id", "emb", books)
+        .select(col("vec_id"), col("codes"))
+      val full = key(Similarity.pqTopK(probes, "p_id", "p_vec",
+        coded, "vec_id", books, k = 3)
+        .select(col("p_id"), col("vec_id"), col("adc"), col("rank")))
+      assert(indexed.nonEmpty && indexed == full,
+        s"full-probe indexed ADC must equal full-scan pqTopK: extra=${indexed.diff(full)} missing=${full.diff(indexed)}")
+      // replay guard: re-applying a batch id must not grow postings
+      val n0 = spark.table(indexT).count()
+      val fn = Similarity.ivfPqIngest(model, books, "vec_id", "emb",
+        indexT, stateT)
+      fn(e.limit(10), 0L) // batch id 0 already applied
+      assert(spark.table(indexT).count() == n0,
+        "a replayed batch must not grow the coded postings")
+    } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest skips a replayed batch id (no duplicate index growth)") {
     // the foreachBatch redelivery contract: the same (batch, batchId)
     // applied twice must leave corpus, index AND state exactly as after
