@@ -390,7 +390,12 @@ object Similarity {
     * the mutual shape has no small side, so the target cap alone
     * under-routes) it degrades to two size-routed [[topKAuto]] passes
     * (IVF equi-join per direction — never quadratic) stitched by a
-    * full-outer join.
+    * full-outer join. The default budget (2^26 ≈ 6.7e7 pairs) is sized
+    * so the exact path's n·m·d FMA work stays seconds-bounded on one
+    * node: the earlier 2^31 default let a 10k×10k boundary case run
+    * 1e8 pairs exact — measured 13.8× wall at 10× data in the slope
+    * harness, the definition of a super-linear trap — where mutual-kNN
+    * at that size always goes through the ANN route anyway.
     *
     * Returns (xId, yId, sim, rank_f, rank_b) for every pair in EITHER
     * direction's top-k; a rank is null (routed path) or > k (exact
@@ -403,7 +408,7 @@ object Similarity {
       x: DataFrame, xId: String, xVec: String,
       y: DataFrame, yId: String, yVec: String,
       k: Int, exactLimit: Long = DefaultExactLimit,
-      pairBudget: Long = 1L << 31,
+      pairBudget: Long = 1L << 26,
       roundTo: Int = 6): DataFrame = {
     ensureRegistered(x)
     val nx = x.count(); val ny = y.count()
