@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality auditing — the Deequ/great-expectations
@@ -125,6 +126,40 @@ object Quality {
         round(pCur, 6).as("cur_share"),
         round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
       .orderBy(col("bin"))
+  }
+
+  /** Ranking quality (AUC-ROC) of a scored binary classifier — the
+    * companion eval to [[calibrationReport]] (calibration says the
+    * probabilities are honest, AUC says the ORDERING separates the
+    * classes; a corpus-gating filter needs both). Computed as the
+    * tie-corrected Mann-Whitney U without ever ranking rows: scores
+    * arrive on the round(·,6) grid from
+    * [[TextAnalysis.qualityClassifier]], so the distinct-score spine is
+    * BOUNDED at ≤ 1e6+1 values at any corpus size — one hash
+    * aggregation collapses the corpus onto the spine, one window over
+    * the spine accumulates negatives-below, and U doubles into an
+    * exact integer (2·U = Σ 2·np_g·cumneg_g + np_g·nn_g, every term a
+    * product of longs), so auc = U2/(2·pos·neg) is one IEEE divide and
+    * the report hash-proves cross-engine. Output: one row (n, n_pos,
+    * n_neg, auc); degenerate single-class inputs yield null auc. */
+  def aucReport(scored: DataFrame, score: String, label: String): DataFrame = {
+    val g = scored
+      .groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+    c.agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(lit(2L) * col("np") * col("cumneg") + col("np") * col("nn"))
+          .as("u2"))
+      .select(
+        (col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          nullif(lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
   }
 
   /** Run every rule in one aggregate job. Output: (rule, column,

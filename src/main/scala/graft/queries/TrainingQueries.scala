@@ -1072,5 +1072,61 @@ object TrainingQueries {
         "batch trains anything). Add-half smoothing keeps one-sided " +
         "bins finite; one conditional-aggregate pass into <= 10 " +
         "groups, totals rejoined as a broadcast scalar aggregate — " +
-        "bounded state at any corpus size."))
+        "bounded state at any corpus size."),
+
+    // ---- q188: classifier ranking quality (AUC-ROC) -----------------------
+    "q188_auc" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.aucReport(scored, "score", "y")
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        g AS (
+          SELECT score AS s, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM sc GROUP BY score),
+        c AS (
+          SELECT s, n, np, n - np AS nn,
+                 COALESCE(SUM(n - np) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumneg
+          FROM g),
+        t AS (
+          SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 CAST(SUM(2 * np * cumneg + np * nn) AS BIGINT) AS u2
+          FROM c)
+        SELECT n_pos + n_neg AS n, n_pos, n_neg,
+               round(CAST(u2 AS DOUBLE) /
+                 nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE),
+                   0.0), 6) AS auc
+        FROM t"""),
+      "AUC-ROC of the q104 trained quality filter — the ranking-" +
+        "separation eval that pairs with q186's calibration: computed " +
+        "as tie-corrected Mann-Whitney WITHOUT ranking rows. Scores " +
+        "live on the round(.,6) grid, so the distinct-score spine is " +
+        "bounded at 1e6+1 values at any corpus size; one hash " +
+        "aggregation collapses the corpus onto the spine, one bounded " +
+        "window accumulates negatives-below, and 2U sums to an exact " +
+        "integer, making the single-divide AUC hash-stable " +
+        "cross-engine."))
 }

@@ -148,6 +148,27 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("Quality.aucReport: hand-checked AUC with ties; single-class is null") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: 0.9 beats
+    // both (2), 0.7 beats 0.3 and ties 0.7 (1.5), 0.5 beats 0.3 (1)
+    // => U = 4.5 of 6 => AUC = 0.75
+    val df = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0))
+      .toDF("score", "y")
+    val r = Quality.aucReport(df, "score", "y").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.75)
+    // perfect separation reads 1.0; reversed reads 0.0
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "y")
+    assert(Quality.aucReport(perfect, "score", "y").head().getDouble(3) == 1.0)
+    val reversed = Seq((0.1, 1), (0.8, 0)).toDF("score", "y")
+    assert(Quality.aucReport(reversed, "score", "y").head().getDouble(3) == 0.0)
+    // one class only: auc must be null, not a crash or a 0/0 NaN
+    val mono = Seq((0.9, 1), (0.8, 1)).toDF("score", "y")
+    assert(Quality.aucReport(mono, "score", "y").head().isNullAt(3))
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
