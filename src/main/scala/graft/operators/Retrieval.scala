@@ -394,4 +394,73 @@ object Retrieval {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("a_id"), col("c_id"), col("c_label"), col("sim"), col("rank"))
   }
+
+  /** NDCG@k discount weights on a 1e-9 integer grid — 1/log2(r+1) for
+    * ranks 1..k, snapped once on the driver. Exposed so oracle SQL can
+    * embed the IDENTICAL integers: log2 is transcendental and engines
+    * disagree in the last ulp (measured: DuckDB's log2 differs from
+    * ln(x)/ln(2) on 48 of 128 small ints), so shipping the same grid
+    * literals to both sides is what makes DCG hash-provable. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Prefix sums of [[ndcgDiscounts]] — IDCG@k for a query with n
+    * relevant docs is cum(min(n, k)) for BINARY relevance (the ideal
+    * list packs relevant docs into the top ranks). */
+  def ndcgIdealCums(k: Int): Seq[Long] =
+    ndcgDiscounts(k).scanLeft(0L)(_ + _).tail
+
+  /** Per-query ranking-quality report over a retrieval run — the eval
+    * step that closes the retrieval loop (BM25/hybrid/ANN runs exist;
+    * this scores them against binary qrels the way trec_eval does):
+    * NDCG@k, reciprocal rank, precision@k, recall@k.
+    *
+    * Exactness: DCG terms are [[ndcgDiscounts]] grid integers summed as
+    * longs (order-free), IDCG is a driver-side prefix-sum lookup, and
+    * every reported ratio is ONE IEEE division of identical integers —
+    * no transcendentals at query time, no rounding, so the report
+    * hash-proves cross-engine (a round(·,6) here would die on exact
+    * .5e-6 ties like recall 1/128).
+    *
+    * Scale shape: qrels ⋈ run is an equi-join on (query, doc) followed
+    * by a per-query aggregate — run is (queries × k) rows by contract,
+    * so the report costs one qrels-sized join however large the corpus
+    * that produced the run was. Queries present in qrels but missing
+    * from the run (or with no relevant hits in the top k) report zeros,
+    * not dropped rows.
+    *
+    * Output: (q, n_rel, n_hits, dcg, idcg, ndcg, rr, precision_k,
+    * recall_k), one row per qrels query. */
+  def rankingMetrics(run: DataFrame, qCol: String, docCol: String,
+      rankCol: String, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "rankingMetrics: k >= 1")
+    val discL = ndcgDiscounts(k)
+    val cumL = ndcgIdealCums(k)
+    val rel = qrels.select(col(qCol), col(docCol)).distinct()
+    val nRel = rel.groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = run.filter(col(rankCol) <= k)
+      .join(rel, Seq(qCol, docCol))
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("h"),
+        min(col(rankCol)).cast("long").as("first_hit"),
+        sum(element_at(typedlit(discL), col(rankCol).cast("int")))
+          .as("dcg_l"))
+    val idcgL = element_at(typedlit(cumL),
+      least(col("n_rel"), lit(k.toLong)).cast("int"))
+    nRel.join(hits, Seq(qCol), "left")
+      .select(col(qCol), col("n_rel"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("dcg_l"), lit(0L)).cast("double") / lit(1e9))
+          .as("dcg"),
+        (idcgL.cast("double") / lit(1e9)).as("idcg"),
+        (coalesce(col("dcg_l"), lit(0L)).cast("double") /
+          idcgL.cast("double")).as("ndcg"),
+        coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0))
+          .as("rr"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("precision_k"),
+        (coalesce(col("h"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall_k"))
+  }
 }

@@ -281,6 +281,71 @@ object RetrievalQueries {
         "the query-time twin of SemDeDup. Each of the k steps is a " +
         "bounded program over candidate lists (never the corpus); " +
         "rounded scores + id tie-breaks make the greedy walk " +
-        "engine-exact, proved by a 5-step-unrolled oracle.")
+        "engine-exact, proved by a 5-step-unrolled oracle."),
+
+    // ---- q189: retrieval eval (NDCG / MRR / P@k / recall@k) ------------
+    "q189_ndcg" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val run = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queryTerms(docs), "q_id", "term", k = 10, logIdf = false)
+        val docTerms = docs.select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+        // binary qrels: a doc is relevant to a query when it contains
+        // at least 2 of the query's (<= 4) terms
+        val qrels = queryTerms(docs).join(docTerms, "term")
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(count_distinct(col("term")).as("m"))
+          .filter(col("m") >= 2)
+          .select(col("q_id"), col("doc_id"))
+        Retrieval.rankingMetrics(run, "q_id", "doc_id", "rank", qrels,
+            k = 10)
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val discs = Retrieval.ndcgDiscounts(10).mkString("[", ", ", "]")
+        val cums = Retrieval.ndcgIdealCums(10).mkString("[", ", ", "]")
+        s"""
+        WITH $SqlBm25,
+        run AS (SELECT q, doc, CAST(ra AS INT) AS rank
+                FROM lexr WHERE ra <= 10),
+        rel AS (
+          SELECT q.q, tfc.doc
+          FROM q JOIN tfc ON q.t = tfc.t
+          GROUP BY q.q, tfc.doc
+          HAVING COUNT(DISTINCT q.t) >= 2),
+        nrel AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_rel
+                 FROM rel GROUP BY q),
+        hits AS (
+          SELECT r.q, CAST(COUNT(*) AS BIGINT) AS h,
+                 CAST(MIN(r.rank) AS BIGINT) AS first_hit,
+                 CAST(SUM(($discs)[r.rank]) AS BIGINT) AS dcg_l
+          FROM run r JOIN rel ON r.q = rel.q AND r.doc = rel.doc
+          GROUP BY r.q),
+        j AS (
+          SELECT n.q, n.n_rel,
+                 CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+                 CAST(COALESCE(h.dcg_l, 0) AS BIGINT) AS dcg_l,
+                 ($cums)[CAST(least(n.n_rel, 10) AS INT)] AS idcg_l,
+                 h.first_hit
+          FROM nrel n LEFT JOIN hits h ON n.q = h.q)
+        SELECT q AS q_id, n_rel, n_hits,
+               CAST(dcg_l AS DOUBLE) / 1e9 AS dcg,
+               CAST(idcg_l AS DOUBLE) / 1e9 AS idcg,
+               CAST(dcg_l AS DOUBLE) / CAST(idcg_l AS DOUBLE) AS ndcg,
+               COALESCE(1.0 / CAST(first_hit AS DOUBLE), 0.0) AS rr,
+               CAST(n_hits AS DOUBLE) / 10.0 AS precision_k,
+               CAST(n_hits AS DOUBLE) / CAST(n_rel AS DOUBLE) AS recall_k
+        FROM j ORDER BY q_id"""
+      },
+      "trec_eval-style ranking report over the BM25 run (NDCG@10, MRR, " +
+        "P@10, recall@10) against containment-derived binary qrels: " +
+        "DCG discounts are 1e-9-grid integers computed ONCE on the " +
+        "driver and embedded in both engines (log2 is transcendental " +
+        "and engines disagree in the last ulp), IDCG is a prefix-sum " +
+        "lookup, and every reported ratio is one IEEE division of " +
+        "identical integers — no query-time transcendentals, no " +
+        "rounding ties. Cost is one (query, doc) equi-join over the " +
+        "run, corpus-size-independent.")
   )
 }

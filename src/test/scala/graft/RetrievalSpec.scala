@@ -127,4 +127,38 @@ class RetrievalSpec extends SparkSuite {
     }
     assert(tooMany.getMessage.contains("anchor"))
   }
+
+  test("rankingMetrics: hand-checked NDCG/MRR/P@k/recall on a tiny run") {
+    // qrels: q1 -> {d1, d2, d3}; q2 -> {d9}
+    // run@3 for q1: d1(r1, rel), d5(r2, not), d2(r3, rel)
+    //   DCG = 1/log2(2) + 1/log2(4) = 1 + 0.5 = 1.5
+    //   IDCG (3 rels, k=3) = 1 + 1/log2(3) + 0.5
+    // run for q2: no relevant retrieved -> zeros
+    val run = Seq(
+      (1L, 1L, 1), (1L, 5L, 2), (1L, 2L, 3),
+      (2L, 1L, 1), (2L, 2L, 2), (2L, 3L, 3)).toDF("q", "doc", "rank")
+    val qrels = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 9L))
+      .toDF("q", "doc")
+    val m = Retrieval.rankingMetrics(run, "q", "doc", "rank", qrels, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val disc = Retrieval.ndcgDiscounts(3)
+    val cum = Retrieval.ndcgIdealCums(3)
+    val r1 = m(1L)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == (disc(0) + disc(2)).toDouble / 1e9) // dcg
+    assert(r1.getDouble(4) == cum(2).toDouble / 1e9) // idcg, min(3,3)
+    assert(r1.getDouble(5) ==
+      (disc(0) + disc(2)).toDouble / cum(2).toDouble) // ndcg
+    assert(r1.getDouble(6) == 1.0) // rr: first hit at rank 1
+    assert(r1.getDouble(7) == 2.0 / 3.0 && r1.getDouble(8) == 2.0 / 3.0)
+    val r2 = m(2L)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(5) == 0.0 &&
+      r2.getDouble(6) == 0.0 && r2.getDouble(8) == 0.0)
+    // idcg for q2 still reports the 1-rel ideal, not 0
+    assert(r2.getDouble(4) == cum(0).toDouble / 1e9)
+    // the grid discounts are 1/log2(r+1) to within the 1e-9 snap
+    assert(disc(0) == 1000000000L)
+    assert(math.abs(disc(1) / 1e9 - 1.0 / (math.log(3) / math.log(2))) < 1e-9)
+  }
 }
