@@ -162,6 +162,36 @@ object Quality {
             col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
   }
 
+  /** Cohen's kappa between two binary labelers over one relation — the
+    * inter-annotator-agreement / classifier-vs-gold eval (labeling
+    * pipelines need agreement BEYOND CHANCE, not raw accuracy: a 95%
+    * positive corpus gives 90% raw agreement to two coin-flippers).
+    * ONE conditional-aggregate pass builds the 2×2 contingency table;
+    * po, pe and kappa are IEEE divisions of the exact integer counts
+    * (marginal products stay exact in longs to ~3e9 rows), so the
+    * report hash-proves cross-engine with no rounding. Null labels on
+    * either side are excluded (pairwise-complete). Degenerate
+    * chance-perfect agreement (pe = 1) reports null kappa. Output: one
+    * row (n, n11, n10, n01, n00, po, pe, kappa). */
+  def kappaReport(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val a = labelA.cast("boolean")
+    val b = labelB.cast("boolean")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        cnt(a && b).as("n11"), cnt(a && !b).as("n10"),
+        cnt(!a && b).as("n01"), cnt(!a && !b).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+         (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("kappa",
+        (col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0)))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

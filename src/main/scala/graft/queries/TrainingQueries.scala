@@ -1128,5 +1128,57 @@ object TrainingQueries {
         "aggregation collapses the corpus onto the spine, one bounded " +
         "window accumulates negatives-below, and 2U sums to an exact " +
         "integer, making the single-divide AUC hash-stable " +
-        "cross-engine."))
+        "cross-engine."),
+
+    // ---- q190: Cohen's kappa (classifier vs gold agreement) ---------------
+    "q190_kappa" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.kappaReport(scored,
+          labelA = col("score") >= 0.5, labelB = col("y") === 1.0)
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        ct AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN score >= 0.5 AND y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN score < 0.5 AND y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM sc),
+        m AS (
+          SELECT n, n11, n10, n01, n00,
+                 CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                 CAST((n11 + n10) * (n11 + n01) +
+                      (n01 + n00) * (n10 + n00) AS DOUBLE) /
+                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          FROM ct)
+        SELECT n, n11, n10, n01, n00, po, pe,
+               (po - pe) / nullif(1.0 - pe, 0.0) AS kappa
+        FROM m"""),
+      "Cohen's kappa between the q104 classifier's 0.5-threshold " +
+        "decision and the gold label — agreement beyond chance, the " +
+        "eval that raw accuracy fakes on skewed corpora (two " +
+        "coin-flippers agree 90% on a 95%-positive corpus). One " +
+        "conditional-aggregate pass builds the 2x2 table; po/pe/kappa " +
+        "are IEEE divisions of exact integer counts, hash-stable with " +
+        "no rounding."))
 }

@@ -169,6 +169,29 @@ class EntityGraphSpec extends SparkSuite {
     assert(Quality.aucReport(mono, "score", "y").head().isNullAt(3))
   }
 
+  test("Quality.kappaReport: hand-checked kappa, null exclusion, degenerate pe") {
+    import spark.implicits._
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.{col => c}
+    // contingency: n11=4, n10=1, n01=1, n00=4 over n=10
+    // po = 0.8; pe = (5*5 + 5*5)/100 = 0.5; kappa = 0.3/0.5 = 0.6
+    val rows = Seq.fill(4)((Some(true), Some(true))) ++
+      Seq((Some(true), Some(false)), (Some(false), Some(true))) ++
+      Seq.fill(4)((Some(false), Some(false))) ++
+      Seq((None: Option[Boolean], Some(true)),
+        (Some(true), None: Option[Boolean])) // excluded pairwise
+    val df = rows.toDF("a", "b")
+    val r = Quality.kappaReport(df, c("a"), c("b")).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L && r.getLong(4) == 4L)
+    assert(r.getDouble(5) == 0.8 && r.getDouble(6) == 0.5)
+    // (0.8 - 0.5) carries the usual 0.30000000000000004 IEEE artifact;
+    // kappa is deterministic, not pretty
+    assert(r.getDouble(7) == (0.8 - 0.5) / 0.5)
+    // all-one-class on both sides: pe = 1 -> kappa null, not 0/0
+    val mono = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Quality.kappaReport(mono, c("a"), c("b")).head().isNullAt(7))
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
