@@ -106,6 +106,10 @@ object Quality {
       .withColumn("bin",
         greatest(lit(0L),
           least(floor(value / binWidth), lit(bins - 1))).cast("int"))
+      // null values have no bin and are excluded from counts AND totals
+      // (keeps this report bit-equal to the psiIngest per-batch form,
+      // which never sees a reference row to carry a null through)
+      .filter(col("bin").isNotNull)
       .withColumn("is_ref", coalesce(isRef, lit(false)))
       .groupBy(col("bin"))
       .agg(
@@ -160,6 +164,70 @@ object Quality {
         round(col("u2").cast("double") /
           nullif(lit(2.0) * col("n_pos").cast("double") *
             col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
+  }
+
+  /** Streaming twin of [[psiReport]] — the standing input-drift monitor
+    * a curation pipeline actually runs: the REFERENCE histogram is
+    * frozen once (it is ≤ `bins` longs, so it collapses to driver
+    * literals — per-batch work is ONE aggregation of the batch plus a
+    * projection, no reference join at all), and each micro-batch
+    * appends its full per-bin PSI report to `reportTable` keyed by
+    * batch_id. Report rows are BIT-EQUAL to calling [[psiReport]] on
+    * reference ∪ batch (same bin clamp, same add-half smoothing, same
+    * rounding) — StreamingSpec pins the equality — so alerting
+    * thresholds tuned on batch reports transfer unchanged.
+    *
+    * Delivery mirrors the other ingests: `stateTable` records the last
+    * applied batch id and a replayed batch is skipped whole (a replay
+    * would append a duplicate report and double-count the drift
+    * series). */
+  def psiIngest(reference: DataFrame, value: Column, binWidth: Double,
+      bins: Int, reportTable: String, stateTable: String)
+      : (DataFrame, Long) => Unit = {
+    require(bins >= 2 && binWidth > 0, "psiIngest: bins >= 2, binWidth > 0")
+    def binOf(v: Column): Column =
+      greatest(lit(0L), least(floor(v / binWidth), lit(bins - 1))).cast("int")
+    val refMap = reference.select(binOf(value).as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refCounts: Seq[Long] = (0 until bins).map(b => refMap.getOrElse(b, 0L))
+    val tRef = refCounts.sum
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val cur = batch.select(binOf(value).as("bin"))
+          .filter(col("bin").isNotNull)
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+        val spine = spark.range(bins.toLong)
+          .select(col("id").cast("int").as("bin"))
+        val full = spine.join(cur, Seq("bin"), "left")
+          .na.fill(0L, Seq("n_cur"))
+          .withColumn("n_ref", element_at(typedlit(refCounts), col("bin") + 1))
+        // coalesce: a batch whose every value is null has no populated
+        // bins — t_cur must read 0 (matching psiReport over the union),
+        // not null
+        val t = cur.agg(coalesce(sum(col("n_cur")), lit(0L)).as("t_cur"))
+        val pRef = (col("n_ref").cast("double") + lit(0.5)) /
+          (lit(tRef).cast("double") + lit(0.5 * bins))
+        val pCur = (col("n_cur").cast("double") + lit(0.5)) /
+          (col("t_cur").cast("double") + lit(0.5 * bins))
+        full.crossJoin(t)
+          .select(lit(batchId).as("batch_id"), col("bin"),
+            col("n_ref"), col("n_cur"),
+            round(pRef, 6).as("ref_share"),
+            round(pCur, 6).as("cur_share"),
+            round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
+          .write.mode("append").saveAsTable(reportTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
   }
 
   /** Cohen's kappa between two binary labelers over one relation — the

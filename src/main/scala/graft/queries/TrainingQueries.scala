@@ -1040,7 +1040,8 @@ object TrainingQueries {
           SELECT greatest(0,
                    least(CAST(floor(length(text) / 100.0) AS INT), 9)) AS bin,
                  coalesce(lang = 'en', false) AS is_ref
-          FROM documents),
+          FROM documents
+          WHERE length(text) IS NOT NULL),
         g AS (
           SELECT bin,
                  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,

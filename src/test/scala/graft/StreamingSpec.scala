@@ -1170,6 +1170,61 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("psiIngest: per-batch reports equal psiReport over reference UNION batch") {
+    // the standing drift monitor: frozen reference histogram, one
+    // appended per-bin PSI report per micro-batch — each report must be
+    // bit-equal to the batch psiReport over reference ∪ that batch
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (reportT, stateT) = ("graft_psi_report", "graft_psi_state")
+    try {
+      Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), length(col("text")).cast("double").as("v"))
+      val ref = docs.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val curAll = docs.filter(col("doc_id") % 2 =!= 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val input = MemoryStream[(Long, Double)]
+      val q = input.toDF().toDF("doc_id", "v").writeStream
+        .foreachBatch(Quality.psiIngest(ref, col("v"), binWidth = 100.0,
+          bins = 8, reportT, stateT))
+        .start()
+      val chunks = curAll.grouped(curAll.length / 3 + 1).toSeq
+      for (chunk <- chunks) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val report = spark.table(reportT)
+      assert(report.select(col("batch_id")).distinct().count() == chunks.size)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val streamed = key(report.filter(col("batch_id") === i.toLong)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            col("ref_share"), col("cur_share"), col("psi_contrib")))
+        val union = ref.withColumn("is_ref", lit(true))
+          .unionByName(chunk.toSeq.toDF("doc_id", "v")
+            .withColumn("is_ref", lit(false)))
+        val batch = key(Quality.psiReport(union, col("v"), col("is_ref"),
+          binWidth = 100.0, bins = 8)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            col("ref_share"), col("cur_share"), col("psi_contrib")))
+        assert(streamed == batch,
+          s"batch $i: extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      }
+      // replay guard: re-applying batch 0 must not append a duplicate
+      // report generation for the same batch id
+      val n0 = spark.table(reportT).count()
+      val fn = Quality.psiIngest(ref, col("v"), 100.0, 8, reportT, stateT)
+      fn(chunks.head.toSeq.toDF("doc_id", "v"), 0L)
+      assert(spark.table(reportT).count() == n0,
+        "a replayed batch must not duplicate its drift report")
+    } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest skips a replayed batch id (no duplicate index growth)") {
     // the foreachBatch redelivery contract: the same (batch, batchId)
     // applied twice must leave corpus, index AND state exactly as after
