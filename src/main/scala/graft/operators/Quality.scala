@@ -146,11 +146,16 @@ object Quality {
     * product of longs), so auc = U2/(2·pos·neg) is one IEEE divide and
     * the report hash-proves cross-engine. Output: one row (n, n_pos,
     * n_neg, auc); degenerate single-class inputs yield null auc. */
-  def aucReport(scored: DataFrame, score: String, label: String): DataFrame = {
-    val g = scored
+  def aucReport(scored: DataFrame, score: String, label: String): DataFrame =
+    aucFromSpine(scored
       .groupBy(col(score).as("s"))
-      .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np"))
-      .withColumn("nn", col("n") - col("np"))
+      .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np")))
+
+  /** The Mann-Whitney tail of [[aucReport]] over a pre-aggregated
+    * (s, n, np) score spine — shared with [[aucMerged]] so the
+    * streaming-maintained spine reads the identical AUC. */
+  private def aucFromSpine(g0: DataFrame): DataFrame = {
+    val g = g0.withColumn("nn", col("n") - col("np"))
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
@@ -165,6 +170,45 @@ object Quality {
           nullif(lit(2.0) * col("n_pos").cast("double") *
             col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
   }
+
+  /** Streaming twin of [[aucReport]]: each micro-batch appends its
+    * per-score partial counts (s, n, np) to `spineTable` — the spine is
+    * BOUNDED (scores live on the round(·,6) grid), so the table grows
+    * by at most 1e6+1 rows per batch regardless of batch size, and the
+    * merge is additive, so arrival order and batch boundaries cannot
+    * change the merged counts. [[aucMerged]] then reads the identical
+    * AUC the one-shot batch report computes — the standing
+    * eval-on-ingest a scored corpus needs (is the filter's separation
+    * drifting as new data arrives?) without ever re-scanning scored
+    * history. Batch-id replay guard as in the other ingests (a
+    * replayed append would double-count its scores). */
+  def aucIngest(score: String, label: String, spineTable: String,
+      stateTable: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        batch
+          .groupBy(col(score).as("s"))
+          .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np"))
+          .write.mode("append").saveAsTable(spineTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+
+  /** AUC from an [[aucIngest]]-maintained spine: re-aggregate the
+    * per-batch partials (additive, so equal to one-shot counts) and run
+    * the shared Mann-Whitney tail. */
+  def aucMerged(spark: org.apache.spark.sql.SparkSession,
+      spineTable: String): DataFrame =
+    aucFromSpine(spark.table(spineTable)
+      .groupBy(col("s"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("np")))
 
   /** Streaming twin of [[psiReport]] — the standing input-drift monitor
     * a curation pipeline actually runs: the REFERENCE histogram is

@@ -1225,6 +1225,54 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("aucIngest: merged streamed spine reads the one-shot batch AUC") {
+    // eval-on-ingest: per-batch partial (score, n, np) counts are
+    // additive over the bounded score spine, so the merged AUC must
+    // equal aucReport over all rows at once — and a replayed batch must
+    // not double-count its scores
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (spineT, stateT) = ("graft_auc_spine", "graft_auc_state")
+    try {
+      Seq(spineT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"),
+          round(conv(substring(md5(col("text")), 1, 4), 16, 10)
+            .cast("double") / 65536.0, 6).as("score"),
+          (length(col("text")) > 300).cast("int").as("y"))
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+      val input = MemoryStream[(Long, Double, Int)]
+      val q = input.toDF().toDF("doc_id", "score", "y").writeStream
+        .foreachBatch(Quality.aucIngest("score", "y", spineT, stateT))
+        .start()
+      val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+      for (chunk <- chunks) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+      val streamed = one(Quality.aucMerged(spark, spineT))
+      val batch = one(Quality.aucReport(
+        rows.toSeq.toDF("doc_id", "score", "y"), "score", "y"))
+      assert(streamed.getLong(0) == batch.getLong(0) &&
+        streamed.getLong(1) == batch.getLong(1) &&
+        streamed.getLong(2) == batch.getLong(2) &&
+        streamed.getDouble(3) == batch.getDouble(3),
+        s"streamed=$streamed batch=$batch")
+      assert(streamed.getLong(1) > 0 && streamed.getLong(2) > 0,
+        "fixture must contain both classes")
+      // replay guard
+      val n0 = spark.table(spineT).count()
+      val fn = Quality.aucIngest("score", "y", spineT, stateT)
+      fn(chunks.head.toSeq.toDF("doc_id", "score", "y"), 0L)
+      assert(spark.table(spineT).count() == n0,
+        "a replayed batch must not append spine partials again")
+    } finally Seq(spineT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest skips a replayed batch id (no duplicate index growth)") {
     // the foreachBatch redelivery contract: the same (batch, batchId)
     // applied twice must leave corpus, index AND state exactly as after
