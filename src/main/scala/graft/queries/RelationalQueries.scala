@@ -804,12 +804,16 @@ object RelationalQueries {
     // ---- q147: degree-ordered triangle counting ---------------------------
     "q147_triangle_count" -> Q(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        // in-basket co-purchase edges via ONE groupBy + array pair
+        // projection (the q164 shape) — the former lineitem self-join
+        // shuffled the relation twice for the same pair set
+        val edges = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
-        val l2 = li.toDF("o2", "p2")
-        val edges = li.join(l2,
-            li("l_orderkey") === l2("o2") && li("l_partkey") < l2("p2"))
-          .select(col("l_partkey").as("a"), col("p2").as("b"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
         graft.operators.Graph.triangleStats(edges, "a", "b")
       },
       Some("""
@@ -1086,21 +1090,29 @@ object RelationalQueries {
     // ---- q164: within-basket co-occurrence, top-k neighbors ---------------
     "q164_basket_cooc" -> Q(
       (s, d) => {
-        val capped = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))))
-          .filter(col("rn") <= 8)
+        // ONE groupBy collapses dedup + per-basket cap (the 8 smallest
+        // parts per order) into a sorted array; in-basket pairs then
+        // come from exploding the array against itself — a pure
+        // projection bounded at 28 pairs/basket — instead of the old
+        // distinct + window + SELF-JOIN, which shuffled the capped
+        // relation three more times
+        val baskets = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
-        val r = capped.toDF("ok", "pk")
-        val pairs = capped.join(r,
-            capped("l_orderkey") === r("ok") &&
-            capped("l_partkey") < r("pk"))
-          .groupBy(col("l_partkey").as("i"), col("pk").as("j"))
+          .groupBy(col("l_orderkey"))
+          .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 8)
+            .as("pks"))
+          .localCheckpoint()
+        val pairs = baskets
+          .select(explode(col("pks")).as("i"), col("pks"))
+          .select(col("i"), explode(col("pks")).as("j"))
+          .filter(col("i") < col("j"))
+          .groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("co"))
           .filter(col("co") >= 2)
-        val itemN = capped.groupBy(col("l_partkey").as("it"))
-          .agg(count(lit(1)).as("ni"))
+          // pairs feed both halves of the symmetric union
+          .localCheckpoint()
+        val itemN = baskets.select(explode(col("pks")).as("it"))
+          .groupBy(col("it")).agg(count(lit(1)).as("ni"))
         val sym = pairs.select(col("i"), col("j"), col("co"))
           .union(pairs.select(col("j"), col("i"), col("co")))
         val scored = sym
