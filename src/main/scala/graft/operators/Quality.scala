@@ -82,6 +82,58 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Streaming twin of [[calibrationReport]]: each micro-batch appends
+    * its per-bin partials (bin, n, score_sum on the exact 1e-6 decimal
+    * grid, n_pos) to `spineTable` — at most `bins` rows per batch, and
+    * every partial is additive, so [[calibrationMerged]] re-aggregates
+    * to EXACTLY the one-shot report at any point in the stream (same
+    * decimal accumulation, same divides). With [[psiIngest]] and
+    * [[aucIngest]] this completes the monitor family's ingest forms:
+    * drift, ranking power, and probability honesty all maintained
+    * per-batch without re-scanning scored history. Batch-id replay
+    * guard as in the other ingests. */
+  def calibrationIngest(score: String, label: String, bins: Int,
+      spineTable: String, stateTable: String): (DataFrame, Long) => Unit = {
+    require(bins >= 2, "calibrationIngest: bins >= 2")
+    import org.apache.spark.sql.types.DecimalType
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        batch
+          .withColumn("bin",
+            greatest(lit(0L),
+              least(floor(col(score) * bins), lit(bins - 1))).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col(score).cast(DecimalType(27, 6))).as("score_sum"),
+            sum(col(label).cast("long")).as("n_pos"))
+          .write.mode("append").saveAsTable(spineTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+  }
+
+  /** Calibration report from a [[calibrationIngest]]-maintained spine:
+    * additive partials re-aggregate to the one-shot
+    * [[calibrationReport]] exactly. */
+  def calibrationMerged(spark: org.apache.spark.sql.SparkSession,
+      spineTable: String): DataFrame =
+    spark.table(spineTable)
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("score_sum")).cast("double") / sum(col("n")), 6)
+          .as("mean_score"),
+        round(sum(col("n_pos")).cast("double") / sum(col("n")), 6)
+          .as("frac_pos"))
+      .withColumn("gap", col("frac_pos") - col("mean_score"))
+      .orderBy(col("bin"))
+
   /** Population-stability-index drift report between a reference and a
     * current slice of one relation — the batch-over-batch input-drift
     * monitor a standing curation pipeline needs (credit-scoring's PSI,
@@ -272,6 +324,54 @@ object Quality {
           .write.mode("overwrite").saveAsTable(stateTable)
       }
     }
+  }
+
+  /** One-row classifier scorecard — the consolidated eval a gating
+    * filter ships with: threshold metrics (accuracy / precision /
+    * recall / F1 at 0.5), the Brier score, and expected calibration
+    * error (ECE) over `bins` equal-width bins. ONE corpus pass builds
+    * the counts and the Brier sum, one ≤-`bins` aggregation builds the
+    * ECE; every reported number is either an IEEE division of exact
+    * integers or an exact-decimal-grid sum divided once:
+    * (score−y)² snaps to a 1e-12 grid (scores are round(·,6), so the
+    * square is EXACTLY a 12-decimal value — the snap loses nothing),
+    * and each bin's n·|gap| ECE term snaps to 1e-9 before the
+    * bin-order-independent integer sum. Degenerate precision/recall
+    * denominators (no predicted / no actual positives) report null.
+    * Output: (n, accuracy, precision_, recall_, f1, brier, ece). */
+  def evalSummary(scored: DataFrame, score: String, label: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "evalSummary: bins >= 2")
+    import org.apache.spark.sql.types.DecimalType
+    val pred = col(score) >= 0.5
+    val pos = col(label).cast("double") === 1.0
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val sqErr = (col(score) - col(label).cast("double")) *
+      (col(score) - col(label).cast("double"))
+    val base = scored.agg(
+      count(lit(1)).as("n"),
+      cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+      cnt(!pred && pos).as("fn"), cnt(!pred && !pos).as("tn"),
+      (sum(round(sqErr * lit(1e12)).cast("long").cast(DecimalType(38, 0)))
+        .cast("double") / count(lit(1)) / lit(1e12)).as("brier"))
+    val binned = calibrationReport(scored, score, label, bins)
+      .select(col("n").as("nb"), col("gap"))
+      .agg(coalesce(
+        sum(round(col("nb").cast("double") * abs(col("gap")) * lit(1e9))
+          .cast("long").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+        .cast("double").as("ece_num"))
+    val p = col("tp").cast("double") /
+      nullif((col("tp") + col("fp")).cast("double"), lit(0.0))
+    val r = col("tp").cast("double") /
+      nullif((col("tp") + col("fn")).cast("double"), lit(0.0))
+    base.crossJoin(binned).select(
+      col("n"),
+      ((col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+        .as("accuracy"),
+      p.as("precision_"), r.as("recall_"),
+      (lit(2.0) * p * r / nullif(p + r, lit(0.0))).as("f1"),
+      col("brier"),
+      (col("ece_num") / col("n").cast("double") / lit(1e9)).as("ece"))
   }
 
   /** Cohen's kappa between two binary labelers over one relation — the

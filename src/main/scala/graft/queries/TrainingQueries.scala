@@ -1181,5 +1181,79 @@ object TrainingQueries {
         "coin-flippers agree 90% on a 95%-positive corpus). One " +
         "conditional-aggregate pass builds the 2x2 table; po/pe/kappa " +
         "are IEEE divisions of exact integer counts, hash-stable with " +
-        "no rounding."))
+        "no rounding."),
+
+    // ---- q191: classifier scorecard (acc/P/R/F1/Brier/ECE) ----------------
+    "q191_eval_summary" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.evalSummary(scored, "score", "y", bins = 10)
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN score >= 0.5 AND y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN score < 0.5 AND y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                 CAST(SUM(CAST(round((score - y) * (score - y) * 1e12) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e12 AS brier
+          FROM sc),
+        b AS (
+          SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9))
+                   AS bin, score, y
+          FROM sc),
+        g AS (
+          SELECT bin, COUNT(*) AS nb,
+                 round(CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_score,
+                 round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+          FROM b GROUP BY bin),
+        e AS (
+          SELECT COALESCE(CAST(SUM(CAST(round(
+                   CAST(nb AS DOUBLE) * abs(frac_pos - mean_score) * 1e9)
+                   AS BIGINT)) AS DOUBLE), 0.0) AS ece_num
+          FROM g)
+        SELECT n,
+               CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+               CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+                 AS precision_,
+               CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+                 AS recall_,
+               2.0 * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+                   * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0))
+                 / nullif(
+                     (CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)) +
+                     (CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)),
+                     0.0) AS f1,
+               brier,
+               ece_num / CAST(n AS DOUBLE) / 1e9 AS ece
+        FROM base CROSS JOIN e"""),
+      "One-row classifier scorecard (accuracy/precision/recall/F1 at " +
+        "0.5, Brier score, ECE over 10 bins) for the q104 trained " +
+        "filter: one corpus pass + one <= 10-bin aggregate. (score-y)^2 " +
+        "is EXACTLY a 12-decimal value (scores are round(.,6)), so the " +
+        "1e-12 grid sum is lossless; ECE terms snap to 1e-9 before an " +
+        "order-free integer sum; every other number is an IEEE " +
+        "division of exact counts — hash-stable with no rounding " +
+        "ties."))
 }

@@ -192,6 +192,31 @@ class EntityGraphSpec extends SparkSuite {
     assert(Quality.kappaReport(mono, c("a"), c("b")).head().isNullAt(7))
   }
 
+  test("Quality.evalSummary: hand-checked scorecard on a tiny table") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // tp=2 fp=1 fn=1 tn=2: acc 4/6, P 2/3, R 2/3, F1 2/3
+    // brier = mean of (s-y)^2 over exact 6dp scores
+    val rows = Seq(
+      (0.9, 1), (0.7, 1), (0.3, 1), // tp, tp, fn
+      (0.6, 0), (0.2, 0), (0.1, 0)) // fp, tn, tn
+    val df = rows.toDF("score", "y")
+    val r = Quality.evalSummary(df, "score", "y", bins = 10).head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 4.0 / 6.0)
+    assert(r.getDouble(2) == 2.0 / 3.0 && r.getDouble(3) == 2.0 / 3.0)
+    val p = 2.0 / 3.0
+    assert(r.getDouble(4) == 2.0 * p * p / (p + p))
+    val brier = rows.map { case (sc, y) =>
+      math.round((sc - y) * (sc - y) * 1e12) }.sum.toDouble / 6 / 1e12
+    assert(r.getDouble(5) == brier)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    // degenerate: no predicted positives -> precision/f1 null
+    val none = Seq((0.1, 1), (0.2, 0)).toDF("score", "y")
+    val d = Quality.evalSummary(none, "score", "y").head()
+    assert(d.isNullAt(2) && d.isNullAt(4) && d.getDouble(3) == 0.0)
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes

@@ -1273,6 +1273,41 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(spineT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("calibrationIngest: merged spine equals the one-shot calibration report") {
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (spineT, stateT) = ("graft_cal_spine", "graft_cal_state")
+    try {
+      Seq(spineT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"),
+          round(conv(substring(md5(col("text")), 1, 4), 16, 10)
+            .cast("double") / 65536.0, 6).as("score"),
+          (length(col("text")) > 300).cast("int").as("y"))
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+      val input = MemoryStream[(Long, Double, Int)]
+      val q = input.toDF().toDF("doc_id", "score", "y").writeStream
+        .foreachBatch(Quality.calibrationIngest("score", "y", bins = 10,
+          spineT, stateT))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val streamed = key(Quality.calibrationMerged(spark, spineT))
+      val batch = key(Quality.calibrationReport(
+        rows.toSeq.toDF("doc_id", "score", "y"), "score", "y", bins = 10))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+    } finally Seq(spineT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest skips a replayed batch id (no duplicate index growth)") {
     // the foreachBatch redelivery contract: the same (batch, batchId)
     // applied twice must leave corpus, index AND state exactly as after
