@@ -212,6 +212,59 @@ object OracleGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** q192 oracle: LSH recall audit — the q34 candidate chain and the
+    * q33 exact pair space folded into one summary row. */
+  def q192Sql(dim: Int, threshold: Double, nBits: Int, nTables: Int,
+      seed: Long): String = {
+    val cosAB = "list_inner_product(ea.emb, eb.emb) / " +
+      "(sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb)))"
+    val cosXY = "list_inner_product(a.emb, b.emb) / " +
+      "(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        grid AS (
+          SELECT tt.range AS t, ii.range AS i, jj.range AS j
+          FROM range(0, $nTables) tt, range(0, $nBits) ii, range(0, $dim) jj),
+        signs AS (
+          SELECT t, i,
+                 list(CASE WHEN CAST(concat('0x', substr(md5(
+                     '$seed:' || CAST(t AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                   ), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+          FROM grid GROUP BY t, i),
+        proj AS (
+          SELECT e.vec_id, s.t, s.i,
+                 list_aggregate(list_transform(range(1, ${dim + 1}), j -> e.emb[j] * s.s[j]), 'sum') AS p
+          FROM e CROSS JOIN signs s),
+        buckets AS (
+          SELECT vec_id, t,
+                 SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+          FROM proj GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM buckets a JOIN buckets b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        lsh AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.a_id
+          JOIN e eb ON eb.vec_id = c.b_id
+          WHERE $cosAB >= $threshold),
+        exact AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosXY, 6) AS sim
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id AND $cosXY >= $threshold),
+        missed AS (
+          SELECT ex.sim FROM exact ex
+          LEFT JOIN lsh l ON ex.a_id = l.a_id AND ex.b_id = l.b_id
+          WHERE l.a_id IS NULL)
+        SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+               CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed,
+               CAST((SELECT COUNT(*) FROM exact) -
+                    (SELECT COUNT(*) FROM missed) AS DOUBLE) /
+                 CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall,
+               (SELECT MAX(sim) FROM missed) AS max_missed_sim"""
+  }
+
   /** q60 oracle: the full detect→match→route topology over the
     * documents-as-frames twin, recomputing
     * [[graft.streaming.SauronPipeline.stubDetectPortable]] from md5.

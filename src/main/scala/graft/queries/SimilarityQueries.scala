@@ -238,6 +238,39 @@ object SimilarityQueries {
         "hyperplane signs make buckets, candidates and rescored sims " +
         "all oracle-checkable; recall vs q33 in tests."),
 
+    // ---- q192: LSH recall audit (the operator measures itself) ----------
+    "q192_lsh_recall" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val exact = Similarity.nearDupPairs(e, "vec_id", "emb",
+            threshold = 0.4)
+          .select(col("a_id"), col("b_id"), col("sim")).localCheckpoint()
+        val lsh = Similarity.lshNearDup(e, "vec_id", "emb",
+            threshold = 0.4, nBits = 6, nTables = 6)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val missed = exact.join(lsh, Seq("a_id", "b_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          max(col("sim")).as("max_missed_sim"))
+        ne.crossJoin(nl).crossJoin(nm)
+          .select(col("n_exact"), col("n_lsh"), col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("max_missed_sim"))
+      },
+      Some(OracleGen.q192Sql(dim = 64, threshold = 0.4, nBits = 6,
+        nTables = 6, seed = 1000)),
+      "Recall audit of the q34 LSH path against the q33 exact pair " +
+        "space — the near-dup operator MEASURING ITS OWN quality as a " +
+        "registered relation (run it per corpus before trusting the " +
+        "banded path at scale): pairs the exact space misses nothing, " +
+        "recall = surviving fraction, max_missed_sim names the worst " +
+        "false negative. Recall is one IEEE division of exact counts; " +
+        "at 100 TB the exact arm is the input-capped baseline, so the " +
+        "audit runs on a sample slice while the LSH path runs on the " +
+        "corpus."),
+
     // ---- q59: int8 embedding quantization --------------------------------
     "q59_quantize_int8" -> Q(
       (s, d) => {

@@ -135,7 +135,8 @@ object BenchScale {
     "q177_dau_wau", "q178_linear_attribution", "q180_bounce_rate",
     "q181_semi_additive", "q182_rollup_ratios", "q183_ltv_cohorts",
     "q184_rfm_segments", "q185_new_returning", "q186_calibration",
-    "q187_psi_drift", "q188_auc", "q189_ndcg", "q190_kappa")
+    "q187_psi_drift", "q188_auc", "q189_ndcg", "q190_kappa",
+    "q191_eval_summary")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
