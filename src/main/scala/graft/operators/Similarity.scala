@@ -170,6 +170,31 @@ object Similarity {
     * can therefore never drop a true pair: the exact output is
     * IDENTICAL to the uncompressed rescore, only cheaper — full
     * vectors rejoin only the margin band. */
+  /** Table count for a target LSH recall at the similarity threshold —
+    * the closed-form tuner the q192 audit motivates (the fixed 6×6
+    * config recalls only ~37% of 0.4-threshold pairs): for random
+    * hyperplanes, two vectors at cosine s collide in one bit with
+    * p = 1 − arccos(s)/π, in a b-bit band with p^b, and in at least
+    * one of T tables with 1 − (1−p^b)^T. Solving for the smallest T
+    * with recall ≥ target AT the threshold gives a recall FLOOR: every
+    * pair above the threshold has higher p, so its recall is higher
+    * still. Fewer bits ⇒ fewer tables but denser buckets — pick
+    * `nBits` from corpus size (the [[nearDupAuto]] 2^b ≈ n/48 rule)
+    * and let this choose T. Driver-side arithmetic only — the config
+    * is data-independent, so it embeds in oracle SQL as constants. */
+  def lshTablesFor(threshold: Double, targetRecall: Double,
+      nBits: Int): Int = {
+    require(threshold > -1 && threshold < 1,
+      "lshTablesFor: threshold in (-1, 1)")
+    require(targetRecall > 0 && targetRecall < 1,
+      "lshTablesFor: targetRecall in (0, 1)")
+    require(nBits >= 1, "lshTablesFor: nBits >= 1")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, nBits)
+    require(pBand > 0, "lshTablesFor: band probability underflow")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt.max(1)
+  }
+
   def lshNearDup(
       vecs: DataFrame, id: String, vec: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 4,

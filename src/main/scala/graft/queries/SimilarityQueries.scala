@@ -271,6 +271,48 @@ object SimilarityQueries {
         "audit runs on a sample slice while the LSH path runs on the " +
         "corpus."),
 
+    // ---- q193: recall-tuned LSH (audited) --------------------------------
+    "q193_lsh_tuned" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        // closed-form config: 4-bit bands, tables solved for a 90%
+        // recall floor AT the 0.4 threshold (14 tables)
+        val tables = Similarity.lshTablesFor(0.4, 0.9, nBits = 4)
+        val exact = Similarity.nearDupPairs(e, "vec_id", "emb",
+            threshold = 0.4)
+          .select(col("a_id"), col("b_id"), col("sim")).localCheckpoint()
+        val lsh = Similarity.lshNearDup(e, "vec_id", "emb",
+            threshold = 0.4, nBits = 4, nTables = tables)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val missed = exact.join(lsh, Seq("a_id", "b_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          max(col("sim")).as("max_missed_sim"))
+        ne.crossJoin(nl).crossJoin(nm)
+          .select(lit(tables).as("n_tables"),
+            col("n_exact"), col("n_lsh"), col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("max_missed_sim"))
+      },
+      Some {
+        val tables = Similarity.lshTablesFor(0.4, 0.9, nBits = 4)
+        s"""WITH audit AS (${OracleGen.q192Sql(dim = 64, threshold = 0.4,
+          nBits = 4, nTables = tables, seed = 1000)})
+        SELECT CAST($tables AS INT) AS n_tables, n_exact, n_lsh,
+               n_missed, recall, max_missed_sim
+        FROM audit"""
+      },
+      "The q192 audit closed into a fix: lshTablesFor solves the " +
+        "hyperplane collision formula 1-(1-p^b)^T for the smallest T " +
+        "with recall >= 90% AT the threshold (p = 1 - arccos(s)/pi — a " +
+        "recall FLOOR, since pairs above the threshold collide more " +
+        "often), and the tuned 4-bit x 14-table config is re-audited " +
+        "through the same exact-join relation. Config is " +
+        "data-independent driver arithmetic, so it embeds in the " +
+        "oracle as constants."),
+
     // ---- q59: int8 embedding quantization --------------------------------
     "q59_quantize_int8" -> Q(
       (s, d) => {

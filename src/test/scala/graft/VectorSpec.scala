@@ -532,4 +532,20 @@ class VectorSpec extends SparkSuite {
     assert(out.filterKeys(_ <= 9L).values.count(!_._2) == 3)
     assert(out.filterKeys(_ >= 10L).values.count(!_._2) == 2)
   }
+
+  test("lshTablesFor: hand-checked solutions and monotonicity") {
+    import graft.operators.Similarity
+    // p(0.4) = 1 - arccos(0.4)/pi = 0.631; p^4 = 0.1585;
+    // ceil(ln(0.1)/ln(1-0.1585)) = 14
+    assert(Similarity.lshTablesFor(0.4, 0.9, 4) == 14)
+    assert(Similarity.lshTablesFor(0.4, 0.9, 3) == 8)
+    assert(Similarity.lshTablesFor(0.4, 0.9, 6) == 36)
+    // more bits -> more tables; higher target -> more tables;
+    // higher threshold -> fewer tables
+    assert(Similarity.lshTablesFor(0.4, 0.99, 4) >
+      Similarity.lshTablesFor(0.4, 0.9, 4))
+    assert(Similarity.lshTablesFor(0.8, 0.9, 4) <
+      Similarity.lshTablesFor(0.4, 0.9, 4))
+    assert(Similarity.lshTablesFor(0.99, 0.9, 1) == 1)
+  }
 }
