@@ -404,6 +404,55 @@ object Quality {
         (col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0)))
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for a RATIO
+    * metric (accuracy, threshold precision, conversion, pass-rate —
+    * anything of the form Σ success / Σ total): each of `reps`
+    * replicates reweights every row by an iid Poisson(1) draw — the
+    * standard bootstrap approximation whose weights come from the
+    * row's md5(id, rep) hash through the inverted Poisson CDF, so the
+    * "randomness" is a pure projection: engine-portable, shuffle-free,
+    * and identical on every rerun and partitioning. ONE pass over the
+    * reps×n expansion (bounded: reps is a constant) aggregates every
+    * replicate's integer (Σw·s, Σw); the interval is PERCENTILE_DISC
+    * over the reps replicate ratios — a selection from actually
+    * computed values (no interpolation to disagree on). Output: one
+    * row (n, point, lo, hi) at the given coverage; the point estimate
+    * is the full-sample ratio, exact. */
+  def bootstrapRatioCi(df: DataFrame, id: Column, success: Column,
+      reps: Int = 32, coverage: Double = 0.95, seed: Long = 0L): DataFrame = {
+    require(reps >= 8, "bootstrapRatioCi: reps >= 8")
+    require(coverage > 0 && coverage < 1, "bootstrapRatioCi: coverage in (0,1)")
+    // inverted Poisson(1) CDF on the 52-bit md5 uniform; weights 0..6
+    // (P(>6) < 1e-4 — the tail truncation shifts nothing at 2^-52
+    // resolution both engines share)
+    val u = conv(substring(md5(concat(col("_id").cast("string"), lit(":"),
+      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val s01 = when(success, 1L).otherwise(0L)
+    val expanded = df.select(id.as("_id"), s01.as("_s"))
+      .crossJoin(df.sparkSession.range(reps.toLong)
+        .select(col("id").cast("int").as("rep")))
+    val perRep = expanded
+      .groupBy(col("rep"))
+      .agg((sum(w * col("_s")).cast("double") /
+        nullif(sum(w).cast("double"), lit(0.0))).as("ratio"))
+    val alpha = (1.0 - coverage) / 2.0
+    val ci = perRep.agg(
+      expr(s"percentile_disc($alpha) WITHIN GROUP (ORDER BY ratio)").as("lo"),
+      expr(s"percentile_disc(${1.0 - alpha}) WITHIN GROUP (ORDER BY ratio)")
+        .as("hi"))
+    val base = df.agg(count(lit(1)).as("n"),
+      (sum(s01).cast("double") / count(lit(1)).cast("double")).as("point"))
+    base.crossJoin(ci).select(col("n"), col("point"), col("lo"), col("hi"))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

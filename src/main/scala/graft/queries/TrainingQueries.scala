@@ -1255,5 +1255,78 @@ object TrainingQueries {
         "1e-12 grid sum is lossless; ECE terms snap to 1e-9 before an " +
         "order-free integer sum; every other number is an IEEE " +
         "division of exact counts — hash-stable with no rounding " +
-        "ties."))
+        "ties."),
+
+    // ---- q194: bootstrap CI for the classifier's accuracy -----------------
+    "q194_bootstrap_ci" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.bootstrapRatioCi(scored,
+          id = col("doc"),
+          success = (col("score") >= 0.5) === (col("y") === 1.0),
+          reps = 32, coverage = 0.95)
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        reps AS (SELECT CAST(r.range AS INT) AS rep FROM range(32) r),
+        ex AS (
+          SELECT sc.doc AS id_, sc.rep_s AS s01, reps.rep
+          FROM (SELECT doc,
+                  CASE WHEN (score >= 0.5) = (y = 1) THEN 1 ELSE 0 END AS rep_s
+                FROM sc) sc CROSS JOIN reps),
+        wtd AS (
+          SELECT rep, s01,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238463 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      ELSE 6 END AS w
+          FROM (
+            SELECT rep, s01,
+                   CAST(concat('0x', substr(md5(
+                     CAST(id_ AS VARCHAR) || ':' || CAST(rep AS VARCHAR)
+                       || ':0'), 1, 13)) AS BIGINT)
+                     / 4503599627370496.0 AS u
+            FROM ex)),
+        pr AS (
+          SELECT rep, CAST(SUM(w * s01) AS DOUBLE) /
+                   nullif(CAST(SUM(w) AS DOUBLE), 0.0) AS ratio
+          FROM wtd GROUP BY rep),
+        ci AS (SELECT quantile_disc(ratio, 0.025) AS lo,
+                      quantile_disc(ratio, 0.975) AS hi FROM pr),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS point
+          FROM sc)
+        SELECT n, point, lo, hi FROM base CROSS JOIN ci"""),
+      "95% Poisson-bootstrap CI for the q104 classifier's accuracy — " +
+        "the uncertainty attached to every ratio the eval tier " +
+        "reports, with DETERMINISTIC resampling: each of 32 " +
+        "replicates reweights rows by the md5(id, rep) hash pushed " +
+        "through the inverted Poisson(1) CDF, a pure projection that " +
+        "is identical on any engine, rerun, or partitioning. One pass " +
+        "over the bounded 32x expansion aggregates integer replicate " +
+        "counts; the interval is PERCENTILE_DISC over the 32 computed " +
+        "ratios — a selection, never an interpolation."))
 }

@@ -217,6 +217,30 @@ class EntityGraphSpec extends SparkSuite {
     assert(d.isNullAt(2) && d.isNullAt(4) && d.getDouble(3) == 0.0)
   }
 
+  test("Quality.bootstrapRatioCi: deterministic, ordered, point-exact") {
+    import spark.implicits._
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.{col => c}
+    // 70 successes of 100
+    val df = (1 to 100).map(i => (i.toLong, i <= 70)).toDF("id", "ok")
+    def run() = Quality.bootstrapRatioCi(df, c("id"), c("ok"), reps = 32)
+      .head()
+    val r = run()
+    assert(r.getLong(0) == 100L && r.getDouble(1) == 0.7)
+    assert(r.getDouble(2) <= r.getDouble(3))
+    // the interval brackets the truth and stays inside [0, 1]
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(2) <= 0.7 && r.getDouble(3) >= 0.7)
+    // md5-driven weights: a rerun (and a repartition) is bit-identical
+    val again = run()
+    assert(again.getDouble(2) == r.getDouble(2) &&
+      again.getDouble(3) == r.getDouble(3))
+    val shuffled = Quality.bootstrapRatioCi(df.repartition(7), c("id"),
+      c("ok"), reps = 32).head()
+    assert(shuffled.getDouble(2) == r.getDouble(2) &&
+      shuffled.getDouble(3) == r.getDouble(3))
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
