@@ -136,7 +136,9 @@ object BenchScale {
     "q181_semi_additive", "q182_rollup_ratios", "q183_ltv_cohorts",
     "q184_rfm_segments", "q185_new_returning", "q186_calibration",
     "q187_psi_drift", "q188_auc", "q189_ndcg", "q190_kappa",
-    "q191_eval_summary")
+    // q192/q193 are NOT slope-measured: their exact-pair audit arm is
+    // input-capped by design (at scale the audit runs a sample slice)
+    "q191_eval_summary", "q194_bootstrap_ci")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
