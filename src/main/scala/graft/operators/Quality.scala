@@ -223,6 +223,37 @@ object Quality {
             col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
   }
 
+  /** Per-segment AUC — [[aucReport]] partitioned by a slice column
+    * (source, language, time bucket): the fairness/segment eval that
+    * catches a filter whose global AUC hides a collapsed slice. Same
+    * tie-corrected Mann-Whitney arithmetic, with the cumulative-
+    * negatives window partitioned per segment, so state per segment
+    * stays bounded by the score spine. Output: one row per segment
+    * (segment, n, n_pos, n_neg, auc), null auc for single-class
+    * segments. */
+  def aucReportBy(scored: DataFrame, segment: String, score: String,
+      label: String): DataFrame = {
+    val g = scored
+      .groupBy(col(segment).as("seg"), col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+    c.groupBy(col("seg"))
+      .agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(lit(2L) * col("np") * col("cumneg") + col("np") * col("nn"))
+          .as("u2"))
+      .select(col("seg").as(segment),
+        (col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          nullif(lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"), lit(0.0)), 6).as("auc"))
+      .orderBy(col(segment))
+  }
+
   /** Streaming twin of [[aucReport]]: each micro-batch appends its
     * per-score partial counts (s, n, np) to `spineTable` — the spine is
     * BOUNDED (scores live on the round(·,6) grid), so the table grows

@@ -1328,5 +1328,66 @@ object TrainingQueries {
         "is identical on any engine, rerun, or partitioning. One pass " +
         "over the bounded 32x expansion aggregates integer replicate " +
         "counts; the interval is PERCENTILE_DISC over the 32 computed " +
-        "ratios — a selection, never an interpolation."))
+        "ratios — a selection, never an interpolation."),
+
+    // ---- q195: per-segment AUC (slice eval) --------------------------------
+    "q195_auc_by_lang" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val nTok = size(tokens(col("text")))
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.qualityClassifier(docs, "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        graft.operators.Quality.aucReportBy(
+          scored.join(docs.select(col("doc_id").as("doc"), col("lang")),
+            Seq("doc")),
+          segment = "lang", score = "score", label = "y")
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        seg AS (
+          SELECT sc.score, sc.y, d.lang
+          FROM sc JOIN documents d ON sc.doc = d.doc_id),
+        g AS (
+          SELECT lang, score AS s, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM seg GROUP BY lang, score),
+        c AS (
+          SELECT lang, s, n, np, n - np AS nn,
+                 COALESCE(SUM(n - np) OVER (PARTITION BY lang ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumneg
+          FROM g),
+        t AS (
+          SELECT lang,
+                 CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 CAST(SUM(2 * np * cumneg + np * nn) AS BIGINT) AS u2
+          FROM c GROUP BY lang)
+        SELECT lang, n_pos + n_neg AS n, n_pos, n_neg,
+               round(CAST(u2 AS DOUBLE) /
+                 nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE),
+                   0.0), 6) AS auc
+        FROM t ORDER BY lang"""),
+      "Per-language AUC of the q104 filter — the slice eval that " +
+        "catches a collapsed segment a global AUC hides (the fairness " +
+        "check a corpus-gating filter ships with). Same tie-corrected " +
+        "Mann-Whitney as q188 with the cumulative-negatives window " +
+        "partitioned per segment, so per-segment state stays bounded " +
+        "by the score spine; single-class segments report null, not " +
+        "0/0."))
 }

@@ -241,6 +241,30 @@ class EntityGraphSpec extends SparkSuite {
       shuffled.getDouble(3) == r.getDouble(3))
   }
 
+  test("Quality.aucReportBy: per-segment AUC matches per-segment aucReport") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.7, 1), ("a", 0.5, 1), ("a", 0.7, 0),
+      ("a", 0.3, 0), // segment a: the q188 ties fixture, AUC 0.75
+      ("b", 0.9, 0), ("b", 0.1, 1), // segment b: reversed, AUC 0.0
+      ("c", 0.4, 1), ("c", 0.6, 1)) // segment c: single class -> null
+      .toDF("seg", "score", "y")
+    val by = Quality.aucReportBy(df, "seg", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(by("a") == ((5L, Some(0.75))))
+    assert(by("b") == ((2L, Some(0.0))))
+    assert(by("c") == ((2L, None)))
+    // slice results equal running aucReport on each slice alone
+    for (seg <- Seq("a", "b")) {
+      val solo = Quality.aucReport(df.filter($"seg" === seg), "score", "y")
+        .head()
+      assert(Some(solo.getDouble(3)) == by(seg)._2)
+    }
+  }
+
   test("triangleStats counts match a brute-force enumeration") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes
