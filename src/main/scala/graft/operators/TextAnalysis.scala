@@ -855,6 +855,13 @@ object TextAnalysis {
     graft.plans.TextExpressions.register(docs.sparkSession)
     var cur = docs.select(col(id).as("doc"), col(text).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the previous round's relation stays cached until THIS round's
+    // pair count has materialized `cur` from it — deferring the
+    // unpersist this way folds the rewrite work into the count job
+    // (the old shape ran an extra count() action per round just to
+    // materialize the cache: merges extra job turnarounds)
+    var prev: DataFrame = null
+    def dropPrev(): Unit = if (prev != null) { prev.unpersist(false); prev = null }
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (i <- 1 to merges if !exhausted) {
@@ -863,6 +870,7 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .collect()
+      dropPrev()
       if (top.isEmpty) exhausted = true // every doc is a single token
       else {
         val pair = top(0).getString(0)
@@ -873,12 +881,16 @@ object TextAnalysis {
         val next = cur.select(col("doc"),
             applyMerge(col("t"), a, b, a + joiner + b).as("t"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize while the parent is still cached
-        cur.unpersist(false)
+        prev = cur
         cur = next
       }
     }
-    (learned.toSeq, cur)
+    // the final rewrite may not be materialized yet: callers act on
+    // `cur` (bpeEncode) or discard it (bpeMerges) — either way its
+    // lineage only reaches back to `prev`'s cache, which must outlive
+    // the first action, so hand ownership of BOTH to the caller
+    (learned.toSeq, if (prev != null) { val p = prev; prev = null
+      cur.count(); p.unpersist(false); cur } else cur)
   }
 
   /** Train a word-granular BPE merge table over the corpus: the

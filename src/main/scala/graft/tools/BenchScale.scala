@@ -138,7 +138,7 @@ object BenchScale {
     "q187_psi_drift", "q188_auc", "q189_ndcg", "q190_kappa",
     // q192/q193 are NOT slope-measured: their exact-pair audit arm is
     // input-capped by design (at scale the audit runs a sample slice)
-    "q191_eval_summary", "q194_bootstrap_ci")
+    "q191_eval_summary", "q194_bootstrap_ci", "q195_auc_by_lang")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
