@@ -71,7 +71,18 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val crashed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"queries":{},"value":${fmt(total)}}""")
+    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"queries":{},"value":${fmt(total)}}"""
+    println(totalLine)
+    // the stdout tail-capture has lost the per-query map three rounds
+    // running (it scrolls out of the consumer's window at 190+
+    // queries), so ALSO persist the complete map as a committed
+    // artifact next to the build — no capture window can lose a file
+    try {
+      val self = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"value":${fmt(total)},"queries":${entries.mkString("{", ",", "}")}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SELF_JSON", "BENCH_SELF.json")),
+        (self + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] self-persist failed: ${e.getMessage}") }
     spark.stop()
   }
 }
