@@ -139,4 +139,48 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), roundTo)
           .as("global_cc"))
   }
+
+  /** DOULION-style approximate triangle count (Tsourakakis et al., KDD
+    * 2009): keep each edge with probability p = 1/`sampleDenom`, count
+    * triangles EXACTLY on the sparsified graph, scale by 1/p³. The
+    * estimator is unbiased (a triangle survives iff its 3 edges all
+    * survive), and the exact counting work — Θ(Σ out-deg²) through
+    * [[triangleStats]] — shrinks by ~p², which is what makes a triangle
+    * query feasible where the exact pass is a cluster-scale job: the
+    * exact q147 path moves O(m·√m) bytes through its adjacency joins,
+    * fine spilled across 1000 executors, fatal in one JVM at 100×.
+    *
+    * Sampling is DETERMINISTIC — an edge survives iff the last two hex
+    * chars of md5("a_b") on the canonical (a<b) pair read as an int
+    * < 256/sampleDenom — so the sparsified graph, its exact triangle
+    * count, and the scaled estimate are all reproducible and
+    * oracle-checkable (both engines md5 the same string). `sampleDenom`
+    * must divide 256.
+    *
+    * Output: one row (n_edges, n_edges_sampled, n_triangles_sampled,
+    * est_triangles = sampled·denom³, sample_denom). */
+  def triangleEstimate(edges: DataFrame, src: String, dst: String,
+      sampleDenom: Int = 16): DataFrame = {
+    require(sampleDenom >= 1 && 256 % sampleDenom == 0,
+      "triangleEstimate: sampleDenom must divide 256")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds both the full count and the sample
+    val sampled = e.filter(
+      conv(substring(md5(concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string"))), 31, 2), 16, 10).cast("long")
+        < lit(256 / sampleDenom))
+    val denomCubed = sampleDenom.toLong * sampleDenom * sampleDenom
+    triangleStats(sampled, "a", "b")
+      .select(col("n_edges").as("n_edges_sampled"),
+        col("n_triangles").as("n_triangles_sampled"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("n_edges_sampled"),
+        col("n_triangles_sampled"),
+        (col("n_triangles_sampled") * lit(denomCubed)).as("est_triangles"),
+        lit(sampleDenom).as("sample_denom"))
+  }
 }

@@ -874,6 +874,48 @@ object RelationalQueries {
         "probe); counts are orientation-invariant, so the id-ordered " +
         "oracle agrees exactly."),
 
+    // ---- q196: DOULION sampled triangle estimate ---------------------------
+    "q196_triangle_estimate" -> Q(
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
+        graft.operators.Graph.triangleEstimate(edges, "a", "b",
+          sampleDenom = 16)
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+        ), s AS (
+          SELECT a, b FROM e
+          WHERE CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || '_' ||
+                  CAST(b AS VARCHAR)), 31, 2)) AS BIGINT) < 16
+        ), tri AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_sampled
+          FROM s e1
+          JOIN s e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN s e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_sampled FROM s),
+           ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_edges, n_edges_sampled, n_triangles_sampled,
+               CAST(n_triangles_sampled * 4096 AS BIGINT) AS est_triangles,
+               16 AS sample_denom
+        FROM ne, ns, tri"""),
+      "DOULION approximate triangle count (Tsourakakis): keep each " +
+        "edge w.p. 1/16 by a DETERMINISTIC md5 coin on the canonical " +
+        "pair, count exactly on the sparsified graph, scale by 16^3 — " +
+        "unbiased, and the exact-counting work shrinks ~p^2, which " +
+        "turns the cluster-scale exact pass (q147) into a one-JVM " +
+        "query at 100x. The hash coin makes the estimate reproducible " +
+        "and oracle-checkable."),
+
     // ---- q150: declarative data-quality audit (Deequ shape) ---------------
     "q150_quality_audit" -> Q(
       (s, d) => {

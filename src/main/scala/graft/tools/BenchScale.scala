@@ -138,7 +138,8 @@ object BenchScale {
     "q187_psi_drift", "q188_auc", "q189_ndcg", "q190_kappa",
     // q192/q193 are NOT slope-measured: their exact-pair audit arm is
     // input-capped by design (at scale the audit runs a sample slice)
-    "q191_eval_summary", "q194_bootstrap_ci", "q195_auc_by_lang")
+    "q191_eval_summary", "q194_bootstrap_ci", "q195_auc_by_lang",
+    "q196_triangle_estimate")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -161,7 +162,10 @@ object BenchScale {
     // exactly linear in copies by fixture construction, but the 100×
     // volume (~120 GB through the adjacency join) exceeds one 16 GiB
     // local JVM — on a cluster it spills and distributes; here it
-    // OOM-kills the context and takes the rest of the run with it
+    // OOM-kills the context and takes the rest of the run with it.
+    // q196 is its 100×-capable twin: DOULION edge sampling shrinks the
+    // exact-counting volume ~p² before the same adjacency joins run
+    "q196_triangle_estimate",
     "q148_asof_nearest", "q152_interval_overlap",
     "q154_record_linkage", "q155_bloom_join_reduce", "q160_twap",
     "q164_basket_cooc", "q165_mad_outliers", "q168_decay_score",

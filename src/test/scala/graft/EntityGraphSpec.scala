@@ -72,6 +72,50 @@ class EntityGraphSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("global_cc") - 0.8) < 1e-9)
   }
 
+  test("triangleEstimate: sampleDenom=1 degenerates to the exact count") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5)).toDF("s", "t")
+    val row = Graph.triangleEstimate(edges, "s", "t", sampleDenom = 1)
+      .collect().head
+    assert(row.getAs[Long]("n_edges") == 7L)
+    assert(row.getAs[Long]("n_edges_sampled") == 7L) // p = 1: keep all
+    assert(row.getAs[Long]("n_triangles_sampled") == 4L)
+    assert(row.getAs[Long]("est_triangles") == 4L)
+  }
+
+  test("triangleEstimate: the hash coin is deterministic and the " +
+      "estimate scales the sampled count by denom cubed") {
+    import spark.implicits._
+    // a sizeable random-ish graph so the p=1/4 sample is non-trivial
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(40), rnd.nextInt(40)))
+      .filter { case (a, b) => a != b }.toDF("s", "t")
+    val r1 = Graph.triangleEstimate(edges, "s", "t", sampleDenom = 4)
+      .collect().head
+    val r2 = Graph.triangleEstimate(edges.repartition(7), "s", "t",
+      sampleDenom = 4).collect().head
+    assert(r1 == r2) // partition-layout independent
+    assert(r1.getAs[Long]("n_edges_sampled") > 0)
+    assert(r1.getAs[Long]("n_edges_sampled") < r1.getAs[Long]("n_edges"))
+    assert(r1.getAs[Long]("est_triangles") ==
+      r1.getAs[Long]("n_triangles_sampled") * 64L)
+    // the sampled subgraph's exact count matches a brute-force count
+    // over the same deterministically-sampled edge set
+    val canon = edges.select(least($"s", $"t").as("a"),
+        greatest($"s", $"t").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .filter(conv(substring(md5(concat($"a".cast("string"), lit("_"),
+        $"b".cast("string"))), 31, 2), 16, 10).cast("long") < 64)
+      .as[(Int, Int)].collect().toSet
+    val brute = canon.toSeq.combinations(3).count {
+      case Seq((a1, b1), (a2, b2), (a3, b3)) =>
+        Set(a1, b1, a2, b2, a3, b3).size == 3
+      case _ => false
+    }
+    assert(r1.getAs[Long]("n_triangles_sampled") == brute.toLong)
+  }
+
   test("Quality.audit: null handling, both polarities, one row per rule") {
     import spark.implicits._
     import graft.operators.Quality
