@@ -163,12 +163,18 @@ object Graph {
       sampleDenom: Int = 16): DataFrame = {
     require(sampleDenom >= 1 && 256 % sampleDenom == 0,
       "triangleEstimate: sampleDenom must divide 256")
+    // the full canonical edge set is NEVER materialized or checkpointed
+    // (at 100x that pinned ~120M deserialized rows and starved the
+    // downstream aggregates): the coin is a pure function of the
+    // canonical pair, so filter-then-distinct ≡ distinct-then-filter,
+    // and the full-count branch is a spillable streaming aggregate.
+    // The upstream `edges` plan executes once per branch — callers with
+    // an expensive derivation should checkpoint their COMPACT upstream
+    // (e.g. per-basket arrays), not the exploded pairs.
     val e = edges
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint() // feeds both the full count and the sample
     val sampled = e.filter(
       conv(substring(md5(concat(col("a").cast("string"), lit("_"),
         col("b").cast("string"))), 31, 2), 16, 10).cast("long")
@@ -177,7 +183,7 @@ object Graph {
     triangleStats(sampled, "a", "b")
       .select(col("n_edges").as("n_edges_sampled"),
         col("n_triangles").as("n_triangles_sampled"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(e.distinct().agg(count(lit(1)).as("n_edges")))
       .select(col("n_edges"), col("n_edges_sampled"),
         col("n_triangles_sampled"),
         (col("n_triangles_sampled") * lit(denomCubed)).as("est_triangles"),

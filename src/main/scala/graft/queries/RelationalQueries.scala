@@ -877,10 +877,17 @@ object RelationalQueries {
     // ---- q196: DOULION sampled triangle estimate ---------------------------
     "q196_triangle_estimate" -> Q(
       (s, d) => {
-        val edges = Tables.lineitem(s, d)
+        // checkpoint the COMPACT basket arrays (the q164 lesson), not
+        // the exploded pair relation: triangleEstimate reads its edge
+        // input twice (full count + sampled count), and re-exploding
+        // from ~|orders| arrays is cheap where pinning ~|pairs| rows
+        // starved the 100x aggregates
+        val baskets = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+          .localCheckpoint()
+        val edges = baskets
           .select(explode(col("pks")).as("a"), col("pks"))
           .select(col("a"), explode(col("pks")).as("b"))
           .filter(col("a") < col("b"))
