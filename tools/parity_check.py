@@ -52,6 +52,21 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
     if s_cols != d_cols:
         return [f"schema mismatch: spark={s_cols} duck={d_cols}"]
+    # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT (a bare
+    # SUM(<integer>) in the oracle's outer SELECT) lands in pandas as
+    # float64 while Spark emits int64 — values compare equal here but
+    # the driver hash-fails (8 queries in round 7). Flag any dtype-KIND
+    # divergence so the oracle-typing bug can't slip through this
+    # mirror again; the fix is CAST(SUM(...) AS BIGINT) in the oracle.
+    for col in s_cols:
+        sk, dk = spark_df[col].dtype.kind, duck_df[col].dtype.kind
+        if sk != dk and not (len(spark_df) == 0 and {sk, dk} <= {"O", "f", "i"}):
+            problems.append(
+                f"type mismatch on {col}: spark={spark_df[col].dtype} "
+                f"duck={duck_df[col].dtype} (un-cast integer aggregate "
+                f"in the oracle's outer SELECT?)")
+    if problems:
+        return problems
     if len(spark_df) != len(duck_df):
         return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
     s, d = norm(spark_df), norm(duck_df)
