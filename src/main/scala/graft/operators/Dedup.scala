@@ -138,16 +138,24 @@ object Dedup {
     val hashed = docs.select(col(id).as("doc"),
         call_function("shingle_hashes", col(text), lit(n)).as("shs"))
       .localCheckpoint()
-    val sizes = hashed.select(col("doc"), size(col("shs")).as("n_sh"))
     val sh = hashed.select(col("doc"), explode(col("shs")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
-    val w = Window.partitionBy(col("doc")).orderBy(col("freq"), col("shingle"))
+    // rarity-order WITHOUT a window: re-collect each doc's (freq,
+    // shingle) pairs and sort inside the array — a hash aggregate plus
+    // a per-row O(k log k) sort replaces the window's full
+    // shuffle-and-sort of the corpus-sized token stream AND the extra
+    // join against a per-doc size relation (|shs| == array length)
     val prefix = sh.join(df, "shingle")
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, "doc")
-      .filter(col("rk") <=
-        col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col("doc"), col("shingle"), col("rk"), col("n_sh"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("shingle"))))
+        .as("fs"))
+      .select(col("doc"), size(col("fs")).as("n_sh"),
+        posexplode(slice(col("fs"), lit(1),
+          (size(col("fs")) -
+            ceil(size(col("fs")) * lit(threshold) - lit(1e-9)) + 1)
+            .cast("int"))))
+      .select(col("doc"), col("col.shingle").as("shingle"),
+        (col("pos") + 1).as("rk"), col("n_sh"))
     // PPJoin positional filter on top of the prefix join: a shared
     // token at ranks (i, j) bounds the pair's possible overlap by
     // 1 + min(|A|−i, |B|−j); if even that best case misses the pair
