@@ -184,6 +184,64 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test between a reference and
+    * a current slice of one relation — the distribution-shape
+    * companion of [[psiReport]]: PSI reads binned share shifts, KS
+    * reads the MAXIMUM gap between the two empirical CDFs, the
+    * classic sensitive-anywhere two-sample test. `value` snaps to a
+    * `binWidth` grid (the test is then the exact KS of the gridded
+    * distributions — the grid bounds the spine at range/binWidth
+    * whatever the corpus size), one conditional-aggregate pass
+    * collapses the corpus onto the spine, and a window cumsum walks
+    * both CDFs together.
+    *
+    * Cross-engine hash parity by exact integer arithmetic: the CDF gap
+    * maximized is |cum_ref·t_cur − cum_cur·t_ref| — a DECIMAL(38,0)
+    * product of longs, exact and order-independent (n² stays under
+    * 10³⁸ past 10¹⁸ rows) — and D = max_gap/(t_ref·t_cur) plus the
+    * scaled statistic √(t_ref·t_cur/(t_ref+t_cur))·D are pure IEEE
+    * divides/sqrt on identical exact integers, so they are NOT rounded
+    * (a round would reintroduce the tie hazard the division never
+    * had). reject_05 compares the scaled statistic against the
+    * asymptotic 5% critical value 1.358.
+    *
+    * Output: one row (n_ref, n_cur, d_stat, ks_scaled, reject_05);
+    * d_stat null when either slice is empty. */
+  def ksReport(df: DataFrame, value: Column, isRef: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "ksReport: binWidth > 0")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val g = df
+      .withColumn("bin", floor(value / binWidth).cast("long"))
+      .filter(col("bin").isNotNull)
+      .withColumn("is_ref", coalesce(isRef, lit(false)))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    // the spine is bounded (range/binWidth), so the global-order window
+    // is the same single-partition-over-bounded-state shape aucReport
+    // uses; both CDFs advance together in one cumsum pass
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = g.select(col("n_ref"), col("n_cur"),
+      sum(col("n_ref")).over(w).as("cr"),
+      sum(col("n_cur")).over(w).as("cc"))
+    val t = g.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    c.crossJoin(t)
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        max(abs(dec(col("cr")) * dec(col("t_cur")) -
+          dec(col("cc")) * dec(col("t_ref")))).as("max_gap"))
+      .select(col("n_ref"), col("n_cur"),
+        (col("max_gap").cast("double") /
+          nullif((dec(col("n_ref")) * dec(col("n_cur"))).cast("double"),
+            lit(0.0))).as("d_stat"))
+      .select(col("n_ref"), col("n_cur"), col("d_stat"),
+        (col("d_stat") * sqrt((dec(col("n_ref")) * dec(col("n_cur")))
+            .cast("double") /
+          (col("n_ref") + col("n_cur")).cast("double"))).as("ks_scaled"))
+      .withColumn("reject_05", col("ks_scaled") > lit(1.358))
+  }
+
   /** Ranking quality (AUC-ROC) of a scored binary classifier — the
     * companion eval to [[calibrationReport]] (calibration says the
     * probabilities are honest, AUC says the ORDERING separates the

@@ -1075,6 +1075,60 @@ object TrainingQueries {
         "groups, totals rejoined as a broadcast scalar aggregate — " +
         "bounded state at any corpus size."),
 
+    // ---- q197: Kolmogorov-Smirnov two-sample drift ------------------------
+    "q197_ks_drift" -> Q(
+      (s, dir) =>
+        graft.operators.Quality.ksReport(Tables.documents(s, dir),
+          value = length(col("text")), isRef = col("lang") === "en",
+          binWidth = 50.0),
+      Some("""
+        WITH b AS (
+          SELECT CAST(floor(length(text) / 50.0) AS BIGINT) AS bin,
+                 coalesce(lang = 'en', false) AS is_ref
+          FROM documents
+          WHERE length(text) IS NOT NULL),
+        g AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM b GROUP BY bin),
+        c AS (
+          SELECT n_ref, n_cur,
+                 SUM(n_ref) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+                 SUM(n_cur) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          FROM g),
+        t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                     CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM g),
+        m AS (
+          SELECT t_ref AS n_ref, t_cur AS n_cur,
+                 MAX(abs(CAST(cr AS HUGEINT) * CAST(t_cur AS HUGEINT) -
+                         CAST(cc AS HUGEINT) * CAST(t_ref AS HUGEINT))) AS max_gap
+          FROM c CROSS JOIN t
+          GROUP BY t_ref, t_cur),
+        d AS (
+          SELECT n_ref, n_cur,
+                 CAST(max_gap AS DOUBLE) /
+                   nullif(CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                     AS DOUBLE), 0.0) AS d_stat
+          FROM m)
+        SELECT n_ref, n_cur, d_stat,
+               d_stat * sqrt(CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                   AS DOUBLE) / CAST(n_ref + n_cur AS DOUBLE)) AS ks_scaled,
+               d_stat * sqrt(CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                   AS DOUBLE) / CAST(n_ref + n_cur AS DOUBLE)) > 1.358
+                 AS reject_05
+        FROM d"""),
+      "Two-sample Kolmogorov-Smirnov drift between the English slice " +
+        "and the rest, on gridded document length — the max-CDF-gap " +
+        "companion of q187's PSI (PSI reads binned share shifts, KS is " +
+        "sensitive to a shift ANYWHERE in the distribution). The " +
+        "maximized gap |cum_ref*t_cur - cum_cur*t_ref| is an exact " +
+        "integer, so D and the scaled statistic are single IEEE " +
+        "divides/sqrt — unrounded and engine-identical; state is the " +
+        "bounded length grid at any corpus size."),
+
     // ---- q188: classifier ranking quality (AUC-ROC) -----------------------
     "q188_auc" -> Q(
       (s, dir) => {

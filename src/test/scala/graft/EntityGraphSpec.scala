@@ -192,6 +192,38 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("Quality.ksReport: hand-checked D, scale invariance, empty slice null") {
+    import spark.implicits._
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.{col => c}
+    // ref: {0, 10, 20, 30}; cur: {20, 30, 30, 40} on a width-10 grid.
+    // CDFs at bins 0..4: ref 1/4,1/4,2/4,3/4... wait ref has one value
+    // per bin 0..3 -> cum 1,2,3,4 of 4; cur bins {2,3,3,4} -> cum
+    // 0,0,1,3,4 of 4. Gaps |cr*4 - cc*4|/16: bin0 |4-0|/16=0.25,
+    // bin1 0.5, bin2 |12-4|/16=0.5, bin3 |16-12|/16=0.25, bin4 0.
+    // D = 0.5.
+    val df = (Seq(0.0, 10.0, 20.0, 30.0).map(_ -> true) ++
+      Seq(20.0, 30.0, 30.0, 40.0).map(_ -> false)).toDF("v", "ref")
+    val r = Quality.ksReport(df, c("v"), c("ref"), binWidth = 10.0)
+      .collect().head
+    assert(r.getAs[Long]("n_ref") == 4L && r.getAs[Long]("n_cur") == 4L)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    // ks_scaled = D * sqrt(16/8) = 0.5*sqrt(2) < 1.358 -> keep
+    assert(math.abs(r.getAs[Double]("ks_scaled") - 0.5 * math.sqrt(2)) < 1e-12)
+    assert(!r.getAs[Boolean]("reject_05"))
+    // identical slices -> D exactly 0; unbalanced sizes are fine
+    val same = (Seq(1.0, 7.0, 7.0).map(_ -> true) ++
+      Seq(1.0, 1.0, 7.0, 7.0, 7.0, 7.0).map(_ -> false)).toDF("v", "ref")
+    val r2 = Quality.ksReport(same, c("v"), c("ref"), 10.0).collect().head
+    // ref cum 1/3,3/3... one bin: both all in bin 0 -> gaps 0? ref has
+    // bin0 all three; cur all six in bin0 -> D = 0
+    assert(r2.getAs[Double]("d_stat") == 0.0)
+    // an empty slice yields null D, not a division blow-up
+    val oneSided = Seq(1.0 -> true, 2.0 -> true).toDF("v", "ref")
+    val r3 = Quality.ksReport(oneSided, c("v"), c("ref"), 1.0).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("d_stat")))
+  }
+
   test("Quality.aucReport: hand-checked AUC with ties; single-class is null") {
     import spark.implicits._
     import graft.operators.Quality
