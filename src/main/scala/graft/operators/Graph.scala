@@ -140,6 +140,61 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** k-core peel, run for a FIXED number of rounds (the deterministic
+    * form, like [[pageRank]]'s fixed power iterations): each round
+    * recomputes degrees over the surviving subgraph and drops every
+    * node with degree < k, together with its edges. When `rounds` ≥
+    * the peel depth the result is the true k-core (the unique maximal
+    * subgraph of min-degree ≥ k — order-independent, so the output is
+    * deterministic whatever the removal schedule); fewer rounds give
+    * the round-limited peel, still engine-identical. The cohesion
+    * primitive for community mining and spam-farm detection — the
+    * k-core survives where triangle counts only score.
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins
+    * over the CURRENT edge set — the relation only ever shrinks, and
+    * both the edge set and the (much smaller) survivor list are
+    * localCheckpointed per round because each feeds two arms (without
+    * the cut, the diamond re-executes every prior round per branch —
+    * exponential). Work is O(rounds · |E|) worst case; nothing ever
+    * exceeds the input edge count.
+    *
+    * Output: (v, core_deg) for surviving nodes — empty when the graph
+    * peels away entirely. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, "kCore: k >= 1")
+    require(rounds >= 1 && rounds <= 64, "kCore: 1 <= rounds <= 64")
+    var e = edges
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    // early exit at the fixpoint is RESULT-identical to running all
+    // `rounds` (post-fixpoint peels are no-ops — the oracle runs them
+    // all and agrees); the per-round count is a metadata-cheap action
+    // on the just-checkpointed relation and saves every wasted round
+    var prev = e.count()
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed && prev > 0) {
+      round += 1
+      val good = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+        .localCheckpoint() // feeds both endpoint semi-joins
+      e = e.join(good.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(good.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val cur = e.count()
+      fixed = cur == prev
+      prev = cur
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** DOULION-style approximate triangle count (Tsourakakis et al., KDD
     * 2009): keep each edge with probability p = 1/`sampleDenom`, count
     * triangles EXACTLY on the sparsified graph, scale by 1/p³. The

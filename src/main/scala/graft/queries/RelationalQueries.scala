@@ -923,6 +923,60 @@ object RelationalQueries {
         "query at 100x. The hash coin makes the estimate reproducible " +
         "and oracle-checkable."),
 
+    // ---- q199: k-core decomposition ----------------------------------------
+    "q199_kcore" -> Q(
+      (s, d) => {
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+        val edges = baskets
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
+        // 8 rounds reach the 80-core fixpoint at the verify scale (6
+        // peel rounds at sf0.01 — asserted by the fixpoint spec); the
+        // fixed-round contract keeps both engines identical even when
+        // a scale's peel runs deeper
+        graft.operators.Graph.kCore(edges, "a", "b", k = 80, rounds = 8)
+          .orderBy(col("v"))
+      },
+      Some {
+        // MATERIALIZED: each round references the previous one three
+        // times — inlined CTEs would expand 3^8-fold (DuckDB ran out
+        // of file handles re-opening lineitem before running out of
+        // time)
+        val peels = (1 to 8).map { i =>
+          s""",
+        g$i AS MATERIALIZED (
+          SELECT v FROM (
+            SELECT v, COUNT(*) AS d FROM (
+              SELECT a AS v FROM e${i - 1}
+              UNION ALL SELECT b AS v FROM e${i - 1}) GROUP BY v)
+          WHERE d >= 80),
+        e$i AS MATERIALIZED (
+          SELECT a, b FROM e${i - 1}
+          WHERE a IN (SELECT v FROM g$i) AND b IN (SELECT v FROM g$i))"""
+        }.mkString
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey)$peels
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+          SELECT a AS v FROM e8 UNION ALL SELECT b AS v FROM e8)
+        GROUP BY v ORDER BY v"""
+      },
+      "k-core decomposition of the part co-purchase graph by fixed-" +
+        "round peeling (8 rounds reach the 80-core fixpoint at verify " +
+        "scale): each round one degree aggregate + two semi-joins over " +
+        "the only-shrinking edge set — the cohesion mining primitive " +
+        "(dense-community extraction, spam-farm detection) that " +
+        "survives where a single degree cut misses the cascade. The " +
+        "oracle unrolls the identical 8 peels; the k-core's " +
+        "uniqueness makes the result schedule-independent."),
+
     // ---- q150: declarative data-quality audit (Deequ shape) ---------------
     "q150_quality_audit" -> Q(
       (s, d) => {

@@ -139,7 +139,12 @@ object BenchScale {
     // q192/q193 are NOT slope-measured: their exact-pair audit arm is
     // input-capped by design (at scale the audit runs a sample slice)
     "q191_eval_summary", "q194_bootstrap_ci", "q195_auc_by_lang",
-    "q196_triangle_estimate")
+    "q196_triangle_estimate", "q197_ks_drift", "q198_cuped",
+    // q199 runs 6 peel rounds over a barely-shrinking 1.2M-edge graph
+    // (97% of edges survive the 80-core) — iterative by nature, linear
+    // per round; 100×-excluded for the q147 reason (per-round edge-set
+    // checkpoints at 120M edges exceed one local JVM)
+    "q199_kcore")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,

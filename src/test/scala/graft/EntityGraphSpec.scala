@@ -192,6 +192,44 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("kCore: K4 plus a pendant path peels to K4; trees peel away") {
+    import spark.implicits._
+    // K4 on 1-4, pendant path 4-5-6: 2-core must be exactly K4 (node 6
+    // peels round 1, exposing 5 which peels round 2 — the cascade)
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6)).toDF("s", "t")
+    val core = Graph.kCore(edges, "s", "t", k = 2, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // one round is NOT enough for the cascade: 5 still has degree 2
+    // after 6 leaves, so the round-limited peel keeps it
+    val shallow = Graph.kCore(edges, "s", "t", k = 2, rounds = 1)
+      .collect().map(_.getInt(0)).toSet
+    assert(shallow == Set(1, 2, 3, 4, 5))
+    // a tree has no 2-core: a path peels from both ends to nothing
+    val path = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6)).toDF("s", "t")
+    assert(Graph.kCore(path, "s", "t", k = 2, rounds = 4).count() == 0L)
+  }
+
+  test("q199's 8 rounds reach the 80-core fixpoint at sf0.001") {
+    import org.apache.spark.sql.functions.{col => c}
+    val baskets = Tables.lineitem(spark, sf("0.001"))
+      .select(c("l_orderkey"), c("l_partkey"))
+      .groupBy(c("l_orderkey"))
+      .agg(sort_array(collect_set(c("l_partkey"))).as("pks"))
+    val edges = baskets
+      .select(explode(c("pks")).as("a"), c("pks"))
+      .select(c("a"), explode(c("pks")).as("b"))
+      .filter(c("a") < c("b"))
+    val at8 = Graph.kCore(edges, "a", "b", k = 80, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val at9 = Graph.kCore(edges, "a", "b", k = 80, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(at8 == at9, "an extra peel round must change nothing")
+    // and the result IS a k-core: every surviving degree >= k (or empty)
+    assert(at8.forall(_._2 >= 80L))
+  }
+
   test("Quality.ksReport: hand-checked D, scale invariance, empty slice null") {
     import spark.implicits._
     import graft.operators.Quality
