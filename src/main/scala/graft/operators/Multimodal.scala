@@ -181,6 +181,43 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Scene/shot segmentation over an ordered frame stream — the
+    * keyframe-selection primitive of a video ingestion pipeline (the
+    * reference samples frames blindly; this cuts where the CONTENT
+    * changes): per stream, consecutive frames' perceptual signatures
+    * ([[chunkSignature]] — DCT stubbed, locality real) compare by
+    * Hamming distance, a distance > `cutHamming` opens a new scene,
+    * and a running count of cuts labels every frame with its scene.
+    * Output aggregates one row per scene: (stream, scene_id,
+    * start_frame, end_frame, n_frames).
+    *
+    * Scale shape: signatures are a pure projection (payload bytes
+    * never shuffle — 8-byte sigs do); the lag + running-sum windows
+    * partition per stream, the inherent parallelism unit of scene
+    * detection (state is one signature per stream; production fleets
+    * have cameras ≫ cores). One shuffle on the stream key, then the
+    * per-scene aggregate reuses the same partitioning. */
+  def sceneSegments(frames: DataFrame, stream: String, order: String,
+      payload: String, cutHamming: Int): DataFrame = {
+    require(cutHamming >= 0 && cutHamming < 64,
+      "sceneSegments: cutHamming in [0, 64)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stream)).orderBy(col(order))
+    frames
+      .select(col(stream), col(order),
+        chunkSignature(col(payload)).as("sig"))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev_sig").isNull ||
+          expr("bit_count(sig ^ prev_sig)") > cutHamming, 1L).otherwise(0L))
+      .withColumn("scene_id",
+        sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(stream), col("scene_id"))
+      .agg(min(col(order)).as("start_frame"),
+        max(col(order)).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Full stub pipeline over a text-as-media corpus: ingest → decode →
     * features + chunk sample. */
   def featurize(df: DataFrame, id: String, text: String): DataFrame =

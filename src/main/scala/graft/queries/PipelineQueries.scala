@@ -169,5 +169,58 @@ object PipelineQueries {
         "the pigeonhole recall guarantee is total, integer Hamming " +
         "verify. Signatures are a projection; candidates come from an " +
         "8-byte-key equi-join — payload bytes never shuffle.")
+    ,
+
+    // ---- q200: perceptual scene segmentation over frame streams -----------
+    "q200_scene_segments" -> Q(
+      (s, d) =>
+        graft.operators.Multimodal.sceneSegments(framesFromDocs(s, d),
+          stream = "camera", order = "frame_num", payload = "frame",
+          cutHamming = 40)
+          .orderBy(col("camera"), col("scene_id")),
+      Some("""
+        WITH f AS (
+          SELECT CAST(doc_id % 6 AS INT) AS camera,
+                 CAST(doc_id // 6 AS BIGINT) AS frame_num, text,
+                 greatest(CAST((strlen(text) + 63) // 64 AS INT), 1) AS cw
+          FROM documents
+        ), s AS (
+          SELECT camera, frame_num,
+                 CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   (CAST(concat('0x', substr(md5(substr(text, i*cw + 1, cw)), 1, 1)) AS BIGINT) % 2) *
+                   (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (CAST(1 AS BIGINT) << i) END)))
+                   AS BIGINT) AS sig
+          FROM f
+        ), c AS (
+          SELECT camera, frame_num, sig,
+                 lag(sig) OVER (PARTITION BY camera ORDER BY frame_num)
+                   AS prev_sig
+          FROM s
+        ), k AS (
+          SELECT camera, frame_num,
+                 CASE WHEN prev_sig IS NULL
+                        OR bit_count(xor(sig, prev_sig)) > 40
+                      THEN 1 ELSE 0 END AS cut
+          FROM c
+        ), g AS (
+          SELECT camera, frame_num,
+                 CAST(SUM(cut) OVER (PARTITION BY camera ORDER BY frame_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS scene_id
+          FROM k)
+        SELECT camera, scene_id,
+               MIN(frame_num) AS start_frame, MAX(frame_num) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM g GROUP BY camera, scene_id
+        ORDER BY camera, scene_id"""),
+      "Perceptual scene segmentation per camera stream: consecutive " +
+        "frames' chunk-parity signatures (q121's, DCT stubbed) compare " +
+        "by Hamming distance, a distance > 40 opens a new scene, and a " +
+        "running cut count labels scenes — the keyframe-selection cut " +
+        "the reference's blind frame sampling lacks. Signatures are a " +
+        "projection (payload bytes never shuffle); the lag/cumsum " +
+        "windows partition per stream, scene detection's inherent " +
+        "parallelism unit.")
   )
 }

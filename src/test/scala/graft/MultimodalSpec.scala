@@ -125,4 +125,30 @@ class MultimodalSpec extends SparkSuite {
       out.filter { case ((a, b), _) => a == 4L || b == 4L }.values.forall(_ > 0),
       "the unrelated payload must not alias an exact dup")
   }
+
+  test("sceneSegments: identical runs never cut, streams are independent") {
+    import spark.implicits._
+    val x = Array.tabulate(256)(i => ('a' + i % 26).toChar).mkString
+    val y = Array.fill(256)('q').mkString
+    // camera 0: X X X Y — at most two scenes whatever d(X,Y) is;
+    // camera 1: X X — exactly one scene (its own lag state)
+    val frames = Seq((0, 0L, x), (0, 1L, x), (0, 2L, x), (0, 3L, y),
+      (1, 0L, x), (1, 1L, x))
+      .toDF("camera", "frame_num", "text")
+      .withColumn("frame", encode(col("text"), "UTF-8"))
+    // cutHamming = 0: a cut everywhere the signature changes at all
+    val strict = Multimodal.sceneSegments(frames, "camera", "frame_num",
+        "frame", cutHamming = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // identical payloads share a signature: frames 0-2 are ONE scene
+    assert(strict((0, 1L)) == ((0L, 2L, 3L)))
+    assert(strict((0, 2L)) == ((3L, 3L, 1L)), s"y opens its own scene: $strict")
+    assert(strict((1, 1L)) == ((0L, 1L, 2L)), "camera 1 is one scene")
+    // cutHamming = 63: no distance can exceed it — one scene per camera
+    val lax = Multimodal.sceneSegments(frames, "camera", "frame_num",
+        "frame", cutHamming = 63)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(lax == Map(0 -> 4L, 1 -> 2L))
+  }
 }
