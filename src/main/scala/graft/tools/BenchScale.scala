@@ -144,7 +144,12 @@ object BenchScale {
     // (97% of edges survive the 80-core) — iterative by nature, linear
     // per round; 100×-excluded for the q147 reason (per-round edge-set
     // checkpoints at 120M edges exceed one local JVM)
-    "q199_kcore")
+    "q199_kcore",
+    // q200's window partitions on the fixture's SIX cameras — at 100×
+    // that is 20M rows per partition task (production fleets have
+    // streams ≫ cores, the real parallelism unit), so it is
+    // 10×-measured only
+    "q200_scene_segments")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -180,7 +185,10 @@ object BenchScale {
     // FIXTURE CONSTRUCTION — the operator itself is linear in
     // candidates at any one scale
     "q173_seasonal_anomaly", "q176_cluster_cosplit", "q177_dau_wau",
-    "q178_linear_attribution", "q183_ltv_cohorts", "q185_new_returning")
+    "q178_linear_attribution", "q183_ltv_cohorts", "q185_new_returning",
+    // bounded-state monitors/readouts: a grid spine (q197) and a 2-row
+    // moment reduction (q198) — the 100 TB shapes by construction
+    "q197_ks_drift", "q198_cuped")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
