@@ -1451,6 +1451,58 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
       .select(col("cell"), expr("transform(dc, x -> x.centroid)").as("centroid_vec"))
 
+  /** Embedding-space drift between a reference and a current slice —
+    * the vector-modality member of the monitor family ([[graft.operators.Quality.psiReport]]
+    * reads scalar share shifts, [[graft.operators.Quality.ksReport]]
+    * CDF gaps; this reads where the EMBEDDING DISTRIBUTION'S CENTER
+    * moved — the first-line "did the encoder or the corpus change?"
+    * check before an IVF/PQ index is trusted across batches).
+    *
+    * Cross-engine exactness: values snap to a 1e-6 grid, so each
+    * slice's per-dimension SUM vector is an exact integer; cosine
+    * between centroids equals cosine between sum vectors (the 1/n
+    * scaling cancels), computed as one IEEE chain over exact-integer
+    * dot/norms — unrounded, engine-identical. The centroid L2 distance
+    * (which does not cancel n) accumulates per-dim round(diff², 14)
+    * terms in DECIMAL(38,14) — the [[Graph.pageRank]] order-
+    * independence discipline. One explode + one |dims|-group aggregate;
+    * state is 5 numbers per dimension at any corpus size.
+    *
+    * Output: one row (n_ref, n_cur, cosine, l2_centroids); cosine null
+    * if either slice is empty or all-zero. */
+  def centroidDrift(vecs: DataFrame, vec: String, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val byDim = vecs
+      .withColumn("is_ref", coalesce(isRef, lit(false)))
+      .select(col("is_ref"), posexplode(col(vec)).as(Seq("dim", "v")))
+      .withColumn("g", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("is_ref"), col("g")).otherwise(0L)).as("sr"),
+        sum(when(!col("is_ref"), col("g")).otherwise(0L)).as("sc"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    // nullif: ANSI mode throws on double division by zero, and an empty
+    // slice has cr/cc = 0 — the null propagates to a null l2 output
+    val diff = col("sr").cast("double") /
+        nullif(col("cr").cast("double"), lit(0.0)) / lit(1e6) -
+      col("sc").cast("double") /
+        nullif(col("cc").cast("double"), lit(0.0)) / lit(1e6)
+    byDim
+      .select(col("sr"), col("sc"), col("cr"), col("cc"),
+        round(diff * diff, 14).cast(DecimalType(38, 14)).as("d2"))
+      .agg(max(col("cr")).as("n_ref"), max(col("cc")).as("n_cur"),
+        sum(dec(col("sr")) * dec(col("sc"))).as("dot"),
+        sum(dec(col("sr")) * dec(col("sr"))).as("r2"),
+        sum(dec(col("sc")) * dec(col("sc"))).as("c2"),
+        sum(col("d2")).as("l2sq"))
+      .select(col("n_ref"), col("n_cur"),
+        (col("dot").cast("double") /
+          nullif(sqrt(col("r2").cast("double")) * sqrt(col("c2").cast("double")),
+            lit(0.0))).as("cosine"),
+        sqrt(col("l2sq").cast("double")).as("l2_centroids"))
+  }
+
   /** Per-label centroids via posexplode + avg — dimension-exploded form
     * (label, dim, centroid) so it stays SQL-expressible for the oracle. */
   def labelCentroids(vecs: DataFrame, label: String, vec: String,

@@ -145,6 +145,56 @@ object SimilarityQueries {
         ORDER BY p_id, rank"""),
       "ANN baseline: exact cosine top-3 per probe via broadcast + window."),
 
+    // ---- q201: embedding centroid drift ----------------------------------
+    "q201_embedding_drift" -> Q(
+      (s, d) =>
+        graft.operators.Similarity.centroidDrift(emb(s, d), "emb",
+          isRef = col("vec_id") % 2 === 0),
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        x AS (
+          SELECT vec_id % 2 = 0 AS is_ref,
+                 CAST(floor(unnest(emb) * 1e6 + 0.5) AS BIGINT) AS g,
+                 generate_subscripts(emb, 1) AS dim
+          FROM e),
+        bd AS (
+          SELECT dim,
+                 CAST(SUM(CASE WHEN is_ref THEN g ELSE 0 END) AS BIGINT) AS sr,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN g ELSE 0 END) AS BIGINT) AS sc,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+          FROM x GROUP BY dim),
+        d2 AS (
+          SELECT sr, sc, cr, cc,
+                 CAST(round((CAST(sr AS DOUBLE) / nullif(CAST(cr AS DOUBLE), 0.0) / 1e6 -
+                             CAST(sc AS DOUBLE) / nullif(CAST(cc AS DOUBLE), 0.0) / 1e6) *
+                            (CAST(sr AS DOUBLE) / nullif(CAST(cr AS DOUBLE), 0.0) / 1e6 -
+                             CAST(sc AS DOUBLE) / nullif(CAST(cc AS DOUBLE), 0.0) / 1e6),
+                        14) AS DECIMAL(38,14)) AS d2
+          FROM bd),
+        agg AS (
+          SELECT MAX(cr) AS n_ref, MAX(cc) AS n_cur,
+                 SUM(CAST(sr AS HUGEINT) * CAST(sc AS HUGEINT)) AS dot,
+                 SUM(CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)) AS r2,
+                 SUM(CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)) AS c2,
+                 SUM(d2) AS l2sq
+          FROM d2)
+        SELECT n_ref, n_cur,
+               CAST(dot AS DOUBLE) /
+                 nullif(sqrt(CAST(r2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)),
+                   0.0) AS cosine,
+               sqrt(CAST(l2sq AS DOUBLE)) AS l2_centroids
+        FROM agg"""),
+      "Embedding-space drift between the even- and odd-id slices: " +
+        "values snap to a 1e-6 grid so each slice's per-dim SUM vector " +
+        "is an exact integer; centroid cosine equals sum-vector cosine " +
+        "(1/n cancels) — one unrounded IEEE chain over exact dot/norms " +
+        "— and the centroid L2 accumulates round(diff^2,14) terms in " +
+        "DECIMAL(38,14) (order-independent). The vector-modality " +
+        "monitor beside q187's PSI and q197's KS: 'did the encoder or " +
+        "corpus move?' before an IVF/PQ index is trusted across " +
+        "batches. State: 5 numbers per dimension at any corpus size."),
+
     // ---- q32: per-label centroids ---------------------------------------
     "q32_label_centroids" -> Q(
       (s, d) => Similarity.labelCentroids(emb(s, d), "label", "emb")

@@ -533,6 +533,40 @@ class VectorSpec extends SparkSuite {
     assert(out.filterKeys(_ >= 10L).values.count(!_._2) == 2)
   }
 
+  test("centroidDrift: identical slices read cosine~1/l2=0; known shift exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col => c}
+    // same vectors in both slices -> same centroid
+    val same = Seq((0L, Seq(0.25, 0.5)), (1L, Seq(0.25, 0.5)),
+      (2L, Seq(0.75, -0.5)), (3L, Seq(0.75, -0.5)))
+      .toDF("vec_id", "emb")
+    val r = Similarity.centroidDrift(same, "emb", c("vec_id") % 2 === 0)
+      .collect().head
+    assert(r.getAs[Long]("n_ref") == 2L && r.getAs[Long]("n_cur") == 2L)
+    assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("l2_centroids") == 0.0)
+    // cur centroid = ref centroid shifted by exactly 0.5 on dim 0
+    val shifted = Seq((0L, Seq(0.25, 0.5)), (2L, Seq(0.75, 0.5)),
+      (1L, Seq(0.75, 0.5)), (3L, Seq(1.25, 0.5)))
+      .toDF("vec_id", "emb")
+    val r2 = Similarity.centroidDrift(shifted, "emb", c("vec_id") % 2 === 0)
+      .collect().head
+    assert(r2.getAs[Double]("l2_centroids") == 0.5)
+    // orthogonal sum vectors -> cosine exactly 0
+    val ortho = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "emb")
+    val r3 = Similarity.centroidDrift(ortho, "emb", c("vec_id") % 2 === 0)
+      .collect().head
+    assert(r3.getAs[Double]("cosine") == 0.0)
+    // an empty slice reads null, not a crash
+    val oneSide = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "emb")
+    val r4 = Similarity.centroidDrift(oneSide, "emb", c("vec_id") % 2 === 0)
+      .collect().head
+    assert(r4.isNullAt(r4.fieldIndex("cosine")))
+  }
+
   test("lshTablesFor: hand-checked solutions and monotonicity") {
     import graft.operators.Similarity
     // p(0.4) = 1 - arccos(0.4)/pi = 0.631; p^4 = 0.1585;
