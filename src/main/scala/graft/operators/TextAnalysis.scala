@@ -1233,4 +1233,52 @@ object TextAnalysis {
     spark.table(s"${prefix}_deltas")
       .groupBy(col("b"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+
+  /** Trending terms per period — burst detection over a partitioned
+    * corpus (which vocabulary is over-represented in THIS batch vs the
+    * rest): per-(term, period) counts lift-score against the term's
+    * rate everywhere else, lift = ((c_tp+0.5)/(t_p+1)) /
+    * ((c_rest+0.5)/(T_rest+1)) with add-half smoothing so period-
+    * exclusive terms stay finite, and the top `topK` terms per period
+    * surface by (lift desc, term). The corpus-shift early-warning that
+    * names WHAT moved where [[Quality.psiReport]]/[[Quality.ksReport]]
+    * only flag THAT something moved.
+    *
+    * Scale shape: one corpus-sized explode+aggregate onto the (term,
+    * period) grid (map-side combined, bounded by |vocab|·|periods|);
+    * every later join/window runs on that bounded grid, never the
+    * corpus. The lift is a fixed IEEE chain over exact integers —
+    * unrounded, engine-identical; ties rank by term for determinism.
+    *
+    * Output: (period, rank, term, c_tp, lift). */
+  def trendingTerms(docs: DataFrame, text: String, period: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "trendingTerms: topK >= 1")
+    // the (term, period) grid feeds three arms (period totals, term
+    // totals, scoring) — materialize the BOUNDED grid, not the corpus
+    val tp = docs
+      .select(period.as("period"), explode(tokens(col(text))).as("term"))
+      .groupBy(col("period"), col("term"))
+      .agg(count(lit(1)).as("c_tp"))
+      .localCheckpoint()
+    val perPeriod = tp.groupBy(col("period")).agg(sum(col("c_tp")).as("t_p"))
+    val perTerm = tp.groupBy(col("term")).agg(sum(col("c_tp")).as("c_t"))
+    val total = tp.agg(sum(col("c_tp")).as("tt"))
+    val lift =
+      ((col("c_tp").cast("double") + lit(0.5)) /
+        (col("t_p").cast("double") + lit(1.0))) /
+      (((col("c_t") - col("c_tp")).cast("double") + lit(0.5)) /
+        ((col("tt") - col("t_p")).cast("double") + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("period"))
+      .orderBy(col("lift").desc, col("term"))
+    tp.join(perPeriod, "period")
+      .join(perTerm, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", lift)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("period"), col("rank").cast("int").as("rank"),
+        col("term"), col("c_tp"), col("lift"))
+  }
 }

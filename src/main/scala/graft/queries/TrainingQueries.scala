@@ -1075,6 +1075,48 @@ object TrainingQueries {
         "groups, totals rejoined as a broadcast scalar aggregate — " +
         "bounded state at any corpus size."),
 
+    // ---- q202: trending terms per period -----------------------------------
+    "q202_trending_terms" -> Q(
+      (s, dir) =>
+        TextAnalysis.trendingTerms(Tables.documents(s, dir), "text",
+          period = col("doc_id") % 4, topK = 5)
+          .orderBy(col("period"), col("rank")),
+      Some("""
+        WITH tp AS (
+          SELECT doc_id % 4 AS period,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), g AS (
+          SELECT period, term, CAST(COUNT(*) AS BIGINT) AS c_tp
+          FROM tp GROUP BY period, term
+        ), pp AS (SELECT period, CAST(SUM(c_tp) AS BIGINT) AS t_p
+                  FROM g GROUP BY period),
+           pt AS (SELECT term, CAST(SUM(c_tp) AS BIGINT) AS c_t
+                  FROM g GROUP BY term),
+           tt AS (SELECT CAST(SUM(c_tp) AS BIGINT) AS tt FROM g),
+        sc AS (
+          SELECT g.period, g.term, g.c_tp,
+                 ((CAST(c_tp AS DOUBLE) + 0.5) /
+                  (CAST(t_p AS DOUBLE) + 1.0)) /
+                 ((CAST(c_t - c_tp AS DOUBLE) + 0.5) /
+                  (CAST(tt - t_p AS DOUBLE) + 1.0)) AS lift
+          FROM g JOIN pp USING (period) JOIN pt USING (term) CROSS JOIN tt
+        ), r AS (
+          SELECT period, term, c_tp, lift,
+                 ROW_NUMBER() OVER (PARTITION BY period
+                   ORDER BY lift DESC, term) AS rank
+          FROM sc)
+        SELECT period, CAST(rank AS INT) AS rank, term, c_tp, lift
+        FROM r WHERE rank <= 5
+        ORDER BY period, rank"""),
+      "Trending terms per batch bucket — burst detection naming WHAT " +
+        "moved where PSI/KS only flag THAT something moved: per-(term, " +
+        "period) counts lift-score against the term's rate everywhere " +
+        "else (add-half smoothed, unrounded IEEE over exact integers), " +
+        "top-5 per period with term tiebreak. One corpus explode onto " +
+        "the bounded (vocab x periods) grid; every later join/window " +
+        "touches only the grid."),
+
     // ---- q197: Kolmogorov-Smirnov two-sample drift ------------------------
     "q197_ks_drift" -> Q(
       (s, dir) =>
