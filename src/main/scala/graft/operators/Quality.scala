@@ -210,7 +210,6 @@ object Quality {
   def ksReport(df: DataFrame, value: Column, isRef: Column,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "ksReport: binWidth > 0")
-    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val g = df
       .withColumn("bin", floor(value / binWidth).cast("long"))
       .filter(col("bin").isNotNull)
@@ -218,6 +217,14 @@ object Quality {
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    ksFromCounts(g)
+  }
+
+  /** The KS tail over a pre-binned (bin, n_ref, n_cur) relation —
+    * shared with [[ksIngest]] so each streamed per-batch report is
+    * bit-equal to [[ksReport]] over reference ∪ batch. */
+  private def ksFromCounts(g: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     // the spine is bounded (range/binWidth), so the global-order window
     // is the same single-partition-over-bounded-state shape aucReport
     // uses; both CDFs advance together in one cumsum pass
@@ -240,6 +247,51 @@ object Quality {
             .cast("double") /
           (col("n_ref") + col("n_cur")).cast("double"))).as("ks_scaled"))
       .withColumn("reject_05", col("ks_scaled") > lit(1.358))
+  }
+
+  /** Streaming KS drift monitor — the [[psiIngest]] pattern applied to
+    * [[ksReport]]: the reference CDF freezes as driver literals (one
+    * count per POPULATED reference bin — bounded by the reference
+    * range / binWidth), and each micro-batch appends one report row
+    * (batch_id, n_ref, n_cur, d_stat, ks_scaled, reject_05) BIT-EQUAL
+    * to the batch ksReport over reference ∪ that batch (same grid,
+    * same exact-integer gap arithmetic) — StreamingSpec pins the
+    * equality, so alert thresholds tuned on batch reports transfer.
+    *
+    * Delivery mirrors the other ingests: `stateTable` records the last
+    * applied batch id and a replayed batch is skipped whole (a replay
+    * would append a duplicate row to the drift series). */
+  def ksIngest(reference: DataFrame, value: Column, binWidth: Double,
+      reportTable: String, stateTable: String): (DataFrame, Long) => Unit = {
+    require(binWidth > 0, "ksIngest: binWidth > 0")
+    def binOf(v: Column): Column = floor(v / binWidth).cast("long")
+    val refCounts: Seq[(Long, Long)] = reference
+      .select(binOf(value).as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val ref = refCounts.toDF("bin", "n_ref")
+        val cur = batch.select(binOf(value).as("bin"))
+          .filter(col("bin").isNotNull)
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+        val g = ref.join(cur, Seq("bin"), "full_outer")
+          .na.fill(0L, Seq("n_ref", "n_cur"))
+        ksFromCounts(g)
+          .select(lit(batchId).as("batch_id"), col("n_ref"), col("n_cur"),
+            col("d_stat"), col("ks_scaled"), col("reject_05"))
+          .write.mode("append").saveAsTable(reportTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
   }
 
   /** Ranking quality (AUC-ROC) of a scored binary classifier — the
