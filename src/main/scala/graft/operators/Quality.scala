@@ -249,6 +249,54 @@ object Quality {
       .withColumn("reject_05", col("ks_scaled") > lit(1.358))
   }
 
+  /** One-dimensional Wasserstein-1 (earth-mover) distance between a
+    * reference and a current slice — the INTEGRAL-gap sibling of
+    * [[ksReport]]'s max gap: EMD = ∫|F_ref − F_cur| dx reads HOW MUCH
+    * mass moved HOW FAR (a small shift of everything and a large shift
+    * of a sliver read the same to KS; EMD separates them — the metric
+    * behind drift-magnitude alerts). On the `binWidth` grid the CDFs
+    * are step functions, so the integral is exact: Σ over populated
+    * bins of |cum_ref·t_cur − cum_cur·t_ref| · (next_bin − bin),
+    * every term an exact integer (the gap beyond the last populated
+    * bin is identically zero), accumulated in DECIMAL(38,0) —
+    * order-independent — with ONE IEEE divide by t_ref·t_cur and one
+    * multiply by binWidth at the end. Same bounded-spine shape as
+    * [[ksReport]]; null when either slice is empty.
+    *
+    * Output: one row (n_ref, n_cur, emd). */
+  def emdReport(df: DataFrame, value: Column, isRef: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "emdReport: binWidth > 0")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val g = df
+      .withColumn("bin", floor(value / binWidth).cast("long"))
+      .filter(col("bin").isNotNull)
+      .withColumn("is_ref", coalesce(isRef, lit(false)))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.orderBy(col("bin"))
+    val c = g.select(col("bin"), col("n_ref"), col("n_cur"),
+      sum(col("n_ref")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("cr"),
+      sum(col("n_cur")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("cc"),
+      lead(col("bin"), 1).over(w).as("next_bin"))
+    val t = g.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    c.crossJoin(t)
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        // the last populated bin has no successor AND a zero gap
+        // (cr = t_ref, cc = t_cur there) — coalesce its width to 0
+        sum(abs(dec(col("cr")) * dec(col("t_cur")) -
+            dec(col("cc")) * dec(col("t_ref"))) *
+          dec(coalesce(col("next_bin") - col("bin"), lit(0L))))
+          .as("area"))
+      .select(col("n_ref"), col("n_cur"),
+        (col("area").cast("double") /
+          nullif((dec(col("n_ref")) * dec(col("n_cur"))).cast("double"),
+            lit(0.0)) * lit(binWidth)).as("emd"))
+  }
+
   /** Streaming KS drift monitor — the [[psiIngest]] pattern applied to
     * [[ksReport]]: the reference CDF freezes as driver literals (one
     * count per POPULATED reference bin — bounded by the reference

@@ -1171,6 +1171,54 @@ object TrainingQueries {
         "divides/sqrt — unrounded and engine-identical; state is the " +
         "bounded length grid at any corpus size."),
 
+    // ---- q203: Wasserstein-1 (earth-mover) drift ---------------------------
+    "q203_emd_drift" -> Q(
+      (s, dir) =>
+        graft.operators.Quality.emdReport(Tables.documents(s, dir),
+          value = length(col("text")), isRef = col("lang") === "en",
+          binWidth = 50.0),
+      Some("""
+        WITH b AS (
+          SELECT CAST(floor(length(text) / 50.0) AS BIGINT) AS bin,
+                 coalesce(lang = 'en', false) AS is_ref
+          FROM documents
+          WHERE length(text) IS NOT NULL),
+        g AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM b GROUP BY bin),
+        c AS (
+          SELECT bin, n_ref, n_cur,
+                 SUM(n_ref) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+                 SUM(n_cur) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+                 lead(bin) OVER (ORDER BY bin) AS next_bin
+          FROM g),
+        t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                     CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM g),
+        m AS (
+          SELECT t_ref AS n_ref, t_cur AS n_cur,
+                 SUM(abs(CAST(cr AS HUGEINT) * CAST(t_cur AS HUGEINT) -
+                         CAST(cc AS HUGEINT) * CAST(t_ref AS HUGEINT)) *
+                     CAST(coalesce(next_bin - bin, 0) AS HUGEINT)) AS area
+          FROM c CROSS JOIN t
+          GROUP BY t_ref, t_cur)
+        SELECT n_ref, n_cur,
+               CAST(area AS DOUBLE) /
+                 nullif(CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                   AS DOUBLE), 0.0) * 50.0 AS emd
+        FROM m"""),
+      "Wasserstein-1 (earth-mover) drift between the English slice and " +
+        "the rest on the same length grid as q197 — the INTEGRAL-gap " +
+        "sibling of KS: a small shift of everything and a large shift " +
+        "of a sliver read the same D to KS, but EMD reads how much " +
+        "mass moved how far (the drift-magnitude alert). On the grid " +
+        "the CDFs are step functions, so the integral is an exact " +
+        "DECIMAL(38,0) sum of |gap|*(next_bin-bin) terms with one IEEE " +
+        "divide and one binWidth multiply at the end."),
+
     // ---- q188: classifier ranking quality (AUC-ROC) -----------------------
     "q188_auc" -> Q(
       (s, dir) => {

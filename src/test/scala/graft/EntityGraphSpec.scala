@@ -262,6 +262,33 @@ class EntityGraphSpec extends SparkSuite {
     assert(r3.isNullAt(r3.fieldIndex("d_stat")))
   }
 
+  test("Quality.emdReport: pure-shift mass reads its exact move distance") {
+    import spark.implicits._
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.{col => c}
+    // all ref mass in bin 0, all cur mass in bin 3 (binWidth 10):
+    // EMD must be exactly 3 bins * 10 = 30
+    val df = (Seq(5.0, 5.0).map(_ -> true) ++
+      Seq(35.0, 35.0).map(_ -> false)).toDF("v", "ref")
+    val r = Quality.emdReport(df, c("v"), c("ref"), binWidth = 10.0)
+      .collect().head
+    assert(r.getAs[Double]("emd") == 30.0)
+    // identical slices -> 0; KS would read these two the same but EMD
+    // must rank the big shift higher than the near one
+    val near = (Seq(5.0, 5.0).map(_ -> true) ++
+      Seq(15.0, 15.0).map(_ -> false)).toDF("v", "ref")
+    assert(Quality.emdReport(near, c("v"), c("ref"), 10.0)
+      .collect().head.getAs[Double]("emd") == 10.0)
+    val same = (Seq(5.0, 25.0).map(_ -> true) ++
+      Seq(5.0, 25.0).map(_ -> false)).toDF("v", "ref")
+    assert(Quality.emdReport(same, c("v"), c("ref"), 10.0)
+      .collect().head.getAs[Double]("emd") == 0.0)
+    // empty slice -> null
+    val oneSided = Seq(1.0 -> true).toDF("v", "ref")
+    val r2 = Quality.emdReport(oneSided, c("v"), c("ref"), 10.0).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("emd")))
+  }
+
   test("Quality.aucReport: hand-checked AUC with ties; single-class is null") {
     import spark.implicits._
     import graft.operators.Quality
