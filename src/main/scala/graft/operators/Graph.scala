@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -138,6 +138,53 @@ object Graph {
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), roundTo)
           .as("global_cc"))
+  }
+
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of the endpoint degrees over every edge counted in
+    * both orientations — positive r means hubs attach to hubs (social
+    * graphs), negative means hubs attach to leaves (the web,
+    * biological nets); the one-number structure summary that decides
+    * whether hub-targeted skew handling ([[kCore]] caps, salting) will
+    * pay off.
+    *
+    * Both-orientation symmetry makes the marginals equal (Sx = Sy,
+    * Sxx = Syy), so r = (M·Sxy − Sx²)/(M·Sxx − Sx²) from FOUR exact
+    * integer moments — the q135 grid-moment discipline on degrees,
+    * which are already integers: one degree aggregation, two equi-joins
+    * to stamp endpoint degrees, one scale-0 decimal aggregate, one
+    * unrounded IEEE chain. Never a pair space beyond the edge list.
+    *
+    * Output: one row (n_nodes, n_edges, assortativity); null r for a
+    * degree-regular graph (zero variance). */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds the degree agg and the stamped join
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val stamped = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val m = stamped.agg(
+      count(lit(1)).as("m"),
+      sum(dec(col("da") + col("db"))).as("sx"),
+      sum(dec(col("da") * col("da") + col("db") * col("db"))).as("sxx"),
+      sum(dec(col("da") * col("db") * lit(2L))).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val bigM = (col("m") * 2L).cast("double")
+    m.crossJoin(nNodes).select(
+      col("n_nodes"), col("m").as("n_edges"),
+      ((bigM * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+        nullif(bigM * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"), lit(0.0)))
+        .as("assortativity"))
   }
 
   /** k-core peel, run for a FIXED number of rounds (the deterministic

@@ -923,6 +923,54 @@ object RelationalQueries {
         "query at 100x. The hash coin makes the estimate reproducible " +
         "and oracle-checkable."),
 
+    // ---- q204: degree assortativity ----------------------------------------
+    "q204_assortativity" -> Q(
+      (s, d) => {
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+        val edges = baskets
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
+        graft.operators.Graph.assortativity(edges, "a", "b")
+      },
+      Some("""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+        ), deg AS MATERIALIZED (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v
+        ), st AS (
+          SELECT da.d AS da, db.d AS db
+          FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 SUM(CAST(da + db AS HUGEINT)) AS sx,
+                 SUM(CAST(da * da + db * db AS HUGEINT)) AS sxx,
+                 SUM(CAST(da * db * 2 AS HUGEINT)) AS sxy
+          FROM st
+        ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes, m AS n_edges,
+               (CAST(m * 2 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                 nullif(CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                 AS assortativity
+        FROM m CROSS JOIN nn"""),
+      "Degree assortativity of the co-purchase graph (Newman): Pearson " +
+        "correlation of endpoint degrees over both edge orientations — " +
+        "positive means hubs attach to hubs, negative hubs-to-leaves; " +
+        "the one-number structure read that decides whether hub-" +
+        "targeted skew handling pays off. Four exact integer moments " +
+        "(degrees already live on the integer grid), one unrounded " +
+        "IEEE chain; never more than the edge list shuffles."),
+
     // ---- q199: k-core decomposition ----------------------------------------
     "q199_kcore" -> Q(
       (s, d) => {

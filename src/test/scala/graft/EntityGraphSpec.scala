@@ -192,6 +192,20 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("assortativity: star is exactly -1, regular graphs are null") {
+    import spark.implicits._
+    // S3: center degree 3, leaves degree 1 — maximally disassortative,
+    // r = -1 exactly (integer moments, one exact IEEE chain)
+    val star = Seq((0, 1), (0, 2), (0, 3)).toDF("s", "t")
+    val r = Graph.assortativity(star, "s", "t").collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // a cycle is 2-regular: zero degree variance -> null, not a crash
+    val cycle = Seq((1, 2), (2, 3), (3, 1)).toDF("s", "t")
+    val rc = Graph.assortativity(cycle, "s", "t").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
   test("kCore: K4 plus a pendant path peels to K4; trees peel away") {
     import spark.implicits._
     // K4 on 1-4, pendant path 4-5-6: 2-core must be exactly K4 (node 6
