@@ -140,6 +140,53 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    * number of rounds — community detection over sparse similarity
+    * graphs (near-dup pair graphs, link graphs): every node starts as
+    * its own label; each round it adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label — the
+    * deterministic form (free-order async LPA is run-to-run unstable;
+    * fixed sync rounds + total tie order make the result
+    * engine-identical, at the cost of the known sync-LPA oscillation
+    * on bipartite structures — bounded by `rounds`).
+    *
+    * Scale shape per round: one equi-join stamping neighbor labels +
+    * one (node, label) count + one per-node argmax window — all keyed
+    * shuffles of the both-orientation edge list, checkpointed per
+    * round against the diamond. Where [[Dedup.connectedComponents]]
+    * answers reachability, LPA keeps DENSE regions together without
+    * chaining through sparse bridges.
+    *
+    * Output: (v, community) for every node with at least one edge. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "labelPropagation: 1 <= rounds <= 16")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val nb = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint() // read every round
+    var labels = nb.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("lab"))
+      labels = nb
+        .join(labels.select(col("v").as("u"), col("lab")), "u")
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("v"), col("lab").as("community"))
+  }
+
   /** Degree assortativity coefficient (Newman 2002): the Pearson
     * correlation of the endpoint degrees over every edge counted in
     * both orientations — positive r means hubs attach to hubs (social

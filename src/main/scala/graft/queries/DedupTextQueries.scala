@@ -393,6 +393,60 @@ object DedupTextQueries {
       "Near-dup clustering: min-label propagation over the Jaccard pair " +
         "graph (O(diameter) passes, (long,long) shuffles) + canonical keep."),
 
+    // ---- q205: label-propagation communities over the dup graph -----------
+    "q205_lpa_communities" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          block = "source", n = 3, threshold = 0.02)
+        graft.operators.Graph.labelPropagation(pairs, "a_id", "b_id",
+            rounds = 4)
+          .select(col("v").as("doc_id"), col("community"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s""",
+        l$i AS MATERIALIZED (
+          SELECT v, lab FROM (
+            SELECT n.v, l.lab, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY n.v
+                     ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM nb n JOIN l${i - 1} l ON l.v = n.u
+            GROUP BY n.v, l.lab) WHERE rn = 1)"""
+        }.mkString
+        s"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id AS doc, source AS blk, unnest($Shingles3) AS shingle
+          FROM documents
+        ), sizes AS MATERIALIZED (
+          SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+        ), inter AS MATERIALIZED (
+          SELECT a.doc AS a_id, b.doc AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ), pairs AS MATERIALIZED (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc = a_id
+          JOIN sizes sb ON sb.doc = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.02
+        ), nb AS MATERIALIZED (
+          SELECT a_id AS v, b_id AS u FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs
+        ), l0 AS MATERIALIZED (
+          SELECT DISTINCT v, v AS lab FROM nb)$rounds
+        SELECT v AS doc_id, lab AS community FROM l4 ORDER BY doc_id"""
+      },
+      "Synchronous label-propagation communities (4 deterministic " +
+        "rounds, smallest-label tiebreak) over the same Jaccard pair " +
+        "graph q53 clusters by reachability — LPA keeps DENSE near-dup " +
+        "regions together without chaining through sparse bridges, the " +
+        "community-granular view canonical selection and co-split " +
+        "want. Per round: one label-stamping equi-join + one (node, " +
+        "label) count + one per-node argmax window, all on the sparse " +
+        "pair graph, never the corpus."),
+
     // ---- q69: incremental dedup against a seen-digest index ---------------
     "q69_incremental_dedup" -> Q(
       (s, d) => {

@@ -192,6 +192,19 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("labelPropagation: disjoint triangles converge to their min labels") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12))
+      .toDF("s", "t")
+    val out = Graph.labelPropagation(edges, "s", "t", rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10, 12 -> 10))
+    // partition-layout independence (the determinism claim)
+    val out2 = Graph.labelPropagation(edges.repartition(5), "s", "t", 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out2 == out)
+  }
+
   test("assortativity: star is exactly -1, regular graphs are null") {
     import spark.implicits._
     // S3: center degree 3, leaves degree 1 — maximally disassortative,
