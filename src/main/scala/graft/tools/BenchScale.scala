@@ -149,7 +149,12 @@ object BenchScale {
     // that is 20M rows per partition task (production fleets have
     // streams ≫ cores, the real parallelism unit), so it is
     // 10×-measured only
-    "q200_scene_segments")
+    "q200_scene_segments",
+    "q201_embedding_drift", "q202_trending_terms", "q203_emd_drift",
+    // q204/q205 are 10×-only: q204 localCheckpoints the canonical edge
+    // set (the q147-class memory shape at 120M edges); q205's heavy arm
+    // is the jaccardPairs self-join derivation
+    "q204_assortativity", "q205_lpa_communities")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -186,9 +191,11 @@ object BenchScale {
     // candidates at any one scale
     "q173_seasonal_anomaly", "q176_cluster_cosplit", "q177_dau_wau",
     "q178_linear_attribution", "q183_ltv_cohorts", "q185_new_returning",
-    // bounded-state monitors/readouts: a grid spine (q197) and a 2-row
-    // moment reduction (q198) — the 100 TB shapes by construction
-    "q197_ks_drift", "q198_cuped")
+    // bounded-state monitors/readouts: grid spines (q197/q203), a 2-row
+    // moment reduction (q198), a per-dim moment grid (q201), and the
+    // vocab-by-periods grid (q202) — the 100 TB shapes by construction
+    "q197_ks_drift", "q198_cuped", "q201_embedding_drift",
+    "q202_trending_terms", "q203_emd_drift")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
