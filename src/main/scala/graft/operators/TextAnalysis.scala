@@ -1234,6 +1234,66 @@ object TextAnalysis {
       .groupBy(col("b"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 
+  /** Vocabulary coverage curve — the tokenizer-budget diagnostic: for
+    * each candidate vocabulary size K, what share of all token
+    * OCCURRENCES the K most frequent types cover (the curve that
+    * decides how large a subword/word vocab must be before OOV rate is
+    * acceptable; its complement at the chosen K is the UNK share).
+    * Ranking is (count desc, term asc) — fully deterministic — and
+    * coverage is an exact-integer ratio (unrounded IEEE divide).
+    *
+    * Scale shape: ONE corpus explode collapses onto the (term) spine
+    * (map-side combined, bounded by |vocab|); the rank window and the
+    * K-spine join run on that bounded relation only.
+    *
+    * Output: one row per K — (vocab_size, n_types, covered, total,
+    * coverage). K larger than the type count covers everything. */
+  def vocabCoverage(docs: DataFrame, text: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "vocabCoverage: sizes must be positive")
+    val counts = docs
+      .select(explode(tokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+      .localCheckpoint() // feeds totals and every K bucket
+    val totals = ranked.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_types"))
+    val spine = docs.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(Tuple1(_))).toDF("vocab_size")
+    spine.join(ranked, col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("c")).as("covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("n_types"), col("covered"),
+        col("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Lexical diversity per corpus slice — the repetitiveness read
+    * quality filters want beside length stats: type-token ratio
+    * (distinct types / token occurrences) and the hapax share (types
+    * seen exactly once / types) per `by` group. Low TTR + low hapax =
+    * template/boilerplate-heavy source. One explode onto the (slice,
+    * term) grid, then a per-slice reduction of that bounded grid;
+    * ratios are exact-integer IEEE divides, unrounded. Output:
+    * (slice, n_tokens, n_types, ttr, hapax_share). */
+  def lexicalDiversity(docs: DataFrame, by: String, text: String): DataFrame =
+    docs
+      .select(col(by).as("slice"), explode(tokens(col(text))).as("term"))
+      .groupBy(col("slice"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+
   /** Trending terms per period — burst detection over a partitioned
     * corpus (which vocabulary is over-represented in THIS batch vs the
     * rest): per-(term, period) counts lift-score against the term's

@@ -1075,6 +1075,64 @@ object TrainingQueries {
         "groups, totals rejoined as a broadcast scalar aggregate — " +
         "bounded state at any corpus size."),
 
+    // ---- q206: vocabulary coverage curve -----------------------------------
+    "q206_vocab_coverage" -> Q(
+      (s, dir) =>
+        TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+          sizes = Seq(8, 16, 32, 64, 128))
+          .orderBy(col("vocab_size")),
+      Some("""
+        WITH c AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term
+        ), r AS (
+          SELECT term, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+          FROM c
+        ), t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                        CAST(COUNT(*) AS BIGINT) AS n_types FROM r),
+        k AS (SELECT unnest([8, 16, 32, 64, 128]) AS vocab_size)
+        SELECT k.vocab_size, t.n_types,
+               CAST(SUM(r.c) AS BIGINT) AS covered, t.total,
+               CAST(SUM(r.c) AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+        FROM k JOIN r ON r.rk <= k.vocab_size CROSS JOIN t
+        GROUP BY k.vocab_size, t.n_types, t.total
+        ORDER BY vocab_size"""),
+      "Vocabulary coverage curve — the tokenizer-budget diagnostic: " +
+        "share of all token occurrences covered by the K most frequent " +
+        "types, for K in {8..128} (the complement at the chosen K is " +
+        "the UNK share). Deterministic (count desc, term) ranking, " +
+        "exact-integer coverage ratios; one corpus explode onto the " +
+        "vocab spine, everything after runs on the bounded spine."),
+
+    // ---- q207: lexical diversity per source --------------------------------
+    "q207_lexical_diversity" -> Q(
+      (s, dir) =>
+        TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "source",
+          "text")
+          .orderBy(col("slice")),
+      Some("""
+        WITH g AS (
+          SELECT source AS slice, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          GROUP BY source, term
+        )
+        SELECT slice,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        FROM g GROUP BY slice
+        ORDER BY slice"""),
+      "Per-source lexical diversity: type-token ratio + hapax share — " +
+        "the repetitiveness read quality filters want beside length " +
+        "stats (low TTR + low hapax = template/boilerplate source). " +
+        "One explode onto the bounded (source, term) grid, one " +
+        "per-source reduction, exact-integer IEEE ratios."),
+
     // ---- q202: trending terms per period -----------------------------------
     "q202_trending_terms" -> Q(
       (s, dir) =>
