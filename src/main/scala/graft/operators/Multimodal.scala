@@ -164,8 +164,13 @@ object Multimodal {
     val nBands = if (maxHamming < 4) 4 else 8
     val bandBits = 64 / nBands
     val bandMask = (1L << bandBits) - 1L
+    // localCheckpoint: the signature projection (64 md5+substr calls
+    // per payload through interpreted higher-order functions — the
+    // most expensive projection in the plan) feeds BOTH sides of the
+    // band self-join; without the cut it re-executes per side
     val sigs = df.select(col(id).as("mid"),
       chunkSignature(col(payload)).as("sig"))
+      .localCheckpoint()
     val bands = sigs.select(col("mid"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("k"))
       .withColumn("bv", expr(s"(sig >> (k * $bandBits)) & $bandMask"))
