@@ -1225,6 +1225,43 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("sceneCutStream: emitted frames equal batch sceneSegments starts") {
+    // perceptual frame skipping: the streamed cut filter must emit
+    // exactly the frames batch sceneSegments reports as scene starts —
+    // across micro-batch boundaries (state carries the last signature)
+    import graft.operators.{Multimodal, SigFrame}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sf("0.001")).select(
+        (col("doc_id") % 6).cast("int").as("camera"),
+        (col("doc_id") / lit(6)).cast("long").as("frameNum"),
+        Multimodal.chunkSignature(encode(col("text"), "UTF-8")).as("sig"))
+      .as[SigFrame]
+      .collect().sortBy(f => (f.frameNum, f.camera)) // arrival in frame order
+    val input = MemoryStream[SigFrame]
+    val out = Multimodal.sceneCutStream(input.toDS(), cutHamming = 40)
+    val q = out.writeStream.format("memory").queryName("graft_scene_cuts")
+      .outputMode("append").start()
+    sigs.grouped(sigs.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("graft_scene_cuts")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val frames = Tables.documents(spark, sf("0.001")).select(
+      (col("doc_id") % 6).cast("int").as("camera"),
+      (col("doc_id") / lit(6)).cast("long").as("frame_num"),
+      encode(col("text"), "UTF-8").as("frame"))
+    val batch = Multimodal.sceneSegments(frames, "camera", "frame_num",
+        "frame", cutHamming = 40)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+    // the filter must actually skip frames (scenes longer than 1)
+    assert(streamed.size < sigs.length)
+  }
+
   test("ksIngest: per-batch reports equal ksReport over reference UNION batch") {
     // the KS member of the standing drift monitors: frozen reference
     // CDF, one appended report ROW per micro-batch, each bit-equal to
