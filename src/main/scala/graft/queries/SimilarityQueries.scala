@@ -277,6 +277,192 @@ object SimilarityQueries {
         "the whole cell routing is recomputed by the oracle; recall vs " +
         "exact q31 in tests."),
 
+    // ---- q208: IVF recall audit (the ANN path measures itself) -----------
+    "q208_ivf_recall" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        val quantizer = Similarity.centroidsAsQuantizer(e, "label", "emb")
+        val ivf = Similarity.ivfTopK(probes, "p_id", "p_vec",
+            tg, "t_id", "t_vec", quantizer, "cell", "centroid_vec",
+            k = 3, nProbe = 4)
+          .select(col("p_id"), col("t_id")).localCheckpoint()
+        val exact = Similarity.topK(probes, "p_id", "p_vec",
+            tg, "t_id", "t_vec", k = 3)
+          .select(col("p_id"), col("t_id"), col("sim")).localCheckpoint()
+        val missed = exact.join(ivf, Seq("p_id", "t_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("p_id")).as("n_probes"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          max(col("sim")).as("max_missed_sim"))
+        ne.crossJoin(nm)
+          .select(col("n_probes"), lit(3).as("k"), col("n_exact"),
+            col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("max_missed_sim"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        cent AS (
+          SELECT cell, list(c ORDER BY dim) AS cv FROM (
+            SELECT label AS cell, dim, round(AVG(v), 9) AS c
+            FROM (SELECT label, unnest(emb) AS v,
+                         generate_subscripts(emb, 1) AS dim FROM e)
+            GROUP BY label, dim)
+          GROUP BY cell),
+        asg AS (
+          SELECT vec_id AS t_id, emb AS t_vec, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pc AS (
+          SELECT p_id, p_vec, cell FROM (
+            SELECT e.vec_id AS p_id, e.emb AS p_vec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+        sims AS (
+          SELECT pc.p_id, a.t_id,
+                 round(list_inner_product(pc.p_vec, a.t_vec) /
+                   (sqrt(list_inner_product(pc.p_vec, pc.p_vec)) *
+                    sqrt(list_inner_product(a.t_vec, a.t_vec))), 6) AS sim
+          FROM pc JOIN asg a USING (cell)),
+        ivf AS (
+          SELECT p_id, t_id FROM (
+            SELECT p_id, t_id,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY sim DESC, t_id) AS rank
+            FROM sims) WHERE rank <= 3),
+        ex AS (
+          SELECT p_id, t_id, sim FROM (
+            SELECT p.vec_id AS p_id, t.vec_id AS t_id,
+                   round(list_inner_product(p.emb, t.emb) /
+                     (sqrt(list_inner_product(p.emb, p.emb)) *
+                      sqrt(list_inner_product(t.emb, t.emb))), 6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                     ORDER BY round(list_inner_product(p.emb, t.emb) /
+                       (sqrt(list_inner_product(p.emb, p.emb)) *
+                        sqrt(list_inner_product(t.emb, t.emb))), 6) DESC,
+                       t.vec_id) AS rank
+            FROM e p, e t WHERE p.vec_id < 100) WHERE rank <= 3),
+        missed AS (
+          SELECT ex.p_id, ex.t_id, ex.sim FROM ex
+          ANTI JOIN ivf ON ivf.p_id = ex.p_id AND ivf.t_id = ex.t_id),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_probes
+               FROM ex),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_missed,
+                      MAX(sim) AS max_missed_sim FROM missed)
+        SELECT n_probes, 3 AS k, n_exact, n_missed,
+               CAST(n_exact - n_missed AS DOUBLE) /
+                 CAST(n_exact AS DOUBLE) AS recall,
+               max_missed_sim
+        FROM ne CROSS JOIN nm"""),
+      "Recall audit of the q35 IVF path against the exact cosine top-k " +
+        "over the SAME probe/target sets — the ANN operator measuring " +
+        "its own quality like q192 does for LSH (run per corpus before " +
+        "trusting a nProbe setting at scale): recall@k as one IEEE " +
+        "division of exact counts, max_missed_sim naming the worst " +
+        "false negative. It has teeth: q35's nProbe=4 recalls only " +
+        "78% of exact top-3 on this corpus (q209 closes the loop). At " +
+        "100 TB the exact arm is the input-capped audit baseline on a " +
+        "sample slice; the IVF arm is the production path."),
+
+    // ---- q209: recall-tuned IVF (audited) ---------------------------------
+    "q209_ivf_tuned" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        val quantizer = Similarity.centroidsAsQuantizer(e, "label", "emb")
+        val ivf = Similarity.ivfTopK(probes, "p_id", "p_vec",
+            tg, "t_id", "t_vec", quantizer, "cell", "centroid_vec",
+            k = 3, nProbe = 8)
+          .select(col("p_id"), col("t_id")).localCheckpoint()
+        val exact = Similarity.topK(probes, "p_id", "p_vec",
+            tg, "t_id", "t_vec", k = 3)
+          .select(col("p_id"), col("t_id"), col("sim")).localCheckpoint()
+        val missed = exact.join(ivf, Seq("p_id", "t_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("p_id")).as("n_probes"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          max(col("sim")).as("max_missed_sim"))
+        ne.crossJoin(nm)
+          .select(col("n_probes"), lit(8).as("n_probe"), col("n_exact"),
+            col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("max_missed_sim"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        cent AS (
+          SELECT cell, list(c ORDER BY dim) AS cv FROM (
+            SELECT label AS cell, dim, round(AVG(v), 9) AS c
+            FROM (SELECT label, unnest(emb) AS v,
+                         generate_subscripts(emb, 1) AS dim FROM e)
+            GROUP BY label, dim)
+          GROUP BY cell),
+        asg AS (
+          SELECT vec_id AS t_id, emb AS t_vec, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pc AS (
+          SELECT p_id, p_vec, cell FROM (
+            SELECT e.vec_id AS p_id, e.emb AS p_vec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${OracleGen.sqDist("e.emb", "c.cv", 64)}, c.cell) AS rn
+            FROM e CROSS JOIN cent c WHERE e.vec_id < 100) WHERE rn <= 8),
+        sims AS (
+          SELECT pc.p_id, a.t_id,
+                 round(list_inner_product(pc.p_vec, a.t_vec) /
+                   (sqrt(list_inner_product(pc.p_vec, pc.p_vec)) *
+                    sqrt(list_inner_product(a.t_vec, a.t_vec))), 6) AS sim
+          FROM pc JOIN asg a USING (cell)),
+        ivf AS (
+          SELECT p_id, t_id FROM (
+            SELECT p_id, t_id,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY sim DESC, t_id) AS rank
+            FROM sims) WHERE rank <= 3),
+        ex AS (
+          SELECT p_id, t_id, sim FROM (
+            SELECT p.vec_id AS p_id, t.vec_id AS t_id,
+                   round(list_inner_product(p.emb, t.emb) /
+                     (sqrt(list_inner_product(p.emb, p.emb)) *
+                      sqrt(list_inner_product(t.emb, t.emb))), 6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                     ORDER BY round(list_inner_product(p.emb, t.emb) /
+                       (sqrt(list_inner_product(p.emb, p.emb)) *
+                        sqrt(list_inner_product(t.emb, t.emb))), 6) DESC,
+                       t.vec_id) AS rank
+            FROM e p, e t WHERE p.vec_id < 100) WHERE rank <= 3),
+        missed AS (
+          SELECT ex.p_id, ex.t_id, ex.sim FROM ex
+          ANTI JOIN ivf ON ivf.p_id = ex.p_id AND ivf.t_id = ex.t_id),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_probes
+               FROM ex),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_missed,
+                      MAX(sim) AS max_missed_sim FROM missed)
+        SELECT n_probes, 8 AS n_probe, n_exact, n_missed,
+               CAST(n_exact - n_missed AS DOUBLE) /
+                 CAST(n_exact AS DOUBLE) AS recall,
+               max_missed_sim
+        FROM ne CROSS JOIN nm"""),
+      "The q208 audit closed into a fix: widening nProbe 4 -> 8 (of 10 " +
+        "cells) re-audits recall on the same exact baseline — the " +
+        "audit-then-tune loop q192/q193 established for LSH, applied " +
+        "to IVF. Probing more cells costs a linear candidate-count " +
+        "increase, never a different plan shape."),
+
     // ---- q34: LSH-bucketed near-dup (oracle: md5 hyperplane signs) -------
     "q34_lsh_neardup" -> Q(
       (s, d) => Similarity.lshNearDup(emb(s, d), "vec_id", "emb",
