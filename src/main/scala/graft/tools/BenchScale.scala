@@ -154,7 +154,12 @@ object BenchScale {
     // q204/q205 are 10×-only: q204 localCheckpoints the canonical edge
     // set (the q147-class memory shape at 120M edges); q205's heavy arm
     // is the jaccardPairs self-join derivation
-    "q204_assortativity", "q205_lpa_communities")
+    "q204_assortativity", "q205_lpa_communities",
+    "q206_vocab_coverage", "q207_lexical_diversity",
+    // q208/q209's exact audit arm is the documented sample-slice
+    // baseline — linear here (100 probes x corpus) but 10×-only by the
+    // q192 precedent
+    "q208_ivf_recall", "q209_ivf_tuned")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -195,7 +200,8 @@ object BenchScale {
     // moment reduction (q198), a per-dim moment grid (q201), and the
     // vocab-by-periods grid (q202) — the 100 TB shapes by construction
     "q197_ks_drift", "q198_cuped", "q201_embedding_drift",
-    "q202_trending_terms", "q203_emd_drift")
+    "q202_trending_terms", "q203_emd_drift",
+    "q206_vocab_coverage", "q207_lexical_diversity")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
