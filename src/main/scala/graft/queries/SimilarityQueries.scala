@@ -667,6 +667,209 @@ object SimilarityQueries {
         "the in-cell scan of IVF-PQ; oracle chains through the " +
         "deterministic PQ training."),
 
+    // ---- q210: PQ/ADC recall audit ----------------------------------------
+    "q210_pq_recall" -> Q(
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        val books = Similarity.pqCodebooks(
+          e.filter(col("vec_id") < 200), "vec_id", "emb", m = 2, k = 8,
+          iters = 2)
+        val coded = Similarity.pqEncode(e, "vec_id", "emb", books)
+          .select(col("vec_id").as("t_id"), col("codes"))
+        val probes = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val pq = Similarity.pqTopK(probes, "p_id", "p_vec", coded, "t_id",
+            books, k = 3)
+          .select(col("p_id"), col("t_id")).localCheckpoint()
+        // the exact arm ranks by the metric ADC approximates: squared L2
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_id")).orderBy(col("d2"), col("t_id"))
+        val exact = probes.crossJoin(tg)
+          .select(col("p_id"), col("t_id"),
+            round(call_function("vec_sq_l2", col("p_vec"), col("t_vec")), 6)
+              .as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("p_id"), col("t_id"), col("d2")).localCheckpoint()
+        val missed = exact.join(pq, Seq("p_id", "t_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("p_id")).as("n_probes"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          min(col("d2")).as("min_missed_d2"))
+        ne.crossJoin(nm)
+          .select(col("n_probes"), lit(3).as("k"), col("n_exact"),
+            col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("min_missed_d2"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        samp AS (SELECT vec_id, emb FROM e WHERE vec_id < 200),
+        ${OracleGen.pqBooksCtes("", "samp", m = 2, subDim = 32, k = 8, iters = 2)}
+        ${OracleGen.pqEncodeCte("enc", "", "e", m = 2, subDim = 32)}
+        probes AS (SELECT vec_id AS p_id, emb FROM e WHERE vec_id < 50),
+        dtab AS (
+          SELECT p.p_id, b.sub, b.cell,
+                 ${OracleGen.sqDist("p.emb[(b.sub*32+1):(b.sub*32+32)]", "b.c_vec", 32)} AS d
+          FROM probes p CROSS JOIN books b),
+        tc AS (SELECT vec_id AS t_id, unnest(codes) AS cell,
+                      generate_subscripts(codes, 1) - 1 AS sub FROM enc),
+        scored AS (
+          SELECT dt.p_id, tc.t_id, round(SUM(dt.d), 6) AS adc
+          FROM tc JOIN dtab dt ON dt.sub = tc.sub AND dt.cell = tc.cell
+          GROUP BY dt.p_id, tc.t_id),
+        pqtop AS (
+          SELECT p_id, t_id FROM (
+            SELECT p_id, t_id,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY adc, t_id) AS rank
+            FROM scored) WHERE rank <= 3),
+        ex AS (
+          SELECT p_id, t_id, d2 FROM (
+            SELECT p.p_id, t.vec_id AS t_id,
+                   round(${OracleGen.sqDist("p.emb", "t.emb", 64)}, 6) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY p.p_id
+                     ORDER BY round(${OracleGen.sqDist("p.emb", "t.emb", 64)}, 6),
+                       t.vec_id) AS rank
+            FROM probes p CROSS JOIN e t) WHERE rank <= 3),
+        missed AS (
+          SELECT ex.p_id, ex.t_id, ex.d2 FROM ex
+          ANTI JOIN pqtop ON pqtop.p_id = ex.p_id AND pqtop.t_id = ex.t_id),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_probes
+               FROM ex),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_missed,
+                      MIN(d2) AS min_missed_d2 FROM missed)
+        SELECT n_probes, 3 AS k, n_exact, n_missed,
+               CAST(n_exact - n_missed AS DOUBLE) /
+                 CAST(n_exact AS DOUBLE) AS recall,
+               min_missed_d2
+        FROM ne CROSS JOIN nm"""),
+      "Recall audit of the q73 PQ/ADC path against the exact squared-L2 " +
+        "top-k — the m-byte-code path carries BOTH coarse and " +
+        "quantization error, so it audits like q208 does for IVF and " +
+        "q192 for LSH (the whole approximate family now measures " +
+        "itself): recall@k as one IEEE division of exact counts, " +
+        "min_missed_d2 naming the nearest neighbor the codes lost. It " +
+        "has SERIOUS teeth: q73's 2x8 config spans only 64 distinct " +
+        "codes for 500 vectors — 35% recall, and min_missed_d2 = 0 " +
+        "shows it losing exact matches (q211 closes the loop). The " +
+        "exact arm is the documented sample-slice baseline at scale."),
+
+    // ---- q211: recall-tuned PQ (audited) ----------------------------------
+    "q211_pq_tuned" -> Q(
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        // 4 subspaces x 16 cells: 65536 distinct codes where the 2x8
+        // config had 64 — code capacity must exceed the corpus for the
+        // ADC ordering to separate near neighbors
+        val books = Similarity.pqCodebooks(
+          e.filter(col("vec_id") < 200), "vec_id", "emb", m = 4, k = 16,
+          iters = 2)
+        val coded = Similarity.pqEncode(e, "vec_id", "emb", books)
+          .select(col("vec_id").as("t_id"), col("codes"))
+        val probes = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        // stage 1: ADC shortlist (30 candidates/probe on m-byte codes);
+        // stage 2: exact squared-L2 re-rank of ONLY the shortlist — raw
+        // vectors are touched 30 rows/probe, never |corpus| rows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_id")).orderBy(col("d2"), col("t_id"))
+        val refined = Similarity.pqTopK(probes, "p_id", "p_vec", coded,
+            "t_id", books, k = 30)
+          .select(col("p_id"), col("t_id"))
+          .join(probes, "p_id").join(tg, "t_id")
+          .select(col("p_id"), col("t_id"),
+            round(call_function("vec_sq_l2", col("p_vec"), col("t_vec")), 6)
+              .as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("p_id"), col("t_id")).localCheckpoint()
+        val exact = probes.crossJoin(tg)
+          .select(col("p_id"), col("t_id"),
+            round(call_function("vec_sq_l2", col("p_vec"), col("t_vec")), 6)
+              .as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("p_id"), col("t_id"), col("d2")).localCheckpoint()
+        val missed = exact.join(refined, Seq("p_id", "t_id"), "left_anti")
+        val ne = exact.agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("p_id")).as("n_probes"))
+        val nm = missed.agg(count(lit(1)).as("n_missed"),
+          min(col("d2")).as("min_missed_d2"))
+        ne.crossJoin(nm)
+          .select(col("n_probes"), lit(4).as("m"), lit(16).as("k_cells"),
+            col("n_exact"), col("n_missed"),
+            ((col("n_exact") - col("n_missed")).cast("double") /
+              col("n_exact").cast("double")).as("recall"),
+            col("min_missed_d2"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        samp AS (SELECT vec_id, emb FROM e WHERE vec_id < 200),
+        ${OracleGen.pqBooksCtes("", "samp", m = 4, subDim = 16, k = 16, iters = 2)}
+        ${OracleGen.pqEncodeCte("enc", "", "e", m = 4, subDim = 16)}
+        probes AS (SELECT vec_id AS p_id, emb FROM e WHERE vec_id < 50),
+        dtab AS (
+          SELECT p.p_id, b.sub, b.cell,
+                 ${OracleGen.sqDist("p.emb[(b.sub*16+1):(b.sub*16+16)]", "b.c_vec", 16)} AS d
+          FROM probes p CROSS JOIN books b),
+        tc AS (SELECT vec_id AS t_id, unnest(codes) AS cell,
+                      generate_subscripts(codes, 1) - 1 AS sub FROM enc),
+        scored AS (
+          SELECT dt.p_id, tc.t_id, round(SUM(dt.d), 6) AS adc
+          FROM tc JOIN dtab dt ON dt.sub = tc.sub AND dt.cell = tc.cell
+          GROUP BY dt.p_id, tc.t_id),
+        shortlist AS (
+          SELECT p_id, t_id FROM (
+            SELECT p_id, t_id,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY adc, t_id) AS rank
+            FROM scored) WHERE rank <= 30),
+        refined AS (
+          SELECT p_id, t_id FROM (
+            SELECT s.p_id, s.t_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.p_id
+                     ORDER BY round(${OracleGen.sqDist("p.emb", "t.emb", 64)}, 6),
+                       s.t_id) AS rank
+            FROM shortlist s
+            JOIN probes p ON p.p_id = s.p_id
+            JOIN e t ON t.vec_id = s.t_id) WHERE rank <= 3),
+        ex AS (
+          SELECT p_id, t_id, d2 FROM (
+            SELECT p.p_id, t.vec_id AS t_id,
+                   round(${OracleGen.sqDist("p.emb", "t.emb", 64)}, 6) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY p.p_id
+                     ORDER BY round(${OracleGen.sqDist("p.emb", "t.emb", 64)}, 6),
+                       t.vec_id) AS rank
+            FROM probes p CROSS JOIN e t) WHERE rank <= 3),
+        missed AS (
+          SELECT ex.p_id, ex.t_id, ex.d2 FROM ex
+          ANTI JOIN refined ON refined.p_id = ex.p_id
+                           AND refined.t_id = ex.t_id),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_probes
+               FROM ex),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_missed,
+                      MIN(d2) AS min_missed_d2 FROM missed)
+        SELECT n_probes, 4 AS m, 16 AS k_cells, n_exact, n_missed,
+               CAST(n_exact - n_missed AS DOUBLE) /
+                 CAST(n_exact AS DOUBLE) AS recall,
+               min_missed_d2
+        FROM ne CROSS JOIN nm"""),
+      "The q210 audit closed into a fix — the production ADC shape: " +
+        "bigger code capacity (4x16 = 65536 codes vs the audited 64) " +
+        "PLUS exact re-rank of a 30-candidate ADC shortlist, so raw " +
+        "vectors are touched 30 rows per probe instead of |corpus|. " +
+        "Same exact-squared-L2 baseline, same summary row; the audit-" +
+        "then-tune loop now covers LSH (q192/q193), IVF (q208/q209), " +
+        "and PQ (q210/q211)."),
+
     // ---- q76: size-routed top-k (forced onto the IVF scale path) ---------
     "q76_ann_autoroute" -> Q(
       (s, d) => {
