@@ -140,6 +140,58 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * relation, run for a FIXED number of iterations with L1
+    * normalization — the centrality pair for bipartite-flavored graphs
+    * where [[pageRank]]'s single score conflates the two roles
+    * (buyers↔suppliers, queries↔documents): authority(t) sums the hub
+    * scores pointing at t, hub(s) sums the authority scores s points
+    * at, each pass renormalized to Σ = 1.
+    *
+    * Cross-engine determinism is the [[pageRank]] discipline: every
+    * aggregate accumulates 14-decimal-rounded terms in DECIMAL(28,14)
+    * (exact, order-independent), every score re-rounds to 12 decimals
+    * after its normalization divide, so both engines walk identical
+    * score vectors through every iteration. Per iteration: two
+    * edge⋈score equi-joins + two keyed aggregations + two scalar
+    * normalizers — the edge relation materializes once, scores (one
+    * row per node) are the only per-pass shuffle.
+    *
+    * Output: (role 'hub'|'authority', id, score) — every source node
+    * has a hub score, every target node an authority score. */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int,
+      roundTo: Int = 9): DataFrame = {
+    require(iters >= 1 && iters <= 16, "hits: 1 <= iters <= 16")
+    import org.apache.spark.sql.types.DecimalType
+    def decSum(c: Column) =
+      sum(round(c, 14).cast(DecimalType(28, 14))).cast("double")
+    val e = edges.select(col(src).as("s"), col(dst).as("t"))
+      .distinct()
+      .localCheckpoint() // read twice per iteration
+    val srcN = e.select(col("s")).distinct().count()
+    var hubs = e.select(col("s")).distinct()
+      .select(col("s"), round(lit(1.0 / srcN.toDouble), 12).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, "s")
+        .groupBy(col("t")).agg(decSum(col("h")).as("a_raw"))
+      val aNorm = aRaw.agg(decSum(col("a_raw")).as("az"))
+      auths = aRaw.crossJoin(aNorm)
+        .select(col("t"), round(col("a_raw") / col("az"), 12).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auths, "t")
+        .groupBy(col("s")).agg(decSum(col("a")).as("h_raw"))
+      val hNorm = hRaw.agg(decSum(col("h_raw")).as("hz"))
+      hubs = hRaw.crossJoin(hNorm)
+        .select(col("s"), round(col("h_raw") / col("hz"), 12).as("h"))
+        .localCheckpoint()
+    }
+    hubs.select(lit("hub").as("role"), col("s").as("id"),
+        round(col("h"), roundTo).as("score"))
+      .unionByName(auths.select(lit("authority").as("role"),
+        col("t").as("id"), round(col("a"), roundTo).as("score")))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
     * number of rounds — community detection over sparse similarity
     * graphs (near-dup pair graphs, link graphs): every node starts as

@@ -923,6 +923,57 @@ object RelationalQueries {
         "query at 100x. The hash coin makes the estimate reproducible " +
         "and oracle-checkable."),
 
+    // ---- q212: HITS hubs & authorities -------------------------------------
+    "q212_hits" -> Q(
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("buyer"), col("l_suppkey").as("sup"))
+        graft.operators.Graph.hits(edges, "buyer", "sup", iters = 4)
+          .orderBy(col("role"), col("id"))
+      },
+      Some {
+        def decSum(x: String) =
+          s"CAST(SUM(CAST(round($x, 14) AS DECIMAL(28,14))) AS DOUBLE)"
+        val its = (1 to 4).map { i =>
+          s""",
+        ar$i AS MATERIALIZED (
+          SELECT t, ${decSum("h")} AS a_raw
+          FROM e JOIN h${i - 1} USING (s) GROUP BY t),
+        az$i AS (SELECT ${decSum("a_raw")} AS az FROM ar$i),
+        a$i AS MATERIALIZED (
+          SELECT t, round(a_raw / az, 12) AS a
+          FROM ar$i CROSS JOIN az$i),
+        hr$i AS MATERIALIZED (
+          SELECT s, ${decSum("a")} AS h_raw
+          FROM e JOIN a$i USING (t) GROUP BY s),
+        hz$i AS (SELECT ${decSum("h_raw")} AS hz FROM hr$i),
+        h$i AS MATERIALIZED (
+          SELECT s, round(h_raw / hz, 12) AS h
+          FROM hr$i CROSS JOIN hz$i)"""
+        }.mkString
+        s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS s, l_suppkey AS t
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS MATERIALIZED (
+          SELECT s, round(1.0 / (SELECT COUNT(DISTINCT s) FROM e), 12) AS h
+          FROM (SELECT DISTINCT s FROM e))$its
+        SELECT 'hub' AS role, s AS id, round(h, 9) AS score FROM h4
+        UNION ALL
+        SELECT 'authority' AS role, t AS id, round(a, 9) AS score FROM a4
+        ORDER BY role, id"""
+      },
+      "HITS hubs & authorities over the directed buyer->supplier " +
+        "purchase graph (4 fixed iterations, L1-normalized) — the " +
+        "centrality PAIR for bipartite-flavored graphs where " +
+        "pageRank's single score conflates roles. The pageRank " +
+        "determinism discipline (14-decimal DECIMAL(28,14) " +
+        "accumulation, 12-decimal re-round per normalize) walks both " +
+        "engines through identical score vectors; per pass only the " +
+        "one-row-per-node score relations shuffle."),
+
     // ---- q204: degree assortativity ----------------------------------------
     "q204_assortativity" -> Q(
       (s, d) => {

@@ -156,10 +156,11 @@ object BenchScale {
     // is the jaccardPairs self-join derivation
     "q204_assortativity", "q205_lpa_communities",
     "q206_vocab_coverage", "q207_lexical_diversity",
-    // q208/q209's exact audit arm is the documented sample-slice
-    // baseline — linear here (100 probes x corpus) but 10×-only by the
+    // q208-q211's exact audit arm is the documented sample-slice
+    // baseline — linear here (probes x corpus) but 10×-only by the
     // q192 precedent
-    "q208_ivf_recall", "q209_ivf_tuned")
+    "q208_ivf_recall", "q209_ivf_tuned", "q210_pq_recall",
+    "q211_pq_tuned")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,

@@ -192,6 +192,22 @@ class EntityGraphSpec extends SparkSuite {
     assert(er(0) == ((2L, 1L)) && er(1) == ((0L, 1L)))
   }
 
+  test("hits: authority follows in-links, hubs follow authority reach") {
+    import spark.implicits._
+    // buyers 1,2,3 all buy from supplier 100; buyer 1 also from 200
+    val edges = Seq((1, 100), (2, 100), (3, 100), (1, 200)).toDF("b", "s")
+    val out = Graph.hits(edges, "b", "s", iters = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val a100 = out(("authority", 100)); val a200 = out(("authority", 200))
+    val h1 = out(("hub", 1)); val h2 = out(("hub", 2)); val h3 = out(("hub", 3))
+    assert(a100 > a200, s"the 3-in-link supplier must dominate: $out")
+    assert(h1 > h2 && h2 == h3,
+      s"the 2-out-link buyer must lead; symmetric buyers tie: $out")
+    assert(math.abs(a100 + a200 - 1.0) < 1e-9, "L1-normalized authorities")
+    assert(math.abs(h1 + h2 + h3 - 1.0) < 1e-9, "L1-normalized hubs")
+  }
+
   test("labelPropagation: disjoint triangles converge to their min labels") {
     import spark.implicits._
     val edges = Seq((1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12))
