@@ -173,18 +173,22 @@ object Graph {
       .select(col("s"), round(lit(1.0 / srcN.toDouble), 12).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
+      // checkpoint the RAW aggregates, not the normalized scores: each
+      // raw relation feeds BOTH its normalizer scalar and the score
+      // projection — uncheckpointed, the edge⋈score join re-executes
+      // per arm (measured 2x the per-iteration cost)
       val aRaw = e.join(hubs, "s")
         .groupBy(col("t")).agg(decSum(col("h")).as("a_raw"))
+        .localCheckpoint()
       val aNorm = aRaw.agg(decSum(col("a_raw")).as("az"))
       auths = aRaw.crossJoin(aNorm)
         .select(col("t"), round(col("a_raw") / col("az"), 12).as("a"))
-        .localCheckpoint()
       val hRaw = e.join(auths, "t")
         .groupBy(col("s")).agg(decSum(col("a")).as("h_raw"))
+        .localCheckpoint()
       val hNorm = hRaw.agg(decSum(col("h_raw")).as("hz"))
       hubs = hRaw.crossJoin(hNorm)
         .select(col("s"), round(col("h_raw") / col("hz"), 12).as("h"))
-        .localCheckpoint()
     }
     hubs.select(lit("hub").as("role"), col("s").as("id"),
         round(col("h"), roundTo).as("score"))

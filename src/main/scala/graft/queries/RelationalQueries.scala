@@ -930,13 +930,13 @@ object RelationalQueries {
           .join(Tables.lineitem(s, d),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("buyer"), col("l_suppkey").as("sup"))
-        graft.operators.Graph.hits(edges, "buyer", "sup", iters = 4)
+        graft.operators.Graph.hits(edges, "buyer", "sup", iters = 3)
           .orderBy(col("role"), col("id"))
       },
       Some {
         def decSum(x: String) =
           s"CAST(SUM(CAST(round($x, 14) AS DECIMAL(28,14))) AS DOUBLE)"
-        val its = (1 to 4).map { i =>
+        val its = (1 to 3).map { i =>
           s""",
         ar$i AS MATERIALIZED (
           SELECT t, ${decSum("h")} AS a_raw
@@ -960,13 +960,13 @@ object RelationalQueries {
         h0 AS MATERIALIZED (
           SELECT s, round(1.0 / (SELECT COUNT(DISTINCT s) FROM e), 12) AS h
           FROM (SELECT DISTINCT s FROM e))$its
-        SELECT 'hub' AS role, s AS id, round(h, 9) AS score FROM h4
+        SELECT 'hub' AS role, s AS id, round(h, 9) AS score FROM h3
         UNION ALL
-        SELECT 'authority' AS role, t AS id, round(a, 9) AS score FROM a4
+        SELECT 'authority' AS role, t AS id, round(a, 9) AS score FROM a3
         ORDER BY role, id"""
       },
       "HITS hubs & authorities over the directed buyer->supplier " +
-        "purchase graph (4 fixed iterations, L1-normalized) — the " +
+        "purchase graph (3 fixed iterations, L1-normalized) — the " +
         "centrality PAIR for bipartite-flavored graphs where " +
         "pageRank's single score conflates roles. The pageRank " +
         "determinism discipline (14-decimal DECIMAL(28,14) " +

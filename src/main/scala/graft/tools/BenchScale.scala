@@ -160,7 +160,10 @@ object BenchScale {
     // baseline — linear here (probes x corpus) but 10×-only by the
     // q192 precedent
     "q208_ivf_recall", "q209_ivf_tuned", "q210_pq_recall",
-    "q211_pq_tuned")
+    "q211_pq_tuned",
+    // iterative centrality (the q111 pageRank class: score relations
+    // shuffle per pass, edges materialize once)
+    "q212_hits")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
