@@ -1249,29 +1249,11 @@ object TextAnalysis {
     * Output: one row per K — (vocab_size, n_types, covered, total,
     * coverage). K larger than the type count covers everything. */
   def vocabCoverage(docs: DataFrame, text: String,
-      sizes: Seq[Int]): DataFrame = {
-    require(sizes.nonEmpty && sizes.forall(_ >= 1),
-      "vocabCoverage: sizes must be positive")
-    val counts = docs
-      .select(explode(tokens(col(text))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("term"))
-    val ranked = counts.withColumn("rk", row_number().over(w))
-      .localCheckpoint() // feeds totals and every K bucket
-    val totals = ranked.agg(sum(col("c")).as("total"),
-      count(lit(1)).as("n_types"))
-    val spine = docs.sparkSession.createDataFrame(
-      sizes.distinct.sorted.map(Tuple1(_))).toDF("vocab_size")
-    spine.join(ranked, col("rk") <= col("vocab_size"))
-      .groupBy(col("vocab_size"))
-      .agg(sum(col("c")).as("covered"))
-      .crossJoin(broadcast(totals))
-      .select(col("vocab_size"), col("n_types"), col("covered"),
-        col("total"),
-        (col("covered").cast("double") / col("total").cast("double"))
-          .as("coverage"))
-  }
+      sizes: Seq[Int]): DataFrame =
+    vocabCoverageFromCounts(
+      docs.select(explode(tokens(col(text))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c")),
+      sizes)
 
   /** Lexical diversity per corpus slice — the repetitiveness read
     * quality filters want beside length stats: type-token ratio
@@ -1293,6 +1275,58 @@ object TextAnalysis {
           .as("ttr"),
         (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_share"))
+
+  /** Streaming term-count index maintenance — ONE ingest loop powering
+    * the whole text-diagnostics tier: each micro-batch lands its
+    * (term, count) partial as an idempotent delta partition (the
+    * [[graft.operators.Sketches]] delta pattern — a replayed batch
+    * overwrites its own partition), and [[termCountsMerged]] sums the
+    * deltas back to the exact batch term-count relation, so
+    * [[vocabCoverage]]/[[lexicalDiversity]]-style reports computed
+    * over the streamed counts equal their one-shot batch answers
+    * (StreamingSpec pins vocab coverage streamed == batch). Per batch
+    * only the batch's own bounded vocabulary shuffles. */
+  def termCountsIngest(text: String, prefix: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      graft.operators.Sketches.writeDelta(
+        batch.select(explode(tokens(col(text))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c")),
+        batchId, prefix)
+    }
+
+  /** The merged term counts over everything [[termCountsIngest]]
+    * landed — the exact (term, c) relation the batch explode would
+    * produce over the union of all ingested batches. */
+  def termCountsMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): DataFrame =
+    spark.table(s"${prefix}_deltas")
+      .groupBy(col("term")).agg(sum(col("c")).as("c"))
+
+  /** [[vocabCoverage]] over a pre-aggregated (term, c) relation —
+    * shared by the batch form and [[termCountsMerged]] so the streamed
+    * index reads the identical curve. */
+  def vocabCoverageFromCounts(counts: DataFrame,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "vocabCoverageFromCounts: sizes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+      .localCheckpoint()
+    val totals = ranked.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_types"))
+    val spine = counts.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(Tuple1(_))).toDF("vocab_size")
+    spine.join(ranked, col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("c")).as("covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("n_types"), col("covered"),
+        col("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
 
   /** Trending terms per period — burst detection over a partitioned
     * corpus (which vocabulary is over-represented in THIS batch vs the

@@ -1225,6 +1225,51 @@ class StreamingSpec extends SparkSuite {
     } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("termCountsIngest: streamed vocab coverage equals the batch curve") {
+    // one streamed term-count index powers the text-diagnostics tier:
+    // the coverage curve over merged deltas must equal the one-shot
+    // batch curve, and a replayed batch must not double-count
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_termcounts"
+    try {
+      Seq(s"${prefix}_deltas", s"${prefix}_state")
+        .foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("text"))
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(TextAnalysis.termCountsIngest("text", prefix))
+        .start()
+      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val sizes = Seq(8, 16, 32)
+      val streamed = key(TextAnalysis.vocabCoverageFromCounts(
+        TextAnalysis.termCountsMerged(spark, prefix), sizes))
+      val batch = key(TextAnalysis.vocabCoverage(docs, "text", sizes))
+      assert(streamed == batch,
+        s"extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      // replay guard: re-applying batch 0 must not change the counts
+      val before = TextAnalysis.termCountsMerged(spark, prefix)
+        .agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+      TextAnalysis.termCountsIngest("text", prefix)(
+        rows.take(5).toSeq.toDF("doc_id", "text"), 0L)
+      val after = TextAnalysis.termCountsMerged(spark, prefix)
+        .agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+      assert(after == before, "a replayed batch must not double-count")
+    } finally Seq(s"${prefix}_deltas", s"${prefix}_state")
+      .foreach(Catalog.dropTable(spark, _))
+  }
+
   test("sceneCutStream: emitted frames equal batch sceneSegments starts") {
     // perceptual frame skipping: the streamed cut filter must emit
     // exactly the frames batch sceneSegments reports as scene starts —
