@@ -323,23 +323,35 @@ object Graph {
       .localCheckpoint()
     // early exit at the fixpoint is RESULT-identical to running all
     // `rounds` (post-fixpoint peels are no-ops — the oracle runs them
-    // all and agrees); the per-round count is a metadata-cheap action
-    // on the just-checkpointed relation and saves every wasted round
-    var prev = e.count()
+    // all and agrees). Each round removes the PEELED SHELL (nodes that
+    // just dropped below k) rather than re-filtering against the big
+    // survivor set: the shell is small after the first rounds, so a
+    // broadcast anti-join keeps the edge relation un-shuffled — one
+    // keyed shuffle (the degree aggregate) per round. A pathological
+    // shell (> 4M nodes in one round) falls back to shuffle semi-joins
+    // on the survivors; results are identical either way.
     var round = 0
     var fixed = false
-    while (round < rounds && !fixed && prev > 0) {
+    while (round < rounds && !fixed) {
       round += 1
-      val good = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("v"))
-        .localCheckpoint() // feeds both endpoint semi-joins
-      e = e.join(good.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(good.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
-      val cur = e.count()
-      fixed = cur == prev
-      prev = cur
+        .localCheckpoint() // feeds the shell and (rarely) the fallback
+      val bad = deg.filter(col("d") < k).select(col("v"))
+      val nBad = bad.count()
+      if (nBad == 0L) fixed = true
+      else {
+        e = (if (nBad <= 4000000L)
+          e.join(broadcast(bad.withColumnRenamed("v", "a")),
+              Seq("a"), "left_anti")
+            .join(broadcast(bad.withColumnRenamed("v", "b")),
+              Seq("b"), "left_anti")
+        else {
+          val good = deg.filter(col("d") >= k).select(col("v"))
+          e.join(good.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(good.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        }).localCheckpoint()
+      }
     }
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
