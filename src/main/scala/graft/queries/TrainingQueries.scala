@@ -1106,6 +1106,67 @@ object TrainingQueries {
         "exact-integer coverage ratios; one corpus explode onto the " +
         "vocab spine, everything after runs on the bounded spine."),
 
+    // ---- q213: Good-Turing unseen mass + Chao1 richness --------------------
+    "q213_unseen_mass" -> Q(
+      (s, dir) => {
+        // 2-token windows, not unigrams: the fixture's unigram vocab
+        // saturates (31 types, zero hapaxes — coverage reads a vacuous
+        // 1.0), while bigram types keep a live unseen tail — the
+        // regime the estimator exists for
+        graft.plans.TextExpressions.register(s)
+        val counts = Tables.documents(s, dir)
+          .select(explode(call_function("window_md5s", col("text"), lit(2)))
+            .as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        counts.agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+          .select(col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+            (col("n1").cast("double") / col("n_tokens").cast("double"))
+              .as("p_unseen"),
+            (lit(1.0) - col("n1").cast("double") /
+              col("n_tokens").cast("double")).as("coverage"),
+            (col("n_types").cast("double") +
+              (col("n1") * col("n1")).cast("double") /
+                nullif((lit(2L) * col("n2")).cast("double"), lit(0.0)))
+              .as("chao1_richness"))
+      },
+      Some("""
+        WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        pos0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS pos
+                 FROM w0),
+        c AS (
+          SELECT md5(array_to_string(w[pos+1:pos+2], ' ')) AS term,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM pos0 GROUP BY 1
+        ), m AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM c)
+        SELECT n_tokens, n_types, n1, n2,
+               CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+               1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS coverage,
+               CAST(n_types AS DOUBLE) +
+                 CAST(n1 * n1 AS DOUBLE) /
+                   nullif(CAST(2 * n2 AS DOUBLE), 0.0) AS chao1_richness
+        FROM m"""),
+      "Corpus-completeness diagnostics over 2-token windows: " +
+        "Good-Turing unseen mass (singleton share of occurrences — " +
+        "the probability the NEXT window is a new type, i.e. how much " +
+        "more crawling buys new content) and the Chao1 richness " +
+        "estimate V + n1^2/(2 n2) of the total type count including " +
+        "unseen ones — the stop-crawling signal beside q110's Heaps " +
+        "fit. Windows ride the single-pass native window_md5s " +
+        "expression (identity by md5); one explode onto the bigram " +
+        "spine, one 4-number reduction, exact-integer IEEE chains; " +
+        "null Chao1 when no doubletons exist."),
+
     // ---- q207: lexical diversity per source --------------------------------
     "q207_lexical_diversity" -> Q(
       (s, dir) =>
