@@ -163,7 +163,7 @@ object BenchScale {
     "q211_pq_tuned",
     // iterative centrality (the q111 pageRank class: score relations
     // shuffle per pass, edges materialize once)
-    "q212_hits")
+    "q212_hits", "q213_unseen_mass")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -205,7 +205,7 @@ object BenchScale {
     // vocab-by-periods grid (q202) — the 100 TB shapes by construction
     "q197_ks_drift", "q198_cuped", "q201_embedding_drift",
     "q202_trending_terms", "q203_emd_drift",
-    "q206_vocab_coverage", "q207_lexical_diversity")
+    "q206_vocab_coverage", "q207_lexical_diversity", "q213_unseen_mass")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
