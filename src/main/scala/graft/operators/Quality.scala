@@ -267,7 +267,6 @@ object Quality {
   def emdReport(df: DataFrame, value: Column, isRef: Column,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "emdReport: binWidth > 0")
-    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val g = df
       .withColumn("bin", floor(value / binWidth).cast("long"))
       .filter(col("bin").isNotNull)
@@ -275,6 +274,14 @@ object Quality {
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    emdFromCounts(g, binWidth)
+  }
+
+  /** The EMD tail over a pre-binned (bin, n_ref, n_cur) relation —
+    * shared with [[emdIngest]] so each streamed per-batch report is
+    * bit-equal to [[emdReport]] over reference ∪ batch. */
+  private def emdFromCounts(g: DataFrame, binWidth: Double): DataFrame = {
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val w = Window.orderBy(col("bin"))
     val c = g.select(col("bin"), col("n_ref"), col("n_cur"),
       sum(col("n_ref")).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -295,6 +302,45 @@ object Quality {
         (col("area").cast("double") /
           nullif((dec(col("n_ref")) * dec(col("n_cur"))).cast("double"),
             lit(0.0)) * lit(binWidth)).as("emd"))
+  }
+
+  /** Streaming EMD drift monitor — completes the monitor-twin set
+    * (PSI/KS/AUC/calibration all stream; this is the Wasserstein
+    * member): frozen reference bin counts as driver literals, one
+    * appended (batch_id, n_ref, n_cur, emd) row per micro-batch,
+    * bit-equal to [[emdReport]] over reference ∪ that batch through
+    * the shared tail; replay-guarded like every other ingest. */
+  def emdIngest(reference: DataFrame, value: Column, binWidth: Double,
+      reportTable: String, stateTable: String): (DataFrame, Long) => Unit = {
+    require(binWidth > 0, "emdIngest: binWidth > 0")
+    def binOf(v: Column): Column = floor(v / binWidth).cast("long")
+    val refCounts: Seq[(Long, Long)] = reference
+      .select(binOf(value).as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val ref = refCounts.toDF("bin", "n_ref")
+        val cur = batch.select(binOf(value).as("bin"))
+          .filter(col("bin").isNotNull)
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+        val g = ref.join(cur, Seq("bin"), "full_outer")
+          .na.fill(0L, Seq("n_ref", "n_cur"))
+        emdFromCounts(g, binWidth)
+          .select(lit(batchId).as("batch_id"), col("n_ref"), col("n_cur"),
+            col("emd"))
+          .write.mode("append").saveAsTable(reportTable)
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
   }
 
   /** Streaming KS drift monitor — the [[psiIngest]] pattern applied to

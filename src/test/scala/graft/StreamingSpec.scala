@@ -1307,6 +1307,53 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size < sigs.length)
   }
 
+  test("emdIngest: per-batch reports equal emdReport over reference UNION batch") {
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (reportT, stateT) = ("graft_emd_report", "graft_emd_state")
+    try {
+      Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), length(col("text")).cast("double").as("v"))
+      val ref = docs.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val curAll = docs.filter(col("doc_id") % 2 =!= 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val input = MemoryStream[(Long, Double)]
+      val q = input.toDF().toDF("doc_id", "v").writeStream
+        .foreachBatch(Quality.emdIngest(ref, col("v"), binWidth = 50.0,
+          reportT, stateT))
+        .start()
+      val chunks = curAll.grouped(curAll.length / 3 + 1).toSeq
+      for (chunk <- chunks) {
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val report = spark.table(reportT)
+      assert(report.select(col("batch_id")).distinct().count() == chunks.size)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val streamed = key(report.filter(col("batch_id") === i.toLong)
+          .select(col("n_ref"), col("n_cur"), col("emd")))
+        val union = ref.withColumn("is_ref", lit(true))
+          .unionByName(chunk.toSeq.toDF("doc_id", "v")
+            .withColumn("is_ref", lit(false)))
+        val batch = key(Quality.emdReport(union, col("v"), col("is_ref"),
+          binWidth = 50.0)
+          .select(col("n_ref"), col("n_cur"), col("emd")))
+        assert(streamed == batch,
+          s"batch $i: extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      }
+      val n0 = spark.table(reportT).count()
+      Quality.emdIngest(ref, col("v"), 50.0, reportT, stateT)(
+        chunks.head.toSeq.toDF("doc_id", "v"), 0L)
+      assert(spark.table(reportT).count() == n0,
+        "a replayed batch must not duplicate its drift report")
+    } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
   test("ksIngest: per-batch reports equal ksReport over reference UNION batch") {
     // the KS member of the standing drift monitors: frozen reference
     // CDF, one appended report ROW per micro-batch, each bit-equal to
