@@ -90,20 +90,17 @@ object Quality {
     * decimal accumulation, same divides). With [[psiIngest]] and
     * [[aucIngest]] this completes the monitor family's ingest forms:
     * drift, ranking power, and probability honesty all maintained
-    * per-batch without re-scanning scored history. Batch-id replay
-    * guard as in the other ingests. */
+    * per-batch without re-scanning scored history. Delivery is
+    * exactly-once through the [[Sketches.writeDeltaTo]] contract: each
+    * batch's partials land in their own batch_id partition with
+    * dynamic overwrite, so a crash-window replay rewrites its
+    * partition instead of double-counting it. */
   def calibrationIngest(score: String, label: String, bins: Int,
       spineTable: String, stateTable: String): (DataFrame, Long) => Unit = {
     require(bins >= 2, "calibrationIngest: bins >= 2")
     import org.apache.spark.sql.types.DecimalType
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
+      Sketches.writeDeltaTo(
         batch
           .withColumn("bin",
             greatest(lit(0L),
@@ -111,11 +108,8 @@ object Quality {
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"),
             sum(col(score).cast(DecimalType(27, 6))).as("score_sum"),
-            sum(col(label).cast("long")).as("n_pos"))
-          .write.mode("append").saveAsTable(spineTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+            sum(col(label).cast("long")).as("n_pos")),
+        batchId, spineTable, stateTable)
     }
   }
 
@@ -309,7 +303,10 @@ object Quality {
     * member): frozen reference bin counts as driver literals, one
     * appended (batch_id, n_ref, n_cur, emd) row per micro-batch,
     * bit-equal to [[emdReport]] over reference ∪ that batch through
-    * the shared tail; replay-guarded like every other ingest. */
+    * the shared tail; exactly-once through the
+    * [[Sketches.writeDeltaTo]] delta-partition contract (a crash-window
+    * replay rewrites its own batch_id partition, never appends a
+    * duplicate drift row). */
   def emdIngest(reference: DataFrame, value: Column, binWidth: Double,
       reportTable: String, stateTable: String): (DataFrame, Long) => Unit = {
     require(binWidth > 0, "emdIngest: binWidth > 0")
@@ -322,24 +319,16 @@ object Quality {
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
-        val ref = refCounts.toDF("bin", "n_ref")
-        val cur = batch.select(binOf(value).as("bin"))
-          .filter(col("bin").isNotNull)
-          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
-        val g = ref.join(cur, Seq("bin"), "full_outer")
-          .na.fill(0L, Seq("n_ref", "n_cur"))
+      val ref = refCounts.toDF("bin", "n_ref")
+      val cur = batch.select(binOf(value).as("bin"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+      val g = ref.join(cur, Seq("bin"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      Sketches.writeDeltaTo(
         emdFromCounts(g, binWidth)
-          .select(lit(batchId).as("batch_id"), col("n_ref"), col("n_cur"),
-            col("emd"))
-          .write.mode("append").saveAsTable(reportTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+          .select(col("n_ref"), col("n_cur"), col("emd")),
+        batchId, reportTable, stateTable)
     }
   }
 
@@ -352,9 +341,11 @@ object Quality {
     * same exact-integer gap arithmetic) — StreamingSpec pins the
     * equality, so alert thresholds tuned on batch reports transfer.
     *
-    * Delivery mirrors the other ingests: `stateTable` records the last
-    * applied batch id and a replayed batch is skipped whole (a replay
-    * would append a duplicate row to the drift series). */
+    * Delivery: exactly-once through the [[Sketches.writeDeltaTo]]
+    * delta-partition contract — a replayed batch id is skipped whole,
+    * and a crash-window replay (report written, state not yet)
+    * rewrites its own batch_id partition instead of appending a
+    * duplicate row to the drift series. */
   def ksIngest(reference: DataFrame, value: Column, binWidth: Double,
       reportTable: String, stateTable: String): (DataFrame, Long) => Unit = {
     require(binWidth > 0, "ksIngest: binWidth > 0")
@@ -367,24 +358,17 @@ object Quality {
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
-        val ref = refCounts.toDF("bin", "n_ref")
-        val cur = batch.select(binOf(value).as("bin"))
-          .filter(col("bin").isNotNull)
-          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
-        val g = ref.join(cur, Seq("bin"), "full_outer")
-          .na.fill(0L, Seq("n_ref", "n_cur"))
+      val ref = refCounts.toDF("bin", "n_ref")
+      val cur = batch.select(binOf(value).as("bin"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+      val g = ref.join(cur, Seq("bin"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      Sketches.writeDeltaTo(
         ksFromCounts(g)
-          .select(lit(batchId).as("batch_id"), col("n_ref"), col("n_cur"),
-            col("d_stat"), col("ks_scaled"), col("reject_05"))
-          .write.mode("append").saveAsTable(reportTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+          .select(col("n_ref"), col("n_cur"),
+            col("d_stat"), col("ks_scaled"), col("reject_05")),
+        batchId, reportTable, stateTable)
     }
   }
 
@@ -467,25 +451,17 @@ object Quality {
     * AUC the one-shot batch report computes — the standing
     * eval-on-ingest a scored corpus needs (is the filter's separation
     * drifting as new data arrives?) without ever re-scanning scored
-    * history. Batch-id replay guard as in the other ingests (a
-    * replayed append would double-count its scores). */
+    * history. Exactly-once through the [[Sketches.writeDeltaTo]]
+    * delta-partition contract (an appended replay would double-count
+    * its scores; the partition overwrite rewrites instead). */
   def aucIngest(score: String, label: String, spineTable: String,
       stateTable: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
+      Sketches.writeDeltaTo(
         batch
           .groupBy(col(score).as("s"))
-          .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np"))
-          .write.mode("append").saveAsTable(spineTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+          .agg(count(lit(1)).as("n"), sum(col(label).cast("long")).as("np")),
+        batchId, spineTable, stateTable)
     }
 
   /** AUC from an [[aucIngest]]-maintained spine: re-aggregate the
@@ -508,10 +484,10 @@ object Quality {
     * rounding) — StreamingSpec pins the equality — so alerting
     * thresholds tuned on batch reports transfer unchanged.
     *
-    * Delivery mirrors the other ingests: `stateTable` records the last
-    * applied batch id and a replayed batch is skipped whole (a replay
-    * would append a duplicate report and double-count the drift
-    * series). */
+    * Delivery: exactly-once through the [[Sketches.writeDeltaTo]]
+    * delta-partition contract — a replayed batch id is skipped whole,
+    * and a crash-window replay rewrites its own batch_id partition
+    * instead of appending a duplicate report. */
   def psiIngest(reference: DataFrame, value: Column, binWidth: Double,
       bins: Int, reportTable: String, stateTable: String)
       : (DataFrame, Long) => Unit = {
@@ -526,38 +502,29 @@ object Quality {
     val tRef = refCounts.sum
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
-        val cur = batch.select(binOf(value).as("bin"))
-          .filter(col("bin").isNotNull)
-          .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
-        val spine = spark.range(bins.toLong)
-          .select(col("id").cast("int").as("bin"))
-        val full = spine.join(cur, Seq("bin"), "left")
-          .na.fill(0L, Seq("n_cur"))
-          .withColumn("n_ref", element_at(typedlit(refCounts), col("bin") + 1))
-        // coalesce: a batch whose every value is null has no populated
-        // bins — t_cur must read 0 (matching psiReport over the union),
-        // not null
-        val t = cur.agg(coalesce(sum(col("n_cur")), lit(0L)).as("t_cur"))
-        val pRef = (col("n_ref").cast("double") + lit(0.5)) /
-          (lit(tRef).cast("double") + lit(0.5 * bins))
-        val pCur = (col("n_cur").cast("double") + lit(0.5)) /
-          (col("t_cur").cast("double") + lit(0.5 * bins))
+      val cur = batch.select(binOf(value).as("bin"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+      val spine = spark.range(bins.toLong)
+        .select(col("id").cast("int").as("bin"))
+      val full = spine.join(cur, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_cur"))
+        .withColumn("n_ref", element_at(typedlit(refCounts), col("bin") + 1))
+      // coalesce: a batch whose every value is null has no populated
+      // bins — t_cur must read 0 (matching psiReport over the union),
+      // not null
+      val t = cur.agg(coalesce(sum(col("n_cur")), lit(0L)).as("t_cur"))
+      val pRef = (col("n_ref").cast("double") + lit(0.5)) /
+        (lit(tRef).cast("double") + lit(0.5 * bins))
+      val pCur = (col("n_cur").cast("double") + lit(0.5)) /
+        (col("t_cur").cast("double") + lit(0.5 * bins))
+      Sketches.writeDeltaTo(
         full.crossJoin(t)
-          .select(lit(batchId).as("batch_id"), col("bin"),
-            col("n_ref"), col("n_cur"),
+          .select(col("bin"), col("n_ref"), col("n_cur"),
             round(pRef, 6).as("ref_share"),
             round(pCur, 6).as("cur_share"),
-            round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
-          .write.mode("append").saveAsTable(reportTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+            round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib")),
+        batchId, reportTable, stateTable)
     }
   }
 
@@ -614,16 +581,20 @@ object Quality {
     * pipelines need agreement BEYOND CHANCE, not raw accuracy: a 95%
     * positive corpus gives 90% raw agreement to two coin-flippers).
     * ONE conditional-aggregate pass builds the 2×2 contingency table;
-    * po, pe and kappa are IEEE divisions of the exact integer counts
-    * (marginal products stay exact in longs to ~3e9 rows), so the
-    * report hash-proves cross-engine with no rounding. Null labels on
-    * either side are excluded (pairwise-complete). Degenerate
-    * chance-perfect agreement (pe = 1) reports null kappa. Output: one
-    * row (n, n11, n10, n01, n00, po, pe, kappa). */
+    * po, pe and kappa are IEEE divisions of exact integer counts — the
+    * pe marginal products multiply as DECIMAL(38,0) (two ~n marginals
+    * would silently wrap a long past ~3e9 rows in non-ANSI mode), so
+    * the report stays exact and hash-proves cross-engine at any corpus
+    * size. Null labels on either side are excluded
+    * (pairwise-complete). Degenerate chance-perfect agreement (pe = 1)
+    * reports null kappa. Output: one row (n, n11, n10, n01, n00, po,
+    * pe, kappa). */
   def kappaReport(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val a = labelA.cast("boolean")
     val b = labelB.cast("boolean")
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
     df.filter(a.isNotNull && b.isNotNull)
       .agg(
         count(lit(1)).as("n"),
@@ -632,8 +603,9 @@ object Quality {
       .withColumn("po",
         (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
       .withColumn("pe",
-        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-         (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+        (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
+         dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+          .cast("double") /
           (col("n").cast("double") * col("n").cast("double")))
       .withColumn("kappa",
         (col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0)))

@@ -422,6 +422,16 @@ object Similarity {
     * harness, the definition of a super-linear trap — where mutual-kNN
     * at that size always goes through the ANN route anyway.
     *
+    * RECALL CAVEAT of that default: inputs whose pair space lands in
+    * (2^26, 2^31] — roughly two 8k–46k sides — used to run EXACT under
+    * the old budget and now route through IVF, which is approximate: a
+    * true mutual pair whose two vectors quantize into different coarse
+    * cells (and miss each other's nProbe fan-out) is DROPPED, not
+    * ranked. Accuracy-sensitive callers in that window must pass an
+    * explicit `pairBudget` (e.g. `1L << 31`) to buy the exact pass
+    * back; throughput callers keep the default and accept IVF recall
+    * (tune with [[ivfRecallAudit]]).
+    *
     * Returns (xId, yId, sim, rank_f, rank_b) for every pair in EITHER
     * direction's top-k; a rank is null (routed path) or > k (exact
     * path) when the pair missed that direction's list, so callers
@@ -678,7 +688,13 @@ object Similarity {
     // pass (+0.6-1.6 s each on q61/q72/q73/q76/q87 at sf0.1, measured).
     // k-means math is grid-snapped decimal — partitioning cannot
     // change the trained model either way.
+    // null vectors are excluded up front, BEFORE the >= k requirement
+    // and the initial-centroid pick, so both paths (driver-local fast
+    // path and distributed loop) see the same null-free training set —
+    // previously a null among the first k rows seeded the two paths
+    // differently across the 2^16 boundary
     val src = vecs.select(col(id).as("vid"), col(vec).as("v"))
+      .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = src.count()
     // DRIVER-LOCAL fast path for contract-bounded training samples: the
@@ -697,10 +713,12 @@ object Similarity {
     if (n <= (1L << 16)) {
       val rows = src.orderBy(col("vid")).collect()
       src.unpersist(false)
+      // src is null-filtered, so this counts TRAINABLE vectors — the
+      // same population the distributed path's limit(k) seeds from
       require(rows.length >= k,
-        s"kMeans: need at least k=$k vectors, got ${rows.length}")
+        s"kMeans: need at least k=$k non-null vectors, got ${rows.length}")
       val data: Array[Array[Double]] =
-        rows.filter(!_.isNullAt(1)).map(_.getSeq[Double](1).toArray)
+        rows.map(_.getSeq[Double](1).toArray)
       var cents: Array[Array[Double]] = data.take(k).map(_.clone())
       def nearest(v: Array[Double]): Int = {
         var best = -1; var bestD = Double.PositiveInfinity; var c = 0
@@ -766,7 +784,7 @@ object Similarity {
     // fewer than k inputs would silently train a smaller model than the
     // promised k cells — downstream PQ/IVF callers index cells 0..k-1
     require(centroids.length == k,
-      s"kMeans: need at least k=$k vectors, got ${centroids.length}")
+      s"kMeans: need at least k=$k non-null vectors, got ${centroids.length}")
     // re-spread the training input IF it is both heavy and
     // under-partitioned: the canonical topKAuto/pqCodebooks sample
     // arrives via sort().limit(), whose global limit collapses to ONE
@@ -1015,16 +1033,17 @@ object Similarity {
     * side of that equi-join never shuffles — each batch shuffles only
     * itself to the index's bucketing (StreamingSpec pins the plan).
     *
-    * Delivery: `stateTable` records the last applied batch id and a
-    * REPLAYED batch (same id — the foreachBatch redelivery after a
-    * crash past the state write) is skipped whole, mirroring
-    * [[TextAnalysis.trainingRowsIngest]]; without the guard a replay
-    * re-appends every arrival to the index (silent duplicate growth —
-    * surprising from a dedup operator, even though duplicate index rows
-    * cannot flip any keep decision). Writes are corpus → index → state,
-    * so the remaining crash windows replay at-least-once into the
-    * corpus/index, never losing content and never skipping a batch that
-    * was not fully applied. */
+    * Delivery: EXACTLY-ONCE through the [[Sketches.landDelta]]
+    * delta-partition contract. `stateTable` records the last applied
+    * batch id and a replayed batch at or below it is skipped whole;
+    * both tables land each batch in its own batch_id partition with
+    * dynamic overwrite, so a crash-window replay (tables written,
+    * state not yet) REWRITES its own partitions byte-for-byte instead
+    * of appending duplicates. The keep recomputation on such a replay
+    * is identical because the seniority join reads only STRICTLY
+    * EARLIER index partitions (batch_id < current) — the crashed
+    * attempt's own postings never shadow its rerun. Writes are
+    * corpus → index → state. */
   def semDedupIngest(model: DataFrame, id: String, vec: String,
       threshold: Double, corpusTable: String, indexTable: String,
       stateTable: String, indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
@@ -1042,8 +1061,12 @@ object Similarity {
             element_at(cellIds, call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
             fastNorm(col(vec)).as("nrm"))
           .localCheckpoint() // feeds both joins, the survivors and the index append
+        // batch_id < batchId: partition-pruned to earlier batches, so a
+        // crash-window replay recomputes against exactly the index the
+        // crashed attempt saw (its own half-landed partition is invisible)
         val seen =
-          if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+          if (spark.catalog.tableExists(indexTable))
+            spark.table(indexTable).filter(col("batch_id") < batchId)
           else assigned.limit(0)
         def side(df: DataFrame, p: String) = df.select(col("cell"),
           col(id).as(s"${p}_id"), col(vec).as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"))
@@ -1055,11 +1078,12 @@ object Similarity {
         val inBatch = side(assigned, "a").join(side(assigned, "b"), Seq("cell"))
           .filter(col("a_id") < col("b_id") && near).select(col("b_id"))
         val dropped = vsIndex.union(inBatch).distinct()
-        assigned.join(dropped, col(id) === col("b_id"), "left_anti")
-          .select(col(id), col("cell"), col(vec))
-          .write.mode("append").saveAsTable(corpusTable)
-        assigned.write.mode("append")
-          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
+        Sketches.landDelta(
+          assigned.join(dropped, col(id) === col("b_id"), "left_anti")
+            .select(col(id), col("cell"), col(vec)),
+          batchId, corpusTable)
+        Sketches.landDelta(assigned, batchId, indexTable,
+          Some((indexBuckets, "cell")))
         Seq(batchId).toDF("last_batch")
           .write.mode("overwrite").saveAsTable(stateTable)
       }
@@ -1079,39 +1103,28 @@ object Similarity {
     * reads the index side shuffle-free and the assignment + norm work
     * is paid once at ingest, not per query.
     *
-    * Delivery mirrors [[semDedupIngest]]: `stateTable` records the last
-    * applied batch id and a REPLAYED batch (the foreachBatch
-    * redelivery after a crash past the state write) is skipped whole —
-    * without the guard a replay silently duplicates postings, which
-    * (unlike the dedup index) WOULD corrupt search results by emitting
-    * duplicate (probe, target) rows. Writes are index → state, so the
-    * remaining crash window replays at-least-once and the guard makes
-    * it exactly-once.
+    * Delivery: EXACTLY-ONCE through the [[Sketches.writeDeltaTo]]
+    * delta-partition contract — a replayed batch id at or below the
+    * state mark is skipped whole, and the crash-window redelivery
+    * (postings written, state not yet) REWRITES its own batch_id
+    * partition with dynamic overwrite instead of appending a
+    * duplicate, which (unlike the dedup index) WOULD corrupt search
+    * results by emitting duplicate (probe, target) rows.
     *
-    * Index schema: (id, cell, vec, nrm) under the caller's id/vec
-    * column names. */
+    * Index schema: (id, cell, vec, nrm, batch_id) under the caller's
+    * id/vec column names. */
   def ivfIngest(model: DataFrame, id: String, vec: String,
       indexTable: String, stateTable: String,
       indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
     val (cellIds, matrix) = quantizerLiterals(model)
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
-      val spark = batch.sparkSession
       ensureRegistered(batch)
-      import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
+      Sketches.writeDeltaTo(
         batch.select(col(id),
-            element_at(cellIds,
-              call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
-            col(vec), fastNorm(col(vec)).as("nrm"))
-          .write.mode("append")
-          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+          element_at(cellIds,
+            call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+          col(vec), fastNorm(col(vec)).as("nrm")),
+        batchId, indexTable, stateTable, Some((indexBuckets, "cell")))
     }
   }
 
@@ -1158,10 +1171,11 @@ object Similarity {
     * shuffle — appended to the cell-bucketed postings table. Code
     * assignment arithmetic is IDENTICAL to [[pqEncode]] (same
     * nearest_cell folds over the same subspace matrices), so streamed
-    * codes equal a batch encode of the same rows. Replay guard and
-    * write order mirror [[ivfIngest]].
+    * codes equal a batch encode of the same rows. Exactly-once
+    * delivery through the [[Sketches.writeDeltaTo]] delta-partition
+    * contract, exactly as [[ivfIngest]].
     *
-    * Index schema: (id, cell, codes array<int>). */
+    * Index schema: (id, cell, codes array<int>, batch_id). */
   def ivfPqIngest(model: DataFrame, books: DataFrame, id: String,
       vec: String, indexTable: String, stateTable: String,
       indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
@@ -1169,26 +1183,16 @@ object Similarity {
     val (mats, sub) = pqMats(books)
     val m = mats.length
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
-      val spark = batch.sparkSession
       ensureRegistered(batch)
-      import spark.implicits._
-      val lastBatch: Long =
-        if (spark.catalog.tableExists(stateTable))
-          spark.table(stateTable).head().getLong(0)
-        else -1L
-      if (batchId > lastBatch) {
+      Sketches.writeDeltaTo(
         batch.select(col(id),
-            element_at(cellIds,
-              call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
-            array((0 until m).map(sp =>
-              call_function("nearest_cell",
-                slice(col(vec), sp * sub + 1, sub), typedlit(mats(sp)))): _*)
-              .as("codes"))
-          .write.mode("append")
-          .bucketBy(indexBuckets, "cell").saveAsTable(indexTable)
-        Seq(batchId).toDF("last_batch")
-          .write.mode("overwrite").saveAsTable(stateTable)
-      }
+          element_at(cellIds,
+            call_function("nearest_cell", col(vec), matrix) + 1).as("cell"),
+          array((0 until m).map(sp =>
+            call_function("nearest_cell",
+              slice(col(vec), sp * sub + 1, sub), typedlit(mats(sp)))): _*)
+            .as("codes")),
+        batchId, indexTable, stateTable, Some((indexBuckets, "cell")))
     }
   }
 

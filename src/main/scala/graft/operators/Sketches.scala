@@ -316,40 +316,63 @@ object Sketches {
   // is touched once per batch, never re-read.
   // --------------------------------------------------------------------
 
-  /** Write one batch's sketch rows into `<prefix>_deltas` partition
-    * batch_id=`batchId`, idempotently, and advance `<prefix>_state`.
-    * Package-visible: the DSIR ingest loop (TextAnalysis) lands its
-    * bucket-LM deltas through the same contract. */
-  private[operators] def writeDelta(delta: DataFrame, batchId: Long,
-      prefix: String): Unit = {
+  /** Land one batch's delta rows into `table` partition
+    * batch_id=`batchId` IDEMPOTENTLY (no replay guard, no state write —
+    * callers own those): first write creates the table partitioned on
+    * batch_id (optionally bucketed, for index tables whose readers
+    * equi-join the bucket column shuffle-free); later writes use
+    * dynamic partition overwrite, which touches ONLY the batch_id
+    * partitions present in this write — a replay of the crash window
+    * (delta written, state not yet) REWRITES its own partition
+    * byte-for-byte instead of appending a duplicate. `delta` must not
+    * already carry a batch_id column. */
+  private[operators] def landDelta(delta: DataFrame, batchId: Long,
+      table: String, bucket: Option[(Int, String)] = None): Unit = {
+    val spark = delta.sparkSession
+    val withId = delta.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table)) {
+      val w0 = withId.write.partitionBy("batch_id")
+      bucket.fold(w0) { case (n, c) => w0.bucketBy(n, c) }.saveAsTable(table)
+    } else {
+      // Session conf, not writer option: insertInto into a catalog
+      // table does not honor the per-write option
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try withId.write.mode("overwrite").insertInto(table)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
+  /** [[landDelta]] wrapped in the standard replay contract: skip whole
+    * batches at or below the recorded high-water mark, land the delta,
+    * then advance `stateTable` — delta-before-state plus the
+    * partition-overwrite write make redelivery of the crash window
+    * exactly-once. Package-visible: the drift/eval monitor ingests
+    * (Quality) and ANN index ingests (Similarity) share the contract. */
+  private[operators] def writeDeltaTo(delta: DataFrame, batchId: Long,
+      deltaTable: String, stateTable: String,
+      bucket: Option[(Int, String)] = None): Unit = {
     val spark = delta.sparkSession
     import spark.implicits._
-    val stateTable = s"${prefix}_state"
-    val deltaTable = s"${prefix}_deltas"
     val lastBatch: Long =
       if (spark.catalog.tableExists(stateTable))
         spark.table(stateTable).head().getLong(0)
       else -1L
     if (batchId > lastBatch) {
-      val withId = delta.withColumn("batch_id", lit(batchId))
-      if (!spark.catalog.tableExists(deltaTable))
-        withId.write.partitionBy("batch_id").saveAsTable(deltaTable)
-      else {
-        // dynamic overwrite touches ONLY the batch_id partitions present
-        // in this write — a replay of the crash window (delta written,
-        // state not yet) rewrites the same partition, not a duplicate.
-        // Session conf, not writer option: insertInto into a catalog
-        // table does not honor the per-write option
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "dynamic")
-        try withId.write.mode("overwrite").insertInto(deltaTable)
-        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-      }
+      landDelta(delta, batchId, deltaTable, bucket)
       Seq(batchId).toDF("last_batch")
         .write.mode("overwrite").saveAsTable(stateTable)
     }
   }
+
+  /** Write one batch's sketch rows into `<prefix>_deltas` partition
+    * batch_id=`batchId`, idempotently, and advance `<prefix>_state`.
+    * Package-visible: the DSIR ingest loop (TextAnalysis) lands its
+    * bucket-LM deltas through the same contract. */
+  private[operators] def writeDelta(delta: DataFrame, batchId: Long,
+      prefix: String): Unit =
+    writeDeltaTo(delta, batchId, s"${prefix}_deltas", s"${prefix}_state")
 
   /** Streaming count-min maintenance: a `foreachBatch` function that
     * sketches each micro-batch with [[countMinCounters]] (bounded d·w

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-level statistical tests and robust conditioning — the
+  * experiment-readout layer a data pipeline runs AFTER the drift
+  * monitors flag a change ([[Quality.psiReport]] says "the input
+  * moved"; these say "is the move significant, and how do we condition
+  * the column"). Same portability discipline as the rest of the tier:
+  * contingency/rank statistics accumulate as EXACT integers (longs
+  * into DECIMAL(38,0) where products can wrap), cross-row float sums
+  * snap to a 1e-9 grid, and the final statistics are plain IEEE
+  * divisions / sqrt (both bit-portable) of those exact components, so
+  * every report hash-proves against the DuckDB oracle with no
+  * tolerance.
+  *
+  * Scale shape: every test is one or two hash aggregations whose state
+  * is bounded by the LEVEL/SPINE cardinality (contingency cells,
+  * distinct values), never by the corpus; the only sort is over that
+  * bounded spine. Reference behavior: the reference engine publishes
+  * latency/quality metrics but ships no significance layer
+  * (/root/reference/src/utils.py:61-77 stops at raw rates) — this is
+  * the [absent]-tier completion of its metrics story.
+  */
+object Stats {
+
+  private def dec(c: Column) = c.cast(DecimalType(38, 0))
+  /** round(x·1e9) → long: the shared cross-row float-sum grid. */
+  private def grid(c: Column) = round(c * lit(1e9)).cast("long")
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the "did the source mix shift across quality buckets?"
+    * readout. One hash aggregation builds the contingency cells
+    * (bounded by levels_a × levels_b); marginals come from windows
+    * OVER THE CELLS (never a second corpus scan); expected counts are
+    * IEEE divisions of exact DECIMAL marginal products (longs would
+    * wrap past ~3e9 rows); per-cell contributions (o−e)²/e snap to the
+    * 1e-9 grid and sum exactly. Output: one row (n, levels_a,
+    * levels_b, dof, chi2). The decision against a chi-square quantile
+    * is left to the caller — the quantile depends on the
+    * data-dependent dof and is a table lookup, not a portable
+    * expression. */
+  def chiSquareReport(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("ca"), b.as("cb")).agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("ca"))
+    val wc = Window.partitionBy(col("cb"))
+    val wAll = Window.partitionBy()
+    val withM = cells
+      .withColumn("rm", sum(col("o")).over(wr))
+      .withColumn("cm", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wAll))
+    val e = (dec(col("rm")) * dec(col("cm"))).cast("double") /
+      col("n").cast("double")
+    val contrib = (col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e
+    withM
+      .select(col("ca"), col("cb"), col("o"), col("n"),
+        grid(contrib).as("g"))
+      .agg(
+        max(col("n")).as("n"),
+        count_distinct(col("ca")).as("levels_a"),
+        count_distinct(col("cb")).as("levels_b"),
+        ((count_distinct(col("ca")) - 1) *
+          (count_distinct(col("cb")) - 1)).as("dof"),
+        (sum(dec(col("g"))).cast("double") / lit(1e9)).as("chi2"))
+  }
+
+  /** Mann-Whitney U rank-sum test (two-sided, tie-corrected normal
+    * approximation) — "are the two slices' value distributions the
+    * same?" without assuming normality, the robust sibling of
+    * [[welchTReport]]. Rows split on the boolean `inA`; U never ranks
+    * individual rows: one hash aggregation collapses the corpus onto
+    * the distinct-value spine (nA, nB per value), a window over the
+    * spine accumulates below-counts, and 2·U = Σ 2·nA_v·cumB_v +
+    * nA_v·nB_v stays an exact DECIMAL integer, as does the tie term
+    * Σ t³−t. z = (2U − nA·nB) / (2·√var) is IEEE arithmetic over
+    * those exact components (√ is correctly rounded by IEEE-754, so it
+    * ports). No continuity correction — matches the large-sample
+    * two-sided form. Output: one row (n_a, n_b, u2, z, reject_05);
+    * z is null when either side is empty or all values tie. */
+  def mannWhitneyReport(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val spine = df.filter(value.isNotNull && inA.isNotNull)
+      .groupBy(value.as("v"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("na_v"),
+        sum(when(inA, 0L).otherwise(1L)).as("nb_v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = spine.withColumn("cumb", coalesce(sum(col("nb_v")).over(w), lit(0L)))
+    val g = c.agg(
+      sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+      // every product multiplies as DECIMAL — na_v·cumb of two ~n
+      // counts would wrap a long past ~3e9 rows
+      sum(lit(2L) * dec(col("na_v")) * dec(col("cumb")) +
+        dec(col("na_v")) * dec(col("nb_v"))).as("u2"),
+      sum(dec(col("na_v") + col("nb_v")) * dec(col("na_v") + col("nb_v")) *
+        dec(col("na_v") + col("nb_v")) -
+        dec(col("na_v") + col("nb_v"))).as("ties"))
+    val dA = col("n_a").cast("double"); val dB = col("n_b").cast("double")
+    val n = col("n_a") + col("n_b")
+    val dN = n.cast("double")
+    // var(U) = nA·nB/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+    val varU = dA * dB / lit(12.0) *
+      ((dN + lit(1.0)) - col("ties").cast("double") / (dN * (dN - lit(1.0))))
+    val z = (col("u2").cast("double") - dA * dB) /
+      (lit(2.0) * sqrt(nullif(varU, lit(0.0))))
+    // u2 reports as DOUBLE (exact until ~2^53 pairs; the correctly-
+    // rounded conversion is identical in both engines past that) — a
+    // raw DECIMAL(38,0) would hash-compare against whatever precision
+    // the oracle engine gives ITS integer sum
+    g.select(col("n_a"), col("n_b"), col("u2").cast("double").as("u2"),
+      z.as("z"), (abs(z) > lit(1.959963984540054)).as("reject_05"))
+  }
+
+  /** Welch's unequal-variance t-test of two slice means — the A/B
+    * readout for a continuous metric when the slices differ in size
+    * and spread (pooled-variance Student's t silently assumes equal
+    * variance; Welch is the default modern recommendation). One
+    * conditional-aggregate pass: per side, count, Σv and Σv² on the
+    * exact 1e-9 grid (squares multiply as DECIMAL — a long would wrap
+    * at |v| ≳ 3); means/variances/t/dof are IEEE expressions over the
+    * exactly-represented components, mirrored verbatim in the oracle.
+    * dof is Welch–Satterthwaite. reject_05 uses the normal 1.96
+    * threshold — the documented large-sample approximation (exact
+    * t-quantiles at data-dependent dof are table lookups, not portable
+    * expressions). Output: one row (n_a, n_b, mean_a, mean_b, var_a,
+    * var_b, t, dof, reject_05); t is null when either side has < 2
+    * rows or zero variance. */
+  def welchTReport(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val v = grid(value)
+    val g = df.filter(value.isNotNull && inA.isNotNull)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"),
+        sum(when(inA, dec(v)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("sa"),
+        sum(when(!inA, dec(v)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("sb"),
+        sum(when(inA, dec(v) * dec(v)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("qa"),
+        sum(when(!inA, dec(v) * dec(v)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("qb"))
+    def meanOf(s: Column, cnt: Column) =
+      s.cast("double") / cnt.cast("double") / lit(1e9)
+    def varOf(q: Column, s: Column, cnt: Column) = {
+      val dn = cnt.cast("double")
+      (q.cast("double") - s.cast("double") * s.cast("double") / dn) /
+        (dn - lit(1.0)) / lit(1e18)
+    }
+    val ma = meanOf(col("sa"), col("n_a"))
+    val mb = meanOf(col("sb"), col("n_b"))
+    val va = varOf(col("qa"), col("sa"), col("n_a"))
+    val vb = varOf(col("qb"), col("sb"), col("n_b"))
+    val sea = va / col("n_a").cast("double")
+    val seb = vb / col("n_b").cast("double")
+    val t = (ma - mb) / sqrt(nullif(sea + seb, lit(0.0)))
+    val dof = (sea + seb) * (sea + seb) /
+      nullif(sea * sea / (col("n_a").cast("double") - lit(1.0)) +
+        seb * seb / (col("n_b").cast("double") - lit(1.0)), lit(0.0))
+    g.select(col("n_a"), col("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"), va.as("var_a"), vb.as("var_b"),
+      t.as("t"), dof.as("dof"),
+      (abs(t) > lit(1.959963984540054)).as("reject_05"))
+  }
+
+  /** Discrete quantiles by explicit order-statistic selection: the
+    * value at sorted position max(1, ceil(p·n)) for each p — a
+    * SELECTION from actually-present values (never an interpolation
+    * for two engines to disagree on). Computed over the
+    * DISTINCT-VALUE spine, not per row (the [[Quality.aucReport]]
+    * stance): one hash aggregation collapses the corpus onto
+    * (value, count), a window over that bounded spine accumulates
+    * cumulative counts, and position idx selects min v with cum ≥ idx
+    * — the corpus itself never sorts and never moves through a
+    * single-partition window. Returns one row with one value-typed
+    * column per requested (p, name). */
+  def quantilesDisc(df: DataFrame, value: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p > 0 && p <= 1 },
+      "quantilesDisc: ps in (0,1]")
+    val spine = df.filter(value.isNotNull)
+      .groupBy(value.as("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = spine
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy()))
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("_cum") >=
+        greatest(lit(1L), ceil(lit(p) * col("_n")).cast("long")), col("_v")))
+        .as(name)
+    }
+    c.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Winsorize a value column at discrete [pLo, pHi] quantile bounds —
+    * the standard heavy-tail conditioning before a mean-based metric
+    * or a feature feed (clipping beats dropping: row count and joins
+    * survive). Bounds come from [[quantilesDisc]] (exact selection,
+    * hash-portable) and broadcast back over the corpus as a scalar
+    * cross join; the projection is then shuffle-free. Output: every
+    * input row as (id, v, v_clipped, was_clipped) ordered by id. */
+  def winsorize(df: DataFrame, id: Column, value: Column,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "winsorize: 0 < pLo < pHi < 1")
+    val bounds = quantilesDisc(df, value, Seq(pLo -> "_lo", pHi -> "_hi"))
+    df.filter(value.isNotNull)
+      .select(id.as("id"), value.as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("id"), col("v"),
+        greatest(col("_lo"), least(col("_hi"), col("v"))).as("v_clipped"),
+        (col("v") < col("_lo") || col("v") > col("_hi")).as("was_clipped"))
+      .orderBy(col("id"))
+  }
+
+  /** Robust scale: (v − median) / MAD, the outlier-insensitive
+    * standardization (z-scores move with the outliers they are meant
+    * to flag; median/MAD do not). Median and MAD are both discrete
+    * order-statistic selections ([[quantilesDisc]] at 0.5 — MAD over
+    * the |v − median| projection), so the whole transform is two
+    * bounded sorts plus one shuffle-free projection; the scaled value
+    * is pure IEEE (subtract, divide) over selected actual values.
+    * Output: (id, v, scaled) ordered by id; scaled is null when MAD
+    * is 0 (over half the values tie). */
+  def robustScale(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val med = quantilesDisc(df, value, Seq(0.5 -> "_med"))
+    val withMed = df.filter(value.isNotNull)
+      .select(id.as("id"), value.as("v"))
+      .crossJoin(broadcast(med))
+    val mad = quantilesDisc(withMed, abs(col("v") - col("_med")),
+      Seq(0.5 -> "_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("id"), col("v"),
+        ((col("v") - col("_med")) / nullif(col("_mad"), lit(0.0)))
+          .as("scaled"))
+      .orderBy(col("id"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Stats
+
+/** Statistical-test and robust-conditioning tier ([[graft.operators.Stats]]):
+  * chi-square independence, Mann-Whitney rank-sum, Welch's t, discrete
+  * winsorization and median/MAD scaling. Every query is one or two
+  * bounded-state aggregations; the portability recipe is the repo
+  * standard (exact DECIMAL integer accumulation, 1e-9 grid for
+  * cross-row float sums, unrounded IEEE divisions/sqrt of exact
+  * components, explicit CAST(... AS DOUBLE) literals in the oracle so
+  * DuckDB does not type them DECIMAL).
+  */
+object StatQueries {
+
+  /** The A-vs-B split used by the two-sample tests: urgent-tier orders
+    * against the rest — stable, human-meaningful, and ~40/60. */
+  private val urgent = Seq("1-URGENT", "2-HIGH")
+
+  def all: Seq[(String, Q)] = Seq(
+
+    // ---- q214: chi-square test of independence ----------------------------
+    "q214_chi2_independence" -> Q(
+      (s, d) => Stats.chiSquareReport(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        WITH cells AS (
+          SELECT l_returnflag AS ca, l_linestatus AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+          GROUP BY 1, 2),
+        m AS (
+          SELECT ca, cb, o,
+                 SUM(o) OVER (PARTITION BY ca) AS rm,
+                 SUM(o) OVER (PARTITION BY cb) AS cm,
+                 SUM(o) OVER () AS n
+          FROM cells),
+        g AS (
+          SELECT ca, cb, o, n,
+                 CAST(round(
+                   (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                     * 1e9) AS BIGINT) AS gr
+          FROM (SELECT *,
+                  CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE) AS e
+                FROM m))
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT ca) AS BIGINT) AS levels_a,
+               CAST(COUNT(DISTINCT cb) AS BIGINT) AS levels_b,
+               CAST((COUNT(DISTINCT ca) - 1) * (COUNT(DISTINCT cb) - 1)
+                 AS BIGINT) AS dof,
+               CAST(SUM(gr) AS DOUBLE) / 1e9 AS chi2
+        FROM g"""),
+      "Pearson chi-square independence test between return flag and " +
+        "line status — the 'did the categorical mix shift?' readout " +
+        "(source x quality-bucket at corpus scale). One hash " +
+        "aggregation builds the contingency cells; marginals are " +
+        "windows over the BOUNDED cell table, never a second corpus " +
+        "scan; expected counts divide exact DECIMAL marginal products " +
+        "and per-cell (o-e)^2/e contributions snap to the 1e-9 grid, " +
+        "so chi2 hash-proves cross-engine."),
+
+    // ---- q215: Mann-Whitney U rank-sum test --------------------------------
+    "q215_mann_whitney" -> Q(
+      (s, d) => Stats.mannWhitneyReport(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderpriority").isin(urgent: _*)),
+      Some("""
+        WITH s AS (
+          SELECT o_totalprice AS v,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS ina
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND (o_orderpriority IN ('1-URGENT', '2-HIGH')) IS NOT NULL),
+        sp AS (
+          SELECT v,
+                 CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+                 CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+          FROM s GROUP BY v),
+        c AS (
+          SELECT v, na_v, nb_v,
+                 coalesce(SUM(nb_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumb
+          FROM sp),
+        a AS (
+          SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                 CAST(SUM(nb_v) AS BIGINT) AS n_b,
+                 SUM(2 * CAST(na_v AS DECIMAL(38,0)) * CAST(cumb AS DECIMAL(38,0))
+                     + CAST(na_v AS DECIMAL(38,0)) * CAST(nb_v AS DECIMAL(38,0)))
+                   AS u2,
+                 SUM(CAST(na_v + nb_v AS DECIMAL(38,0))
+                     * CAST(na_v + nb_v AS DECIMAL(38,0))
+                     * CAST(na_v + nb_v AS DECIMAL(38,0))
+                     - CAST(na_v + nb_v AS DECIMAL(38,0))) AS ties
+          FROM c),
+        zc AS (
+          SELECT n_a, n_b, u2,
+                 (CAST(u2 AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+                 (CAST(2.0 AS DOUBLE) * sqrt(nullif(
+                   CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     / CAST(12.0 AS DOUBLE) *
+                   ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                     - CAST(ties AS DOUBLE) /
+                       (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE)))) AS z
+          FROM a)
+        SELECT n_a, n_b, CAST(u2 AS DOUBLE) AS u2, z,
+               abs(z) > CAST('1.959963984540054' AS DOUBLE) AS reject_05
+        FROM zc"""),
+      "Mann-Whitney U rank-sum test: do urgent-tier orders draw their " +
+        "totals from the same distribution as the rest? Tie-corrected " +
+        "normal approximation with NO per-row ranking — the corpus " +
+        "collapses onto the distinct-value spine (the aucReport " +
+        "shape), 2U and the tie term stay exact DECIMAL integers, and " +
+        "z is IEEE division/sqrt of those exact components, so the " +
+        "report hash-proves cross-engine."),
+
+    // ---- q216: Welch's unequal-variance t-test -----------------------------
+    "q216_welch_ttest" -> Q(
+      (s, d) => Stats.welchTReport(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderpriority").isin(urgent: _*)),
+      Some("""
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 1e9) AS BIGINT) AS g,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS ina
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND (o_orderpriority IN ('1-URGENT', '2-HIGH')) IS NOT NULL),
+        a AS (
+          SELECT CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 SUM(CASE WHEN ina THEN CAST(g AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+                 SUM(CASE WHEN NOT ina THEN CAST(g AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb,
+                 SUM(CASE WHEN ina
+                          THEN CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS qa,
+                 SUM(CASE WHEN NOT ina
+                          THEN CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS qb
+          FROM s),
+        mv AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9 AS mean_a,
+                 CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9 AS mean_b,
+                 (CAST(qa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                     / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE)) / 1e18 AS var_a,
+                 (CAST(qb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)) / 1e18 AS var_b
+          FROM a),
+        se AS (
+          SELECT *, var_a / CAST(n_a AS DOUBLE) AS sea,
+                    var_b / CAST(n_b AS DOUBLE) AS seb
+          FROM mv)
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+               (mean_a - mean_b) / sqrt(nullif(sea + seb, CAST(0.0 AS DOUBLE)))
+                 AS t,
+               (sea + seb) * (sea + seb) / nullif(
+                 sea * sea / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                   + seb * seb / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)),
+                 CAST(0.0 AS DOUBLE)) AS dof,
+               abs((mean_a - mean_b)
+                 / sqrt(nullif(sea + seb, CAST(0.0 AS DOUBLE))))
+                 > CAST('1.959963984540054' AS DOUBLE) AS reject_05
+        FROM se"""),
+      "Welch's unequal-variance t-test on the same urgent-vs-rest " +
+        "split — the parametric companion to q215 (means differ?) " +
+        "with Welch-Satterthwaite dof. One conditional-aggregate " +
+        "pass: per-side count / sum / sum-of-squares on the exact " +
+        "1e-9 grid as DECIMAL(38,0); means, variances, t and dof are " +
+        "IEEE expressions over those exact components, mirrored " +
+        "verbatim in the oracle."),
+
+    // ---- q217: winsorization at discrete p01/p99 ---------------------------
+    "q217_winsorize" -> Q(
+      (s, d) => Stats.winsorize(Tables.orders(s, d),
+        col("o_orderkey"), col("o_totalprice"), 0.01, 0.99),
+      Some("""
+        WITH s AS (
+          SELECT o_orderkey AS id, o_totalprice AS v
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        sp AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v),
+        cc AS (
+          SELECT v,
+                 SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM sp),
+        b AS (
+          SELECT min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.01 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN v END) AS lo,
+                 min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN v END) AS hi
+          FROM cc)
+        SELECT id, v,
+               greatest(lo, least(hi, v)) AS v_clipped,
+               (v < lo OR v > hi) AS was_clipped
+        FROM s CROSS JOIN b
+        ORDER BY id"""),
+      "Winsorize order totals at the discrete p01/p99 order " +
+        "statistics — heavy-tail conditioning that keeps every row " +
+        "(clipping beats dropping: joins and counts survive). Bounds " +
+        "select actual values off the distinct-value spine (never " +
+        "interpolate) and broadcast back; the clip itself is a " +
+        "shuffle-free projection."),
+
+    // ---- q218: robust scaling by median/MAD --------------------------------
+    "q218_robust_scale" -> Q(
+      (s, d) => Stats.robustScale(Tables.orders(s, d),
+        col("o_orderkey"), col("o_totalprice")),
+      Some("""
+        WITH s AS (
+          SELECT o_orderkey AS id, o_totalprice AS v
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        sp AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v),
+        cc AS (
+          SELECT v,
+                 SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM sp),
+        m AS (
+          SELECT min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN v END) AS med
+          FROM cc),
+        dd AS (SELECT s.id, s.v, abs(s.v - m.med) AS av
+               FROM s CROSS JOIN m),
+        sp2 AS (SELECT av, CAST(COUNT(*) AS BIGINT) AS c FROM dd GROUP BY av),
+        cc2 AS (
+          SELECT av,
+                 SUM(c) OVER (ORDER BY av
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM sp2),
+        m2 AS (
+          SELECT min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN av END) AS mad
+          FROM cc2)
+        SELECT dd.id, dd.v,
+               (dd.v - m.med) / nullif(m2.mad, CAST(0.0 AS DOUBLE)) AS scaled
+        FROM dd CROSS JOIN m CROSS JOIN m2
+        ORDER BY id"""),
+      "Median/MAD robust standardization of order totals — the " +
+        "outlier-insensitive z-score (plain z-scores move with the " +
+        "outliers they are meant to flag). Median and MAD are both " +
+        "discrete order-statistic selections off bounded spines; the " +
+        "scaled value is pure IEEE subtract/divide of selected actual " +
+        "values.")
+  )
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Crash-window redelivery proofs for the delta-partition ingest
+  * contract: every monitor/index ingest must tolerate a replay of the
+  * window where the delta landed but the state write was lost (the
+  * foreachBatch at-least-once window) WITHOUT duplicating rows — the
+  * dynamic-partition-overwrite write rewrites the batch's own
+  * partition instead of appending. Simulated by dropping the state
+  * table after a successful apply and re-applying the same batch. */
+class CrashWindowSpec extends SparkSuite {
+  import graft.operators.{Quality, Similarity}
+
+  private def dropState(t: String): Unit = Catalog.dropTable(spark, t)
+
+  test("psiIngest crash-window replay rewrites, never duplicates") {
+    import spark.implicits._
+    val (reportT, stateT) = ("graft_cw_psi_report", "graft_cw_psi_state")
+    try {
+      Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), length(col("text")).cast("double").as("v"))
+      val ref = docs.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val cur = docs.filter(col("doc_id") % 2 =!= 0).localCheckpoint()
+      val fn = Quality.psiIngest(ref, col("v"), 100.0, 8, reportT, stateT)
+      fn(cur, 0L)
+      val rows0 = spark.table(reportT).collect().toSet
+      dropState(stateT) // crash between delta write and state write
+      fn(cur, 0L)       // redelivery of the same batch
+      assert(spark.table(reportT).collect().toSet == rows0,
+        "crash-window replay must rewrite the partition byte-for-byte")
+      assert(spark.table(reportT).count() == rows0.size,
+        "crash-window replay must not append duplicate report rows")
+    } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("aucIngest + calibrationIngest crash-window replays are idempotent") {
+    import spark.implicits._
+    val ts = Seq("graft_cw_auc_spine", "graft_cw_auc_state",
+      "graft_cw_cal_spine", "graft_cw_cal_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      val scored = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"),
+          round((col("doc_id") % 100).cast("double") / 100.0, 6).as("score"),
+          (col("doc_id") % 3 === 0).cast("int").as("y"))
+        .localCheckpoint()
+      val auc = Quality.aucIngest("score", "y", ts(0), ts(1))
+      val cal = Quality.calibrationIngest("score", "y", 10, ts(2), ts(3))
+      auc(scored, 0L); cal(scored, 0L)
+      val (a0, c0) = (spark.table(ts(0)).count(), spark.table(ts(2)).count())
+      dropState(ts(1)); dropState(ts(3))
+      auc(scored, 0L); cal(scored, 0L)
+      assert(spark.table(ts(0)).count() == a0, "auc spine must not grow")
+      assert(spark.table(ts(2)).count() == c0, "cal spine must not grow")
+      // merged readers still read the one-shot batch report
+      val merged = Quality.aucMerged(spark, ts(0)).collect().head
+      val batch = Quality.aucReport(scored, "score", "y").collect().head
+      assert(merged == batch, "merged spine must equal one-shot AUC")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("ivfIngest crash-window replay leaves search results intact") {
+    import graft.functions.VectorFunctions.asDoubleVec
+    graft.plans.VectorExpressions.register(spark)
+    val (indexT, stateT) = ("graft_cw_ivf_index", "graft_cw_ivf_state")
+    try {
+      Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val fn = Similarity.ivfIngest(model, "vec_id", "emb", indexT, stateT)
+      fn(e.filter(col("vec_id") < 30), 0L)
+      fn(e.filter(col("vec_id") >= 30), 1L)
+      val n0 = spark.table(indexT).count()
+      dropState(stateT) // lose the high-water mark entirely
+      fn(e.filter(col("vec_id") >= 30), 1L) // redelivery of batch 1
+      assert(spark.table(indexT).count() == n0,
+        "replayed postings must overwrite their own batch partition")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+      val got = Similarity.ivfSearchIndexed(probes, "p_id", "p_vec",
+        indexT, model, "vec_id", "emb", k = 3, nProbe = 4)
+      val want = Similarity.ivfTopK(probes, "p_id", "p_vec",
+        e, "vec_id", "emb", model, "cell", "centroid_vec", k = 3, nProbe = 4)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("p_id"), col("vec_id"), col("sim"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(key(got) == key(want),
+        "post-replay index search must equal batch ivfTopK")
+    } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("semDedupIngest crash-window replay recomputes the identical keep-set") {
+    import graft.functions.VectorFunctions.asDoubleVec
+    graft.plans.VectorExpressions.register(spark)
+    val ts = Seq("graft_cw_sd_corpus", "graft_cw_sd_index", "graft_cw_sd_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      val e = Tables.embeddings(spark, sf("0.001"))
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("emb"))
+      val model = Similarity.kMeans(e, "vec_id", "emb", k = 4, iters = 2)
+        .select(col("cell"), col("centroid_vec"))
+      val fn = Similarity.semDedupIngest(model, "vec_id", "emb", 0.99,
+        ts(0), ts(1), ts(2))
+      fn(e.filter(col("vec_id") < 30), 0L)
+      fn(e.filter(col("vec_id") >= 30), 1L)
+      val corpus0 = spark.table(ts(0)).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      val (nc0, ni0) = (spark.table(ts(0)).count(), spark.table(ts(1)).count())
+      dropState(ts(2))
+      fn(e.filter(col("vec_id") >= 30), 1L) // crash-window redelivery
+      assert(spark.table(ts(0)).count() == nc0, "corpus must not grow")
+      assert(spark.table(ts(1)).count() == ni0, "index must not grow")
+      val corpus1 = spark.table(ts(0)).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(corpus1 == corpus0,
+        "replay must recompute the identical keep-set (seniority join " +
+          "reads only strictly earlier batch partitions)")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+}
