@@ -48,7 +48,8 @@ object SparkEntry {
   private def registry: Seq[(String, Q)] =
     RelationalQueries.all ++ EventQueries.all ++ SimilarityQueries.all ++
       DedupTextQueries.all ++ TrainingQueries.all ++ RetrievalQueries.all ++
-      multimodal ++ PipelineQueries.all ++ StatQueries.all
+      multimodal ++ PipelineQueries.all ++ StatQueries.all ++
+      LinkageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's semantic heart: broadcast similarity match with

@@ -75,4 +75,202 @@ object EntityResolution {
       .withColumn("dist",
         when(col("a_name") === col("b_name"), 0).otherwise(1))
   }
+
+  /** One comparison field of a probabilistic linkage: `attr` names the
+    * record column, `agree` builds the agreement predicate from the
+    * pair's two sides, and the weights are the Fellegi–Sunter
+    * log-likelihood contributions (log(m/u) on agreement,
+    * log((1−m)/(1−u)) on disagreement — POSITIVE for discriminating
+    * agreement, NEGATIVE for disagreement). Weights arrive as caller
+    * literals, estimated offline (EM or labeled pairs) exactly like
+    * the frozen quantizers/codebooks elsewhere in the tier — keeping
+    * them literal is also what makes the score a fixed-length fold of
+    * exact doubles, hash-portable with no cross-row float sum. */
+  final case class LinkField(attr: String,
+      agree: (Column, Column) => Column,
+      wAgree: Double, wDisagree: Double)
+
+  /** Probabilistic record linkage, Fellegi–Sunter (1969) shape:
+    * candidate pairs come ONLY from an equi-join on `block` (never a
+    * cross join — the blocking key bounds per-key fan-out exactly like
+    * the MinHash bands and FastSS deletion keys), and every candidate
+    * pair scores as the sum of its per-field agreement weights.
+    * Missing values on either side contribute the disagreement weight
+    * (conservative — an absent field is no evidence of a match).
+    *
+    * Scale: one self equi-join on the blocking key; per-block work is
+    * O(blockSize²), so the BLOCKING FUNCTION is the scale contract
+    * (the standard ER stance — pick blocks that cap at ~10³ records;
+    * compose multiple blocking passes by unioning scored pairs). The
+    * score projection is shuffle-free.
+    *
+    * Output: (a_id, b_id, agree_<attr>… one boolean per field, score),
+    * one row per in-block pair with a_id < b_id. */
+  def linkageScores(records: DataFrame, id: String, block: Column,
+      fields: Seq[LinkField]): DataFrame = {
+    require(fields.nonEmpty, "linkageScores: at least one field")
+    val attrs = fields.map(_.attr).distinct
+    val base = records.select(
+      (col(id).as("_id") +: block.as("_blk") +: attrs.map(col)): _*)
+    val aSide = base.select(
+      (col("_id").as("a_id") +: col("_blk") +:
+        attrs.map(n => col(n).as(s"_a_$n"))): _*)
+    val bSide = base.select(
+      (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
+        attrs.map(n => col(n).as(s"_b_$n"))): _*)
+    val pairs = aSide.join(bSide,
+      col("_blk") === col("_blkb") && col("a_id") < col("b_id"))
+    val withAgree = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"agree_${f.attr}",
+        coalesce(f.agree(col(s"_a_${f.attr}"), col(s"_b_${f.attr}")),
+          lit(false)))
+    }
+    val score = fields.map { f =>
+      when(col(s"agree_${f.attr}"), lit(f.wAgree)).otherwise(lit(f.wDisagree))
+    }.reduceLeft(_ + _)
+    withAgree.select(
+      (col("a_id") +: col("b_id") +:
+        fields.map(f => col(s"agree_${f.attr}")) :+ score.as("score")): _*)
+  }
+
+  /** Resolve scored pairs into entities: pairs at or above `threshold`
+    * become edges, [[Dedup.connectedComponents]] labels the clusters
+    * (min-id label), and every input record gets an entity — matched
+    * records their component, singletons themselves. is_canonical
+    * marks the min-id member, the survivor a keep-one policy retains.
+    * Output: (rec_id, entity, is_canonical) — one row per record. */
+  def entities(records: DataFrame, id: String, scored: DataFrame,
+      threshold: Double): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      scored.filter(col("score") >= threshold), "a_id", "b_id")
+    records.select(col(id).cast("long").as("rec_id"))
+      .join(comp, col("rec_id") === col("v"), "left")
+      .select(col("rec_id"),
+        coalesce(col("comp"), col("rec_id")).as("entity"))
+      .withColumn("is_canonical", col("entity") === col("rec_id"))
+  }
+
+  /** Golden-record survivorship: one synthesized record per entity,
+    * each field independently taking its MODAL non-null value across
+    * the entity's members (ties break to the smallest value — fully
+    * deterministic, no "first row wins" arrival-order dependence).
+    * This is the field-level complement of the keep-one-document
+    * policy (q175): keep-one discards the losers whole; survivorship
+    * fuses the best-attested value of every column.
+    *
+    * One melt (entity, field, value) projection, one count aggregate,
+    * one per-(entity, field) top-1 window over the bounded
+    * value-spine, one pivot back — no join wider than the entity
+    * table. Values compare as strings (the melt needs one type);
+    * callers normalize first if numeric tie-break order matters.
+    * Output: (entity, n_records, <attr>… one string column each). */
+  def goldenRecord(withEntity: DataFrame, entity: String, id: String,
+      attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord: at least one attribute")
+    import org.apache.spark.sql.expressions.Window
+    val melted = withEntity.select(
+      col(entity).as("_e"),
+      explode(array(attrs.map(a =>
+        struct(lit(a).as("f"), col(a).cast("string").as("v"))): _*))
+        .as("_fv"))
+      .select(col("_e"), col("_fv.f").as("_f"), col("_fv.v").as("_v"))
+      .filter(col("_v").isNotNull)
+    val w = Window.partitionBy(col("_e"), col("_f"))
+      .orderBy(col("_n").desc, col("_v"))
+    val winners = melted.groupBy(col("_e"), col("_f"), col("_v"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+    val sizes = withEntity.groupBy(col(entity).as("_e"))
+      .agg(count_distinct(col(id)).as("n_records"))
+    // explicit max(when(...)) pivot keeps column order and types
+    // deterministic (pivot() would re-derive them from the data)
+    val aggs = attrs.map(a =>
+      max(when(col("_f") === a, col("_v"))).as(a))
+    val golden = winners.groupBy(col("_e")).agg(aggs.head, aggs.tail: _*)
+    sizes.join(golden, Seq("_e"))
+      .select((col("_e").as("entity") +: col("n_records") +:
+        attrs.map(col)): _*)
+  }
+
+  /** STREAMING record linkage — the ingest twin of [[linkageScores]]
+    * in the [[Similarity.semDedupIngest]] shape: each micro-batch
+    * scores (a) its own in-block pairs and (b) its arrivals against
+    * every EARLIER-ARRIVED record in the block-bucketed index table,
+    * appends pairs at or above `threshold` to `matchTable`, and lands
+    * all arrivals in the index. Because every cross-batch pair is
+    * scored exactly once (each record pairs against strictly earlier
+    * batches plus its own batch), the union of all appended matches
+    * over any batch split EQUALS the one-shot batch
+    * [[linkageScores]].filter(score ≥ threshold) over everything
+    * ingested — StreamingSpec pins the equality. Requires SYMMETRIC
+    * agreement predicates (equality-shaped, as linkage fields are):
+    * cross-batch pairs normalize to (least id, greatest id), so
+    * f.agree(x, y) must equal f.agree(y, x).
+    *
+    * Scale shape: the index side of the cross-batch join arrives
+    * bucketed on the blocking key, so the growing index never
+    * shuffles — each batch shuffles only itself; per-batch work is
+    * batch × in-block index slice, the semDedupIngest contract.
+    *
+    * Delivery: exactly-once through the [[Sketches.landDelta]]
+    * delta-partition contract — replayed batch ids at or below the
+    * state mark skip whole, and a crash-window redelivery rewrites its
+    * own match/index partitions; the seniority join reads only
+    * strictly earlier index partitions, so the replayed score set is
+    * identical. Match schema: (a_id, b_id, score, batch_id); index
+    * schema: (_id, _blk, attrs…, batch_id). */
+  def linkageIngest(id: String, block: Column, fields: Seq[LinkField],
+      threshold: Double, matchTable: String, indexTable: String,
+      stateTable: String, indexBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    require(fields.nonEmpty, "linkageIngest: at least one field")
+    val attrs = fields.map(_.attr).distinct
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val lastBatch: Long =
+        if (spark.catalog.tableExists(stateTable))
+          spark.table(stateTable).head().getLong(0)
+        else -1L
+      if (batchId > lastBatch) {
+        val proj = batch.select(
+          (col(id).as("_id") +: block.as("_blk") +: attrs.map(col)): _*)
+          .localCheckpoint() // feeds both joins and the index landing
+        val seen =
+          if (spark.catalog.tableExists(indexTable))
+            spark.table(indexTable).filter(col("batch_id") < batchId)
+              .drop("batch_id")
+          else proj.limit(0)
+        val inBatch = linkageScores(proj, "_id", col("_blk"), fields)
+          .filter(col("score") >= threshold)
+          .select(col("a_id"), col("b_id"), col("score"))
+        val aSide = seen.select(
+          (col("_id").as("a_id") +: col("_blk") +:
+            attrs.map(n => col(n).as(s"_a_$n"))): _*)
+        val bSide = proj.select(
+          (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
+            attrs.map(n => col(n).as(s"_b_$n"))): _*)
+        val crossPairs = aSide.join(bSide, col("_blk") === col("_blkb"))
+        val withAgree = fields.foldLeft(crossPairs) { (df, f) =>
+          df.withColumn(s"agree_${f.attr}",
+            coalesce(f.agree(col(s"_a_${f.attr}"), col(s"_b_${f.attr}")),
+              lit(false)))
+        }
+        val score = fields.map { f =>
+          when(col(s"agree_${f.attr}"), lit(f.wAgree))
+            .otherwise(lit(f.wDisagree))
+        }.reduceLeft(_ + _)
+        val vsIndex = withAgree.select(
+            least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"),
+            score.as("score"))
+          .filter(col("score") >= threshold)
+        Sketches.landDelta(inBatch.unionByName(vsIndex), batchId, matchTable)
+        Sketches.landDelta(proj, batchId, indexTable,
+          Some((indexBuckets, "_blk")))
+        Seq(batchId).toDF("last_batch")
+          .write.mode("overwrite").saveAsTable(stateTable)
+      }
+    }
+  }
 }

@@ -406,4 +406,55 @@ object Graph {
         (col("n_triangles_sampled") * lit(denomCubed)).as("est_triangles"),
         lit(sampleDenom).as("sample_denom"))
   }
+
+  /** Neighborhood-overlap link prediction on a BIPARTITE edge relation
+    * (customer–part, user–item, doc–term): candidate left-side pairs
+    * are those sharing a right-side neighbor, scored by the three
+    * classical indices — common neighbors, Jaccard, and
+    * resource-allocation (Zhou et al. 2009: Σ 1/deg(z) over shared
+    * neighbors — Adamic-Adar's 1/ln(deg) is NOT used because ln is not
+    * bit-portable; RA is a pure integer-ratio sum and usually ranks
+    * better anyway). The "customers who bought what you bought"
+    * primitive, and in a corpus pipeline the co-citation /
+    * shared-source affinity signal.
+    *
+    * Scale contract: the wedge join is the q147 triangle shape — per
+    * right-node work is C(deg, 2) — so right-side HUBS are capped by
+    * `maxDegree`: a hub shared by everyone predicts nothing (its
+    * common-neighbor evidence is pure popularity) and would
+    * quadratically dominate; the cap drops it from candidate
+    * GENERATION (the standard practice this repo's q147 verdict
+    * mandated for wedge work). Degrees in the RA/Jaccard formulas are
+    * computed BEFORE the cap, so scores stay true; minCommon prunes
+    * the long random-coincidence tail at the aggregate.
+    *
+    * Output: (a_id, b_id, common, jaccard, ra) for pairs with
+    * `common >= minCommon`; jaccard = cn/(degA+degB−cn) is a pure
+    * integer ratio, ra accumulates per-neighbor 1/deg terms on the
+    * 1e-9 grid as exact decimals. */
+  def linkPrediction(edges: DataFrame, left: String, right: String,
+      maxDegree: Int = 256, minCommon: Long = 2): DataFrame = {
+    val e = edges.select(col(left).as("l"), col(right).as("r")).distinct()
+      .localCheckpoint() // feeds degrees + the wedge join; one scan
+    val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
+    val rdeg = e.groupBy(col("r")).agg(count(lit(1)).as("rdeg"))
+    val capped = e.join(rdeg, Seq("r")).filter(col("rdeg") <= maxDegree)
+    val a = capped.select(col("r"), col("l").as("a_id"), col("rdeg"))
+    val b = capped.select(col("r").as("rb"), col("l").as("b_id"))
+    val wedges = a.join(b, col("r") === col("rb") && col("a_id") < col("b_id"))
+    val pairs = wedges.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"),
+        // Σ 1/deg on the 1e-9 grid, summed exactly
+        sum(round(lit(1e9) / col("rdeg").cast("double")).cast("long")
+          .cast(DecimalType(38, 0))).as("ra_g"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(ldeg.select(col("l").as("a_id"), col("ldeg").as("adeg")), Seq("a_id"))
+      .join(ldeg.select(col("l").as("b_id"), col("ldeg").as("bdeg")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("common"),
+        (col("common").cast("double") /
+          (col("adeg") + col("bdeg") - col("common")).cast("double"))
+          .as("jaccard"),
+        (col("ra_g").cast("double") / lit(1e9)).as("ra"))
+  }
 }

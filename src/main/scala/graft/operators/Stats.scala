@@ -217,6 +217,86 @@ object Stats {
       .orderBy(col("id"))
   }
 
+  /** Theil–Sen robust trend over a POINT relation (x, y) — the
+    * median-of-pairwise-slopes estimator (breakdown point 29%, vs 0%
+    * for least squares: one bad day cannot bend the line), the right
+    * trend readout for the daily corpus/quality series the monitor
+    * tier emits. The input must already be AGGREGATED to bounded
+    * points (daily rollups — the operator's documented contract, like
+    * every pairwise-quadratic baseline in this repo: n points cost
+    * C(n,2) pair rows, so feed it time buckets, not raw events).
+    * Slopes are pure IEEE ratios of input values; the median slope
+    * and median intercept (median of y − m·x at the fitted m) are
+    * [[quantilesDisc]] selections of actually-computed values.
+    * Output: one row (n_points, n_pairs, slope, intercept). */
+  def theilSen(points: DataFrame, x: Column, y: Column): DataFrame = {
+    val p = points.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("x"), y.cast("double").as("y"))
+    val a = p.select(col("x").as("x1"), col("y").as("y1"))
+    val b = p.select(col("x").as("x2"), col("y").as("y2"))
+    // the when-guard is semantically a no-op (the join admits only
+    // x1 < x2) but REQUIRED under ANSI: fused codegen may evaluate the
+    // projected division before the join condition filters the pair,
+    // and an unguarded x2−x1 = 0 then throws DIVIDE_BY_ZERO even
+    // though the pair never reaches the output
+    val slopes = a.join(b, col("x1") < col("x2"))
+      .select(when(col("x2") =!= col("x1"),
+        (col("y2") - col("y1")) / (col("x2") - col("x1"))).as("slope"))
+    val m = quantilesDisc(slopes, col("slope"), Seq(0.5 -> "slope"))
+    val resid = p.crossJoin(broadcast(m))
+      .select(col("slope"), (col("y") - col("slope") * col("x")).as("r"))
+    val b0 = quantilesDisc(resid, col("r"), Seq(0.5 -> "intercept"))
+    val counts = p.agg(count(lit(1)).as("n_points"))
+      // n(n−1) is even, so the double division is exact; the cast
+      // matches the oracle's CAST(... AS BIGINT)
+      .withColumn("n_pairs",
+        (col("n_points") * (col("n_points") - 1) / lit(2)).cast("long"))
+    counts.crossJoin(m).crossJoin(b0)
+      .select(col("n_points"), col("n_pairs"), col("slope"),
+        col("intercept"))
+  }
+
+  /** Split-conformal calibration of a scored binary filter — the
+    * distribution-free guarantee layer on top of
+    * [[Quality.calibrationReport]]: from a CALIBRATION slice, take the
+    * conformal quantile q̂ of the nonconformity |label − score| at
+    * level ceil((1−α)(n+1))/n (the finite-sample-correct rank, clamped
+    * to n), then report the EVALUATION slice's empirical coverage of
+    * {|label − score| ≤ q̂} — by the conformal theorem it lands at
+    * ≥ 1−α on exchangeable data regardless of how bad the scores are,
+    * so a drop below 1−α is a distribution-shift alarm with a
+    * finite-sample footing. q̂ is a discrete selection off the
+    * bounded nonconformity spine; coverage is a pure integer ratio.
+    * Output: one row (n_calib, n_eval, qhat, coverage). */
+  def conformalReport(scored: DataFrame, score: Column, label: Column,
+      isCalib: Column, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "conformalReport: alpha in (0,1)")
+    val noncon = abs(label.cast("double") - score)
+    val base = scored.filter(score.isNotNull && label.isNotNull)
+      .select(noncon.as("nc"), isCalib.as("cal"))
+    val spine = base.filter(col("cal"))
+      .groupBy(col("nc")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("nc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spine
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    // the finite-sample conformal rank: ceil((1-α)(n+1)), clamped to n
+    val idx = least(col("n"),
+      ceil(lit(1.0 - alpha) * (col("n") + 1).cast("double")).cast("long"))
+    val q = cum.agg(
+      max(col("n")).as("n_calib"),
+      min(when(col("cum") >= idx, col("nc"))).as("qhat"))
+    base.filter(!col("cal"))
+      .crossJoin(broadcast(q))
+      .agg(
+        max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_eval"),
+        max(col("qhat")).as("qhat"),
+        (sum(when(col("nc") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+  }
+
   /** Robust scale: (v − median) / MAD, the outlier-insensitive
     * standardization (z-scores move with the outliers they are meant
     * to flag; median/MAD do not). Median and MAD are both discrete

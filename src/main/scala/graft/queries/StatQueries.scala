@@ -259,6 +259,124 @@ object StatQueries {
         "outliers they are meant to flag). Median and MAD are both " +
         "discrete order-statistic selections off bounded spines; the " +
         "scaled value is pure IEEE subtract/divide of selected actual " +
-        "values.")
+        "values."),
+
+    // ---- q223: Theil-Sen robust trend ---------------------------------------
+    "q223_theil_sen" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(count(lit(1)).as("y"))
+        Stats.theilSen(daily, col("x"), col("y"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS DOUBLE) AS x,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1),
+        pairs AS (
+          SELECT (b.y - a.y) / (b.x - a.x) AS slope
+          FROM daily a JOIN daily b ON a.x < b.x),
+        ssp AS (SELECT slope AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM pairs GROUP BY slope),
+        scc AS (
+          SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM ssp),
+        ms AS (
+          SELECT min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN v END) AS slope
+          FROM scc),
+        resid AS (
+          SELECT d.y - ms.slope * d.x AS r FROM daily d CROSS JOIN ms),
+        rsp AS (SELECT r AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM resid GROUP BY r),
+        rcc AS (
+          SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM rsp),
+        mi AS (
+          SELECT min(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                 THEN v END) AS intercept
+          FROM rcc),
+        cnt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+          FROM daily)
+        SELECT cnt.n_points, cnt.n_pairs, ms.slope, mi.intercept
+        FROM cnt CROSS JOIN ms CROSS JOIN mi"""),
+      "Theil-Sen robust trend of daily event volume — the median of " +
+        "all pairwise slopes (29% breakdown point; one outage day " +
+        "cannot bend it, unlike q167's OLS slope on the same series). " +
+        "Input is the BOUNDED daily rollup, so the C(n,2) pair space " +
+        "is days-squared, not events-squared; slope and intercept are " +
+        "discrete median selections of actually-computed IEEE ratios."),
+
+    // ---- q224: split-conformal coverage audit -------------------------------
+    "q224_conformal" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        import graft.operators.TextAnalysis
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(Tables.documents(s, d),
+          "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (length(col("text")) > 300).cast("double"),
+          iters = 4, lr = 0.125)
+        Stats.conformalReport(scored, col("score"), col("y"),
+          isCalib = col("doc") % 2 === 0, alpha = 0.1)
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN length(text) > 300 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        base AS (
+          SELECT abs(CAST(y AS DOUBLE) - score) AS nc, (doc % 2 = 0) AS cal
+          FROM sc WHERE score IS NOT NULL AND y IS NOT NULL),
+        csp AS (SELECT nc, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base WHERE cal GROUP BY nc),
+        ccc AS (
+          SELECT nc, SUM(c) OVER (ORDER BY nc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM csp),
+        qh AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n_calib,
+                 min(CASE WHEN cum >= least(n, CAST(ceil(
+                   CAST(0.9 AS DOUBLE) * CAST(n + 1 AS DOUBLE)) AS BIGINT))
+                 THEN nc END) AS qhat
+          FROM ccc)
+        SELECT MAX(qh.n_calib) AS n_calib,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               MAX(qh.qhat) AS qhat,
+               CAST(SUM(CASE WHEN nc <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS coverage
+        FROM base CROSS JOIN qh WHERE NOT cal"""),
+      "Split-conformal coverage audit of the q104 quality filter: the " +
+        "conformal quantile of |y - score| on the even-doc calibration " +
+        "slice at the finite-sample rank ceil(0.9(n+1)), then the odd-" +
+        "doc slice's empirical coverage — guaranteed >= 0.9 under " +
+        "exchangeability REGARDLESS of how miscalibrated the scores " +
+        "are, so a dip is a distribution-shift alarm with a " +
+        "finite-sample footing (q186 calibration has no such bound). " +
+        "qhat is a discrete selection off the bounded nonconformity " +
+        "spine; coverage is a pure integer ratio.")
   )
+
+  private val W = "string_split(text, ' ')"
 }

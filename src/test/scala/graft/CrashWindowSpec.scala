@@ -94,6 +94,56 @@ class CrashWindowSpec extends SparkSuite {
     } finally Seq(indexT, stateT).foreach(Catalog.dropTable(spark, _))
   }
 
+  test("linkageIngest: streamed matches equal batch linkageScores; crash-window idempotent") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    import graft.operators.EntityResolution.LinkField
+    val ts = Seq("graft_cw_lk_match", "graft_cw_lk_index", "graft_cw_lk_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      // messy corpus: customers + a case-perturbed copy per 3rd record
+      val c = Tables.customer(spark, sf("0.001"))
+      val base = c.select(col("c_custkey").as("rec_id"),
+        col("c_name").as("name"), col("c_nationkey").as("nation"),
+        col("c_acctbal").as("bal"))
+      val copyA = c.filter(col("c_custkey") % 3 === 0).select(
+        (col("c_custkey") + 100000).as("rec_id"),
+        upper(col("c_name")).as("name"), col("c_nationkey").as("nation"),
+        col("c_acctbal").as("bal"))
+      val recs = base.unionByName(copyA).localCheckpoint()
+      val fields = Seq(
+        LinkField("name", (a, b) => lower(a) === lower(b), 3.5, -1.5),
+        LinkField("bal", (a, b) => a === b, 2.5, -0.75))
+      val fn = EntityResolution.linkageIngest("rec_id", col("nation"),
+        fields, 4.0, ts(0), ts(1), ts(2))
+      // three arrival chunks split ACROSS the copy boundary so true
+      // pairs land in different batches
+      val chunks = Seq(
+        recs.filter(col("rec_id") < 70),
+        recs.filter(col("rec_id") >= 70 && col("rec_id") < 100040),
+        recs.filter(col("rec_id") >= 100040))
+      chunks.zipWithIndex.foreach { case (ch, i) => fn(ch, i.toLong) }
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("a_id"), col("b_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val streamed = key(spark.table(ts(0)))
+      val batch = key(EntityResolution.linkageScores(recs, "rec_id",
+        col("nation"), fields).filter(col("score") >= 4.0))
+      assert(streamed == batch,
+        s"streamed matches must equal one-shot batch linkage: " +
+          s"extra=${streamed.diff(batch).take(3)} missing=${batch.diff(streamed).take(3)}")
+      // crash window: lose the state table, redeliver the last batch
+      val (nm, ni) = (spark.table(ts(0)).count(), spark.table(ts(1)).count())
+      Catalog.dropTable(spark, ts(2))
+      fn(chunks.last, 2L)
+      assert(spark.table(ts(0)).count() == nm, "matches must not grow")
+      assert(spark.table(ts(1)).count() == ni, "index must not grow")
+      assert(key(spark.table(ts(0))) == batch,
+        "post-replay matches must still equal the batch linkage")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest crash-window replay recomputes the identical keep-set") {
     import graft.functions.VectorFunctions.asDoubleVec
     graft.plans.VectorExpressions.register(spark)
