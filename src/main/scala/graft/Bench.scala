@@ -71,14 +71,21 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val crashed = results.count(_._2 < 0)
-    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"queries":{},"value":${fmt(total)}}"""
+    // 1-minute load average at finish: the r7/r8 driver captures were
+    // load-inflated (248 s vs a clean 142.8 s re-run) — recording the
+    // machine state inside the artifact lets any consumer judge
+    // whether this run's numbers are trustworthy without a re-run
+    val load1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"queries":{},"value":${fmt(total)}}"""
     println(totalLine)
     // the stdout tail-capture has lost the per-query map three rounds
     // running (it scrolls out of the consumer's window at 190+
     // queries), so ALSO persist the complete map as a committed
     // artifact next to the build — no capture window can lose a file
     try {
-      val self = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"value":${fmt(total)},"queries":${entries.mkString("{", ",", "}")}}"""
+      val self = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"value":${fmt(total)},"queries":${entries.mkString("{", ",", "}")}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SELF_JSON", "BENCH_SELF.json")),
         (self + "\n").getBytes("UTF-8"))

@@ -393,6 +393,58 @@ object Sketches {
     spark.table(s"${prefix}_deltas")
       .groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c"))
 
+  /** Compact a delta-partition spine: fold every landed batch_id
+    * partition through the sketch's own `merge` (sum for count-min,
+    * max for HLL — whatever the merged reader already applies) and
+    * rewrite the table as ONE partition at the current high-water
+    * batch id. The on-demand merge readers stay O(nBatches ×
+    * boundedSketch) forever without this; compaction is the periodic
+    * maintenance job that resets nBatches to 1 so a year of
+    * micro-batches does not make every probe fold thousands of
+    * partitions. Merged-reader results are unchanged by construction
+    * (the reader applies the same merge), and the state table is
+    * untouched, so the ingest replay guard keeps rejecting old batch
+    * ids and new batches land as fresh partitions alongside the
+    * compacted one.
+    *
+    * Crash safety: the merge lands in `<table>_compact_tmp` FIRST
+    * (never read-and-overwrite the table it reads), then the live
+    * table drops and is RECREATED from the tmp (a plain copy of the
+    * bounded sketch — no renames, whose directory moves are
+    * catalog-cache hazards), then the tmp drops. A crash after the
+    * live drop leaves the data safe in tmp; re-running compactDeltas
+    * detects that state and completes the rebuild before doing
+    * anything else. Run it OUTSIDE the ingest loop (it is table
+    * maintenance, not a batch handler), and only on SPINE tables —
+    * bucketed index tables would lose their bucketing through the
+    * rebuild. */
+  def compactDeltas(spark: org.apache.spark.sql.SparkSession,
+      deltaTable: String, stateTable: String,
+      merge: DataFrame => DataFrame): Unit = {
+    val tmp = s"${deltaTable}_compact_tmp"
+    def rebuildFromTmp(): Unit = {
+      spark.table(tmp).write.partitionBy("batch_id").saveAsTable(deltaTable)
+      spark.sql(s"DROP TABLE $tmp")
+    }
+    // recovery: a previous compaction crashed after dropping the live
+    // table — the tmp holds the complete compacted spine
+    if (!spark.catalog.tableExists(deltaTable)) {
+      require(spark.catalog.tableExists(tmp),
+        s"compactDeltas: neither $deltaTable nor $tmp exists")
+      rebuildFromTmp()
+      return
+    }
+    require(spark.catalog.tableExists(stateTable),
+      s"compactDeltas: $stateTable missing — nothing ingested yet")
+    val lastBatch = spark.table(stateTable).head().getLong(0)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    merge(spark.table(deltaTable).drop("batch_id"))
+      .withColumn("batch_id", lit(lastBatch))
+      .write.partitionBy("batch_id").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $deltaTable")
+    rebuildFromTmp()
+  }
+
   /** Streaming HLL maintenance: per-batch register relations
     * ([[hllRegisters]], ≤256 rows per group) landed as idempotent delta
     * partitions; [[hllMergedEstimate]] folds them with max — the merge

@@ -297,6 +297,127 @@ object Stats {
           .cast("double") / count(lit(1)).cast("double")).as("coverage"))
   }
 
+  /** Difference-in-differences over a (treat × post) 2×2 design — the
+    * workhorse causal readout when treatment was NOT randomized but a
+    * pre-period exists (feature rollouts, source onboarding): the
+    * treated group's pre→post change, net of the control group's
+    * change, cancels any time-invariant group difference and any
+    * common shock. One conditional-aggregate pass: per-cell counts and
+    * outcome sums on the 1e-9 grid as exact decimals; the four means
+    * and the DiD are IEEE expressions over those exact components
+    * (same recipe as [[welchTReport]]). Null treat/post/outcome rows
+    * are excluded. Output: one row (n_<cell>×4, mean_<cell>×4, did);
+    * did is null when any cell is empty. */
+  def diffInDiff(df: DataFrame, treat: Column, post: Column,
+      outcome: Column): DataFrame = {
+    val v = grid(outcome)
+    def cell(t: Boolean, p: Boolean): Column = {
+      val c = (if (t) treat else !treat) && (if (p) post else !post)
+      c
+    }
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def s(c: Column) =
+      sum(when(c, dec(v)).otherwise(lit(0).cast(DecimalType(38, 0))))
+    val g = df.filter(treat.isNotNull && post.isNotNull && outcome.isNotNull)
+      .agg(
+        cnt(cell(true, false)).as("n_t_pre"),
+        cnt(cell(true, true)).as("n_t_post"),
+        cnt(cell(false, false)).as("n_c_pre"),
+        cnt(cell(false, true)).as("n_c_post"),
+        s(cell(true, false)).as("s_t_pre"),
+        s(cell(true, true)).as("s_t_post"),
+        s(cell(false, false)).as("s_c_pre"),
+        s(cell(false, true)).as("s_c_post"))
+    def mean(sc: String, n: String) =
+      col(sc).cast("double") / nullif(col(n).cast("double"), lit(0.0)) /
+        lit(1e9)
+    val did = (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+      (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))
+    g.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      mean("s_t_pre", "n_t_pre").as("mean_t_pre"),
+      mean("s_t_post", "n_t_post").as("mean_t_post"),
+      mean("s_c_pre", "n_c_pre").as("mean_c_pre"),
+      mean("s_c_post", "n_c_post").as("mean_c_post"),
+      did.as("did"))
+  }
+
+  /** Inverse-propensity-weighted average treatment effect — the
+    * observational-data estimator when a pre-period does NOT exist
+    * ([[diffInDiff]]'s sibling): every treated row reweights by 1/e,
+    * every control by 1/(1−e), where e is a fitted propensity score
+    * (here: any score column in (0,1), e.g.
+    * [[TextAnalysis.qualityClassifier]] trained on the treatment
+    * label). Scores clamp to [clip, 1−clip] — the standard
+    * overlap-violation guard; without it one near-0/1 score dominates
+    * the whole estimate. Per-row IPW terms snap to the 1e-9 grid and
+    * sum exactly (they are RATIOS, so unlike raw outcomes they do not
+    * stay integers); the two weighted means and the ATE are IEEE over
+    * exact decimal sums. Output: one row (n, n_treated, mean_ipw_t,
+    * mean_ipw_c, ate). */
+  def ipwAte(scored: DataFrame, treat: Column, outcome: Column,
+      score: Column, clip: Double = 0.01): DataFrame = {
+    require(clip > 0 && clip < 0.5, "ipwAte: clip in (0, 0.5)")
+    val e = greatest(lit(clip), least(lit(1.0 - clip), score))
+    val y = outcome.cast("double")
+    val tTerm = grid(y / e)
+    val cTerm = grid(y / (lit(1.0) - e))
+    val g = scored
+      .filter(treat.isNotNull && outcome.isNotNull && score.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(treat, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(treat, dec(tTerm)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("st"),
+        sum(when(!treat, dec(cTerm)).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("sc"))
+    // Horvitz-Thompson normalization by the FULL n on both arms
+    def m(s: String) =
+      col(s).cast("double") / col("n").cast("double") / lit(1e9)
+    g.select(col("n"), col("n_treated"),
+      m("st").as("mean_ipw_t"), m("sc").as("mean_ipw_c"),
+      (m("st") - m("sc")).as("ate"))
+  }
+
+  /** Streaming twin of [[conformalReport]] — the conformal coverage
+    * monitor as a standing ingest: q̂ freezes ONCE from the
+    * calibration slice (a single bounded-spine job at build time,
+    * shipped as a driver literal — the frozen-reference stance of
+    * [[Quality.psiIngest]]), and each micro-batch appends one
+    * (n_eval, qhat, coverage) row, bit-equal to evaluating the batch
+    * report against that calibration. Coverage sinking below 1−α is
+    * the finite-sample distribution-shift alarm. Exactly-once through
+    * the [[Sketches.writeDeltaTo]] delta-partition contract. */
+  def conformalIngest(calibration: DataFrame, score: Column, label: Column,
+      alpha: Double, reportTable: String, stateTable: String)
+      : (DataFrame, Long) => Unit = {
+    require(alpha > 0 && alpha < 1, "conformalIngest: alpha in (0,1)")
+    val noncon = abs(label.cast("double") - score)
+    val spine = calibration.filter(score.isNotNull && label.isNotNull)
+      .groupBy(noncon.as("nc")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("nc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spine
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val idx = least(col("n"),
+      ceil(lit(1.0 - alpha) * (col("n") + 1).cast("double")).cast("long"))
+    val qhat: Double = cum
+      .agg(min(when(col("cum") >= idx, col("nc"))).as("qhat"))
+      .head().getDouble(0)
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      Sketches.writeDeltaTo(
+        batch.filter(score.isNotNull && label.isNotNull)
+          .agg(
+            count(lit(1)).as("n_eval"),
+            lit(qhat).as("qhat"),
+            (sum(when(noncon <= lit(qhat), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("coverage")),
+        batchId, reportTable, stateTable)
+    }
+  }
+
   /** Robust scale: (v − median) / MAD, the outlier-insensitive
     * standardization (z-scores move with the outliers they are meant
     * to flag; median/MAD do not). Median and MAD are both discrete

@@ -375,8 +375,135 @@ object StatQueries {
         "are, so a dip is a distribution-shift alarm with a " +
         "finite-sample footing (q186 calibration has no such bound). " +
         "qhat is a discrete selection off the bounded nonconformity " +
-        "spine; coverage is a pure integer ratio.")
+        "spine; coverage is a pure integer ratio."),
+
+    // ---- q225: difference-in-differences ------------------------------------
+    "q225_diff_in_diff" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .withColumn("treat",
+            (conv(substring(md5(col("user_id").cast("string")), 1, 4),
+              16, 10).cast("int") % 2) === 0)
+          .withColumn("post", to_date(col("ts")) > lit("2024-01-15"))
+        Stats.diffInDiff(e, col("treat"), col("post"), col("value"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT value,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                   1, 4)) AS INT) % 2 = 0 AS treat,
+                 CAST($TS AS DATE) > DATE '2024-01-15' AS post
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        g AS (
+          SELECT
+            CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+            CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+            CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+            CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+            SUM(CASE WHEN treat AND NOT post
+                THEN CAST(CAST(round(value * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t_pre,
+            SUM(CASE WHEN treat AND post
+                THEN CAST(CAST(round(value * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t_post,
+            SUM(CASE WHEN NOT treat AND NOT post
+                THEN CAST(CAST(round(value * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c_pre,
+            SUM(CASE WHEN NOT treat AND post
+                THEN CAST(CAST(round(value * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c_post
+          FROM e),
+        m AS (
+          SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+            CAST(s_t_pre AS DOUBLE) / nullif(CAST(n_t_pre AS DOUBLE),
+              CAST(0 AS DOUBLE)) / 1e9 AS mean_t_pre,
+            CAST(s_t_post AS DOUBLE) / nullif(CAST(n_t_post AS DOUBLE),
+              CAST(0 AS DOUBLE)) / 1e9 AS mean_t_post,
+            CAST(s_c_pre AS DOUBLE) / nullif(CAST(n_c_pre AS DOUBLE),
+              CAST(0 AS DOUBLE)) / 1e9 AS mean_c_pre,
+            CAST(s_c_post AS DOUBLE) / nullif(CAST(n_c_post AS DOUBLE),
+              CAST(0 AS DOUBLE)) / 1e9 AS mean_c_post
+          FROM g)
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+               (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+        FROM m"""),
+      "Difference-in-differences on purchase value across the q161 " +
+        "md5-coin cohorts and the Jan-15 pre/post boundary — the " +
+        "causal readout when treatment was not randomized but a " +
+        "pre-period exists: the control cohort's drift cancels common " +
+        "shocks (q198 CUPED reduces variance under randomization; DiD " +
+        "removes BIAS without it). One conditional-aggregate pass, " +
+        "cell sums exact on the 1e-9 grid."),
+
+    // ---- q226: inverse-propensity-weighted ATE ------------------------------
+    "q226_ipw_ate" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val nTok = size(tokens(col("text")))
+        val scored = TextAnalysis.qualityClassifier(docs, "doc_id",
+          features = Seq(
+            "x1" -> (nTok / lit(64.0)),
+            "x2" -> (size(array_distinct(tokens(col("text")))) / nTok),
+            "x3" -> (length(col("text")) / nTok)),
+          label = (col("lang") === "en").cast("double"),
+          iters = 4, lr = 0.125)
+        val joined = scored.join(
+          docs.select(col("doc_id").as("doc"),
+            length(col("text")).cast("double").as("outcome")), Seq("doc"))
+        Stats.ipwAte(joined, col("y") === 1, col("outcome"), col("score"))
+      },
+      Some(s"""
+        WITH feats AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(len($W) AS DOUBLE) / 64.0 AS x1,
+                 CAST(len(list_distinct($W)) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x2,
+                 CAST(length(text) AS DOUBLE) / CAST(len($W) AS DOUBLE) AS x3,
+                 CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents),
+        ${OracleGen.logitCtes("q", "feats", Seq("x1", "x2", "x3"), 4, "0.125")}
+        sc AS (${OracleGen.logitScoreSql("q", "feats", Seq("x1", "x2", "x3"), 4)}),
+        j AS (
+          SELECT sc.y = 1 AS treat,
+                 CAST(length(d.text) AS DOUBLE) AS outcome,
+                 greatest(CAST(0.01 AS DOUBLE),
+                   least(CAST(0.99 AS DOUBLE), sc.score)) AS e
+          FROM sc JOIN documents d ON d.doc_id = sc.doc
+          WHERE sc.score IS NOT NULL AND d.text IS NOT NULL),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treated,
+                 SUM(CASE WHEN treat
+                     THEN CAST(CAST(round((outcome / e) * 1e9) AS BIGINT)
+                       AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS st,
+                 SUM(CASE WHEN NOT treat
+                     THEN CAST(CAST(round((outcome / (CAST(1.0 AS DOUBLE) - e))
+                       * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS sc2
+          FROM j)
+        SELECT n, n_treated,
+               CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS mean_ipw_t,
+               CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS mean_ipw_c,
+               CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+                 - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS ate
+        FROM g"""),
+      "Inverse-propensity-weighted ATE of 'document is English' on " +
+        "document length, with the q104 logistic machinery fitting the " +
+        "propensity on text-shape features — the observational " +
+        "estimator when no pre-period exists (q225's sibling). Scores " +
+        "clamp to [0.01, 0.99] (the overlap guard: one near-0 " +
+        "propensity otherwise dominates the estimate); per-row IPW " +
+        "ratios snap to the 1e-9 grid and sum exactly; Horvitz-" +
+        "Thompson normalization by the full n on both arms.")
   )
 
   private val W = "string_split(text, ' ')"
+  private val TS = "CAST(ts AS TIMESTAMP)"
 }

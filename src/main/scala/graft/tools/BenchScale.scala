@@ -163,7 +163,20 @@ object BenchScale {
     "q211_pq_tuned",
     // iterative centrality (the q111 pageRank class: score relations
     // shuffle per pass, edges materialize once)
-    "q212_hits", "q213_unseen_mass")
+    "q212_hits", "q213_unseen_mass",
+    // round-9 tier. q219-q221 are slope-EXCLUDED by the q179 precedent:
+    // the fixture's 25 nation blocks are fixed while inflation grows
+    // every block 10×, so in-block pair work is quadratic in the
+    // multiplier BY FIXTURE CONSTRUCTION (the operator is linear in
+    // candidate pairs; real deployments re-block to cap block size).
+    // q215/q217/q218's value spines grow with distinct money values —
+    // measured at 10× to keep that cost visible, 100×-excluded like
+    // q188's score spine. q222's wedge stream is linear in copies but
+    // ~870M rows at 100× through one local JVM (the q147 class).
+    "q214_chi2_independence", "q215_mann_whitney", "q216_welch_ttest",
+    "q217_winsorize", "q218_robust_scale", "q222_link_prediction",
+    "q223_theil_sen", "q224_conformal", "q225_diff_in_diff",
+    "q226_ipw_ate")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -205,7 +218,12 @@ object BenchScale {
     // vocab-by-periods grid (q202) — the 100 TB shapes by construction
     "q197_ks_drift", "q198_cuped", "q201_embedding_drift",
     "q202_trending_terms", "q203_emd_drift",
-    "q206_vocab_coverage", "q207_lexical_diversity", "q213_unseen_mass")
+    "q206_vocab_coverage", "q207_lexical_diversity", "q213_unseen_mass",
+    // round-9 bounded-state readouts: fixed contingency cells (q214),
+    // one conditional-aggregate pass (q216/q225/q226), a fixed daily
+    // grid (q223), and the 1e-6-rounded classifier-score spine (q224)
+    "q214_chi2_independence", "q216_welch_ttest", "q223_theil_sen",
+    "q224_conformal", "q225_diff_in_diff", "q226_ipw_ate")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -144,6 +144,97 @@ class CrashWindowSpec extends SparkSuite {
     } finally ts.foreach(Catalog.dropTable(spark, _))
   }
 
+  test("conformalIngest: per-batch coverage equals the batch report; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val (reportT, stateT) = ("graft_cw_conf_report", "graft_cw_conf_state")
+    try {
+      Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+      // deterministic scores on the 1e-2 grid; label = threshold truth
+      val scored = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"),
+          round((col("doc_id") % 100).cast("double") / 100.0, 6).as("score"),
+          (length(col("text")) > 300).cast("int").as("y"))
+        .localCheckpoint()
+      val calib = scored.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val eval_ = scored.filter(col("doc_id") % 2 =!= 0).localCheckpoint()
+      val fn = Stats.conformalIngest(calib, col("score"), col("y"),
+        alpha = 0.1, reportT, stateT)
+      val b0 = eval_.filter(col("doc_id") < 250)
+      val b1 = eval_.filter(col("doc_id") >= 250)
+      fn(b0, 0L); fn(b1, 1L)
+      // each batch row must equal the batch conformalReport where the
+      // calibration slice is `calib` and the eval slice is that batch
+      def batchReport(b: org.apache.spark.sql.DataFrame) = {
+        val union = calib.withColumn("cal", lit(true))
+          .unionByName(b.withColumn("cal", lit(false)))
+        Stats.conformalReport(union, col("score"), col("y"),
+          col("cal"), alpha = 0.1)
+          .select(col("n_eval"), col("qhat"), col("coverage"))
+          .collect().head
+      }
+      val streamed = spark.table(reportT)
+        .select(col("batch_id"), col("n_eval"), col("qhat"), col("coverage"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      Seq(0L -> b0, 1L -> b1).foreach { case (i, b) =>
+        val want = batchReport(b)
+        assert(streamed(i) ==
+          (want.getLong(0), want.getDouble(1), want.getDouble(2)),
+          s"batch $i coverage must equal the one-shot conformal report")
+      }
+      // crash window: drop state, redeliver batch 1
+      val n0 = spark.table(reportT).count()
+      Catalog.dropTable(spark, stateT)
+      fn(b1, 1L)
+      assert(spark.table(reportT).count() == n0,
+        "crash-window replay must not append a duplicate coverage row")
+    } finally Seq(reportT, stateT).foreach(Catalog.dropTable(spark, _))
+  }
+
+  test("compactDeltas folds the spine to one partition, probes unchanged, crash-recoverable") {
+    import graft.operators.Sketches
+    val prefix = "graft_cw_cms"
+    val (deltaT, stateT) = (s"${prefix}_deltas", s"${prefix}_state")
+    try {
+      Seq(deltaT, stateT, s"${deltaT}_compact_tmp")
+        .foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("doc_id"), col("source"))
+      val fn = Sketches.countMinIngest("source", prefix)
+      (0 to 2).foreach(i => fn(docs.filter(col("doc_id") % 3 === i), i.toLong))
+      def probe() = Sketches.countMinProbe(
+          Sketches.countMinMerged(spark, prefix),
+          docs.select(col("source")).distinct(), "source", w = 1024, d = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val before = probe()
+      assert(spark.table(deltaT).select(col("batch_id")).distinct().count() == 3)
+      Sketches.compactDeltas(spark, deltaT, stateT,
+        _.groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c")))
+      assert(spark.table(deltaT).select(col("batch_id")).distinct().count() == 1,
+        "compaction must fold the spine to one partition")
+      assert(probe() == before, "compaction must not change any probe")
+      // new batches land alongside the compacted partition; the replay
+      // guard still rejects old ids (state untouched)
+      fn(docs.filter(col("doc_id") % 3 === 0), 1L) // stale id: must skip
+      assert(probe() == before, "stale batch id must still be rejected")
+      fn(docs.limit(50), 3L)
+      assert(spark.table(deltaT).select(col("batch_id")).distinct().count() == 2)
+      // crash recovery: simulate a crash after the live-table drop —
+      // the complete compacted spine sits in the tmp table
+      Sketches.compactDeltas(spark, deltaT, stateT,
+        _.groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c")))
+      val after = probe()
+      spark.table(deltaT).write.partitionBy("batch_id")
+        .saveAsTable(s"${deltaT}_compact_tmp")
+      Catalog.dropTable(spark, deltaT)
+      Sketches.compactDeltas(spark, deltaT, stateT,
+        _.groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c")))
+      assert(probe() == after, "recovery rebuild must restore the spine")
+    } finally Seq(deltaT, stateT, s"${deltaT}_compact_tmp")
+      .foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest crash-window replay recomputes the identical keep-set") {
     import graft.functions.VectorFunctions.asDoubleVec
     graft.plans.VectorExpressions.register(spark)

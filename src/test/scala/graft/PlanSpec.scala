@@ -401,6 +401,30 @@ class PlanSpec extends SparkSuite {
         Tables.events(spark, sf("0.001")), "event_type", "user_id", k = 64)
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
-      s"bottom-k must prune to k rows per group before the rank shuffle:\n${p.take(1500)}")
+      s"bottom-k must prune to k rows per group:\n${p.take(1500)}")
+  }
+
+  test("q219 linkage and q222 link prediction never plan a cartesian") {
+    // both are quadratic-LOOKING operators whose scale contract is the
+    // blocking/wedge equi-join; a cartesian (or a non-equi BNLJ over
+    // the corpus) means the blocking key fell out of the join
+    for (q <- Seq("q219_linkage_scores", "q222_link_prediction")) {
+      val p = SparkEntry.queries(q)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop over the corpus:\n${p.take(1500)}")
+    }
+  }
+
+  test("q217 winsorize: the corpus-side clip is broadcast, not re-shuffled") {
+    // the quantile bounds are one row; they must come back as a
+    // BroadcastExchange so the projection over the corpus adds no
+    // corpus shuffle beyond the bounded distinct-value spine
+    val p = SparkEntry.queries("q217_winsorize")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 }
