@@ -49,7 +49,7 @@ object SparkEntry {
     RelationalQueries.all ++ EventQueries.all ++ SimilarityQueries.all ++
       DedupTextQueries.all ++ TrainingQueries.all ++ RetrievalQueries.all ++
       multimodal ++ PipelineQueries.all ++ StatQueries.all ++
-      LinkageQueries.all
+      LinkageQueries.all ++ MaintenanceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's semantic heart: broadcast similarity match with

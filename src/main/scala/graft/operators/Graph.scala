@@ -435,13 +435,22 @@ object Graph {
   def linkPrediction(edges: DataFrame, left: String, right: String,
       maxDegree: Int = 256, minCommon: Long = 2): DataFrame = {
     val e = edges.select(col(left).as("l"), col(right).as("r")).distinct()
-      .localCheckpoint() // feeds degrees + the wedge join; one scan
+      .localCheckpoint() // feeds left degrees + the wedge baskets; one scan
     val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
-    val rdeg = e.groupBy(col("r")).agg(count(lit(1)).as("rdeg"))
-    val capped = e.join(rdeg, Seq("r")).filter(col("rdeg") <= maxDegree)
-    val a = capped.select(col("r"), col("l").as("a_id"), col("rdeg"))
-    val b = capped.select(col("r").as("rb"), col("l").as("b_id"))
-    val wedges = a.join(b, col("r") === col("rb") && col("a_id") < col("b_id"))
+    // the q164 in-basket pattern: ONE groupBy collapses each right
+    // node's neighbor set into a sorted array (its size IS the right
+    // degree — the cap and the RA weight read it for free) and wedge
+    // pairs explode from the array as a pure projection. The previous
+    // self-join on r shuffled the capped edge relation twice more and
+    // funneled every wedge through one task per right-key.
+    val baskets = e.groupBy(col("r"))
+      .agg(sort_array(collect_set(col("l"))).as("ls"))
+      .filter(size(col("ls")) <= maxDegree)
+      .withColumn("rdeg", size(col("ls")).cast("long"))
+    val wedges = baskets
+      .select(col("rdeg"), explode(col("ls")).as("a_id"), col("ls"))
+      .select(col("rdeg"), col("a_id"), explode(col("ls")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
     val pairs = wedges.groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("common"),
         // Σ 1/deg on the 1e-9 grid, summed exactly

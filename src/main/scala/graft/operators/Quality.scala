@@ -660,6 +660,44 @@ object Quality {
     base.crossJoin(ci).select(col("n"), col("point"), col("lo"), col("hi"))
   }
 
+  /** Key-skew audit — the "will this key shuffle melt a task?"
+    * pre-flight every big join/groupBy deserves: one hash aggregation
+    * to per-key counts, then scalar statistics over the BOUNDED
+    * count-of-counts spine (distinct count values, the q119 frequency-
+    * table stance): max, discrete p50/p99, the skew ratio max/mean,
+    * and the worst key by name (ties to the smallest key — rendered
+    * as string for a deterministic total order). A skew ratio in the
+    * thousands says salt this key ([[Skew.saltedMoneySum]]) or let AQE
+    * split it; ~1 says the key is safe. Output: one row (n_rows,
+    * n_keys, max_n, p50_n, p99_n, skew_ratio, top_key). */
+  def skewAudit(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.filter(key.isNotNull)
+      .groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("n"))
+    val spine = counts.groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spine
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("nk", sum(col("c")).over(Window.partitionBy()))
+    def pick(p: Double) = min(when(col("cum") >=
+      greatest(lit(1L), ceil(lit(p) * col("nk").cast("double")).cast("long")),
+      col("n")))
+    val stats = cum.agg(
+      max(col("nk")).as("n_keys"),
+      sum(col("n") * col("c")).as("n_rows"),
+      max(col("n")).as("max_n"),
+      pick(0.5).as("p50_n"), pick(0.99).as("p99_n"))
+    val top = counts
+      .agg(min_by(col("k"), struct((-col("n")).as("neg"), col("k")))
+        .as("top_key"))
+    stats.crossJoin(top).select(
+      col("n_rows"), col("n_keys"), col("max_n"), col("p50_n"), col("p99_n"),
+      (col("max_n").cast("double") /
+        (col("n_rows").cast("double") / col("n_keys").cast("double")))
+        .as("skew_ratio"),
+      col("top_key"))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

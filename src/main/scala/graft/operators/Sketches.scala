@@ -393,6 +393,67 @@ object Sketches {
     spark.table(s"${prefix}_deltas")
       .groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c"))
 
+  /** Fixed-grid histogram quantile estimates — the STREAMABLE quantile
+    * form: bins are a caller-fixed `binWidth` grid (the
+    * [[graft.operators.Quality.psiIngest]] stance), NOT data-dependent
+    * min/max edges like [[histogramQuantiles]], so bin counts are
+    * purely ADDITIVE and the same report computes one-shot or from
+    * merged ingest deltas, bit-equal. Estimate = left edge of the
+    * first bin whose cumulative count reaches ceil(p·n) — within
+    * binWidth of the true quantile by construction, every output an
+    * exact multiple of binWidth. Output: one row (n, p50_est, p90_est,
+    * p99_est). */
+  def fixedHistogramQuantiles(df: DataFrame, value: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "fixedHistogramQuantiles: binWidth > 0")
+    fixedHistQuantileTail(
+      df.filter(value.isNotNull)
+        .groupBy(floor(value / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c")),
+      binWidth)
+  }
+
+  private def fixedHistQuantileTail(binCounts: DataFrame,
+      binWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binCounts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    def est(p: Double) = min(when(col("cum") >=
+      ceil(lit(p) * col("n").cast("double")).cast("long"),
+      col("bin").cast("double") * lit(binWidth)))
+    cum.agg(max(col("n")).as("n"),
+      est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+  }
+
+  /** Streaming twin of [[fixedHistogramQuantiles]]: per-batch bin
+    * counts (bounded by the value range / binWidth) land as idempotent
+    * delta partitions; counts are additive, so
+    * [[histogramQuantilesMerged]] reads EXACTLY the one-shot report at
+    * any point in the stream — the standing latency/length-quantile
+    * monitor without re-scanning history. */
+  def histogramIngest(value: Column, binWidth: Double,
+      prefix: String): (DataFrame, Long) => Unit = {
+    require(binWidth > 0, "histogramIngest: binWidth > 0")
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      writeDelta(
+        batch.filter(value.isNotNull)
+          .groupBy(floor(value / binWidth).cast("long").as("bin"))
+          .agg(count(lit(1)).as("c")),
+        batchId, prefix)
+    }
+  }
+
+  /** Quantile estimates over everything [[histogramIngest]] landed. */
+  def histogramQuantilesMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, binWidth: Double): DataFrame =
+    fixedHistQuantileTail(
+      spark.table(s"${prefix}_deltas")
+        .groupBy(col("bin")).agg(sum(col("c")).as("c")),
+      binWidth)
+
   /** Compact a delta-partition spine: fold every landed batch_id
     * partition through the sketch's own `merge` (sum for count-min,
     * max for HLL — whatever the merged reader already applies) and

@@ -530,6 +530,56 @@ object TextAnalysis {
       .withColumn("n_chunk_words", size(tokens(col("chunk"))))
   }
 
+  /** Boilerplate removal, the CCNet/trafilatura recipe at segment
+    * granularity: a segment (non-overlapping `segWords`-word window —
+    * the fixture has no newlines; on real corpora pass lines or
+    * paragraphs through the same digest logic) whose EXACT text
+    * repeats across more than `maxShare` of one source's documents is
+    * template chrome (header, footer, nav, license banner), not
+    * content — repeated-across-documents is precisely what
+    * distinguishes boilerplate from the repeated-within-document
+    * signal [[repetitionStats]] measures. Flagged segments are
+    * stripped from every document of that source and the text
+    * reconstructs from the kept segments in position order.
+    *
+    * Scale shape: one [[chunkDocs]] projection, one (source, digest)
+    * count-distinct aggregation (16-byte digests shuffle, never the
+    * segment text), one broadcast-sized boilerplate set joined back
+    * (bounded: a TEMPLATE set per source, by definition ≪ corpus),
+    * one per-doc ordered re-concat. Output: (id, source, n_segments,
+    * n_kept, clean_text) — every input doc, empty string if all of it
+    * was boilerplate. */
+  def boilerplateStrip(docs: DataFrame, id: String, source: String,
+      text: String, segWords: Int, maxShare: Double): DataFrame = {
+    require(segWords > 0 && maxShare > 0 && maxShare <= 1,
+      "boilerplateStrip: segWords > 0, maxShare in (0,1]")
+    val segs = chunkDocs(docs, id, text, segWords, segWords)
+      .join(docs.select(col(id), col(source)), Seq(id))
+      .withColumn("h", md5(col("chunk")))
+    val perSource = docs.groupBy(col(source))
+      .agg(count_distinct(col(id)).as("n_docs"))
+    val boiler = segs.groupBy(col(source), col("h"))
+      .agg(count_distinct(col(id)).as("df"))
+      .join(broadcast(perSource), Seq(source))
+      .filter(col("df").cast("double") > lit(maxShare) * col("n_docs").cast("double"))
+      .select(col(source), col("h"), lit(true).as("is_boiler"))
+    val kept = segs.join(broadcast(boiler), Seq(source, "h"), "left")
+      .filter(col("is_boiler").isNull)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk"))).as("clean_text"))
+    val counts = segs.groupBy(col(id)).agg(count(lit(1)).as("n_segments"))
+    docs.select(col(id), col(source))
+      .join(counts, Seq(id), "left")
+      .join(kept, Seq(id), "left")
+      .select(col(id), col(source),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-level adjacent-pair frequencies — the statistic a BPE/
     * WordPiece tokenizer trainer computes for its first merge decision
     * (which adjacent pair is most frequent), generalized to word level

@@ -102,19 +102,26 @@ object LinkageQueries {
     "q219_linkage_scores" -> Q(
       (s, d) => EntityResolution.linkageScores(messy(s, d), "rec_id",
           col("nation"), fields)
+        // report only candidates at or above the review floor: the
+        // all-pairs relation is scan-and-discard by design — dumping
+        // (and totally ordering) every in-block pair made the DUMP,
+        // not the scoring, the cost
+        .filter(col("score") >= 2.0)
         .orderBy(col("a_id"), col("b_id")),
       Some(s"""
         WITH $sqlScored
         SELECT a_id, b_id, agree_name, agree_bal, agree_segment, score
         FROM scored
+        WHERE score >= CAST('2.0' AS DOUBLE)
         ORDER BY a_id, b_id"""),
       "Fellegi-Sunter probabilistic record linkage over the " +
         "messy-customer corpus: candidates ONLY from the nation " +
         "blocking equi-join (never a cross join — per-block fan-out is " +
         "the documented scale contract), each pair scored by literal " +
-        "log-likelihood field weights. The score is a fixed-length " +
-        "fold of exact dyadic doubles — hash-portable with no " +
-        "cross-row float sum."),
+        "log-likelihood field weights and reported above the manual-" +
+        "review floor (2.0 — the gray zone plus the matches). The " +
+        "score is a fixed-length fold of exact dyadic doubles — " +
+        "hash-portable with no cross-row float sum."),
 
     // ---- q220: entity resolution via components ----------------------------
     "q220_linkage_entities" -> Q(

@@ -235,6 +235,32 @@ class CrashWindowSpec extends SparkSuite {
       .foreach(Catalog.dropTable(spark, _))
   }
 
+  test("histogramIngest: merged quantiles equal the one-shot fixed-grid report") {
+    import graft.operators.Sketches
+    val prefix = "graft_cw_hist"
+    val ts = Seq(s"${prefix}_deltas", s"${prefix}_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      val ev = Tables.events(spark, sf("0.001"))
+        .select(col("event_id"), col("value"))
+      val fn = Sketches.histogramIngest(col("value"), 10.0, prefix)
+      (0 to 2).foreach(i => fn(ev.filter(col("event_id") % 3 === i), i.toLong))
+      val merged = Sketches.histogramQuantilesMerged(spark, prefix, 10.0)
+        .collect().head
+      val batch = Sketches.fixedHistogramQuantiles(ev, col("value"), 10.0)
+        .collect().head
+      assert(merged == batch,
+        s"merged streamed histogram must equal the one-shot report: $merged vs $batch")
+      // crash window: drop state, redeliver batch 2 — counts must not
+      // double (the delta partition rewrites)
+      Catalog.dropTable(spark, ts(1))
+      fn(ev.filter(col("event_id") % 3 === 2), 2L)
+      assert(Sketches.histogramQuantilesMerged(spark, prefix, 10.0)
+        .collect().head == batch,
+        "crash-window replay must not change the merged quantiles")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest crash-window replay recomputes the identical keep-set") {
     import graft.functions.VectorFunctions.asDoubleVec
     graft.plans.VectorExpressions.register(spark)
