@@ -115,6 +115,12 @@ object EntityResolution {
     val aSide = base.select(
       (col("_id").as("a_id") +: col("_blk") +:
         attrs.map(n => col(n).as(s"_a_$n"))): _*)
+      // explicit spread before the per-block pair expansion: the record
+      // table is small (AQE coalesces it toward one partition) and the
+      // b-side broadcasts, so without this the blockSize²-row pair
+      // stream generates single-threaded. Costs one record-table
+      // shuffle; AQE never coalesces a user repartition.
+      .repartition(records.sparkSession.sessionState.conf.numShufflePartitions)
     val bSide = base.select(
       (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
         attrs.map(n => col(n).as(s"_b_$n"))): _*)

@@ -447,6 +447,12 @@ object Graph {
       .agg(sort_array(collect_set(col("l"))).as("ls"))
       .filter(size(col("ls")) <= maxDegree)
       .withColumn("rdeg", size(col("ls")).cast("long"))
+      // explicit spread before the deg² explosion: the basket relation
+      // is megabytes, so AQE coalesces its stage toward ONE partition —
+      // and then the 10-100× larger exploded wedge stream runs
+      // single-threaded. A user repartition is exempt from AQE
+      // coalescing; it costs one basket-sized shuffle.
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions)
     val wedges = baskets
       .select(col("rdeg"), explode(col("ls")).as("a_id"), col("ls"))
       .select(col("rdeg"), col("a_id"), explode(col("ls")).as("b_id"))
