@@ -79,4 +79,59 @@ object Catalog {
     df.repartition(col(partitionCol), pmod(hash(col(idCol)), lit(filesPerPartition)))
       .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
   }
+
+  /** Targeted row deletion from a PARTITIONED managed table — the
+    * right-to-be-forgotten / takedown sweep a standing corpus must
+    * support without rewriting the world: find the partitions that
+    * actually CONTAIN deletion hits (one column-pruned scan of the id
+    * and partition columns, with the deletion set broadcast — parquet
+    * min/max stats prune row groups where the ids cannot occur), then
+    * rewrite ONLY those partitions minus the deleted rows via dynamic
+    * partition overwrite. Every untouched partition's files are left
+    * byte-identical on disk (the spec asserts on file paths+sizes) —
+    * at 100 TB the rewrite cost is proportional to the partitions the
+    * ids live in, not the corpus, which is why deletion-heavy
+    * lakehouse layouts partition or Z-order ([[graft.operators.ZOrder]])
+    * by the deletion key's prefix.
+    *
+    * Returns the number of partitions rewritten. Idempotent: a rerun
+    * with the same ids finds no hits and rewrites nothing. */
+  def deleteRows(spark: SparkSession, table: String, partitionCol: String,
+      idCol: String, ids: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val idSet = ids.select(col(ids.columns.head).as("_del_id")).distinct()
+    val hitParts = spark.table(table)
+      .join(broadcast(idSet), col(idCol) === col("_del_id"))
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (hitParts.isEmpty) return 0L
+    // read back only the affected partitions (partition-pruned scan),
+    // drop the deleted ids, rewrite those partitions in place
+    val survivors = spark.table(table)
+      .filter(col(partitionCol).isin(hitParts: _*))
+      .join(broadcast(idSet), col(idCol) === col("_del_id"), "left_anti")
+    // localCheckpoint: the overwrite must not re-read the partitions it
+    // is replacing mid-write — and the survivor partition list is
+    // needed BEFORE the write to find fully-emptied partitions
+    val mat = survivors.localCheckpoint()
+    val surviving = mat.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try mat.write.mode("overwrite").insertInto(table)
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // dynamic overwrite only replaces partitions PRESENT in the write:
+    // a partition whose every row was deleted has no survivor rows and
+    // must be dropped explicitly or its dead rows would remain
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    hitParts.filterNot(surviving.contains).foreach { v =>
+      spark.sql(s"ALTER TABLE ${quoted(table)} DROP IF EXISTS PARTITION " +
+        s"(${quoted(partitionCol)} = ${lit(v)})")
+    }
+    hitParts.length.toLong
+  }
 }

@@ -404,6 +404,49 @@ class PlanSpec extends SparkSuite {
       s"bottom-k must prune to k rows per group:\n${p.take(1500)}")
   }
 
+  test("deleteRows rewrites only hit partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val t = "graft_delete_sweep"
+    try {
+      Catalog.dropTable(spark, t)
+      // 4 partitions; ids 0-39; partition p3 will be fully deleted
+      val df = (0L until 40L).map(i => (i, (i / 10).toInt, s"v$i"))
+        .toDF("id", "p", "payload")
+      df.write.partitionBy("p").saveAsTable(t)
+      def files(): Map[String, (Long, Long)] = {
+        val loc = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + s"/$t"
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(loc)).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      }
+      val before = files()
+      // delete 3 ids from p1 and ALL of p3; p0/p2 untouched
+      val ids = Seq(11L, 12L, 13L, 30L, 31L, 32L, 33L, 34L, 35L, 36L,
+        37L, 38L, 39L).toDF("id")
+      val n = Catalog.deleteRows(spark, t, "p", "id", ids)
+      assert(n == 2L, s"exactly p1 and p3 contain hits, got $n")
+      val got = spark.table(t).select(col("id")).collect()
+        .map(_.getLong(0)).toSet
+      val want = (0L until 40L).toSet -- Set(11L, 12L, 13L) --
+        (30L until 40L).toSet
+      assert(got == want, "survivors must be exactly the non-deleted rows")
+      // untouched partitions' files must be BYTE-IDENTICAL (not rewritten)
+      val after = files()
+      val untouched = before.filter { case (path, _) =>
+        path.contains("/p=0/") || path.contains("/p=2/") }
+      untouched.foreach { case (path, sig) =>
+        assert(after.get(path).contains(sig),
+          s"untouched partition file must not be rewritten: $path")
+      }
+      assert(!after.keys.exists(_.contains("/p=3/")),
+        "a fully-deleted partition must be dropped, not left with dead rows")
+      // idempotent rerun: no hits, nothing rewritten
+      assert(Catalog.deleteRows(spark, t, "p", "id", ids) == 0L)
+    } finally Catalog.dropTable(spark, t)
+  }
+
   test("q219 linkage and q222 link prediction never plan a cartesian") {
     // both are quadratic-LOOKING operators whose scale contract is the
     // blocking/wedge equi-join; a cartesian (or a non-equi BNLJ over
