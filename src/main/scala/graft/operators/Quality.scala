@@ -698,6 +698,94 @@ object Quality {
       col("top_key"))
   }
 
+  /** k-anonymity / l-diversity audit over caller-named
+    * quasi-identifier columns — the re-identification pre-flight a
+    * governed corpus needs BEFORE release (and the measurement
+    * counterpart of [[graft.Catalog.deleteRows]]: deletion handles the
+    * named individual, this measures whether the remainder still hides
+    * everyone else). One hash aggregation to equivalence classes
+    * (rows sharing all quasi-identifier values); the report reduces
+    * the BOUNDED class table: k_anonymity = the smallest class (an
+    * attacker matching any quasi-tuple finds ≥ k candidates),
+    * l_diversity = the fewest distinct sensitive values in any class
+    * (k alone fails when the whole class shares one diagnosis —
+    * homogeneity attack), plus how many rows sit in classes below the
+    * target k. Pure integer outputs — hash-portable by construction.
+    * Output: one row (n_rows, n_classes, k_anonymity, l_diversity,
+    * n_classes_below_k, n_rows_below_k, pct_rows_below_k). */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityAudit: at least one quasi-id")
+    require(k >= 2, "kAnonymityAudit: k >= 2")
+    val classes = df
+      .groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(sensitive).as("nsens"))
+    classes.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("cnt")).as("k_anonymity"),
+      min(col("nsens")).as("l_diversity"),
+      sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
+      sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+        .as("n_rows_below_k"))
+      .withColumn("pct_rows_below_k",
+        col("n_rows_below_k").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** Seeded Laplace noise for [[dpNoisyCounts]] — computed ON THE
+    * DRIVER (one Math.log per released cell; ln at data-dependent
+    * points differs across engine libms, so it never enters a plan —
+    * the [[Retrieval]] NDCG-discount stance) and snapped to the 1e-9
+    * grid so the same literal embeds in both the Spark plan and the
+    * oracle SQL. The uniform comes from the shared 52-bit md5 urn
+    * keyed (seed, group): deterministic, engine-free, rerun-identical. */
+  def dpLaplaceNoise(seed: Long, group: String, epsilon: Double): Double = {
+    require(epsilon > 0, "dpLaplaceNoise: epsilon > 0")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$group".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    val c = u - 0.5
+    // inverse-CDF Laplace(0, 1/ε); |c| < 0.5 strictly (u < 1 by urn)
+    val raw = -math.signum(c) * math.log(1.0 - 2.0 * math.abs(c)) / epsilon
+    math.round(raw * 1e9) / 1e9
+  }
+
+  /** ε-differentially-private count release over a CALLER-LITERAL
+    * group list — the governance sibling of [[kAnonymityAudit]]: where
+    * the audit says "these cells are too small to show", this releases
+    * every cell with Laplace(1/ε) noise so no single row's presence
+    * moves any count by a detectable amount (counts have sensitivity
+    * 1; ε=0.1 is a strong guarantee, ε=2 a weak one). The group list
+    * must be DATA-INDEPENDENT literals (releasing data-derived group
+    * NAMES would itself leak — the standard DP practice of a fixed
+    * domain); absent groups release as noisy zero, indistinguishable
+    * from small. Noise is seeded per (seed, group) via
+    * [[dpLaplaceNoise]] driver literals; the noisy count is one IEEE
+    * addition of an exact long and that literal — bit-portable, and
+    * deliberately NOT rounded back to an integer (rounding re-spends
+    * budget arguing over ties; standard practice releases the real
+    * value). Output: (g, epsilon, noisy_count) ordered by g. */
+  def dpNoisyCounts(df: DataFrame, group: Column, groups: Seq[String],
+      epsilon: Double, seed: Long = 0L): DataFrame = {
+    require(groups.nonEmpty && groups.distinct.size == groups.size,
+      "dpNoisyCounts: distinct literal groups")
+    require(epsilon > 0, "dpNoisyCounts: epsilon > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val noise = groups.map(g => (g, dpLaplaceNoise(seed, g, epsilon)))
+      .toDF("g", "_noise")
+    val counts = df.filter(group.isin(groups.map(lit): _*))
+      .groupBy(group.cast("string").as("g"))
+      .agg(count(lit(1)).as("_cnt"))
+    noise.join(counts, Seq("g"), "left")
+      .select(col("g"), lit(epsilon).as("epsilon"),
+        (coalesce(col("_cnt"), lit(0L)).cast("double") + col("_noise"))
+          .as("noisy_count"))
+      .orderBy(col("g"))
+  }
+
   /** Run every rule in one aggregate job. Output: (rule, column,
     * metric rounded to 6, min_ratio, pass), one row per rule, in rule
     * order. */

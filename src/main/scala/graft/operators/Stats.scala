@@ -418,6 +418,315 @@ object Stats {
     }
   }
 
+  /** Spearman rank correlation between two BOUNDED-cardinality columns
+    * — the monotone-association readout that survives outliers and
+    * nonlinearity (Pearson on raw values does neither). Never ranks
+    * individual rows: one hash aggregation collapses the corpus onto
+    * the |X|×|Y| contingency cells, each marginal's average tied rank
+    * comes from a window over its OWN bounded spine, and — the key
+    * exactness move — ranks are kept DOUBLED (2·r is an integer even
+    * for .5 tied ranks), so every moment Σc·2rx·2ry accumulates as an
+    * exact DECIMAL integer; the constant factor cancels in the
+    * correlation. rho is IEEE divide/sqrt of those exact components.
+    * Contract: feed bounded-cardinality columns (grades, buckets,
+    * small integer measures) — the cell table is the state. Output:
+    * one row (n, levels_x, levels_y, rho); rho is null when either
+    * marginal is constant. */
+  def spearmanReport(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("vx"), y.as("vy")).agg(count(lit(1)).as("c"))
+    def marginal(k: String): DataFrame = {
+      val m = cells.groupBy(col(k)).agg(sum(col("c")).as("mc"))
+      val w = Window.orderBy(col(k))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("cumb", coalesce(sum(col("mc")).over(w), lit(0L)))
+        // doubled average tied rank: 2·(cumb + (mc+1)/2) stays integer
+        .select(col(k), (lit(2L) * col("cumb") + col("mc") + lit(1L))
+          .as(s"r2$k"))
+    }
+    val j = cells
+      .join(broadcast(marginal("vx")), "vx")
+      .join(broadcast(marginal("vy")), "vy")
+    val g = j.agg(
+      sum(col("c")).as("n"),
+      count_distinct(col("vx")).as("levels_x"),
+      count_distinct(col("vy")).as("levels_y"),
+      sum(dec(col("c")) * dec(col("r2vx"))).as("sx"),
+      sum(dec(col("c")) * dec(col("r2vy"))).as("sy"),
+      sum(dec(col("c")) * dec(col("r2vx")) * dec(col("r2vx"))).as("sxx"),
+      sum(dec(col("c")) * dec(col("r2vy")) * dec(col("r2vy"))).as("syy"),
+      sum(dec(col("c")) * dec(col("r2vx")) * dec(col("r2vy"))).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val covN = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(col("n"), col("levels_x"), col("levels_y"),
+      (covN / sqrt(nullif(varX * varY, lit(0.0)))).as("rho"))
+  }
+
+  /** Kruskal-Wallis H rank test across k NAMED groups — "do any of
+    * these slices draw values from a different distribution?", the
+    * k-sample extension of [[mannWhitneyReport]] (running k² pairwise
+    * MW tests instead inflates false positives). Same spine stance:
+    * per-value per-group counts, doubled average ranks off the bounded
+    * value spine, per-group doubled rank sums as exact DECIMAL. The
+    * groups are CALLER-SUPPLIED LITERALS so the k per-group H terms
+    * (whose magnitudes overflow any integer grid) can sum in a FIXED
+    * syntactic order — a float sum over a data-dependent group set
+    * would be order-dependent and break cross-engine parity. Includes
+    * the tie correction. Output: one row (n, k, dof, h, h_corrected);
+    * h_corrected is null when all values tie. */
+  def kruskalWallisReport(df: DataFrame, value: Column, group: Column,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      "kruskalWallisReport: >= 2 distinct group literals")
+    val spineAggs = count(lit(1)).as("cnt") +:
+      groups.zipWithIndex.map { case (gn, i) =>
+        sum(when(group === gn, 1L).otherwise(0L)).as(s"n$i")
+      }
+    val spine = df
+      .filter(value.isNotNull && group.isin(groups.map(lit): _*))
+      .groupBy(value.as("v"))
+      .agg(spineAggs.head, spineAggs.tail: _*)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = spine
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumb") + col("cnt") + lit(1L))
+    val gAggs = sum(col("cnt")).as("n") +:
+      sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) -
+        dec(col("cnt"))).as("ties") +:
+      groups.indices.flatMap { i => Seq(
+        sum(col(s"n$i")).as(s"ng$i"),
+        sum(dec(col(s"n$i")) * dec(col("r2"))).as(s"r2g$i"))
+      }
+    val g = r.agg(gAggs.head, gAggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val dn = d(col("n"))
+    // Σ R2_j²/n_j in the FIXED literal order (parity-critical)
+    val terms = groups.indices.map { i =>
+      d(col(s"r2g$i")) * d(col(s"r2g$i")) / d(col(s"ng$i"))
+    }
+    val sumTerms = terms.reduceLeft(_ + _)
+    // H on doubled ranks: 12/(n(n+1))·Σ(R2/2)²/n_j − 3(n+1)
+    val h = lit(3.0) / (dn * (dn + lit(1.0))) * sumTerms -
+      lit(3.0) * (dn + lit(1.0))
+    val corr = lit(1.0) -
+      d(col("ties")) / (dn * dn * dn - dn)
+    g.select(col("n"), lit(groups.size).as("k"),
+      lit(groups.size - 1L).as("dof"), h.as("h"),
+      (h / nullif(corr, lit(0.0))).as("h_corrected"))
+  }
+
+  /** One-way ANOVA F across k NAMED groups — the parametric sibling of
+    * [[kruskalWallisReport]] for "do the slice MEANS differ?" under a
+    * shared-variance assumption ([[welchTReport]] is the k=2 form
+    * without it). One conditional-aggregate pass: per-group n, Σv, Σv²
+    * on the exact 1e-9 grid as DECIMAL; SSB/SSW are IEEE sums over the
+    * FIXED caller-literal group order (the parity stance of
+    * kruskalWallisReport). Output: one row (n, k, dof_between,
+    * dof_within, ssb, ssw, f); f is null when SSW is 0 or any dof
+    * is 0. */
+  def anovaFReport(df: DataFrame, value: Column, group: Column,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      "anovaFReport: >= 2 distinct group literals")
+    val v = grid(value)
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val aggs = count(lit(1)).as("n") +:
+      sum(dec(v)).as("s") +:
+      groups.zipWithIndex.flatMap { case (gn, i) => Seq(
+        sum(when(group === gn, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(group === gn, dec(v)).otherwise(zero)).as(s"s$i"),
+        sum(when(group === gn, dec(v) * dec(v)).otherwise(zero))
+          .as(s"q$i"))
+      }
+    val g = df
+      .filter(value.isNotNull && group.isin(groups.map(lit): _*))
+      .agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val grandMean = d(col("s")) / d(col("n")) / lit(1e9)
+    val ssbTerms = groups.indices.map { i =>
+      val mi = d(col(s"s$i")) / d(col(s"n$i")) / lit(1e9)
+      d(col(s"n$i")) * (mi - grandMean) * (mi - grandMean)
+    }
+    val sswTerms = groups.indices.map { i =>
+      (d(col(s"q$i")) -
+        d(col(s"s$i")) * d(col(s"s$i")) / d(col(s"n$i"))) / lit(1e18)
+    }
+    val ssb = ssbTerms.reduceLeft(_ + _)
+    val ssw = sswTerms.reduceLeft(_ + _)
+    val dofB = lit(groups.size - 1).cast("double")
+    val dofW = d(col("n")) - lit(groups.size).cast("double")
+    val f = (ssb / dofB) / nullif(ssw / nullif(dofW, lit(0.0)), lit(0.0))
+    g.select(col("n"), lit(groups.size).as("k"),
+      lit(groups.size - 1L).as("dof_between"),
+      (col("n") - lit(groups.size.toLong)).as("dof_within"),
+      ssb.as("ssb"), ssw.as("ssw"), f.as("f"))
+  }
+
+  /** Deterministic two-sample randomization test of a mean difference
+    * — the assumption-free significance readout when neither the
+    * normal approximation ([[welchTReport]]) nor rank exchange
+    * ([[mannWhitneyReport]]) is wanted: under H0 the A/B labels are
+    * exchangeable, so re-drawing them and recomputing the mean gap
+    * calibrates the observed gap against its own null. Labels re-draw
+    * per (row, rep) from the 52-bit md5 uniform (the
+    * [[Quality.bootstrapRatioCi]] urn — engine/partitioning/rerun-
+    * identical); a row joins pseudo-A iff u·n < 2^52·nA, an EXACT
+    * integer comparison (both sides DECIMAL), so the assignment rate
+    * matches the observed nA/n to within 2⁻⁵² with no float bias. The
+    * p-value (1 + #{|diff_r| ≥ |diff_obs|})/(reps+1) is a pure integer
+    * ratio — bit-portable, finite-sample valid, no distribution table.
+    * Per-rep sums accumulate on the exact 1e-9 grid; the corpus is
+    * re-spread before the ×reps explosion (AQE coalesces a
+    * megabyte-scale stage to one partition, serializing the md5 work).
+    * Output: one row (n, n_a, diff_obs, reps, n_extreme, p_value). */
+  def permutationTest(df: DataFrame, id: Column, value: Column,
+      inA: Column, reps: Int = 99, seed: Long = 0L): DataFrame = {
+    require(reps >= 19, "permutationTest: reps >= 19")
+    val spark = df.sparkSession
+    val v = grid(value)
+    val base = df.filter(value.isNotNull && inA.isNotNull)
+      .select(id.cast("string").as("_id"), v.as("_v"), inA.as("_a"))
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val obs = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_a"), dec(col("_v"))).otherwise(zero)).as("sa"),
+      sum(dec(col("_v"))).as("s"))
+    def meanDiff(sa: Column, na: Column, s: Column, n: Column) = {
+      def d(c: Column) = c.cast("double")
+      d(sa) / nullif(d(na), lit(0.0)) / lit(1e9) -
+        (d(s) - d(sa)) / nullif(d(n) - d(na), lit(0.0)) / lit(1e9)
+    }
+    val expanded = base
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(spark.range(reps.toLong)
+        .select(col("id").cast("int").as("rep"))))
+      .crossJoin(broadcast(obs))
+    val u = conv(substring(md5(concat(col("_id"), lit(":"),
+      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13),
+      16, 10).cast("long")
+    val assign = dec(u) * dec(col("n")) <
+      dec(lit(4503599627370496L)) * dec(col("n_a"))
+    val perRep = expanded
+      .groupBy(col("rep"))
+      .agg(
+        max(col("n")).as("n"), max(col("n_a")).as("n_a"),
+        max(col("s")).as("s"),
+        sum(when(assign, dec(col("_v"))).otherwise(zero)).as("sar"),
+        sum(when(assign, 1L).otherwise(0L)).as("nar"),
+        max(meanDiff(col("sa"), col("n_a"), col("s"), col("n")))
+          .as("diff_obs"))
+    val diffR = meanDiff(col("sar"), col("nar"), col("s"), col("n"))
+    perRep.agg(
+      max(col("n")).as("n"), max(col("n_a")).as("n_a"),
+      max(col("diff_obs")).as("diff_obs"),
+      count(lit(1)).as("reps"),
+      sum(when(abs(diffR) >= abs(col("diff_obs")), 1L).otherwise(0L))
+        .as("n_extreme"))
+      .withColumn("p_value",
+        (col("n_extreme") + lit(1L)).cast("double") /
+          (col("reps") + lit(1L)).cast("double"))
+  }
+
+  /** Per-group randomization p-values — one [[permutationTest]] per
+    * key in a SINGLE corpus pass: the battery builder for
+    * [[bhFdr]] ("which nations' urgent orders really differ?" asked
+    * 25 times needs a multiplicity correction, and that needs all 25
+    * p-values). Group statistics (n_g, nA_g, S_g) broadcast back onto
+    * the ×reps explosion; each row re-draws its label against ITS
+    * group's rate by the same exact-integer comparison; one
+    * (group, rep) aggregation and one bounded per-group reduction
+    * yield every p-value. Output: one row per group (g, n, n_a,
+    * diff_obs, n_extreme, p_value), ordered by g. */
+  def groupedPermutationPvalues(df: DataFrame, id: Column, value: Column,
+      inA: Column, group: Column, reps: Int = 99, seed: Long = 0L)
+      : DataFrame = {
+    require(reps >= 19, "groupedPermutationPvalues: reps >= 19")
+    val spark = df.sparkSession
+    val v = grid(value)
+    val base = df
+      .filter(value.isNotNull && inA.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("g"), id.cast("string").as("_id"),
+        v.as("_v"), inA.as("_a"))
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val obs = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_a"), dec(col("_v"))).otherwise(zero)).as("sa"),
+      sum(dec(col("_v"))).as("s"))
+    def meanDiff(sa: Column, na: Column, s: Column, n: Column) = {
+      def d(c: Column) = c.cast("double")
+      d(sa) / nullif(d(na), lit(0.0)) / lit(1e9) -
+        (d(s) - d(sa)) / nullif(d(n) - d(na), lit(0.0)) / lit(1e9)
+    }
+    val expanded = base
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(spark.range(reps.toLong)
+        .select(col("id").cast("int").as("rep"))))
+      .join(broadcast(obs), "g")
+    val u = conv(substring(md5(concat(col("_id"), lit(":"),
+      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13),
+      16, 10).cast("long")
+    val assign = dec(u) * dec(col("n")) <
+      dec(lit(4503599627370496L)) * dec(col("n_a"))
+    val perRep = expanded
+      .groupBy(col("g"), col("rep"))
+      .agg(
+        max(col("n")).as("n"), max(col("n_a")).as("n_a"),
+        max(col("s")).as("s"),
+        sum(when(assign, dec(col("_v"))).otherwise(zero)).as("sar"),
+        sum(when(assign, 1L).otherwise(0L)).as("nar"),
+        max(meanDiff(col("sa"), col("n_a"), col("s"), col("n")))
+          .as("diff_obs"))
+    val diffR = meanDiff(col("sar"), col("nar"), col("s"), col("n"))
+    perRep.groupBy(col("g")).agg(
+      max(col("n")).as("n"), max(col("n_a")).as("n_a"),
+      max(col("diff_obs")).as("diff_obs"),
+      sum(when(abs(diffR) >= abs(col("diff_obs")), 1L).otherwise(0L))
+        .as("n_extreme"))
+      .withColumn("p_value",
+        (col("n_extreme") + lit(1L)).cast("double") /
+          lit((reps + 1).toDouble))
+      .orderBy(col("g"))
+  }
+
+  /** Benjamini-Hochberg FDR step-up over a BOUNDED battery of
+    * p-values — the multiplicity correction that makes a 25-test
+    * battery honest (at α=0.05, 25 independent nulls yield ~1.2 fake
+    * "discoveries"; BH caps the EXPECTED false-discovery fraction at α
+    * while keeping far more power than Bonferroni). Ranks ascend by
+    * (p, test_id) — the deterministic tie order; the step-up cutoff
+    * k* = max{r : p_(r) ≤ r·α/m} comes from a window over the battery;
+    * every test at rank ≤ k* is a discovery (including any whose own p
+    * exceeds its threshold — the step-up shape, not a per-row test).
+    * All thresholds are IEEE ratios of small exact integers. Input:
+    * (test_id, p) one row per test. Output: (test_id, p, rank,
+    * bh_threshold, discovery) ordered by rank. */
+  def bhFdr(pvals: DataFrame, testId: Column, p: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "bhFdr: alpha in (0,1)")
+    val base = pvals.filter(p.isNotNull)
+      .select(testId.cast("string").as("test_id"), p.as("p"))
+    val w = Window.orderBy(col("p"), col("test_id"))
+    val wAll = Window.partitionBy()
+    val ranked = base
+      .withColumn("rank", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_threshold",
+        col("rank").cast("double") * lit(alpha) / col("m").cast("double"))
+    val kStar = ranked
+      .withColumn("kstar",
+        max(when(col("p") <= col("bh_threshold"), col("rank"))
+          .otherwise(lit(0))).over(wAll))
+    kStar
+      .select(col("test_id"), col("p"), col("rank"), col("bh_threshold"),
+        (col("rank") <= col("kstar")).as("discovery"))
+      .orderBy(col("rank"))
+  }
+
   /** Robust scale: (v − median) / MAD, the outlier-insensitive
     * standardization (z-scores move with the outliers they are meant
     * to flag; median/MAD do not). Median and MAD are both discrete

@@ -161,6 +161,83 @@ object MaintenanceQueries {
         "so histogramIngest maintains the identical report per batch " +
         "with no history re-scan. Estimates are bin left edges — " +
         "within binWidth of truth by construction, exact multiples of " +
-        "the grid.")
+        "the grid."),
+
+    // ---- q235: k-anonymity / l-diversity release audit ----------------------
+    "q235_k_anonymity" -> Q(
+      (s, d) => graft.operators.Quality.kAnonymityAudit(
+        Tables.customer(s, d),
+        quasi = Seq(
+          "nation" -> col("c_nationkey"),
+          "bal_bucket" -> floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        sensitive = col("c_mktsegment"), k = 5),
+      Some("""
+        WITH classes AS (
+          SELECT c_nationkey AS nation,
+                 CAST(floor(c_acctbal / CAST('1000.0' AS DOUBLE)) AS BIGINT)
+                   AS bal_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nsens
+          FROM customer GROUP BY 1, 2),
+        a AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_classes,
+                 MIN(cnt) AS k_anonymity,
+                 MIN(nsens) AS l_diversity,
+                 CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_classes_below_k,
+                 CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_rows_below_k
+          FROM classes)
+        SELECT n_rows, n_classes, k_anonymity, l_diversity,
+               n_classes_below_k, n_rows_below_k,
+               CAST(n_rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 AS pct_rows_below_k
+        FROM a"""),
+      "k-anonymity / l-diversity audit of the customer table under " +
+        "(nation, account-balance-thousand) quasi-identifiers with " +
+        "market segment sensitive — the re-identification pre-flight " +
+        "before any governed release, and the measurement counterpart " +
+        "of Catalog.deleteRows (deletion handles the named individual; " +
+        "this measures whether the remainder still hides everyone " +
+        "else). One aggregation to equivalence classes, one reduction " +
+        "of the bounded class table; k = smallest class, l = fewest " +
+        "distinct sensitive values in any class (the homogeneity-" +
+        "attack bound k alone misses). Pure integer outputs."),
+
+    // ---- q236: epsilon-DP noisy count release -------------------------------
+    "q236_dp_counts" -> Q(
+      (s, d) => graft.operators.Quality.dpNoisyCounts(
+        Tables.orders(s, d), col("o_orderpriority"),
+        DpGroups, epsilon = 0.5, seed = 7L),
+      Some(s"""
+        WITH noise(g, nz) AS (VALUES ${DpGroups.map { g =>
+          s"('$g', CAST('${graft.operators.Quality.dpLaplaceNoise(7L, g, 0.5)}' AS DOUBLE))"
+        }.mkString(",\n          ")}),
+        c AS (
+          SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM orders
+          WHERE o_orderpriority IN (${DpGroups.map("'" + _ + "'").mkString(", ")})
+          GROUP BY 1)
+        SELECT noise.g, CAST('0.5' AS DOUBLE) AS epsilon,
+               CAST(coalesce(c.cnt, CAST(0 AS BIGINT)) AS DOUBLE) + noise.nz
+                 AS noisy_count
+        FROM noise LEFT JOIN c ON c.g = noise.g
+        ORDER BY noise.g"""),
+      "Epsilon-differentially-private release of per-priority order " +
+        "counts (epsilon=0.5, Laplace sensitivity-1 noise) — the " +
+        "governance sibling of q235: where the audit says 'these " +
+        "cells are too small to show', this publishes every cell with " +
+        "calibrated noise so no single order's presence detectably " +
+        "moves any count. The released domain is a FIXED literal list " +
+        "(data-derived group names would themselves leak); noise is " +
+        "seeded per (seed, group) from the md5 urn and computed ON THE " +
+        "DRIVER (ln never enters a plan — the NDCG-discount stance), " +
+        "snapped to the 1e-9 grid, and embedded as the SAME literal in " +
+        "the Spark plan and the oracle.")
   )
+
+  /** Fixed released domain for the DP count query. */
+  private val DpGroups = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 }

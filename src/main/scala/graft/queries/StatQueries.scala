@@ -20,6 +20,13 @@ object StatQueries {
     * against the rest — stable, human-meaningful, and ~40/60. */
   private val urgent = Seq("1-URGENT", "2-HIGH")
 
+  /** The five order-priority tiers as FIXED literals — the k-group
+    * tests sum their per-group float terms in this order (a
+    * data-dependent group set would make the sum order-dependent and
+    * break cross-engine parity). */
+  private val Priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
   def all: Seq[(String, Q)] = Seq(
 
     // ---- q214: chi-square test of independence ----------------------------
@@ -501,7 +508,334 @@ object StatQueries {
         "clamp to [0.01, 0.99] (the overlap guard: one near-0 " +
         "propensity otherwise dominates the estimate); per-row IPW " +
         "ratios snap to the 1e-9 grid and sum exactly; Horvitz-" +
-        "Thompson normalization by the full n on both arms.")
+        "Thompson normalization by the full n on both arms."),
+
+    // ---- q230: Spearman rank correlation ------------------------------------
+    "q230_spearman" -> Q(
+      (s, d) => Stats.spearmanReport(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount")),
+      Some("""
+        WITH cells AS (
+          SELECT l_quantity AS vx, l_discount AS vy,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          GROUP BY 1, 2),
+        mx AS (SELECT vx, CAST(SUM(c) AS BIGINT) AS mc FROM cells GROUP BY vx),
+        rx AS (
+          SELECT vx, 2 * coalesce(SUM(mc) OVER (ORDER BY vx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + mc + 1 AS r2x
+          FROM mx),
+        my AS (SELECT vy, CAST(SUM(c) AS BIGINT) AS mc FROM cells GROUP BY vy),
+        ry AS (
+          SELECT vy, 2 * coalesce(SUM(mc) OVER (ORDER BY vy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + mc + 1 AS r2y
+          FROM my),
+        j AS (
+          SELECT cells.c, rx.r2x, ry.r2y, cells.vx, cells.vy
+          FROM cells JOIN rx ON rx.vx = cells.vx
+                     JOIN ry ON ry.vy = cells.vy),
+        g AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT vx) AS BIGINT) AS levels_x,
+                 CAST(COUNT(DISTINCT vy) AS BIGINT) AS levels_y,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)))
+                   AS sx,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0)))
+                   AS sy,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS syy,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS sxy
+          FROM j)
+        SELECT n, levels_x, levels_y,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt(nullif(
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                   CAST('0.0' AS DOUBLE))) AS rho
+        FROM g"""),
+      "Spearman rank correlation between line quantity and discount — " +
+        "the monotone-association readout that outliers cannot bend " +
+        "(q135's Pearson moves with every extreme value). Never ranks " +
+        "rows: the corpus collapses onto the 50x11 contingency cells, " +
+        "tied average ranks come off each bounded marginal spine, and " +
+        "ranks stay DOUBLED so every moment is an exact DECIMAL " +
+        "integer (2r is whole even for .5 tied ranks; the factor " +
+        "cancels in the correlation); rho is IEEE over those exact " +
+        "sums."),
+
+    // ---- q231: Kruskal-Wallis k-sample rank test ----------------------------
+    "q231_kruskal_wallis" -> Q(
+      (s, d) => Stats.kruskalWallisReport(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderpriority"), Priorities),
+      Some(s"""
+        WITH sp AS (
+          SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 ${Priorities.zipWithIndex.map { case (g, i) =>
+                   s"CAST(SUM(CASE WHEN o_orderpriority = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
+                 }.mkString(",\n                 ")}
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IN (${Priorities.map("'" + _ + "'").mkString(", ")})
+          GROUP BY 1),
+        r AS (
+          SELECT *, 2 * coalesce(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS r2
+          FROM sp),
+        a AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                     * CAST(cnt AS DECIMAL(38,0)) - CAST(cnt AS DECIMAL(38,0)))
+                   AS ties,
+                 ${Priorities.indices.map { i =>
+                   s"CAST(SUM(n$i) AS BIGINT) AS ng$i,\n                 " +
+                   s"SUM(CAST(n$i AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2g$i"
+                 }.mkString(",\n                 ")}
+          FROM r),
+        h AS (
+          SELECT n, ties,
+                 CAST('3.0' AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                     + CAST('1.0' AS DOUBLE)))
+                   * (${Priorities.indices.map { i =>
+                        s"CAST(r2g$i AS DOUBLE) * CAST(r2g$i AS DOUBLE) / CAST(ng$i AS DOUBLE)"
+                      }.mkString("\n                      + ")})
+                   - CAST('3.0' AS DOUBLE) * (CAST(n AS DOUBLE)
+                     + CAST('1.0' AS DOUBLE)) AS hv
+          FROM a)
+        SELECT n, CAST(${Priorities.size} AS INT) AS k,
+               CAST(${Priorities.size - 1} AS BIGINT) AS dof, hv AS h,
+               hv / nullif(CAST('1.0' AS DOUBLE) - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)), CAST('0.0' AS DOUBLE))
+                 AS h_corrected
+        FROM h"""),
+      "Kruskal-Wallis H across the five order-priority tiers: do ANY " +
+        "of the slices draw totals from a different distribution? The " +
+        "k-sample extension of q215 (k-squared pairwise MW tests " +
+        "inflate false positives). Doubled average ranks off the " +
+        "bounded value spine keep per-group rank sums exact DECIMAL; " +
+        "the k H-terms sum in the FIXED caller-literal group order — " +
+        "the move that keeps a float sum over groups engine-portable. " +
+        "Tie-corrected."),
+
+    // ---- q232: one-way ANOVA F ----------------------------------------------
+    "q232_anova_f" -> Q(
+      (s, d) => Stats.anovaFReport(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderpriority"), Priorities),
+      Some(s"""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(CAST(round(o_totalprice * 1e9) AS BIGINT)
+                   AS DECIMAL(38,0))) AS s,
+                 ${Priorities.zipWithIndex.map { case (g, i) =>
+                   s"CAST(SUM(CASE WHEN o_orderpriority = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS n$i,\n                 " +
+                   s"SUM(CASE WHEN o_orderpriority = '$g' THEN CAST(CAST(round(o_totalprice * 1e9) AS BIGINT) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s$i,\n                 " +
+                   s"SUM(CASE WHEN o_orderpriority = '$g' THEN CAST(CAST(round(o_totalprice * 1e9) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(o_totalprice * 1e9) AS BIGINT) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS q$i"
+                 }.mkString(",\n                 ")}
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IN (${Priorities.map("'" + _ + "'").mkString(", ")})),
+        m AS (
+          SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS gm
+          FROM a),
+        e AS (
+          SELECT n,
+                 (${Priorities.indices.map { i =>
+                    s"CAST(n$i AS DOUBLE) * (CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) / 1e9 - gm) * (CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) / 1e9 - gm)"
+                  }.mkString("\n                  + ")}) AS ssb,
+                 (${Priorities.indices.map { i =>
+                    s"(CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)) / 1e18"
+                  }.mkString("\n                  + ")}) AS ssw
+          FROM m)
+        SELECT n, CAST(${Priorities.size} AS INT) AS k,
+               CAST(${Priorities.size - 1} AS BIGINT) AS dof_between,
+               n - ${Priorities.size} AS dof_within, ssb, ssw,
+               (ssb / CAST(${Priorities.size - 1} AS DOUBLE))
+                 / nullif(ssw / nullif(CAST(n AS DOUBLE)
+                     - CAST(${Priorities.size} AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)), CAST('0.0' AS DOUBLE)) AS f
+        FROM e"""),
+      "One-way ANOVA F on the same five priority tiers — the " +
+        "parametric companion to q231 (do the MEANS differ?) under a " +
+        "shared-variance assumption. One conditional-aggregate pass: " +
+        "per-group n / sum / sum-of-squares exact on the 1e-9 grid as " +
+        "DECIMAL; SSB and SSW are IEEE sums in the fixed literal group " +
+        "order, F a ratio of their dof-scaled forms."),
+
+    // ---- q233: per-nation randomization battery + BH-FDR --------------------
+    "q233_fdr_battery" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+        val pv = Stats.groupedPermutationPvalues(o,
+          col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").isin(urgent: _*), col("n_name"),
+          reps = 99, seed = 0L)
+        Stats.bhFdr(pv, col("g"), col("p_value"), alpha = 0.05)
+      },
+      Some("""
+        WITH o AS (
+          SELECT n.n_name AS g, CAST(o_orderkey AS VARCHAR) AS id,
+                 CAST(round(o_totalprice * 1e9) AS BIGINT) AS v,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS a
+          FROM orders
+          JOIN customer c ON c.c_custkey = o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          WHERE o_totalprice IS NOT NULL
+            AND (o_orderpriority IN ('1-URGENT', '2-HIGH')) IS NOT NULL
+            AND n.n_name IS NOT NULL),
+        obs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+                 SUM(CAST(v AS DECIMAL(38,0))) AS s
+          FROM o GROUP BY g),
+        ex AS (
+          SELECT o.g, o.id, o.v, obs.n, obs.n_a, obs.sa, obs.s,
+                 unnest(range(0, 99)) AS rep
+          FROM o JOIN obs ON obs.g = o.g),
+        asg AS (
+          SELECT g, rep, v, n, n_a, sa, s,
+                 CAST(CAST(concat('0x', substr(md5(id || ':'
+                     || CAST(rep AS VARCHAR) || ':' || '0'), 1, 13))
+                   AS BIGINT) AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                 < CAST(4503599627370496 AS DECIMAL(38,0))
+                   * CAST(n_a AS DECIMAL(38,0)) AS asn
+          FROM ex),
+        pr AS (
+          SELECT g, rep, MAX(n) AS n, MAX(n_a) AS n_a, MAX(s) AS s,
+                 MAX(sa) AS sa,
+                 SUM(CASE WHEN asn THEN CAST(v AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS sar,
+                 CAST(SUM(CASE WHEN asn THEN 1 ELSE 0 END) AS BIGINT) AS nar
+          FROM asg GROUP BY g, rep),
+        dr AS (
+          SELECT g, rep, n, n_a,
+                 CAST(sa AS DOUBLE) / nullif(CAST(n_a AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)) / 1e9
+                   - (CAST(s AS DOUBLE) - CAST(sa AS DOUBLE))
+                     / nullif(CAST(n AS DOUBLE) - CAST(n_a AS DOUBLE),
+                       CAST('0.0' AS DOUBLE)) / 1e9 AS diff_obs,
+                 CAST(sar AS DOUBLE) / nullif(CAST(nar AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)) / 1e9
+                   - (CAST(s AS DOUBLE) - CAST(sar AS DOUBLE))
+                     / nullif(CAST(n AS DOUBLE) - CAST(nar AS DOUBLE),
+                       CAST('0.0' AS DOUBLE)) / 1e9 AS diff_r
+          FROM pr),
+        pv AS (
+          SELECT g, CAST(SUM(CASE WHEN abs(diff_r) >= abs(diff_obs)
+                   THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                 / CAST('100.0' AS DOUBLE) AS p
+          FROM dr GROUP BY g),
+        ranked AS (
+          SELECT g AS test_id, p,
+                 CAST(row_number() OVER (ORDER BY p, g) AS INT) AS rank,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM pv),
+        thr AS (
+          SELECT test_id, p, rank,
+                 CAST(rank AS DOUBLE) * CAST('0.05' AS DOUBLE)
+                   / CAST(m AS DOUBLE) AS bh_threshold,
+                 MAX(CASE WHEN p <= CAST(rank AS DOUBLE)
+                     * CAST('0.05' AS DOUBLE) / CAST(m AS DOUBLE)
+                   THEN rank ELSE 0 END) OVER () AS kstar
+          FROM ranked)
+        SELECT test_id, p, rank, bh_threshold,
+               rank <= kstar AS discovery
+        FROM thr ORDER BY rank"""),
+      "Per-nation randomization battery with Benjamini-Hochberg FDR: " +
+        "25 simultaneous 'do urgent orders differ HERE?' tests, each a " +
+        "deterministic label-randomization p-value (md5-urn re-draws " +
+        "at the nation's own urgent rate via an EXACT integer compare " +
+        "— no float bias), then the step-up cutoff k* = max{r: p_(r) " +
+        "<= r*alpha/m} turns raw p-values into an honest discovery " +
+        "set (uncorrected, 25 nulls yield ~1.2 fake hits at " +
+        "alpha=.05). One corpus pass builds all 25 tests; every " +
+        "p-value is a pure integer ratio."),
+
+    // ---- q234: two-sample randomization test --------------------------------
+    "q234_permutation_test" -> Q(
+      (s, d) => Stats.permutationTest(Tables.orders(s, d),
+        col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority").isin(urgent: _*), reps = 99, seed = 0L),
+      Some("""
+        WITH b AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                 CAST(round(o_totalprice * 1e9) AS BIGINT) AS v,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS a
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND (o_orderpriority IN ('1-URGENT', '2-HIGH')) IS NOT NULL),
+        obs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+                 SUM(CAST(v AS DECIMAL(38,0))) AS s
+          FROM b),
+        ex AS (
+          SELECT b.id, b.v, obs.n, obs.n_a, obs.sa, obs.s,
+                 unnest(range(0, 99)) AS rep
+          FROM b CROSS JOIN obs),
+        asg AS (
+          SELECT rep, v, n, n_a, sa, s,
+                 CAST(CAST(concat('0x', substr(md5(id || ':'
+                     || CAST(rep AS VARCHAR) || ':' || '0'), 1, 13))
+                   AS BIGINT) AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                 < CAST(4503599627370496 AS DECIMAL(38,0))
+                   * CAST(n_a AS DECIMAL(38,0)) AS asn
+          FROM ex),
+        pr AS (
+          SELECT rep, MAX(n) AS n, MAX(n_a) AS n_a, MAX(s) AS s,
+                 MAX(sa) AS sa,
+                 SUM(CASE WHEN asn THEN CAST(v AS DECIMAL(38,0))
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS sar,
+                 CAST(SUM(CASE WHEN asn THEN 1 ELSE 0 END) AS BIGINT) AS nar
+          FROM asg GROUP BY rep),
+        dr AS (
+          SELECT rep, n, n_a,
+                 CAST(sa AS DOUBLE) / nullif(CAST(n_a AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)) / 1e9
+                   - (CAST(s AS DOUBLE) - CAST(sa AS DOUBLE))
+                     / nullif(CAST(n AS DOUBLE) - CAST(n_a AS DOUBLE),
+                       CAST('0.0' AS DOUBLE)) / 1e9 AS diff_obs,
+                 CAST(sar AS DOUBLE) / nullif(CAST(nar AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)) / 1e9
+                   - (CAST(s AS DOUBLE) - CAST(sar AS DOUBLE))
+                     / nullif(CAST(n AS DOUBLE) - CAST(nar AS DOUBLE),
+                       CAST('0.0' AS DOUBLE)) / 1e9 AS diff_r
+          FROM pr)
+        SELECT MAX(n) AS n, MAX(n_a) AS n_a, MAX(diff_obs) AS diff_obs,
+               CAST(COUNT(*) AS BIGINT) AS reps,
+               CAST(SUM(CASE WHEN abs(diff_r) >= abs(diff_obs)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               CAST(SUM(CASE WHEN abs(diff_r) >= abs(diff_obs)
+                   THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                 / CAST(COUNT(*) + 1 AS DOUBLE) AS p_value
+        FROM dr"""),
+      "Two-sample randomization test of the urgent-vs-rest mean total " +
+        "— the assumption-free sibling of q215/q216: under H0 the " +
+        "labels are exchangeable, so 99 deterministic md5-urn re-draws " +
+        "(each row re-joins A iff u*n < 2^52*nA, an EXACT DECIMAL " +
+        "integer comparison — assignment rate matches nA/n with no " +
+        "float bias) calibrate the observed gap against its own null; " +
+        "p = (1+extremes)/(reps+1) is a pure integer ratio, finite-" +
+        "sample valid with no distribution table. The corpus re-" +
+        "spreads before the x99 explosion (the AQE coalesce trap).")
   )
 
   private val W = "string_split(text, ' ')"

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quality, Stats}
+
+/** Hand-checked pins for the round-9 statistical-battery and
+  * governance additions: Spearman/Kruskal-Wallis/ANOVA against
+  * from-definition reference computations, the randomization test's
+  * degenerate and separated cases, the BH step-up's
+  * pulled-in-discovery shape, and the k-anonymity / DP-release
+  * contracts. */
+class StatsSpec extends SparkSuite {
+
+  // ---- reference implementations (straight from the textbook forms) ----
+
+  /** Average ranks with ties (1-based). */
+  private def avgRanks(vs: Seq[Double]): Seq[Double] = {
+    val sorted = vs.sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> g.map(_._2 + 1.0).sum / g.size
+    }
+    vs.map(rankOf)
+  }
+
+  private def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+    val n = x.size.toDouble
+    val sx = x.sum; val sy = y.sum
+    val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("spearmanReport matches the from-definition rho with ties") {
+    import spark.implicits._
+    val pts = Seq(
+      (1.0, 2.0), (1.0, 3.0), (2.0, 3.0), (2.0, 5.0), (3.0, 4.0),
+      (3.0, 4.0), (4.0, 8.0), (5.0, 7.0), (5.0, 9.0), (6.0, 9.0))
+    val df = pts.toDF("x", "y")
+    val r = Stats.spearmanReport(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 7L)
+    val expected = pearson(avgRanks(pts.map(_._1)), avgRanks(pts.map(_._2)))
+    assert(math.abs(r.getDouble(3) - expected) < 1e-12,
+      s"rho=${r.getDouble(3)} expected=$expected")
+  }
+
+  test("spearmanReport: perfect monotone association is rho=1") {
+    import spark.implicits._
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 99.0))
+      .toDF("x", "y")
+    val rho = Stats.spearmanReport(df, col("x"), col("y"))
+      .head().getDouble(3)
+    assert(rho == 1.0)
+  }
+
+  test("kruskalWallisReport matches the from-definition tie-corrected H") {
+    import spark.implicits._
+    val data = Seq(
+      "a" -> 1.0, "a" -> 2.0, "a" -> 2.0, "a" -> 5.0,
+      "b" -> 2.0, "b" -> 6.0, "b" -> 7.0,
+      "c" -> 5.0, "c" -> 8.0, "c" -> 9.0, "c" -> 9.0)
+    val df = data.map(_.swap).toDF("v", "g")
+    val r = Stats.kruskalWallisReport(df, col("v"), col("g"),
+      Seq("a", "b", "c")).head()
+    val n = data.size.toDouble
+    val ranks = avgRanks(data.map(_._2))
+    val byG = data.map(_._1).zip(ranks).groupBy(_._1)
+    val sumTerm = Seq("a", "b", "c").map { g =>
+      val rs = byG(g).map(_._2)
+      val rj = rs.sum
+      rj * rj / rs.size
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * sumTerm - 3.0 * (n + 1)
+    val tieSum = data.map(_._2).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val hc = h / (1.0 - tieSum / (n * n * n - n))
+    assert(r.getLong(0) == 11L && r.getInt(1) == 3 && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - h) < 1e-9,
+      s"h=${r.getDouble(3)} expected=$h")
+    assert(math.abs(r.getDouble(4) - hc) < 1e-9,
+      s"hc=${r.getDouble(4)} expected=$hc")
+  }
+
+  test("anovaFReport matches the from-definition F") {
+    import spark.implicits._
+    val data = Seq(
+      "a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0,
+      "c" -> 7.0, "c" -> 9.0, "c" -> 11.0)
+    val df = data.map(_.swap).toDF("v", "g")
+    val r = Stats.anovaFReport(df, col("v"), col("g"),
+      Seq("a", "b", "c")).head()
+    val groupsV = Seq("a", "b", "c").map(g =>
+      data.filter(_._1 == g).map(_._2))
+    val grand = data.map(_._2).sum / data.size
+    val ssb = groupsV.map(vs =>
+      vs.size * math.pow(vs.sum / vs.size - grand, 2)).sum
+    val ssw = groupsV.map(vs => {
+      val m = vs.sum / vs.size; vs.map(v => math.pow(v - m, 2)).sum
+    }).sum
+    val f = (ssb / 2.0) / (ssw / 6.0)
+    assert(r.getLong(0) == 9L && r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(math.abs(r.getDouble(4) - ssb) < 1e-6)
+    assert(math.abs(r.getDouble(5) - ssw) < 1e-6)
+    assert(math.abs(r.getDouble(6) - f) < 1e-6)
+  }
+
+  test("permutationTest: all-equal values give p=1; separation gives p=1/(reps+1); deterministic") {
+    import spark.implicits._
+    val flat = (1 to 40).map(i => (i.toLong, 5.0, i % 3 == 0))
+      .toDF("id", "v", "a")
+    val r0 = Stats.permutationTest(flat, col("id"), col("v"), col("a"),
+      reps = 19).head()
+    // every re-drawn diff is 0 == |diff_obs| → all 19 are "extreme"
+    assert(r0.getAs[Long]("n_extreme") == 19L)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+    val sep = ((1 to 20).map(i => (i.toLong, 1000.0 + i, true)) ++
+      (21 to 40).map(i => (i.toLong, i.toDouble, false)))
+      .toDF("id", "v", "a")
+    val r1 = Stats.permutationTest(sep, col("id"), col("v"), col("a"),
+      reps = 99).head()
+    assert(r1.getAs[Long]("n_extreme") == 0L,
+      s"separated groups should beat every re-draw: $r1")
+    assert(r1.getAs[Double]("p_value") == 0.01)
+    val r2 = Stats.permutationTest(sep, col("id"), col("v"), col("a"),
+      reps = 99).head()
+    assert(r1 == r2, "same seed must reproduce bit-identically")
+  }
+
+  test("groupedPermutationPvalues: per-group results equal the single-group test") {
+    import spark.implicits._
+    val rows = ((1 to 20).map(i => ("g1", i.toLong, 1000.0 + i, true)) ++
+      (21 to 40).map(i => ("g1", i.toLong, i.toDouble, false)) ++
+      (41 to 80).map(i => ("g2", i.toLong, 5.0, i % 3 == 0)))
+      .toDF("g", "id", "v", "a")
+    val got = Stats.groupedPermutationPvalues(rows, col("id"), col("v"),
+      col("a"), col("g"), reps = 99).collect()
+    assert(got.length == 2)
+    val g1 = got.find(_.getString(0) == "g1").get
+    val g2 = got.find(_.getString(0) == "g2").get
+    assert(g1.getAs[Double]("p_value") == 0.01, s"g1: $g1")
+    assert(g2.getAs[Double]("p_value") == 1.0, s"g2: $g2")
+    // must agree with running permutationTest on the slice alone (the
+    // md5 urn keys on (id, rep, seed) only, so the slice is identical)
+    val solo = Stats.permutationTest(
+      rows.filter(col("g") === "g1"), col("id"), col("v"), col("a"),
+      reps = 99).head()
+    assert(solo.getAs[Double]("diff_obs") == g1.getAs[Double]("diff_obs"))
+    assert(solo.getAs[Long]("n_extreme") == g1.getAs[Long]("n_extreme"))
+  }
+
+  test("bhFdr: step-up pulls a failed middle rank into the discovery set") {
+    import spark.implicits._
+    val pv = Seq(("t1", 0.01), ("t2", 0.026), ("t3", 0.037), ("t4", 0.9))
+      .toDF("t", "p")
+    val got = Stats.bhFdr(pv, col("t"), col("p"), alpha = 0.05).collect()
+    // thresholds at m=4: .0125, .025, .0375, .05 → rank2 (.026) fails
+    // its own bar but rank3 (.037) passes → k*=3 pulls rank2 in
+    assert(got.map(_.getString(0)).toSeq == Seq("t1", "t2", "t3", "t4"))
+    assert(got.map(_.getBoolean(4)).toSeq ==
+      Seq(true, true, true, false))
+    val none = Stats.bhFdr(Seq(("t1", 0.5), ("t2", 0.9)).toDF("t", "p"),
+      col("t"), col("p"), alpha = 0.05).collect()
+    assert(none.forall(!_.getBoolean(4)))
+  }
+
+  test("kAnonymityAudit: hand-checked classes") {
+    import spark.implicits._
+    // classes: (A,1)x3 sens{x,y}, (A,2)x1 sens{x}, (B,1)x4 sens{x,y,z}
+    val df = Seq(
+      ("A", 1, "x"), ("A", 1, "y"), ("A", 1, "x"),
+      ("A", 2, "x"),
+      ("B", 1, "x"), ("B", 1, "y"), ("B", 1, "z"), ("B", 1, "x"))
+      .toDF("q1", "q2", "sens")
+    val r = Quality.kAnonymityAudit(df,
+      Seq("q1" -> col("q1"), "q2" -> col("q2")), col("sens"), k = 3)
+      .head()
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("k_anonymity") == 1L)
+    assert(r.getAs[Long]("l_diversity") == 1L)
+    assert(r.getAs[Long]("n_classes_below_k") == 1L)
+    assert(r.getAs[Long]("n_rows_below_k") == 1L)
+    assert(r.getAs[Double]("pct_rows_below_k") == 0.125)
+  }
+
+  test("dpNoisyCounts: deterministic, absent group releases noisy zero, noise matches the driver literal") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val groups = Seq("a", "b", "c")
+    val r1 = Quality.dpNoisyCounts(df, col("g"), groups, epsilon = 0.5,
+      seed = 7L).collect()
+    val r2 = Quality.dpNoisyCounts(df, col("g"), groups, epsilon = 0.5,
+      seed = 7L).collect()
+    assert(r1.toSeq == r2.toSeq, "seeded release must be deterministic")
+    val byG = r1.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byG("a") == 3.0 + Quality.dpLaplaceNoise(7L, "a", 0.5))
+    assert(byG("b") == 1.0 + Quality.dpLaplaceNoise(7L, "b", 0.5))
+    assert(byG("c") == 0.0 + Quality.dpLaplaceNoise(7L, "c", 0.5))
+    // different seeds decorrelate the noise
+    assert(Quality.dpLaplaceNoise(7L, "a", 0.5) !=
+      Quality.dpLaplaceNoise(8L, "a", 0.5))
+    // scale: eps=0.5 noise is 4x the eps=2 noise for the same urn draw
+    val u = Quality.dpLaplaceNoise(7L, "a", 1.0)
+    assert(math.abs(Quality.dpLaplaceNoise(7L, "a", 0.5) - 2.0 * u) < 2e-9)
+  }
+}
