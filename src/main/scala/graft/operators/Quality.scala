@@ -698,6 +698,55 @@ object Quality {
       col("top_key"))
   }
 
+  /** Isotonic calibration by PAV's exact minimax form over a bounded
+    * bin spine — the nonparametric upgrade of [[calibrationReport]]:
+    * instead of REPORTING per-bin miscalibration it FITS the best
+    * monotone score→probability map, g(i) = max_{j≤i} min_{k≥i}
+    * mean(y over bins j..k) (the closed form of pool-adjacent-
+    * violators; Robertson et al. 1988). Never touches rows twice: one
+    * pass bins the corpus (≤ bins rows of state), prefix sums give
+    * every range mean from two subtractions, and the minimax is a
+    * bounded ≤ bins³ triple join over the spine — broadcast, no
+    * shuffle of anything corpus-sized, the identical plan at 100 TB.
+    * Every range mean is a ratio of exact integers (IEEE-portable, so
+    * the fit hash-matches any engine); min/max of such ratios
+    * likewise. Output: (bin, n, n_pos, frac_pos, isotonic) ordered by
+    * bin; `isotonic` is nondecreasing by construction. */
+  def isotonicCalibration(df: DataFrame, score: Column, label: Column,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 64, "isotonicCalibration: 2 <= bins <= 64")
+    val spine = df.filter(score.isNotNull && label.isNotNull)
+      .withColumn("bin", greatest(lit(0L),
+        least(floor(score * bins), lit(bins - 1))).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(label.cast("long")).as("n_pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spine
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("n_pos")).over(w))
+    val lo = cum.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val hi = cum.select(col("bin").as("k"),
+      col("cn").as("cn1"), col("cp").as("cp1"))
+    // range means A(j,k) for present bins j <= k: (Σpos)/(Σn), a pure
+    // integer ratio (every range holds >= 1 row, so never 0/0)
+    val ranges = lo.join(broadcast(hi), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp1") - col("cp0")).cast("double") /
+          (col("cn1") - col("cn0")).cast("double")).as("a"))
+    val fit = spine.select(col("bin").as("i"))
+      .join(broadcast(ranges), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("a")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("isotonic"))
+    spine.join(broadcast(fit), col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"),
+        col("isotonic"))
+      .orderBy(col("bin"))
+  }
+
   /** k-anonymity / l-diversity audit over caller-named
     * quasi-identifier columns — the re-identification pre-flight a
     * governed corpus needs BEFORE release (and the measurement
@@ -783,6 +832,50 @@ object Quality {
       .select(col("g"), lit(epsilon).as("epsilon"),
         (coalesce(col("_cnt"), lit(0L)).cast("double") + col("_noise"))
           .as("noisy_count"))
+      .orderBy(col("g"))
+  }
+
+  /** ε-DP clipped sum / count / mean release over the same fixed
+    * literal domain as [[dpNoisyCounts]] — the numeric sibling: values
+    * clip to the caller's [lo, hi] (unclipped sums have unbounded
+    * sensitivity — one outlier row would be visible at any ε), the
+    * budget splits ε/2 to the count (sensitivity 1) and ε/2 to the
+    * sum (sensitivity max(|lo|,|hi|)), and the released mean is the
+    * noisy ratio with the denominator floored at 1 (the standard
+    * guard; a negative noisy count would otherwise flip the sign).
+    * Clipped values snap to the 1e-9 grid and sum exactly; each noise
+    * draw is one driver literal from the (seed, group, role) urn — so
+    * the whole release is one conditional-aggregate pass plus one
+    * IEEE addition/division per cell, bit-portable. Output:
+    * (g, epsilon, noisy_count, noisy_sum, dp_mean) ordered by g. */
+  def dpNoisyStats(df: DataFrame, group: Column, groups: Seq[String],
+      value: Column, lo: Double, hi: Double, epsilon: Double,
+      seed: Long = 0L): DataFrame = {
+    require(groups.nonEmpty && groups.distinct.size == groups.size,
+      "dpNoisyStats: distinct literal groups")
+    require(lo < hi, "dpNoisyStats: lo < hi")
+    require(epsilon > 0, "dpNoisyStats: epsilon > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sens = math.max(math.abs(lo), math.abs(hi))
+    val noise = groups.map { g =>
+      (g, dpLaplaceNoise(seed, s"$g:cnt", epsilon / 2.0),
+        dpLaplaceNoise(seed, s"$g:sum", epsilon / 2.0 / sens))
+    }.toDF("g", "_nc", "_ns")
+    val clipped = greatest(lit(lo), least(lit(hi), value))
+    val gridded = round(clipped * lit(1e9)).cast("long")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val cells = df.filter(value.isNotNull && group.isin(groups.map(lit): _*))
+      .groupBy(group.cast("string").as("g"))
+      .agg(count(lit(1)).as("_cnt"), sum(gridded).as("_sum"))
+    noise.join(cells, Seq("g"), "left")
+      .select(col("g"), lit(epsilon).as("epsilon"),
+        (coalesce(col("_cnt"), lit(0L)).cast("double") + col("_nc"))
+          .as("noisy_count"),
+        (coalesce(col("_sum").cast("double"), lit(0.0)) / lit(1e9) +
+          col("_ns")).as("noisy_sum"))
+      .withColumn("dp_mean",
+        col("noisy_sum") / greatest(col("noisy_count"), lit(1.0)))
       .orderBy(col("g"))
   }
 

@@ -234,7 +234,126 @@ object MaintenanceQueries {
         "seeded per (seed, group) from the md5 urn and computed ON THE " +
         "DRIVER (ln never enters a plan — the NDCG-discount stance), " +
         "snapped to the 1e-9 grid, and embedded as the SAME literal in " +
-        "the Spark plan and the oracle.")
+        "the Spark plan and the oracle."),
+
+    // ---- q237: materialized-rollup query routing ----------------------------
+    "q237_rollup_route" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        import graft.operators.Rollups
+        val li = Tables.lineitem(s, d)
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rollup_lineitem_$tag"
+        Rollups.materialize(li, s"lineitem_shipgrain_$tag", path,
+          Rollups.RollupDef(
+            groupCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+            sums = Seq(
+              "l_quantity" -> Some(DecimalType(27, 6)),
+              "l_extendedprice" -> Some(DecimalType(27, 6))),
+            mins = Seq("l_discount"), maxs = Seq("l_tax")))
+        val q = li
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(27, 6)))
+              .cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(27, 6)))
+              .cast("double").as("sum_price"),
+            min(col("l_discount")).as("min_disc"),
+            max(col("l_tax")).as("max_tax"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+        // The hashed proof that routing HAPPENED, not just that values
+        // match: inspect the optimized plan — the only scan must be the
+        // summary, the base must be gone. A broken rewrite turns this
+        // FALSE and the oracle hash (TRUE literal) fails the query.
+        import org.apache.spark.sql.execution.datasources.{
+          HadoopFsRelation, LogicalRelation}
+        val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+        def scans(frag: String) = leaves.exists {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(frag))
+            case _ => false
+          }
+          case _ => false
+        }
+        val routed = scans("graft_rollup_lineitem_") &&
+          !scans("lineitem.parquet")
+        q.withColumn("routed_via_summary", lit(routed))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_price,
+               MIN(l_discount) AS min_disc,
+               MAX(l_tax) AS max_tax,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS routed_via_summary
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      "Materialized-rollup query routing: a (returnflag, linestatus, " +
+        "shipdate)-grain summary of lineitem is materialized once, and " +
+        "the RollupRouting optimizer rule rewrites the TPC-H-Q1-shaped " +
+        "aggregate (grain-subset group-by, grain-column filter, " +
+        "SUM/MIN/MAX/COUNT measures) to re-aggregate the summary — the " +
+        "lakehouse move that reads megabytes instead of the 100 TB " +
+        "fact table. Value-exact because the summary's sums accumulate " +
+        "on the same DECIMAL(27,6) grid the query uses (partials merge " +
+        "losslessly, order-free); the routed_via_summary column hashes " +
+        "the PLAN property itself — the optimized plan must scan the " +
+        "summary and must NOT scan the base — so the oracle gate fails " +
+        "if routing ever silently stops."),
+
+    // ---- q239: epsilon-DP clipped sum / mean release -------------------------
+    "q239_dp_stats" -> Q(
+      (s, d) => graft.operators.Quality.dpNoisyStats(
+        Tables.orders(s, d), col("o_orderpriority"), DpGroups,
+        col("o_totalprice"), lo = 0.0, hi = 400000.0,
+        epsilon = 0.5, seed = 11L),
+      Some(s"""
+        WITH noise(g, nc, ns) AS (VALUES ${DpGroups.map { g =>
+          val nc = graft.operators.Quality.dpLaplaceNoise(11L, s"$g:cnt", 0.25)
+          val ns = graft.operators.Quality.dpLaplaceNoise(11L, s"$g:sum",
+            0.25 / 400000.0)
+          s"('$g', CAST('$nc' AS DOUBLE), CAST('$ns' AS DOUBLE))"
+        }.mkString(",\n          ")}),
+        c AS (
+          SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 SUM(CAST(CAST(round(greatest(CAST('0.0' AS DOUBLE),
+                     least(CAST('400000.0' AS DOUBLE), o_totalprice))
+                     * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IN (${DpGroups.map("'" + _ + "'").mkString(", ")})
+          GROUP BY 1)
+        SELECT noise.g, CAST('0.5' AS DOUBLE) AS epsilon,
+               CAST(coalesce(c.cnt, CAST(0 AS BIGINT)) AS DOUBLE) + noise.nc
+                 AS noisy_count,
+               coalesce(CAST(c.s AS DOUBLE), CAST('0.0' AS DOUBLE)) / 1e9
+                 + noise.ns AS noisy_sum,
+               (coalesce(CAST(c.s AS DOUBLE), CAST('0.0' AS DOUBLE)) / 1e9
+                 + noise.ns)
+               / greatest(CAST(coalesce(c.cnt, CAST(0 AS BIGINT)) AS DOUBLE)
+                   + noise.nc, CAST('1.0' AS DOUBLE)) AS dp_mean
+        FROM noise LEFT JOIN c ON c.g = noise.g
+        ORDER BY noise.g"""),
+      "Epsilon-DP release of per-priority order totals — the numeric " +
+        "sibling of q236: values clip to [0, 400000] (unclipped sums " +
+        "have unbounded sensitivity: one whale order would be visible " +
+        "at any epsilon), the budget splits epsilon/2 to the count " +
+        "(sensitivity 1) and epsilon/2 to the sum (sensitivity " +
+        "400000), and the mean is the noisy ratio with the denominator " +
+        "floored at 1. Clipped values snap to the 1e-9 grid and sum " +
+        "exactly; each noise draw is one driver literal from the " +
+        "(seed, group, role) urn, embedded identically in plan and " +
+        "oracle — the whole release is one conditional-aggregate pass " +
+        "plus one IEEE addition/division per cell.")
   )
 
   /** Fixed released domain for the DP count query. */

@@ -835,7 +835,75 @@ object StatQueries {
         "float bias) calibrate the observed gap against its own null; " +
         "p = (1+extremes)/(reps+1) is a pure integer ratio, finite-" +
         "sample valid with no distribution table. The corpus re-" +
-        "spreads before the x99 explosion (the AQE coalesce trap).")
+        "spreads before the x99 explosion (the AQE coalesce trap)."),
+
+    // ---- q238: isotonic calibration (PAV minimax) ----------------------------
+    "q238_isotonic" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":iso"))), 1, 13), 16, 10).cast("long")
+        // 20% deterministic label flips off the md5 urn (5u < 2^52 is
+        // an exact integer compare) so the monotone base relation
+        // carries real noise for PAV to pool
+        val flip = u * lit(5L) < lit(4503599627370496L)
+        val y = (col("n_chars") > 300) =!= flip
+        val score = least(lit(0.99),
+          col("n_chars").cast("double") / lit(600.0))
+        graft.operators.Quality.isotonicCalibration(
+          docs.select(score.as("score"), y.cast("long").as("y")),
+          col("score"), col("y"), bins = 20)
+      },
+      Some("""
+        WITH s AS (
+          SELECT least(CAST('0.99' AS DOUBLE),
+                   CAST(n_chars AS DOUBLE) / CAST('600.0' AS DOUBLE))
+                   AS score,
+                 CASE WHEN (n_chars > 300) !=
+                      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                         || ':iso'), 1, 13)) AS BIGINT) * 5
+                       < 4503599627370496)
+                   THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (
+          SELECT greatest(0, least(CAST(floor(score * 20) AS INT), 19))
+                   AS bin, y
+          FROM s),
+        sp AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM b GROUP BY bin),
+        c AS (
+          SELECT bin, n, n_pos,
+                 CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+          FROM sp),
+        r AS (
+          SELECT j.bin AS j, k.bin AS k,
+                 CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+          FROM c j JOIN c k ON j.bin <= k.bin),
+        m AS (
+          SELECT i.bin AS i, r.j, MIN(r.a) AS mn
+          FROM sp i JOIN r ON r.j <= i.bin AND r.k >= i.bin
+          GROUP BY 1, 2),
+        g AS (SELECT i, MAX(mn) AS isotonic FROM m GROUP BY i)
+        SELECT sp.bin, sp.n, sp.n_pos,
+               CAST(sp.n_pos AS DOUBLE) / CAST(sp.n AS DOUBLE) AS frac_pos,
+               g.isotonic
+        FROM sp JOIN g ON g.i = sp.bin
+        ORDER BY sp.bin"""),
+      "Isotonic calibration of a noisy length-based document score by " +
+        "PAV's exact minimax closed form g(i) = max_{j<=i} min_{k>=i} " +
+        "mean(y over bins j..k) — the nonparametric best monotone " +
+        "score-to-probability map (q186 reports miscalibration; this " +
+        "FIXES it). One corpus pass to a <= 20-bin spine; prefix sums " +
+        "give every range mean from two subtractions; the minimax is " +
+        "a bounded <= bins^3 broadcast triple over the spine — nothing " +
+        "corpus-sized shuffles, the identical plan at 100 TB. Every " +
+        "range mean is a ratio of exact integers, so the fit is " +
+        "bit-portable; labels carry 20% deterministic md5-urn flips so " +
+        "the pooling is non-trivial.")
   )
 
   private val W = "string_split(text, ' ')"

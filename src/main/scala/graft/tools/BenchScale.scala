@@ -176,7 +176,17 @@ object BenchScale {
     "q214_chi2_independence", "q215_mann_whitney", "q216_welch_ttest",
     "q217_winsorize", "q218_robust_scale", "q222_link_prediction",
     "q223_theil_sen", "q224_conformal", "q225_diff_in_diff",
-    "q226_ipw_ate")
+    "q226_ipw_ate",
+    // round-9 later waves. q231's value spine is distinct money values
+    // (the q215 class) — 10×-measured to keep the spine cost visible.
+    // q234 measures the ×reps randomization kernel; q233 shares it
+    // (same explosion, split 25 ways) and is not separately slope-run.
+    // q237 measures summary build + routed query — build is the q01
+    // one-shuffle class, the routed read is summary-sized.
+    "q227_boilerplate_strip", "q228_skew_audit", "q229_hist_quantiles",
+    "q230_spearman", "q231_kruskal_wallis", "q232_anova_f",
+    "q234_permutation_test", "q235_k_anonymity", "q236_dp_counts",
+    "q237_rollup_route")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -223,7 +233,15 @@ object BenchScale {
     // one conditional-aggregate pass (q216/q225/q226), a fixed daily
     // grid (q223), and the 1e-6-rounded classifier-score spine (q224)
     "q214_chi2_independence", "q216_welch_ttest", "q223_theil_sen",
-    "q224_conformal", "q225_diff_in_diff", "q226_ipw_ate")
+    "q224_conformal", "q225_diff_in_diff", "q226_ipw_ate",
+    // round-9 later waves, the bounded-state shapes only: q229's fixed
+    // grid, q230's 50×11 contingency cells, q232's one
+    // conditional-aggregate pass, q235's two-aggregation class audit,
+    // q236's literal-domain count release. The ×99 randomization
+    // explosions (q233/q234) and the money-value spines (q231) are
+    // 10×-only; q237's summary build is the q01 relational class.
+    "q229_hist_quantiles", "q230_spearman", "q232_anova_f",
+    "q235_k_anonymity", "q236_dp_counts")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -206,4 +206,76 @@ class StatsSpec extends SparkSuite {
     val u = Quality.dpLaplaceNoise(7L, "a", 1.0)
     assert(math.abs(Quality.dpLaplaceNoise(7L, "a", 0.5) - 2.0 * u) < 2e-9)
   }
+
+  /** Classic stack-based pool-adjacent-violators on (weight, mean)
+    * bins — the from-definition reference for the minimax form. */
+  private def pav(bins: Seq[(Long, Double)]): Seq[Double] = {
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Int)] // weight, mean, bins pooled
+    for ((w, m) <- bins) {
+      stack += ((w, m, 1))
+      while (stack.size >= 2 && stack(stack.size - 2)._2 >= stack.last._2) {
+        val (w2, m2, c2) = stack.remove(stack.size - 1)
+        val (w1, m1, c1) = stack.remove(stack.size - 1)
+        stack += ((w1 + w2, (m1 * w1 + m2 * w2) / (w1 + w2), c1 + c2))
+      }
+    }
+    stack.flatMap { case (_, m, c) => Seq.fill(c)(m) }.toSeq
+  }
+
+  test("isotonicCalibration matches stack-based PAV and is monotone") {
+    import spark.implicits._
+    // per-bin (n, n_pos) with two violations: 0.5, 0.25, 0.75, 0.5
+    val rows = Seq(
+      (0.11, Seq(1, 1, 0, 0)), (0.31, Seq(1, 0, 0, 0)),
+      (0.61, Seq(1, 1, 1, 0)), (0.91, Seq(1, 1, 0, 0)))
+      .flatMap { case (s, ys) => ys.map(y => (s, y.toLong)) }
+    val df = rows.toDF("score", "y")
+    val got = Quality.isotonicCalibration(df, col("score"), col("y"),
+      bins = 4).collect()
+    val expected = pav(Seq((4L, 0.5), (4L, 0.25), (4L, 0.75), (4L, 0.5)))
+    assert(got.map(_.getAs[Double]("isotonic")).toSeq == expected,
+      s"got ${got.map(_.getDouble(4)).toSeq}, expected $expected")
+    assert(got.map(_.getAs[Long]("n")).forall(_ == 4L))
+    val iso = got.map(_.getAs[Double]("isotonic"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      "fit must be nondecreasing")
+  }
+
+  test("isotonicCalibration: already-monotone input is returned unchanged") {
+    import spark.implicits._
+    val rows = Seq((0.05, 0L), (0.05, 0L), (0.35, 0L), (0.35, 1L),
+      (0.65, 1L), (0.65, 1L), (0.95, 1L), (0.95, 1L))
+    val got = Quality.isotonicCalibration(rows.toDF("score", "y"),
+      col("score"), col("y"), bins = 10).collect()
+    assert(got.map(r => r.getAs[Double]("isotonic")).toSeq ==
+      got.map(r => r.getAs[Double]("frac_pos")).toSeq,
+      "a monotone empirical curve is its own isotonic fit")
+  }
+
+  test("dpNoisyStats: clips, splits the budget, floors the mean denominator") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("a", 999.0), ("b", 50.0)).toDF("g", "v")
+    val groups = Seq("a", "b", "c")
+    val r = Quality.dpNoisyStats(df, col("g"), groups, col("v"),
+      lo = 0.0, hi = 100.0, epsilon = 0.5, seed = 3L).collect()
+    val byG = r.map(x => x.getString(0) ->
+      (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // 999 clips to 100: sum(a) = 110 exactly on the grid
+    val ncA = Quality.dpLaplaceNoise(3L, "a:cnt", 0.25)
+    val nsA = Quality.dpLaplaceNoise(3L, "a:sum", 0.25 / 100.0)
+    assert(byG("a")._1 == 2.0 + ncA)
+    assert(byG("a")._2 == 110.0 + nsA)
+    assert(byG("a")._3 ==
+      (110.0 + nsA) / math.max(2.0 + ncA, 1.0))
+    // absent group: noisy zero on both channels, denominator floored
+    val ncC = Quality.dpLaplaceNoise(3L, "c:cnt", 0.25)
+    val nsC = Quality.dpLaplaceNoise(3L, "c:sum", 0.25 / 100.0)
+    assert(byG("c")._1 == ncC && byG("c")._2 == nsC)
+    assert(byG("c")._3 == nsC / math.max(ncC, 1.0))
+    // determinism
+    val r2 = Quality.dpNoisyStats(df, col("g"), groups, col("v"),
+      lo = 0.0, hi = 100.0, epsilon = 0.5, seed = 3L).collect()
+    assert(r.toSeq == r2.toSeq)
+  }
 }
