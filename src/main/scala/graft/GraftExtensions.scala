@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.plans.{AdcScore, BloomPositions, BloomShingleHits, ChunkWords,
-  DotProduct, LshBuckets, MinhashMd5, NearestCell, RpProject, ShingleHashes,
-  ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2, StubFacesMd5,
-  WindowMd5s}
+  DotProduct, JaroWinkler, LshBuckets, MinhashMd5, NearestCell, RpProject,
+  ShingleHashes, ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2,
+  StubFacesMd5, WindowMd5s}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -105,6 +105,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("adc_score", "adc_score(codes, dtab, k) - PQ asymmetric distance vs a flattened m*k table"),
       (exprs: Seq[Expression]) => AdcScore(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - byte-level Jaro-Winkler similarity (DuckDB-parity semantics)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1), winkler = true)))
+    e.injectFunction((
+      FunctionIdentifier("jaro_sim"),
+      info("jaro_sim", "jaro_sim(a, b) - byte-level Jaro similarity without the Winkler prefix boost"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1), winkler = false)))
     e.injectFunction((
       FunctionIdentifier("stub_faces_md5"),
       info("stub_faces_md5", "stub_faces_md5(frame, dim) - md5-derived stub face detections"),

@@ -656,5 +656,13 @@ object TextExpressions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1), winkler = true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_sim",
+      exprs => JaroWinkler(exprs(0), exprs(1), winkler = false),
+      "built-in")
   }
 }

@@ -463,4 +463,43 @@ class EntityGraphSpec extends SparkSuite {
     assert(row.getAs[Long]("n_triangles") == brute.toLong)
     assert(row.getAs[Long]("n_edges") == edges.size.toLong)
   }
+
+  test("jaro_winkler matches DuckDB-pinned values bit-for-bit") {
+    import spark.implicits._
+    graft.plans.TextExpressions.register(spark)
+    // every expected value below is DuckDB 1.0 jaro_winkler_similarity
+    // output, captured verbatim (the fuzz harness proved 40k pairs)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111), // classic textbook pair
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("ebccabd", "ceecbeea", 0.7130952380952381), // odd mismatch count:
+      // naive x/2.0 transpositions gives 0.6798 — pins the integer halving
+      ("", "", 0.0), // DuckDB scores two empties 0, not 1
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0), // window 0: only same-position matches
+      ("héllo", "hello", 0.8400000000000001), // BYTE-level: 6-vs-5
+      // bytes (codepoint scoring would give 0.88)
+      ("abxxxxxxxxxx", "abyyyyyyyyyy", 0.4444444444444444), // prefix 2
+      // but jaro <= 0.7: boost must NOT apply
+      ("prefixmatch", "prefixmxtch", 0.9636363636363636)) // prefix 7
+      // capped at 4
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), d) =>
+      assert(d == want, s"jw($a, $b): got $d want $want")
+    }
+    // interpreted eval agrees with the codegen'd path
+    cases.foreach { case (a, b, want) =>
+      val v = graft.plans.JaroWinklerUtil.score(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"), winkler = true)
+      assert(v == want, s"interpreted jw($a, $b): got $v want $want")
+    }
+    // null propagation
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
 }
