@@ -566,4 +566,64 @@ object EventOps {
     dauWau(spark.table(s"${prefix}_deltas")
       .select(col("user_id"), col("day")).distinct(),
       windowDays = windowDays)
+
+  /** Classical seasonal decomposition (STL-lite / "decompose"):
+    * y = trend + seasonal + residual over an already-bucketed series.
+    *
+    * trend is the centered (2·halfWindow+1)-point moving average —
+    * defined only where the window is FULL (edge buckets emit no row;
+    * a partial-window mean would mix regimes and, worse, differ by
+    * engine on frame clamping). seasonal is the per-period-key mean of
+    * the detrended series (the additive-decomposition estimator);
+    * residual is what's left — the anomaly signal q173's per-cell
+    * z-score approximates without removing trend first.
+    *
+    * Exactness: `y6` must sit on the 1e-6 decimal grid. The window SUM
+    * stays decimal (order-free), and the trend lands EXACTLY on the
+    * 1e-9 grid because points must divide 1000 (25 points → ×40):
+    * trend9 = S_int·1000/points is an integer both engines compute
+    * from the same exact sum. Detrended values are therefore 1e-9-grid
+    * integers whose per-period sums are exact; seasonal and residual
+    * are single IEEE divisions/subtractions of identical integers —
+    * bit-portable with no float accumulation anywhere.
+    *
+    * Scale: the heavy pass is the upstream aggregation INTO buckets
+    * (distributed, partial-aggregated); this function's global ordered
+    * window runs over the BUCKETED series, whose size is bounded by
+    * time-range/granularity (720 points for a month of hours), never
+    * by the corpus — the q173 spine discipline. The period table
+    * (≤ period rows) broadcasts back.
+    *
+    * Input: (bucket: any orderable, y6: DECIMAL(*,6), periodKey named
+    * by `period`). Output: (bucket, period, y, trend, seasonal, resid).
+    */
+  def seasonalDecompose(series: DataFrame, bucket: String, y6: String,
+      period: String, halfWindow: Int = 12): DataFrame = {
+    val points = 2 * halfWindow + 1
+    require(1000 % points == 0,
+      s"seasonalDecompose: window size $points must divide 1000 so the " +
+        "trend lands exactly on the 1e-9 grid (use halfWindow 2, 4, 12, 62, ...)")
+    val mul = 1000 / points
+    val win = Window.orderBy(col(bucket))
+      .rowsBetween(-halfWindow, halfWindow)
+    val full = series
+      .withColumn("y9", (col(y6) * lit(1000000)).cast("long") * lit(1000L))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .withColumn("trend9",
+        (sum(col(y6)).over(win) * lit(1000000)).cast("long") * lit(mul.toLong))
+      .filter(col("cnt") === points)
+      .withColumn("det9", col("y9") - col("trend9"))
+    val seasonal = full.groupBy(col(period))
+      .agg(((sum(col("det9"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        .cast("double") / count(lit(1)).cast("double")) / lit(1e9))
+        .as("seasonal"))
+    full.join(broadcast(seasonal), Seq(period))
+      .select(col(bucket), col(period),
+        col(y6).cast("double").as("y"),
+        (col("trend9").cast("double") / lit(1e9)).as("trend"),
+        col("seasonal"),
+        (col(y6).cast("double") - col("trend9").cast("double") / lit(1e9)
+          - col("seasonal")).as("resid"))
+  }
 }

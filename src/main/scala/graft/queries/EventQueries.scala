@@ -2799,5 +2799,145 @@ object EventQueries {
         "incremental piece: maintain it as a running MIN under " +
         "streaming ingest (the activeDaysIngest delta contract) and " +
         "the daily split becomes a pure map-side classification.")
+  ) ++ Seq(
+
+    // ---- q241: classical seasonal decomposition ----------------------------
+    "q241_seasonal_decompose" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(col("value").cast(DecimalType(27, 6))).as("y6"))
+          .withColumn("hr", hour(col("bucket")).cast("long"))
+        graft.operators.EventOps
+          .seasonalDecompose(hourly, "bucket", "y6", "hr", halfWindow = 12)
+          .select(col("bucket"), col("hr"), col("y"), col("trend"),
+            col("seasonal"), col("resid"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT date_trunc('hour', $TS) AS bucket,
+                 SUM(CAST(value AS DECIMAL(27,6))) AS y6
+          FROM events GROUP BY 1
+        ), w AS (
+          SELECT bucket, y6,
+                 CAST(y6 * 1000000 AS BIGINT) * 1000 AS y9,
+                 COUNT(*) OVER win AS cnt,
+                 CAST(SUM(y6) OVER win * 1000000 AS BIGINT) * 40 AS trend9
+          FROM s
+          WINDOW win AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), t AS (
+          SELECT bucket, y6, y9, trend9, y9 - trend9 AS det9,
+                 CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hr
+          FROM w WHERE cnt = 25
+        ), se AS (
+          SELECT hr,
+                 CAST(CAST(SUM(det9) AS BIGINT) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE) / 1e9 AS seasonal
+          FROM t GROUP BY hr
+        )
+        SELECT t.bucket, t.hr, CAST(t.y6 AS DOUBLE) AS y,
+               CAST(t.trend9 AS DOUBLE) / 1e9 AS trend,
+               se.seasonal,
+               CAST(t.y6 AS DOUBLE) - CAST(t.trend9 AS DOUBLE) / 1e9
+                 - se.seasonal AS resid
+        FROM t JOIN se ON se.hr = t.hr
+        ORDER BY t.bucket"""),
+      "Classical additive decomposition y = trend + seasonal + resid " +
+        "over the hourly value series: centered 25-point moving-average " +
+        "trend (full windows only), per-hour-of-day seasonal means of " +
+        "the detrended series, residual as the de-seasonalized anomaly " +
+        "signal — what q173's per-cell z-score approximates without " +
+        "first removing trend. The corpus pass is the bucket " +
+        "aggregation; the ordered window runs over the BOUNDED series " +
+        "spine (720 points/month), and every intermediate sits on an " +
+        "exact decimal grid (trend lands on 1e-9 because 25 | 1000), " +
+        "so both engines subtract identical integers.")
+  ) ++ Seq(
+
+    // ---- q242: Brown double-exponential (level+trend) forecast -------------
+    "q242_des_forecast" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        // pure DOUBLE arithmetic, portable by construction: the kernel
+        // weights are DYADIC (2^-k), so each product only shifts the
+        // exponent — exact in binary — and the 8-term sum is a
+        // fixed-length left-associated chain both engines evaluate in
+        // the same order. (The q151 decimal-grid trick does NOT extend
+        // to the second pass: s2's scale-20 grid has unscaled values
+        // past 2^53, where DECIMAL->DOUBLE casts stop being correctly
+        // rounded and the engines drift in the last ulp.)
+        val weights = Seq(0.5, 0.25, 0.125, 0.0625, 0.03125,
+          0.015625, 0.0078125, 0.0078125)
+        def kernel(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          weights.zipWithIndex.map {
+            case (wt, i) => lag(c, i).over(w) * lit(wt)
+          }.reduce(_ + _)
+        val base = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts"), lag(col("value"), 14).over(w).as("l14"))
+          .withColumn("s1", kernel(col("value")))
+        // second smoothing pass over the FIRST smoothed series — same
+        // partition ordering, so Catalyst plans one shuffle+sort
+        val des = base.withColumn("s2", kernel(col("s1")))
+          .filter(col("l14").isNotNull)
+        // alpha = 0.5 makes Brown's coefficients integers:
+        // level = 2*S1 - S2, trend = (a/(1-a))(S1-S2) = S1 - S2
+        des.select(col("user_id"), col("event_id"), col("value"),
+            (col("s1") * lit(2.0) - col("s2")).as("level"),
+            (col("s1") - col("s2")).as("trend"),
+            (col("s1") * lit(2.0) - col("s2") + (col("s1") - col("s2")))
+              .as("forecast1"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT user_id, event_id, value, $TS AS ts
+          FROM events WHERE event_type = 'purchase'
+        ), l AS (
+          SELECT user_id, event_id, value, ts,
+                 lag(value, 14) OVER w AS l14,
+                 value*CAST(0.5 AS DOUBLE)
+                 + lag(value,1) OVER w * CAST(0.25 AS DOUBLE)
+                 + lag(value,2) OVER w * CAST(0.125 AS DOUBLE)
+                 + lag(value,3) OVER w * CAST(0.0625 AS DOUBLE)
+                 + lag(value,4) OVER w * CAST(0.03125 AS DOUBLE)
+                 + lag(value,5) OVER w * CAST(0.015625 AS DOUBLE)
+                 + lag(value,6) OVER w * CAST(0.0078125 AS DOUBLE)
+                 + lag(value,7) OVER w * CAST(0.0078125 AS DOUBLE) AS s1
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), m AS (
+          SELECT user_id, event_id, value, l14, s1,
+                 s1*CAST(0.5 AS DOUBLE)
+                 + lag(s1,1) OVER w * CAST(0.25 AS DOUBLE)
+                 + lag(s1,2) OVER w * CAST(0.125 AS DOUBLE)
+                 + lag(s1,3) OVER w * CAST(0.0625 AS DOUBLE)
+                 + lag(s1,4) OVER w * CAST(0.03125 AS DOUBLE)
+                 + lag(s1,5) OVER w * CAST(0.015625 AS DOUBLE)
+                 + lag(s1,6) OVER w * CAST(0.0078125 AS DOUBLE)
+                 + lag(s1,7) OVER w * CAST(0.0078125 AS DOUBLE) AS s2
+          FROM l
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, value,
+               s1*CAST(2 AS DOUBLE) - s2 AS level,
+               s1 - s2 AS trend,
+               s1*CAST(2 AS DOUBLE) - s2 + (s1 - s2) AS forecast1
+        FROM m WHERE l14 IS NOT NULL
+        ORDER BY event_id"""),
+      "Brown's double-exponential smoothing — the trend-aware forecast " +
+        "q151's single EWMA can't make (a lagging level systematically " +
+        "under-predicts trending series): the same truncated dyadic " +
+        "kernel applied TWICE (S2 smooths S1), then level = 2S1-S2, " +
+        "trend = S1-S2 (alpha = 1/2 makes Brown's coefficients " +
+        "integers), one-step forecast = level + trend. Two window " +
+        "passes over the same partition ordering — one shuffle, no " +
+        "self-join. All-DOUBLE arithmetic is exact-by-construction " +
+        "here: dyadic weights only shift exponents and the sums are " +
+        "fixed-length left-associated chains, so no decimal grid (and " +
+        "no cross-row accumulation order) is ever involved.")
   )
 }

@@ -215,4 +215,64 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(1) == 4L, s"motif must start at offset 4, got ${r.getLong(1)}")
     assert(r.getDouble(2) == 1.0, s"planted motif must score corr 1.0, got ${r.getDouble(2)}")
   }
+
+  test("seasonalDecompose: linear series -> trend is the series, seasonal and resid 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // y_t = 3t + 7: the centered 5-point mean of a linear series IS the
+    // center value, so detrended == 0 everywhere -> seasonal == 0,
+    // resid == 0, trend == y. Exact on the 1e-6 grid.
+    val n = 20
+    val series = (0 until n).map(t => (t.toLong, BigDecimal(3 * t + 7)))
+      .toDF("bucket", "yraw")
+      .select(col("bucket"), col("yraw").cast(DecimalType(27, 6)).as("y6"),
+        (col("bucket") % 4).as("pk"))
+    val out = EventOps.seasonalDecompose(series, "bucket", "y6", "pk",
+      halfWindow = 2).orderBy("bucket").collect()
+    assert(out.length == n - 4, s"edge buckets must drop: ${out.length}")
+    out.foreach { r =>
+      val t = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("y") == (3 * t + 7).toDouble)
+      assert(r.getAs[Double]("trend") == (3 * t + 7).toDouble,
+        s"trend at $t: ${r.getAs[Double]("trend")}")
+      assert(r.getAs[Double]("seasonal") == 0.0)
+      assert(r.getAs[Double]("resid") == 0.0)
+    }
+    // first surviving bucket is halfWindow
+    assert(out.head.getAs[Long]("bucket") == 2L)
+  }
+
+  test("seasonalDecompose recovers a planted periodic component") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // y_t = 100 + s_{t%5} with period == window size 5: every centered
+    // 5-point window sums the FULL period, so trend == 100 + mean(s)
+    // exactly and seasonal_{k} == s_k - mean(s); resid == 0.
+    val s = Array[Double](10, -5, 0, 20, -25) // sums to 0
+    val n = 30
+    val series = (0 until n).map(t => (t.toLong, BigDecimal(100 + s(t % 5))))
+      .toDF("bucket", "yraw")
+      .select(col("bucket"), col("yraw").cast(DecimalType(27, 6)).as("y6"),
+        (col("bucket") % 5).as("pk"))
+    val out = EventOps.seasonalDecompose(series, "bucket", "y6", "pk",
+      halfWindow = 2).orderBy("bucket").collect()
+    out.foreach { r =>
+      val t = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("trend") == 100.0, s"trend at $t")
+      assert(r.getAs[Double]("seasonal") == s((t % 5).toInt),
+        s"seasonal at $t: ${r.getAs[Double]("seasonal")}")
+      assert(r.getAs[Double]("resid") == 0.0, s"resid at $t")
+    }
+  }
+
+  test("seasonalDecompose rejects a window size that breaks the 1e-9 grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val series = Seq((1L, BigDecimal(1))).toDF("bucket", "yraw")
+      .select(col("bucket"), col("yraw").cast(DecimalType(27, 6)).as("y6"),
+        lit(0L).as("pk"))
+    intercept[IllegalArgumentException] {
+      EventOps.seasonalDecompose(series, "bucket", "y6", "pk", halfWindow = 1)
+    }
+  }
 }
