@@ -894,4 +894,42 @@ object Quality {
     }
     one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Functional-dependency audit: does column `lhs` determine column
+    * `rhs`? For each candidate FD the report gives the group counts
+    * plus the standard g3 approximateness measure — the MINIMUM number
+    * of rows that would have to be deleted for the FD to hold exactly
+    * (per lhs-group, everything but the modal rhs value). g3 = 0 ⟺
+    * the FD holds. The discovery companion of [[audit]]'s declared
+    * rules: audit checks constraints you assert, fdAudit measures ones
+    * you suspect.
+    *
+    * Scale: each candidate is two partial-aggregatable shuffles —
+    * (lhs, rhs) counts, then per-lhs rollup — on key-pair cardinality,
+    * never raw rows; the final per-candidate reduction is one row.
+    * Null lhs rows are excluded (a null determinant determines
+    * nothing); null rhs counts as a regular value.
+    *
+    * Output: one row per candidate —
+    * (lhs, rhs, n_rows, n_groups, n_violating, g3_rows, holds). */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdAudit: no candidate FDs")
+    candidates.map { case (lhs, rhs) =>
+      df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs).as("_l"), col(rhs).as("_r"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("_l"))
+        .agg(sum(col("_n")).as("_rows"), max(col("_n")).as("_maxn"),
+          count(lit(1)).as("_ndv"))
+        .agg(
+          coalesce(sum(col("_rows")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("_ndv") > 1, lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("n_violating"),
+          coalesce(sum(col("_rows") - col("_maxn")), lit(0L)).as("g3_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_rows"), col("n_groups"), col("n_violating"),
+          col("g3_rows"), (col("g3_rows") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

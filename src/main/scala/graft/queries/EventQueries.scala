@@ -2939,5 +2939,61 @@ object EventQueries {
         "here: dyadic weights only shift exponents and the sums are " +
         "fixed-length left-associated chains, so no decimal grid (and " +
         "no cross-row accumulation order) is ever involved.")
+  ) ++ Seq(
+
+    // ---- q244: event-sequence adjacency patterns (MATCH_RECOGNIZE-lite) ----
+    "q244_seq_pattern" -> Q(
+      (s, d) => {
+        // collapse each user's event history to one character string
+        // (initials are distinct across the 5 types); array_sort on
+        // (ts, event_id, ch) structs is a total order, so the string
+        // is deterministic under any partitioning
+        val seqs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch"))
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("ch")))).as("arr"))
+          .select(col("user_id"),
+            concat_ws("", transform(col("arr"),
+              x => x.getField("ch"))).as("seq"))
+        // literal substring counting, not regex: engines agree on
+        // non-overlapping left-to-right replace; 'ep' = purchase
+        // IMMEDIATELY after error (the rage-buy adjacency a funnel's
+        // gap-tolerant subsequence can't isolate), 'ee' = error storm
+        def cnt(pat: String) =
+          ((length(col("seq")) - length(call_function("replace",
+            col("seq"), lit(pat), lit("")))) / lit(2)).cast("long")
+        seqs.select(col("user_id"),
+            length(col("seq")).cast("long").as("seq_len"),
+            cnt("ep").as("n_error_purchase"),
+            cnt("ee").as("n_error_error"),
+            instr(col("seq"), "ep").cast("long").as("first_error_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                   ORDER BY $TS, event_id) AS seq
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS seq_len,
+               CAST((length(seq) - length(replace(seq, 'ep', ''))) / 2
+                 AS BIGINT) AS n_error_purchase,
+               CAST((length(seq) - length(replace(seq, 'ee', ''))) / 2
+                 AS BIGINT) AS n_error_error,
+               CAST(strpos(seq, 'ep') AS BIGINT) AS first_error_purchase
+        FROM seqs
+        ORDER BY user_id"""),
+      "Sequence-pattern matching over collapsed per-user event strings " +
+        "— the MATCH_RECOGNIZE-lite ADJACENCY complement of q108's " +
+        "funnel (which tolerates gaps): each user's history becomes " +
+        "one character string in total (ts, event_id) order, and " +
+        "patterns are counted by literal replace-shrinkage (both " +
+        "engines scan non-overlapping left-to-right; no regex-engine " +
+        "semantics involved). State per user is its event count — the " +
+        "per-key linear scan every CEP engine runs; 'ee' storms and " +
+        "'ep' rage-buys fall out of one pass.")
   )
 }

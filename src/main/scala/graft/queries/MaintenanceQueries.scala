@@ -353,7 +353,59 @@ object MaintenanceQueries {
         "exactly; each noise draw is one driver literal from the " +
         "(seed, group, role) urn, embedded identically in plan and " +
         "oracle — the whole release is one conditional-aggregate pass " +
-        "plus one IEEE addition/division per cell.")
+        "plus one IEEE addition/division per cell."),
+
+    // ---- q243: functional-dependency discovery audit -----------------------
+    "q243_fd_audit" -> Q(
+      (s, d) => graft.operators.Quality.fdAudit(Tables.customer(s, d), Seq(
+          "c_custkey" -> "c_mktsegment", // key -> anything: holds
+          "c_name" -> "c_acctbal", // unique natural key: holds
+          "c_nationkey" -> "c_mktsegment", // violated
+          "c_mktsegment" -> "c_nationkey")) // violated
+        .orderBy(col("lhs"), col("rhs")),
+      Some("""
+        WITH pairs AS (
+          SELECT 'c_custkey' AS lhs, 'c_mktsegment' AS rhs,
+                 CAST(c_custkey AS VARCHAR) AS l, CAST(c_mktsegment AS VARCHAR) AS r
+          FROM customer WHERE c_custkey IS NOT NULL
+          UNION ALL
+          SELECT 'c_name', 'c_acctbal', c_name, CAST(c_acctbal AS VARCHAR)
+          FROM customer WHERE c_name IS NOT NULL
+          UNION ALL
+          SELECT 'c_nationkey', 'c_mktsegment',
+                 CAST(c_nationkey AS VARCHAR), c_mktsegment
+          FROM customer WHERE c_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'c_mktsegment', 'c_nationkey',
+                 c_mktsegment, CAST(c_nationkey AS VARCHAR)
+          FROM customer WHERE c_mktsegment IS NOT NULL),
+        g AS (
+          SELECT lhs, rhs, l, r, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2, 3, 4),
+        pg AS (
+          SELECT lhs, rhs, l, CAST(SUM(n) AS BIGINT) AS rws,
+                 MAX(n) AS maxn, CAST(COUNT(*) AS BIGINT) AS ndv
+          FROM g GROUP BY 1, 2, 3)
+        SELECT lhs, rhs,
+               CAST(SUM(rws) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               CAST(SUM(rws - maxn) AS BIGINT) AS g3_rows,
+               CAST(SUM(rws - maxn) AS BIGINT) = 0 AS holds
+        FROM pg GROUP BY lhs, rhs
+        ORDER BY lhs, rhs"""),
+      "Functional-dependency discovery (Quality.fdAudit): for each " +
+        "candidate lhs -> rhs, group counts plus the standard g3 " +
+        "error — the MINIMUM rows to delete for the FD to hold (per " +
+        "determinant group, everything but the modal dependent value). " +
+        "The discovery companion of q150's declared-rule audit and " +
+        "q172's single-column profiler: this one measures CROSS-column " +
+        "structure. Each candidate is two partial-aggregatable " +
+        "shuffles on key-pair cardinality, never raw rows. NOTE: the " +
+        "oracle melts values through VARCHAR because SQL UNION needs " +
+        "one type; the Spark side groups native values — counts are " +
+        "identical because the casts here are injective.")
   )
 
   /** Fixed released domain for the DP count query. */

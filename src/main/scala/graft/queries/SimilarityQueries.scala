@@ -1343,5 +1343,81 @@ object SimilarityQueries {
         "margin is two IEEE divisions in fixed order — hash-equal to " +
         "the quadratic oracle. The training-pair miner for parallel " +
         "corpora, cross-lingual alignment, and dedup-across-sources.")
+  ) ++ Seq(
+
+    // ---- q245: simplified silhouette over the q61 clustering ---------------
+    "q245_silhouette" -> Q(
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val e = emb(s, d).select(col("vec_id"), col("emb"))
+        val model = Similarity.kMeans(e, "vec_id", "emb", k = 8, iters = 4)
+          .select(col("cell"), col("centroid_vec"))
+        // n×k pair space with k = 8: a broadcast projection, never a
+        // shuffle — the model is k rows
+        val pairs = e.crossJoin(broadcast(model))
+          .withColumn("d2",
+            call_function("vec_sq_l2", col("emb"), col("centroid_vec")))
+          .withColumn("dst", sqrt(col("d2")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cell"))
+        val scored = pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("a", first(col("dst")).over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cell"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("own", first(col("cell")).over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cell"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rn") === 2) // second-nearest row carries b = dst
+          .select(col("vec_id"), col("own").as("cell"),
+            col("a"), col("dst").as("b"))
+          .withColumn("sil",
+            when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+              .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        scored.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            ((sum(round(col("sil") * lit(1e9)).cast("long")
+              .cast(DecimalType(38, 0))).cast("double") /
+              count(lit(1)).cast("double")) / lit(1e9)).as("mean_sil"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmbBare),
+        ${OracleGen.kmeansCtes("", "e", 8, 4, 64)}
+        pairs AS (
+          SELECT e.vec_id, c.cell,
+                 ${OracleGen.sqDist("e.emb", "c.c_vec", 64)} AS d2
+          FROM e CROSS JOIN c4 c),
+        ranked AS (
+          SELECT vec_id, cell, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cell) AS rn
+          FROM pairs),
+        ab AS (
+          SELECT r2.vec_id, r1.cell,
+                 sqrt(r1.d2) AS a, sqrt(r2.d2) AS b
+          FROM ranked r1 JOIN ranked r2
+            ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+        sil AS (
+          SELECT vec_id, cell,
+                 CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE (b - a) / greatest(a, b) END AS sil
+          FROM ab)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(sil * 1e9) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_sil
+        FROM sil GROUP BY cell
+        ORDER BY cell"""),
+      "Simplified (centroid-based) silhouette for the q61 k-means " +
+        "model — the standard clustering-quality score made linear: " +
+        "a = distance to own centroid, b = distance to the runner-up " +
+        "centroid, s = (b-a)/max(a,b), averaged per cell. The exact " +
+        "silhouette's O(n²) point-to-point pass collapses to an n×k " +
+        "broadcast projection (k model rows ship with the plan). " +
+        "sqrt is correctly rounded so both engines score identical " +
+        "doubles; per-cell means snap each s to the 1e-9 grid and sum " +
+        "exactly — no float accumulation order anywhere.")
   )
 }

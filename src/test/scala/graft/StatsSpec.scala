@@ -278,4 +278,32 @@ class StatsSpec extends SparkSuite {
       lo = 0.0, hi = 100.0, epsilon = 0.5, seed = 3L).collect()
     assert(r.toSeq == r2.toSeq)
   }
+
+  test("fdAudit: held FD has g3 = 0, violated FD counts minimal deletions") {
+    import spark.implicits._
+    // dept -> building VIOLATED: dept 10 has {A: 3 rows, B: 1 row}
+    // (g3 = 1: delete the B row), dept 20 clean; id -> dept holds.
+    val df = Seq(
+      (1, 10, "A"), (2, 10, "A"), (3, 10, "A"), (4, 10, "B"),
+      (5, 20, "C"), (6, 20, "C"),
+      (7, 30, "D")).toDF("id", "dept", "building")
+    val out = Quality.fdAudit(df,
+        Seq("id" -> "dept", "dept" -> "building"))
+      .collect().map(r => r.getAs[String]("lhs") -> r).toMap
+    val held = out("id")
+    assert(held.getAs[Long]("n_rows") == 7 && held.getAs[Long]("n_groups") == 7)
+    assert(held.getAs[Long]("g3_rows") == 0 && held.getAs[Boolean]("holds"))
+    val viol = out("dept")
+    assert(viol.getAs[Long]("n_groups") == 3)
+    assert(viol.getAs[Long]("n_violating") == 1)
+    assert(viol.getAs[Long]("g3_rows") == 1 && !viol.getAs[Boolean]("holds"))
+    // null determinants are excluded, null dependents count as a value
+    val withNulls = Seq(
+      (Some(1), Some("x")), (None, Some("y")),
+      (Some(2), None), (Some(2), None)).toDF("k", "v")
+    val r = Quality.fdAudit(withNulls, Seq("k" -> "v")).collect().head
+    assert(r.getAs[Long]("n_rows") == 3) // the null-k row dropped
+    assert(r.getAs[Long]("n_groups") == 2)
+    assert(r.getAs[Boolean]("holds")) // k=2 -> {null, null}: consistent
+  }
 }
