@@ -472,4 +472,51 @@ object Graph {
           .as("jaccard"),
         (col("ra_g").cast("double") / lit(1e9)).as("ra"))
   }
+
+  /** Multi-source BFS: minimum hop count from any source node, over
+    * the UNDIRECTED graph, bounded at `maxHops` (unreached nodes emit
+    * no row). The reachability primitive under impact analysis
+    * ("everything within k hops of the recalled suppliers"), lineage
+    * sweeps, and graph-feature generation.
+    *
+    * Frontier-delta iteration: each round joins only the CURRENT
+    * frontier against the edge relation and anti-joins out nodes
+    * already labeled — per-round shuffle volume is the frontier's edge
+    * neighborhood, never the full distance table, and the loop exits
+    * early at an empty frontier (result-identical to running all
+    * rounds: later frontiers of a finished BFS are empty). Distances
+    * are first-assignment == minimum by BFS order, so no min-aggregate
+    * is needed. localCheckpoint per round caps lineage exactly like
+    * [[kCore]]'s peeling loop.
+    *
+    * Output: (v, hops: int) — one row per reached node, sources at 0. */
+  def bfsHops(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "bfsHops: 1 <= maxHops <= 32")
+    val e = edges
+      .select(col(src).as("s"), col(dst).as("t"))
+      .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint()
+    var dist = sources.select(col(sourceCol).as("v")).distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint()
+    var frontier = dist.select(col("v"))
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val nxt = frontier.join(e, frontier("v") === e("s"))
+        .select(col("t").as("v")).distinct()
+        .join(dist.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select(col("v"))
+      }
+    }
+    dist
+  }
 }

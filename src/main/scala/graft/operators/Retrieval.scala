@@ -463,4 +463,40 @@ object Retrieval {
         (coalesce(col("h"), lit(0L)).cast("double") /
           col("n_rel").cast("double")).as("recall_k"))
   }
+
+  /** Positional phrase search: documents containing the EXACT
+    * consecutive token sequence `phrase`, with occurrence counts and
+    * the first match position — what BM25's bag-of-words scoring
+    * ([[bm25TopK]]) structurally cannot express ("new york" vs "york
+    * new").
+    *
+    * One pass, no positional self-joins: tokenize with positions, then
+    * a per-document window `lead` pins each phrase term at its exact
+    * offset — the k-1 self-joins of the classic positional-index plan
+    * collapse into one partition-local window over (doc, pos). At
+    * index scale the same predicate runs as a scan over a persisted
+    * positional postings table bucketed by doc — either way the match
+    * work is linear in tokens, and only (doc_id, counts) leave the
+    * scan.
+    *
+    * Output: (id, n_hits, first_pos) for documents with >= 1 match;
+    * positions are 1-based token offsets. */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      "phraseSearch: 1..16 phrase terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    val toks = docs
+      .select(col(id), posexplode(split(col(text), " ")).as(Seq("pos0", "term")))
+      .select(col(id), (col("pos0") + 1).as("pos"), col("term"))
+    val matched = phrase.zipWithIndex.map { case (t, i) =>
+        (if (i == 0) col("term") else lead(col("term"), i).over(w)) === lit(t)
+      }.reduce(_ && _)
+    toks.withColumn("m", matched)
+      .filter(col("m"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
 }

@@ -1613,5 +1613,54 @@ object RelationalQueries {
         "broadcast self-joins under a lazy checkpoint, so the corpus " +
         "aggregate plans exactly once (the q135 lesson). Exact decimal " +
         "revenue; one rounded division per row.")
+  ) ++ Seq(
+
+    // ---- q246: multi-source BFS hop distances ------------------------------
+    "q246_bfs_hops" -> Q(
+      (s, d) => {
+        // supplier <-> part bipartite supply graph; part ids offset so
+        // both node kinds share one id space
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("sn"),
+            (col("l_partkey") + 1000000L).as("pn"))
+          .distinct()
+        val sources = Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 0)
+          .select(col("s_suppkey"))
+        graft.operators.Graph.bfsHops(edges, "sn", "pn",
+            sources, "s_suppkey", maxHops = 4)
+          .select(col("v").as("node"),
+            when(col("v") >= 1000000L, lit("part")).otherwise(lit("supplier"))
+              .as("kind"),
+            col("hops"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT l_suppkey AS s, 1000000 + l_partkey AS t
+          FROM lineitem
+          UNION
+          SELECT DISTINCT 1000000 + l_partkey, l_suppkey FROM lineitem),
+        srcs AS (
+          SELECT DISTINCT s_suppkey AS v FROM supplier WHERE s_nationkey = 0),
+        walk(v, d) AS (
+          SELECT v, 0 FROM srcs
+          UNION
+          SELECT e.t, w.d + 1 FROM walk w JOIN e ON e.s = w.v WHERE w.d < 4)
+        SELECT v AS node,
+               CASE WHEN v >= 1000000 THEN 'part' ELSE 'supplier' END AS kind,
+               CAST(MIN(d) AS INT) AS hops
+        FROM walk GROUP BY v
+        ORDER BY node"""),
+      "Multi-source BFS (Graph.bfsHops): minimum hops from the " +
+        "nation-0 suppliers across the supplier-part supply graph, " +
+        "bounded at 4 — the recall/impact-analysis reachability sweep. " +
+        "Frontier-delta iteration: each round shuffles only the " +
+        "frontier's edge neighborhood and anti-joins out labeled " +
+        "nodes, exiting early at an empty frontier (result-identical); " +
+        "distances are first-assignment minima, so no min-aggregate " +
+        "ever runs. The oracle explores the same bounded walk as a " +
+        "recursive CTE and takes MIN(d) — integer outputs, nothing to " +
+        "drift.")
   )
 }

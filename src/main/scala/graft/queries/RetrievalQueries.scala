@@ -347,5 +347,37 @@ object RetrievalQueries {
         "identical integers — no query-time transcendentals, no " +
         "rounding ties. Cost is one (query, doc) equi-join over the " +
         "run, corpus-size-independent.")
+  ) ++ Seq(
+
+    // ---- q247: positional phrase search ------------------------------------
+    "q247_phrase_search" -> Q(
+      (s, d) => graft.operators.Retrieval.phraseSearch(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("row", "column", "sort"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        w AS (
+          SELECT doc_id, pos, term,
+                 lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                 lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+          FROM t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM w
+        WHERE term = 'row' AND t1 = 'column' AND t2 = 'sort'
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Positional phrase search (Retrieval.phraseSearch): documents " +
+        "containing the exact consecutive sequence 'row column sort' " +
+        "with occurrence counts and first position — the proximity " +
+        "semantics q97's bag-of-words BM25 structurally cannot " +
+        "express. The classic positional-index plan (k-1 self-joins on " +
+        "pos+i) collapses into ONE per-document window pass over the " +
+        "tokenized stream; match work is linear in tokens and only " +
+        "(doc, count, min-pos) leave the scan. Integer outputs.")
   )
 }

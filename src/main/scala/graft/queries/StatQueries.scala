@@ -904,6 +904,103 @@ object StatQueries {
         "range mean is a ratio of exact integers, so the fit is " +
         "bit-portable; labels carry 20% deterministic md5-urn flips so " +
         "the pooling is non-trivial.")
+  ) ++ Seq(
+
+    // ---- q248: two-regressor OLS via exact integer moments -----------------
+    "q248_ols2" -> Q(
+      (s, d) => {
+        // integer grids: qty is integer-valued, discount snaps to
+        // percent, price to cents — every moment is then an exact
+        // integer (decimal-summed), and the centered 2x2 solve is a
+        // fixed chain of IEEE ops on identical doubles. Moment bound:
+        // sum(x1*yc) <= 5e8/row — exact past sf1; widen the grids
+        // together if the corpus grows beyond that.
+        def dec(c: org.apache.spark.sql.Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100).cast("long").as("x2"),
+          round(col("l_extendedprice") * 100).cast("long").as("yc"))
+        val m = li.groupBy(col("rf")).agg(
+          count(lit(1)).as("n"),
+          dec(sum(col("x1"))).cast("double").as("s1"),
+          dec(sum(col("x2"))).cast("double").as("s2"),
+          dec(sum(col("yc"))).cast("double").as("sy"),
+          dec(sum(col("x1") * col("x1"))).cast("double").as("s11"),
+          dec(sum(col("x1") * col("x2"))).cast("double").as("s12"),
+          dec(sum(col("x2") * col("x2"))).cast("double").as("s22"),
+          dec(sum(col("x1") * col("yc"))).cast("double").as("s1y"),
+          dec(sum(col("x2") * col("yc"))).cast("double").as("s2y"))
+        m.withColumn("nd", col("n").cast("double"))
+          .withColumn("m1", col("s1") / col("nd"))
+          .withColumn("m2", col("s2") / col("nd"))
+          .withColumn("my", col("sy") / col("nd"))
+          .withColumn("c11", col("s11") - col("s1") * col("m1"))
+          .withColumn("c12", col("s12") - col("s1") * col("m2"))
+          .withColumn("c22", col("s22") - col("s2") * col("m2"))
+          .withColumn("c1y", col("s1y") - col("s1") * col("my"))
+          .withColumn("c2y", col("s2y") - col("s2") * col("my"))
+          .withColumn("det",
+            col("c11") * col("c22") - col("c12") * col("c12"))
+          .withColumn("b1c",
+            (col("c22") * col("c1y") - col("c12") * col("c2y")) / col("det"))
+          .withColumn("b2c",
+            (col("c11") * col("c2y") - col("c12") * col("c1y")) / col("det"))
+          .select(col("rf"), col("n"),
+            (col("b1c") / lit(100.0)).as("b_qty"),
+            (col("b2c") / lit(100.0)).as("b_disc_pct"),
+            ((col("my") - col("b1c") * col("m1") - col("b2c") * col("m2"))
+              / lit(100.0)).as("intercept"))
+          .orderBy(col("rf"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_returnflag AS rf,
+                 CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+          FROM lineitem),
+        m AS (
+          SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS s1,
+                 CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS s2,
+                 CAST(CAST(SUM(yc) AS BIGINT) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+                 CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+                 CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+                 CAST(CAST(SUM(x1 * yc) AS BIGINT) AS DOUBLE) AS s1y,
+                 CAST(CAST(SUM(x2 * yc) AS BIGINT) AS DOUBLE) AS s2y
+          FROM g GROUP BY rf),
+        c AS (
+          SELECT rf, n,
+                 s1 / CAST(n AS DOUBLE) AS m1, s2 / CAST(n AS DOUBLE) AS m2,
+                 sy / CAST(n AS DOUBLE) AS my,
+                 s1, s2, sy, s11, s12, s22, s1y, s2y
+          FROM m),
+        cc AS (
+          SELECT rf, n, m1, m2, my,
+                 s11 - s1 * m1 AS c11, s12 - s1 * m2 AS c12,
+                 s22 - s2 * m2 AS c22,
+                 s1y - s1 * my AS c1y, s2y - s2 * my AS c2y
+          FROM c),
+        b AS (
+          SELECT rf, n, m1, m2, my,
+                 (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1c,
+                 (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2c
+          FROM cc)
+        SELECT rf, n, b1c / 100.0 AS b_qty, b2c / 100.0 AS b_disc_pct,
+               (my - b1c * m1 - b2c * m2) / 100.0 AS intercept
+        FROM b
+        ORDER BY rf"""),
+      "Two-regressor OLS (price ~ quantity + discount, per return " +
+        "flag) solved in closed form from exact integer moments — the " +
+        "multi-feature extension of q167's single slope: one partial-" +
+        "aggregatable moment pass over integer-grid columns (qty, " +
+        "discount-percent, price-cents), then the centered 2x2 normal " +
+        "equations as a FIXED chain of IEEE ops both engines evaluate " +
+        "on identical doubles (each moment < 2^53, so the decimal-to-" +
+        "double casts are correctly rounded). In-engine regression " +
+        "without an ML library, at the cost of one scan.")
   )
 
   private val W = "string_split(text, ' ')"

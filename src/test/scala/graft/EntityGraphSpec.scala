@@ -464,6 +464,27 @@ class EntityGraphSpec extends SparkSuite {
     assert(row.getAs[Long]("n_edges") == edges.size.toLong)
   }
 
+  test("bfsHops: chain distances, undirected reach, hop cap, unreachable island") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6, island 8-9; source = {1}; edges given in
+    // MIXED directions to pin the undirected symmetrization
+    val edges = Seq((1, 2), (3, 2), (3, 4), (5, 4), (5, 6), (8, 9))
+      .toDF("a", "b")
+    val srcs = Seq(1).toDF("s")
+    val got = Graph.bfsHops(edges, "a", "b", srcs, "s", maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3),
+      s"hop cap 3 must stop before 5/6 and never reach the island: $got")
+    // uncapped: full chain labeled, island still absent
+    val full = Graph.bfsHops(edges, "a", "b", srcs, "s", maxHops = 10)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(full == Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3, 5 -> 4, 6 -> 5))
+    // multi-source: min over sources wins
+    val multi = Graph.bfsHops(edges, "a", "b", Seq(1, 6).toDF("s"), "s",
+      maxHops = 10).collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1 -> 0, 6 -> 0, 2 -> 1, 5 -> 1, 3 -> 2, 4 -> 2))
+  }
+
   test("jaro_winkler matches DuckDB-pinned values bit-for-bit") {
     import spark.implicits._
     graft.plans.TextExpressions.register(spark)
