@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.plans.{AdcScore, BloomPositions, BloomShingleHits, ChunkWords,
-  DotProduct, JaroWinkler, LshBuckets, MinhashMd5, NearestCell, RpProject,
-  ShingleHashes, ShingleStrings, SimhashMd5, SimplifySqrtThreshold, SquaredL2,
-  StubFacesMd5, WindowMd5s}
+  DotProduct, JaroWinkler, LshBuckets, MinhashMd5, NearestCell, NfcNormalize,
+  RpProject, ShingleHashes, ShingleStrings, SimhashMd5, SimplifySqrtThreshold,
+  SquaredL2, StubFacesMd5, WindowMd5s}
 
 /** Library entry point for SQL users: registers the native expressions
   * so `spark.sql("SELECT vec_dot(a, b) ...")` works in any session
@@ -113,6 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_sim"),
       info("jaro_sim", "jaro_sim(a, b) - byte-level Jaro similarity without the Winkler prefix boost"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1), winkler = false)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (JDK Normalizer)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("stub_faces_md5"),
       info("stub_faces_md5", "stub_faces_md5(frame, dim) - md5-derived stub face detections"),

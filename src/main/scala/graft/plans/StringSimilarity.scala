@@ -62,6 +62,47 @@ case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean = t
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every
+  * multilingual text pipeline runs before hashing/dedup (the same
+  * logical document arrives as composed `é` from one crawler and
+  * decomposed `e`+U+0301 from another; every digest-based dedup in
+  * this repo would treat them as distinct without this).
+  *
+  * Delegates to `java.text.Normalizer` (Form.NFC) — the JDK implements
+  * the same Unicode canonical composition DuckDB's `nfc_normalize`
+  * does, so outputs are oracle-comparable. The fast path skips
+  * normalization entirely when `Normalizer.isNormalized` holds (true
+  * for all-ASCII, i.e. virtually all of a typical corpus) — no
+  * allocation on the hot path. Codegen emits one static call, keeping
+  * enclosing operators inside whole-stage codegen. */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NfcUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcUtil.nfc($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcUtil {
+  import java.text.Normalizer
+
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 /** Static scoring kernel shared by interpreted eval and generated code
   * (codegen emits a single static call, so the expression participates
   * in whole-stage codegen without inlining the loop into every plan). */

@@ -664,5 +664,9 @@ object TextExpressions {
       "jaro_sim",
       exprs => JaroWinkler(exprs(0), exprs(1), winkler = false),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => NfcNormalize(exprs(0)),
+      "built-in")
   }
 }

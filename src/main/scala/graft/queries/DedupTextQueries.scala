@@ -1151,5 +1151,48 @@ object DedupTextQueries {
         "cluster lands in the same split. Composes the q53 cluster " +
         "relation with the q49 content-hash stance — deterministic " +
         "across runs, engines, and partitionings, no RNG state.")
+  ) ++ Seq(
+
+    // ---- q249: Unicode NFC normalization -----------------------------------
+    "q249_nfc_normalize" -> Q(
+      (s, d) => {
+        graft.plans.TextExpressions.register(s)
+        // plant decomposed sequences (e + COMBINING ACUTE, A + COMBINING
+        // GRAVE) after a corpus prefix: the corpus is ASCII, so the
+        // planted tail is what normalization must compose — and both
+        // engines build the identical raw string from the same codepoints
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 12), lit("e\u0301A\u0300"))
+              .as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("raw_chars"),
+            call_function("nfc_normalize", col("raw")).as("norm"))
+          .select(col("doc_id"), col("raw_chars"),
+            length(col("norm")).cast("long").as("norm_chars"),
+            md5(col("norm")).as("norm_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 substr(text, 1, 12) || 'e' || chr(769) || 'A' || chr(768)
+                   AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS raw_chars,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars,
+               md5(nfc_normalize(raw)) AS norm_md5
+        FROM r
+        ORDER BY doc_id"""),
+      "Unicode NFC canonical composition as a native expression " +
+        "(graft.plans.NfcNormalize, JDK Normalizer — same Unicode " +
+        "algorithm as DuckDB's nfc_normalize, md5-proved here): the " +
+        "pass every multilingual pipeline runs BEFORE content hashing, " +
+        "because composed and decomposed forms of the same text would " +
+        "otherwise defeat all digest-based dedup (q40/q44/q49). The " +
+        "isNormalized fast path makes all-ASCII rows allocation-free, " +
+        "and the codegen'd call keeps the enclosing projection in " +
+        "whole-stage codegen.")
   )
 }

@@ -477,4 +477,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(w(901L) < 0, s"off-domain doc must score negative: ${w(901L)}")
     assert(w(900L) > w(901L) + 1.0, "separation must be decisive")
   }
+
+  test("nfc_normalize composes decomposed sequences; ASCII is identity") {
+    import spark.implicits._
+    graft.plans.TextExpressions.register(spark)
+    val cases = Seq(
+      "é" -> "é", // e + COMBINING ACUTE -> é
+      "À" -> "À", // A + COMBINING GRAVE -> À
+      "é" -> "é", // already composed: unchanged
+      "plain ascii" -> "plain ascii",
+      "" -> "")
+    val got = cases.map(_._1).toDF("s")
+      .select(call_function("nfc_normalize", col("s"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), out) =>
+      assert(out == want,
+        s"nfc(${in.map(c => f"\\u${c.toInt}%04x").mkString}) mismatch")
+    }
+    // interpreted kernel agrees + idempotence
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (in, want) =>
+      val once = graft.plans.NfcUtil.nfc(UTF8String.fromString(in))
+      assert(once.toString == want)
+      assert(graft.plans.NfcUtil.nfc(once).toString == want, "idempotent")
+    }
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("nfc_normalize", col("s"))).collect().head
+    assert(n.isNullAt(0))
+  }
 }
