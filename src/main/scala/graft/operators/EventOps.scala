@@ -597,6 +597,36 @@ object EventOps {
     * Input: (bucket: any orderable, y6: DECIMAL(*,6), periodKey named
     * by `period`). Output: (bucket, period, y, trend, seasonal, resid).
     */
+  /** Streaming maintenance for [[seasonalDecompose]]'s input series:
+    * per-batch HOURLY partial sums land as idempotent delta partitions
+    * (the [[Sketches.writeDelta]] contract — replay overwrites, stale
+    * batches skip). Decimal sums are additive and order-free, so
+    * [[seasonalDecomposeMerged]] reads EXACTLY the one-shot batch
+    * decomposition at any point in the stream — the standing
+    * trend/seasonal/anomaly monitor without re-scanning history. */
+  def bucketSumsIngest(tsCol: String, valueCol: String,
+      prefix: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      Sketches.writeDelta(
+        batch.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+          .groupBy(date_trunc("hour", col(tsCol)).as("bucket"))
+          .agg(sum(col(valueCol)
+            .cast(org.apache.spark.sql.types.DecimalType(27, 6))).as("y6")),
+        batchId, prefix)
+    }
+
+  /** [[seasonalDecompose]] over everything [[bucketSumsIngest]] landed
+    * (hour-of-day periodicity). */
+  def seasonalDecomposeMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, halfWindow: Int = 12): DataFrame = {
+    val series = spark.table(s"${prefix}_deltas")
+      .groupBy(col("bucket"))
+      .agg(sum(col("y6"))
+        .cast(org.apache.spark.sql.types.DecimalType(27, 6)).as("y6"))
+      .withColumn("hr", hour(col("bucket")).cast("long"))
+    seasonalDecompose(series, "bucket", "y6", "hr", halfWindow)
+  }
+
   def seasonalDecompose(series: DataFrame, bucket: String, y6: String,
       period: String, halfWindow: Int = 12): DataFrame = {
     val points = 2 * halfWindow + 1

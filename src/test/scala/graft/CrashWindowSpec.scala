@@ -261,6 +261,37 @@ class CrashWindowSpec extends SparkSuite {
     } finally ts.foreach(Catalog.dropTable(spark, _))
   }
 
+  test("bucketSumsIngest: merged seasonal decomposition equals one-shot batch") {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.types.DecimalType
+    val prefix = "graft_cw_seas"
+    val ts = Seq(s"${prefix}_deltas", s"${prefix}_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      val ev = Tables.events(spark, sf("0.01"))
+        .select(col("event_id"), col("ts"), col("value"))
+      val fn = EventOps.bucketSumsIngest("ts", "value", prefix)
+      (0 to 2).foreach(i => fn(ev.filter(col("event_id") % 3 === i), i.toLong))
+      val merged = EventOps.seasonalDecomposeMerged(spark, prefix)
+        .orderBy(col("bucket")).collect()
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast(DecimalType(27, 6))).as("y6"))
+        .withColumn("hr", hour(col("bucket")).cast("long"))
+      val batch = EventOps.seasonalDecompose(hourly, "bucket", "y6", "hr")
+        .orderBy(col("bucket")).collect()
+      assert(merged.length == batch.length && merged.length > 100)
+      assert(merged.toSeq == batch.toSeq,
+        "merged streamed decomposition must equal the one-shot batch run")
+      // crash window: drop state, redeliver batch 2 — sums must not double
+      Catalog.dropTable(spark, ts(1))
+      fn(ev.filter(col("event_id") % 3 === 2), 2L)
+      assert(EventOps.seasonalDecomposeMerged(spark, prefix)
+        .orderBy(col("bucket")).collect().toSeq == batch.toSeq,
+        "crash-window replay must not change the decomposition")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest crash-window replay recomputes the identical keep-set") {
     import graft.functions.VectorFunctions.asDoubleVec
     graft.plans.VectorExpressions.register(spark)
