@@ -134,4 +134,38 @@ object Catalog {
     }
     hitParts.length.toLong
   }
+
+  /** Snapshot reconciliation: keyed diff of two table versions into
+    * added / removed / changed / unchanged rows — the audit every
+    * ingest hand-off and migration runs ("what did this batch actually
+    * do?"), and the verification half of [[deleteRows]].
+    *
+    * Each side collapses to (key, content-hash) FIRST — the full-outer
+    * join shuffles 16-byte digests, never row payloads — so the diff
+    * costs two projections plus one keyed join regardless of row
+    * width. Compared columns are rendered through an explicit
+    * formatter (cast to string by the CALLER's column expressions)
+    * with \u0001 separators and \u0000 for NULL, so "null" the string
+    * and NULL the value cannot collide and column boundaries cannot
+    * shift.
+    *
+    * Output: (key, status, hash_a, hash_b); status in {added, removed,
+    * changed, unchanged}. Filter `status != 'unchanged'` for the delta
+    * report — unchanged rows are kept so counts reconcile. */
+  def tableDiff(a: DataFrame, b: DataFrame, key: String,
+      compare: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(compare.nonEmpty, "tableDiff: no compare columns")
+    def hashed(df: DataFrame, h: String) = df.select(col(key),
+      md5(concat_ws("\u0001",
+        compare.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+        .as(h))
+    hashed(a, "hash_a").join(hashed(b, "hash_b"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("hash_a").isNull, lit("added"))
+          .when(col("hash_b").isNull, lit("removed"))
+          .when(col("hash_a") =!= col("hash_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("hash_a"), col("hash_b"))
+  }
 }

@@ -406,6 +406,74 @@ object MaintenanceQueries {
         "oracle melts values through VARCHAR because SQL UNION needs " +
         "one type; the Spark side groups native values — counts are " +
         "identical because the casts here are injective.")
+  ) ++ Seq(
+
+    // ---- q250: keyed snapshot diff / reconciliation ------------------------
+    "q250_table_diff" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val a = Tables.customer(s, d)
+        // snapshot B: deterministic mutation of A — %97 keys deleted,
+        // %13 balances bumped, %31 keys re-inserted under new ids
+        val b = a.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 13 === 0, col("c_acctbal") + 10.0)
+              .otherwise(col("c_acctbal")))
+          .unionByName(a.filter(col("c_custkey") % 31 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 500000))
+        graft.Catalog.tableDiff(a, b, "c_custkey", Seq(
+            col("c_name"), col("c_acctbal").cast(DecimalType(14, 2)),
+            col("c_mktsegment")))
+          .filter(col("status") =!= "unchanged")
+          .orderBy(col("status"), col("c_custkey"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 97 <> 0
+          UNION ALL
+          SELECT c_custkey + 500000, c_name, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 31 = 0),
+        ha AS (
+          SELECT c_custkey AS k,
+                 md5(concat_ws(chr(1),
+                   coalesce(c_name, chr(0)),
+                   coalesce(CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS VARCHAR),
+                     chr(0)),
+                   coalesce(c_mktsegment, chr(0)))) AS hash_a
+          FROM customer),
+        hb AS (
+          SELECT c_custkey AS k,
+                 md5(concat_ws(chr(1),
+                   coalesce(c_name, chr(0)),
+                   coalesce(CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS VARCHAR),
+                     chr(0)),
+                   coalesce(c_mktsegment, chr(0)))) AS hash_b
+          FROM b)
+        SELECT coalesce(ha.k, hb.k) AS c_custkey,
+               CASE WHEN ha.k IS NULL THEN 'added'
+                    WHEN hb.k IS NULL THEN 'removed'
+                    WHEN ha.hash_a <> hb.hash_b THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               ha.hash_a, hb.hash_b
+        FROM ha FULL OUTER JOIN hb ON ha.k = hb.k
+        WHERE CASE WHEN ha.k IS NULL THEN 'added'
+                   WHEN hb.k IS NULL THEN 'removed'
+                   WHEN ha.hash_a <> hb.hash_b THEN 'changed'
+                   ELSE 'unchanged' END <> 'unchanged'
+        ORDER BY status, c_custkey"""),
+      "Keyed snapshot reconciliation (Catalog.tableDiff): added / " +
+        "removed / changed rows between two table versions — the audit " +
+        "every ingest hand-off runs, and the verification half of " +
+        "deleteRows. Each side collapses to (key, md5 of explicitly-" +
+        "formatted compare columns) FIRST, so the full-outer join " +
+        "shuffles 16-byte digests regardless of row width; \\u0001 " +
+        "separators and \\u0000 null markers make column boundaries " +
+        "and NULL-vs-'null' unambiguous; the DECIMAL(14,2) render pins " +
+        "a cross-engine string form for the money column.")
   )
 
   /** Fixed released domain for the DP count query. */

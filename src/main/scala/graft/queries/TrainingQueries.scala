@@ -767,6 +767,55 @@ object TrainingQueries {
         "overlaps) matched the oracle byte-for-byte. Application is a " +
         "pure projection."),
 
+    // ---- q251: tokenizer fertility report ----------------------------------
+    "q251_tokenizer_fertility" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 8)
+          .select(col("doc").as("doc_id"), col("n_tokens"))
+        docs.select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .join(enc, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chars"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("tokens_per_doc"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${OracleGen.bpeCtes("b", "documents", 8, "@@")}
+        enc AS (
+          SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+          FROM bt8),
+        j AS (
+          SELECT d.source, e.n_tokens,
+                 CAST(length(d.text) AS BIGINT) AS n_chars
+          FROM documents d JOIN enc e ON e.doc_id = d.doc_id)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+                 AS chars_per_token,
+               CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS tokens_per_doc
+        FROM j GROUP BY source
+        ORDER BY source"""),
+      "Tokenizer fertility audit per source: chars-per-token and " +
+        "tokens-per-doc under the trained 8-merge BPE model — the " +
+        "compression-efficiency report a tokenizer change ships with " +
+        "(a source whose fertility collapses is being shredded into " +
+        "bytes, and its effective training weight silently multiplies). " +
+        "Composes q102's trainer with q103's encoder, then one bounded " +
+        "aggregate; the reported ratios are IEEE divisions of exact " +
+        "integer sums.")
+  ,
+
     // ---- q104: trained quality classifier (logistic GD) -------------------
     "q104_quality_classifier" -> Q(
       (s, dir) => {
