@@ -186,7 +186,18 @@ object BenchScale {
     "q227_boilerplate_strip", "q228_skew_audit", "q229_hist_quantiles",
     "q230_spearman", "q231_kruskal_wallis", "q232_anova_f",
     "q234_permutation_test", "q235_k_anonymity", "q236_dp_counts",
-    "q237_rollup_route")
+    "q237_rollup_route",
+    // round-9 continuation wave. q240 is slope-EXCLUDED by the q219
+    // precedent: its (type, size) blocks are a fixed domain while
+    // inflation grows every block, so in-block pair work is quadratic
+    // in the multiplier BY FIXTURE CONSTRUCTION. q245 carries a kMeans
+    // training (the q61 class) — 10×-measured only. q248's exact-moment
+    // bound (< 2^53) holds through ~sf1; measured at 10× where the
+    // bound is proven, not at 100× where the fixture would exceed it.
+    "q241_seasonal_decompose", "q242_des_forecast", "q243_fd_audit",
+    "q244_seq_pattern", "q245_silhouette", "q246_bfs_hops",
+    "q247_phrase_search", "q248_ols2", "q249_nfc_normalize",
+    "q250_table_diff", "q251_tokenizer_fertility")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -241,7 +252,16 @@ object BenchScale {
     // explosions (q233/q234) and the money-value spines (q231) are
     // 10×-only; q237's summary build is the q01 relational class.
     "q229_hist_quantiles", "q230_spearman", "q232_anova_f",
-    "q235_k_anonymity", "q236_dp_counts")
+    "q235_k_anonymity", "q236_dp_counts",
+    // round-9 continuation: q241's window runs over the bounded bucket
+    // spine (inflation grows per-bucket mass, not bucket count); q243's
+    // shuffles carry key-pair cardinality; q244's per-user strings stay
+    // per-user-sized; q246's frontier rounds are fixed; q247/q249 are
+    // token/projection passes; q250 ships digests. q242's per-user
+    // windows and q251's BPE stack are 10×-only (the q103/q151 class).
+    "q241_seasonal_decompose", "q243_fd_audit", "q244_seq_pattern",
+    "q246_bfs_hops", "q247_phrase_search", "q249_nfc_normalize",
+    "q250_table_diff")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
