@@ -1001,6 +1001,96 @@ object StatQueries {
         "on identical doubles (each moment < 2^53, so the decimal-to-" +
         "double casts are correctly rounded). In-engine regression " +
         "without an ML library, at the cost of one scan.")
+  ) ++ Seq(
+
+    // ---- q252: quantile treatment effect at deciles ------------------------
+    "q252_qte_deciles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = (1 to 9).map(i => i / 10.0)
+        val o = Tables.orders(s, d).select(
+          when(col("o_orderpriority") === "1-URGENT", lit("A"))
+            .otherwise(lit("B")).as("g"),
+          col("o_totalprice").as("v"))
+        val spine = o.filter(col("v").isNotNull)
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+        // both engines compute the SAME double artifact for ceil(p*n) —
+        // the rank rule must match bit-for-bit, not merely numerically
+        val qs = cum.groupBy(col("g")).agg(
+          ps.map { p =>
+            min(when(col("cum") >= greatest(lit(1L),
+              ceil(lit(p) * col("n").cast("double")).cast("long")), col("v")))
+              .as(f"q${(p * 100).round}%02d")
+          }.head, ps.tail.map { p =>
+            min(when(col("cum") >= greatest(lit(1L),
+              ceil(lit(p) * col("n").cast("double")).cast("long")), col("v")))
+              .as(f"q${(p * 100).round}%02d")
+          }: _*)
+        // rename per side BEFORE the self-crossJoin: a(nm)/b(nm) refs
+        // share lineage and would silently resolve to one attribute
+        def side(tag: String, suffix: String) =
+          qs.filter(col("g") === tag).select(ps.map { p =>
+            val nm = f"q${(p * 100).round}%02d"
+            col(nm).as(nm + suffix)
+          }: _*)
+        val pairs = ps.map { p =>
+          val nm = f"q${(p * 100).round}%02d"
+          struct(lit(p).as("p"), col(nm + "_t").as("q_treat"),
+            col(nm + "_c").as("q_control"))
+        }
+        side("A", "_t").crossJoin(side("B", "_c"))
+          .select(explode(array(pairs: _*)).as("r"))
+          .select(col("r.p"), col("r.q_treat"), col("r.q_control"),
+            (col("r.q_treat") - col("r.q_control")).as("qte"))
+          .orderBy(col("p"))
+      },
+      Some {
+        val sel = (1 to 9).map { i =>
+          s"""MIN(CASE WHEN cum >= greatest(1, CAST(ceil(
+             CAST(0.${i} AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+             THEN v END) AS q${"%02d".format(i * 10)}"""
+        }.mkString(",\n                 ")
+        val rows = (1 to 9).map { i =>
+          val nm = "q" + "%02d".format(i * 10)
+          s"SELECT CAST(0.${i} AS DOUBLE) AS p, a.$nm AS q_treat, b.$nm AS q_control FROM a, b"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH o AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END
+                   AS g,
+                 o_totalprice AS v
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        sp AS (SELECT g, v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+        cw AS (
+          SELECT g, v,
+                 SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER (PARTITION BY g) AS n
+          FROM sp),
+        q AS (
+          SELECT g,
+                 $sel
+          FROM cw GROUP BY g),
+        a AS (SELECT * FROM q WHERE g = 'A'),
+        b AS (SELECT * FROM q WHERE g = 'B')
+        SELECT p, q_treat, q_control, q_treat - q_control AS qte
+        FROM ($rows)
+        ORDER BY p"""
+      },
+      "Quantile treatment effect at the deciles — where in the " +
+        "distribution the A/B difference lives (a mean shift and a " +
+        "tail shift read identically to q161's z-test; QTE separates " +
+        "them): per-group discrete quantiles selected off the bounded " +
+        "(group, value) spine — the corpus never sorts globally — then " +
+        "one 9-row contrast. The rank rule ceil(p*n) is evaluated as " +
+        "the SAME double artifact in both engines (the bit-level " +
+        "contract, not just numeric agreement), and each QTE is a " +
+        "subtraction of exactly-selected order statistics.")
   )
 
   private val W = "string_split(text, ' ')"
