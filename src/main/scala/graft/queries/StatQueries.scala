@@ -1091,6 +1091,144 @@ object StatQueries {
         "the SAME double artifact in both engines (the bit-level " +
         "contract, not just numeric agreement), and each QTE is a " +
         "subtraction of exactly-selected order statistics.")
+  ) ++ Seq(
+
+    // ---- q253: McNemar paired-classifier test ------------------------------
+    "q253_mcnemar" -> Q(
+      (s, d) => {
+        // two deterministic classifiers over the SAME documents (the
+        // paired design): does each doc contain marker token X?
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").as("truth"),
+          array_contains(split(col("text"), " "), "the").as("pa"),
+          array_contains(split(col("text"), " "), "table").as("pb"))
+        val cells = docs.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pa") === col("truth") && col("pb") =!= col("truth"),
+            1L).otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("truth") && col("pb") === col("truth"),
+            1L).otherwise(0L)).as("c"))
+        cells.select(col("n"), col("b"), col("c"),
+          when(col("b") + col("c") === 0, lit(null).cast("double"))
+            .otherwise(
+              ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+                (col("b") + col("c")).cast("double")).as("chi2"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang = 'en' AS truth,
+                 list_contains(string_split(text, ' '), 'the') AS pa,
+                 list_contains(string_split(text, ' '), 'table') AS pb
+          FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pa = truth AND pb <> truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN pa <> truth AND pb = truth
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CASE WHEN SUM(CASE WHEN pa = truth AND pb <> truth
+                      THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN pa <> truth AND pb = truth
+                      THEN 1 ELSE 0 END) = 0 THEN NULL
+                    ELSE CAST((SUM(CASE WHEN pa = truth AND pb <> truth
+                        THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN pa <> truth AND pb = truth
+                        THEN 1 ELSE 0 END))
+                      * (SUM(CASE WHEN pa = truth AND pb <> truth
+                        THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN pa <> truth AND pb = truth
+                        THEN 1 ELSE 0 END)) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN pa = truth AND pb <> truth
+                        THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN pa <> truth AND pb = truth
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS chi2
+        FROM t"""),
+      "McNemar's paired test — the A/B comparison for CLASSIFIERS " +
+        "evaluated on the same examples, which q161's independent-" +
+        "samples z-test silently gets wrong (paired designs share " +
+        "per-example variance): only the discordant cells matter, " +
+        "chi2 = (b-c)^2/(b+c) on exact integers with one IEEE " +
+        "division. One conditional-aggregate corpus pass."),
+
+    // ---- q254: Mann-Kendall trend test -------------------------------------
+    "q254_mann_kendall" -> Q(
+      (s, d) => {
+        // daily counts per event type: the bounded series spine (the
+        // q167 collapse); all pairwise sign comparisons run on the
+        // |types| x |days|^2 spine, never the corpus
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(count(lit(1)).cast("long").as("y"))
+        val a = daily.select(col("event_type"), col("x").as("xi"),
+          col("y").as("yi"))
+        val b = daily.select(col("event_type").as("et2"), col("x").as("xj"),
+          col("y").as("yj"))
+        val sStat = a.join(b,
+            col("event_type") === col("et2") && col("xi") < col("xj"))
+          .groupBy(col("event_type"))
+          .agg(sum(signum(col("yj") - col("yi")).cast("long")).as("s_stat"))
+        val ties = daily.groupBy(col("event_type"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n_days"),
+            sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+              .as("tie_term"))
+        sStat.join(ties, Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            ((col("n_days") * (col("n_days") - 1)
+              * (lit(2) * col("n_days") + 5) - col("tie_term")).cast("double")
+              / lit(18.0)).as("var_s"))
+          .withColumn("z",
+            when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(0.0)))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type,
+                 datediff('day', DATE '1970-01-01', CAST($TS AS DATE)) AS x,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        sp AS (
+          SELECT a.event_type,
+                 CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+                   AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.x < b.x
+          GROUP BY 1),
+        tt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(t) AS BIGINT) AS n_days,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT s.event_type, t.n_days, s.s_stat,
+               CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                 - t.tie_term AS DOUBLE) / 18.0 AS var_s,
+               CASE WHEN s.s_stat > 0 THEN
+                      CAST(s.s_stat - 1 AS DOUBLE) /
+                        sqrt(CAST(t.n_days * (t.n_days - 1)
+                          * (2 * t.n_days + 5) - t.tie_term AS DOUBLE) / 18.0)
+                    WHEN s.s_stat < 0 THEN
+                      CAST(s.s_stat + 1 AS DOUBLE) /
+                        sqrt(CAST(t.n_days * (t.n_days - 1)
+                          * (2 * t.n_days + 5) - t.tie_term AS DOUBLE) / 18.0)
+                    ELSE CAST(0 AS DOUBLE) END AS z
+        FROM sp s JOIN tt t ON t.event_type = s.event_type
+        ORDER BY s.event_type"""),
+      "Mann-Kendall trend test per event series — the non-parametric " +
+        "companion of q167's OLS slope and q223's Theil-Sen estimate " +
+        "(detects ANY monotone drift, no linearity or normality " +
+        "assumed): S sums pairwise signs over the bounded daily spine " +
+        "(|days|^2 pairs per type, never corpus rows), the variance " +
+        "carries the standard tie correction, and z applies the " +
+        "continuity correction — all exact integers until one division " +
+        "and one correctly-rounded sqrt.")
   )
 
   private val W = "string_split(text, ' ')"
