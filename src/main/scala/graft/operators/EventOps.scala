@@ -462,6 +462,55 @@ object EventOps {
       .orderBy(col("dur"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s estimator
+    * sibling (KM answers "what fraction survives to t", NA answers
+    * "how much hazard accumulated by t"; NA is the additive form
+    * regression diagnostics prefer). Shares KM's spine discipline: the
+    * corpus collapses to one bounded (duration, deaths, at-risk)
+    * relation, and the increment sum runs over THAT spine only.
+    *
+    * Portability: each increment d/n is an IEEE division of identical
+    * integers, snapped to the 1e-12 grid and cumulated as exact longs
+    * — the float CUMSUM (whose accumulation order engines don't
+    * promise) never happens. Grid ties are impossible for n ≤ 8191:
+    * 1e12·d/n sits exactly on .5 only if n divides 2e12·d with an odd
+    * quotient, and 2e12/n keeps a factor of 2 for every such n.
+    *
+    * Output: (dur, n_risk, n_events, cum_hazard) at event durations. */
+  def nelsonAalen(events: DataFrame, user: String, epCol: String,
+      isStart: Column, isEvent: Column, bucketSec: Long = 86400): DataFrame = {
+    val perUser = events.groupBy(col(user)).agg(
+      min(when(isStart, col(epCol))).as("t0"),
+      max(col(epCol)).as("t_last"),
+      min(when(isEvent, col(epCol))).as("te_any"))
+    val u = perUser.filter(col("t0").isNotNull)
+      .withColumn("te", when(col("te_any") >= col("t0"), col("te_any")))
+      .withColumn("observed", col("te").isNotNull)
+      .withColumn("dur",
+        floor((coalesce(col("te"), col("t_last")) - col("t0")) /
+          lit(bucketSec.toDouble)).cast("long"))
+    val byDur = u.groupBy(col("dur")).agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("c"))
+    val total = byDur.groupBy().agg(sum(col("c")).as("_total"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.crossJoin(total)
+      .withColumn("n_risk",
+        col("_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("term_g",
+        round(lit(1e12) * col("d").cast("double") / col("n_risk").cast("double"))
+          .cast("long"))
+      .withColumn("cum_hazard",
+        sum(col("term_g")).over(wCum).cast("double") / lit(1e12))
+      .select(col("dur"), col("n_risk"), col("d").as("n_events"),
+        col("cum_hazard"))
+      .orderBy(col("dur"))
+  }
+
   /** Time-series subsequence similarity search (the UCR/MASS motif
     * query, batch form): slide a length-L window along each key's
     * value series, z-normalize each window, and rank windows by

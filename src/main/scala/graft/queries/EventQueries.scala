@@ -2941,6 +2941,62 @@ object EventQueries {
         "no cross-row accumulation order) is ever involved.")
   ) ++ Seq(
 
+    // ---- q255: Nelson-Aalen cumulative hazard ------------------------------
+    "q255_nelson_aalen" -> Q(
+      (s, d) => graft.operators.EventOps.nelsonAalen(
+          Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts"))),
+          "user_id", "ep",
+          isStart = col("event_type") === "view",
+          isEvent = col("event_type") === "purchase"),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, $EPOCH AS ep FROM events
+        ), pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+                 MAX(ep) AS t_last,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ep END) AS te_any
+          FROM e GROUP BY user_id
+        ), u AS (
+          SELECT user_id, t0, t_last,
+                 CASE WHEN te_any >= t0 THEN te_any END AS te
+          FROM pu WHERE t0 IS NOT NULL
+        ), du AS (
+          SELECT user_id, te IS NOT NULL AS observed,
+                 CAST(floor((COALESCE(te, t_last) - t0) / 86400.0) AS BIGINT) AS dur
+          FROM u
+        ), bd AS (
+          SELECT dur, SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+                 COUNT(*) AS c
+          FROM du GROUP BY dur
+        ), risk AS (
+          SELECT dur, d, c,
+                 (SELECT COUNT(*) FROM du) - COALESCE(SUM(c) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+          FROM bd
+        ), ev AS (
+          SELECT dur, d, n_risk,
+                 CAST(round(1e12 * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                   AS BIGINT) AS term_g
+          FROM risk WHERE d > 0
+        )
+        SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               CAST(SUM(term_g) OVER w AS DOUBLE) / 1e12 AS cum_hazard
+        FROM ev
+        WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY dur"""),
+      "Nelson-Aalen cumulative hazard — q133's estimator sibling (KM " +
+        "gives the fraction surviving, NA the accumulated hazard; the " +
+        "additive form regression diagnostics prefer). Same bounded " +
+        "(duration, deaths, at-risk) spine; each increment d/n is an " +
+        "IEEE division of identical integers snapped to the 1e-12 " +
+        "grid and CUMULATED AS EXACT LONGS — the float cumsum whose " +
+        "accumulation order engines never promise is avoided outright " +
+        "(grid ties are impossible for any at-risk count under 8192).")
+  ) ++ Seq(
+
     // ---- q244: event-sequence adjacency patterns (MATCH_RECOGNIZE-lite) ----
     "q244_seq_pattern" -> Q(
       (s, d) => {

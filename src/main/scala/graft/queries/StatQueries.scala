@@ -1229,6 +1229,85 @@ object StatQueries {
         "carries the standard tie correction, and z applies the " +
         "continuity correction — all exact integers until one division " +
         "and one correctly-rounded sqrt.")
+  ) ++ Seq(
+
+    // ---- q256: off-policy evaluation (IPS / SNIPS) -------------------------
+    "q256_ips_offpolicy" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type").as("a"), col("value").as("r"))
+        val nu = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_u"))
+        val nua = ev.groupBy(col("user_id"), col("a"))
+          .agg(count(lit(1)).as("n_ua"))
+        // deterministic target policy: an action rule over the context
+        val target = when(col("user_id") % 2 === 0, lit("purchase"))
+          .otherwise(lit("click"))
+        // per-matched-row importance weight 1/p-hat = n_u/n_ua; terms
+        // snap to the 1e-9 grid and cumulate as exact integers (the
+        // nearest grid tie sits >= 1/(2*n_ua) away — unreachable)
+        val m = ev.filter(col("a") === target)
+          .join(nua, Seq("user_id", "a"))
+          .join(nu, Seq("user_id"))
+          .select(
+            round(lit(1e9) * col("r") * col("n_u").cast("double")
+              / col("n_ua").cast("double")).cast("long").as("term_g"),
+            round(lit(1e9) * col("n_u").cast("double")
+              / col("n_ua").cast("double")).cast("long").as("w_g"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("term_g")).cast(DecimalType(38, 0)).cast("long")
+              .as("sum_term_g"),
+            sum(col("w_g")).cast(DecimalType(38, 0)).cast("long")
+              .as("sum_w_g"))
+        val total = ev.agg(count(lit(1)).as("n"))
+        m.crossJoin(total)
+          .select(col("n"), col("n_matched"),
+            (col("sum_term_g").cast("double") / lit(1e9)
+              / col("n").cast("double")).as("ips_value"),
+            (col("sum_term_g").cast("double") / col("sum_w_g").cast("double"))
+              .as("snips_value"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type AS a, value AS r FROM events),
+        nu AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_u
+          FROM ev GROUP BY user_id),
+        nua AS (
+          SELECT user_id, a, CAST(COUNT(*) AS BIGINT) AS n_ua
+          FROM ev GROUP BY user_id, a),
+        m AS (
+          SELECT CAST(round(1e9 * e.r * CAST(nu.n_u AS DOUBLE)
+                   / CAST(nua.n_ua AS DOUBLE)) AS BIGINT) AS term_g,
+                 CAST(round(1e9 * CAST(nu.n_u AS DOUBLE)
+                   / CAST(nua.n_ua AS DOUBLE)) AS BIGINT) AS w_g
+          FROM ev e
+          JOIN nua ON nua.user_id = e.user_id AND nua.a = e.a
+          JOIN nu ON nu.user_id = e.user_id
+          WHERE e.a = CASE WHEN e.user_id % 2 = 0
+                           THEN 'purchase' ELSE 'click' END),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+                 CAST(SUM(term_g) AS BIGINT) AS sum_term_g,
+                 CAST(SUM(w_g) AS BIGINT) AS sum_w_g
+          FROM m),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev)
+        SELECT t.n, agg.n_matched,
+               CAST(agg.sum_term_g AS DOUBLE) / 1e9 / CAST(t.n AS DOUBLE)
+                 AS ips_value,
+               CAST(agg.sum_term_g AS DOUBLE) / CAST(agg.sum_w_g AS DOUBLE)
+                 AS snips_value
+        FROM agg, t"""),
+      "Off-policy evaluation by inverse-propensity scoring: the value " +
+        "a TARGET action policy would have earned, estimated from " +
+        "logged interactions without running it — the counterfactual " +
+        "replay every recommender/bandit change is judged by before " +
+        "launch. Propensities are the user's exact empirical action " +
+        "frequencies (integer ratios); each matched term r/p snaps to " +
+        "the 1e-9 grid and cumulates as exact longs (grid ties are " +
+        "provably >= 1/(2 n_ua) away), and both IPS and the self-" +
+        "normalized SNIPS are IEEE divisions of identical integers. " +
+        "Three partial-aggregatable shuffles, no corpus float sums.")
   )
 
   private val W = "string_split(text, ' ')"
