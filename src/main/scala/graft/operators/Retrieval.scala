@@ -481,6 +481,31 @@ object Retrieval {
     *
     * Output: (id, n_hits, first_pos) for documents with >= 1 match;
     * positions are 1-based token offsets. */
+  /** Boolean retrieval: documents matching ALL `must` terms and NONE
+    * of the `mustNot` terms, with per-must-term frequencies — the
+    * filter algebra (AND / NOT) that precedes ranked retrieval in
+    * every search stack ([[bm25TopK]] ranks what this admits).
+    *
+    * One tokenize pass collapses to per-doc conditional counts — the
+    * set intersections/differences of the classic inverted-index plan
+    * become a single partial-aggregatable HAVING, with no per-term
+    * join. Output: (id, tf_<term>...) for matching docs. */
+  def booleanSearch(docs: DataFrame, id: String, text: String,
+      must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "booleanSearch: at least one must term")
+    val toks = docs.select(col(id),
+      explode(split(col(text), " ")).as("term"))
+    val aggs = must.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")) ++
+      mustNot.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_not_$t"))
+    val counted = toks.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val keep = (must.map(t => col(s"tf_$t") > 0L) ++
+      mustNot.map(t => col(s"_not_$t") === 0L)).reduce(_ && _)
+    counted.filter(keep)
+      .select(col(id) +: must.map(t => col(s"tf_$t")): _*)
+  }
+
   def phraseSearch(docs: DataFrame, id: String, text: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.size <= 16,

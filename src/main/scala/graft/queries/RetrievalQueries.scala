@@ -378,6 +378,37 @@ object RetrievalQueries {
         "express. The classic positional-index plan (k-1 self-joins on " +
         "pos+i) collapses into ONE per-document window pass over the " +
         "tokenized stream; match work is linear in tokens and only " +
-        "(doc, count, min-pos) leave the scan. Integer outputs.")
+        "(doc, count, min-pos) leave the scan. Integer outputs."),
+
+    // ---- q257: boolean retrieval (AND / NOT) -------------------------------
+    "q257_boolean_search" -> Q(
+      (s, d) => graft.operators.Retrieval.booleanSearch(
+          Tables.documents(s, d), "doc_id", "text",
+          must = Seq("table", "hash"), mustNot = Seq("slow"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN term = 'table' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tf_table,
+                 CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tf_hash,
+                 CAST(SUM(CASE WHEN term = 'slow' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nslow
+          FROM t GROUP BY doc_id)
+        SELECT doc_id, tf_table, tf_hash
+        FROM c
+        WHERE tf_table > 0 AND tf_hash > 0 AND nslow = 0
+        ORDER BY doc_id"""),
+      "Boolean retrieval ('table' AND 'hash' AND NOT 'slow') with " +
+        "per-term frequencies (Retrieval.booleanSearch): the filter " +
+        "algebra that precedes ranked retrieval — q97's BM25 ranks " +
+        "what this admits. The classic per-term inverted-index " +
+        "intersections/differences collapse into ONE tokenize pass " +
+        "and a partial-aggregatable conditional HAVING — no per-term " +
+        "join, integer outputs.")
   )
 }

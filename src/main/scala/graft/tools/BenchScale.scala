@@ -197,7 +197,11 @@ object BenchScale {
     "q241_seasonal_decompose", "q242_des_forecast", "q243_fd_audit",
     "q244_seq_pattern", "q245_silhouette", "q246_bfs_hops",
     "q247_phrase_search", "q248_ols2", "q249_nfc_normalize",
-    "q250_table_diff", "q251_tokenizer_fertility")
+    "q250_table_diff", "q251_tokenizer_fertility",
+    // q252's quantile spine is distinct money values (the q215 class —
+    // 10×-measured to keep the spine cost visible, 100×-excluded)
+    "q252_qte_deciles", "q253_mcnemar", "q254_mann_kendall",
+    "q255_nelson_aalen", "q256_ips_offpolicy", "q257_boolean_search")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -261,7 +265,12 @@ object BenchScale {
     // windows and q251's BPE stack are 10×-only (the q103/q151 class).
     "q241_seasonal_decompose", "q243_fd_audit", "q244_seq_pattern",
     "q246_bfs_hops", "q247_phrase_search", "q249_nfc_normalize",
-    "q250_table_diff")
+    "q250_table_diff",
+    // one conditional-aggregate pass (q253/q257), the fixed daily
+    // spine (q254), the bounded survival spine (q255), and integer-
+    // ratio propensity terms (q256) — 100 TB shapes by construction
+    "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
+    "q256_ips_offpolicy", "q257_boolean_search")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
