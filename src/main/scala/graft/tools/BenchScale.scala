@@ -264,11 +264,15 @@ object BenchScale {
     // token/projection passes; q250 ships digests. q242's per-user
     // windows and q251's BPE stack are 10×-only (the q103/q151 class).
     "q241_seasonal_decompose", "q243_fd_audit", "q244_seq_pattern",
-    "q246_bfs_hops", "q247_phrase_search", "q249_nfc_normalize",
+    "q247_phrase_search", "q249_nfc_normalize",
     "q250_table_diff",
     // one conditional-aggregate pass (q253/q257), the fixed daily
     // spine (q254), the bounded survival spine (q255), and integer-
-    // ratio propensity terms (q256) — 100 TB shapes by construction
+    // ratio propensity terms (q256) — 100 TB shapes by construction.
+    // q246 (BFS) is 10×-only, the q147 one-JVM class: the 120M-row
+    // symmetrized edge distinct + frontier joins overflow one local
+    // JVM's aggregate memory (AGGREGATE_OUT_OF_MEMORY at 100×) —
+    // on a cluster those stages spill and distribute
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
     "q256_ips_offpolicy", "q257_boolean_search")
 
