@@ -1308,6 +1308,113 @@ object StatQueries {
         "provably >= 1/(2 n_ua) away), and both IPS and the self-" +
         "normalized SNIPS are IEEE divisions of identical integers. " +
         "Three partial-aggregatable shuffles, no corpus float sums.")
+  ) ++ Seq(
+
+    // ---- q258: per-group trimmed mean --------------------------------------
+    "q258_trimmed_mean" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        // 10%-trimmed mean of order value per priority tier: discrete
+        // decile bounds off the bounded (group, value) spine (the q252
+        // machinery), then one conditional decimal-exact mean of the
+        // in-range rows — outlier-robust central tendency without
+        // q217's per-row clip output
+        val o = Tables.orders(s, d).select(
+          col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+        val spine = o.filter(col("v").isNotNull)
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+        def qSel(p: Double) =
+          min(when(col("cum") >= greatest(lit(1L),
+            ceil(lit(p) * col("n").cast("double")).cast("long")), col("v")))
+        val bounds = cum.groupBy(col("g"))
+          .agg(qSel(0.1).as("lo"), qSel(0.9).as("hi"))
+        o.join(bounds, Seq("g"))
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_kept"),
+            (sum(col("v").cast(DecimalType(27, 6))).cast("double") /
+              count(lit(1)).cast("double")).as("trimmed_mean"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS g, o_totalprice AS v
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        sp AS (SELECT g, v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+        cw AS (
+          SELECT g, v,
+                 SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER (PARTITION BY g) AS n
+          FROM sp),
+        b AS (
+          SELECT g,
+                 MIN(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   THEN v END) AS lo,
+                 MIN(CASE WHEN cum >= greatest(1, CAST(ceil(
+                   CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+                   THEN v END) AS hi
+          FROM cw GROUP BY g)
+        SELECT o.g, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(o.v AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+        FROM o JOIN b ON b.g = o.g
+        WHERE o.v >= b.lo AND o.v <= b.hi
+        GROUP BY o.g
+        ORDER BY o.g"""),
+      "10%-trimmed mean per priority tier — outlier-robust central " +
+        "tendency where the plain mean follows one whale order: " +
+        "discrete decile bounds select off the bounded (group, value) " +
+        "spine exactly (the q252 rank-rule contract), broadcast back, " +
+        "and the kept rows take one decimal-exact conditional mean. " +
+        "The report form of q217's winsorize (which keeps every row " +
+        "and clips); no global sort anywhere."),
+
+    // ---- q259: source freshness / staleness audit --------------------------
+    "q259_freshness_audit" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          unix_timestamp(col("ts")).as("ep"))
+        val per = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), max(col("ep")).as("last_ep"))
+        val ref = ev.agg(max(col("ep")).as("ref_ep"))
+        per.crossJoin(ref)
+          .select(col("event_type"), col("n_events"),
+            col("last_ep"),
+            (col("ref_ep") - col("last_ep")).as("staleness_sec"),
+            (col("ref_ep") - col("last_ep") > 3600L).as("stale_over_1h"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(epoch($TS)) AS BIGINT) AS ep
+          FROM events),
+        per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(ep) AS last_ep
+          FROM e GROUP BY event_type),
+        r AS (SELECT MAX(ep) AS ref_ep FROM e)
+        SELECT per.event_type, per.n_events, per.last_ep,
+               r.ref_ep - per.last_ep AS staleness_sec,
+               r.ref_ep - per.last_ep > 3600 AS stale_over_1h
+        FROM per, r
+        ORDER BY per.event_type"""),
+      "Per-stream freshness audit — the first page of every pipeline " +
+        "ops dashboard: last-seen timestamp and staleness per event " +
+        "stream against the corpus high-water mark (a DETERMINISTIC " +
+        "reference — wall-clock 'now' would make the result " +
+        "unreproducible; production substitutes the trigger time). One " +
+        "partial-aggregatable pass + a scalar crossJoin; pure integer " +
+        "outputs. The batch readout of what MetricsListener tracks " +
+        "per-micro-batch in streams.")
   )
 
   private val W = "string_split(text, ' ')"

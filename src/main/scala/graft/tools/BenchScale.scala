@@ -201,7 +201,10 @@ object BenchScale {
     // q252's quantile spine is distinct money values (the q215 class —
     // 10×-measured to keep the spine cost visible, 100×-excluded)
     "q252_qte_deciles", "q253_mcnemar", "q254_mann_kendall",
-    "q255_nelson_aalen", "q256_ips_offpolicy", "q257_boolean_search")
+    "q255_nelson_aalen", "q256_ips_offpolicy", "q257_boolean_search",
+    // q258 rides the q252 money-value spine (10×-only); q259 is one
+    // partial-aggregatable pass + a scalar crossJoin
+    "q258_trimmed_mean", "q259_freshness_audit")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -274,7 +277,7 @@ object BenchScale {
     // JVM's aggregate memory (AGGREGATE_OUT_OF_MEMORY at 100×) —
     // on a cluster those stages spill and distribute
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
-    "q256_ips_offpolicy", "q257_boolean_search")
+    "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
