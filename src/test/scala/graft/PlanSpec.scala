@@ -470,4 +470,49 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("jaro_winkler scoring stays inside whole-stage codegen") {
+    graft.plans.TextExpressions.register(spark)
+    // a range-derived source: literal Seqs constant-fold the whole
+    // projection into a LocalTableScan (proving interpreted eval, not
+    // the codegen path)
+    val df = spark.range(4)
+      .select(concat(lit("abc"), col("id").cast("string")).as("a"),
+        lit("abc0x").as("b"))
+      .select(call_function("jaro_winkler", col("a"), col("b")).as("jw"))
+      .filter(col("jw") > 0.9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"jw filter must codegen:\n${p.take(800)}")
+    assert(df.count() >= 1)
+  }
+
+  test("phraseSearch plans ONE window pass and no join") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val p = graft.operators.Retrieval
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"positional self-joins must not appear:\n$p")
+    assert("(?s)Window".r.findAllIn(p).length >= 1)
+  }
+
+  test("tableDiff joins 16-byte digests, never row payloads") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val b = Seq((1L, "x", 1.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+    val df = graft.Catalog.tableDiff(a, b, "k", Seq(col("s"), col("v")))
+    val p = df.queryExecution.executedPlan.toString
+    // the join's output columns are only (k, hash_a, hash_b): the
+    // payload columns are pruned below the exchange
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(1200))
+    val joined = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    val joinCols = joined.children.flatMap(_.output.map(_.name)).toSet
+    assert(joinCols == Set("k", "hash_a", "hash_b"),
+      s"join must see digests only, saw $joinCols")
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
+  }
 }

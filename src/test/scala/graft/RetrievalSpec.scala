@@ -161,4 +161,39 @@ class RetrievalSpec extends SparkSuite {
     assert(disc(0) == 1000000000L)
     assert(math.abs(disc(1) / 1e9 - 1.0 / (math.log(3) / math.log(2))) < 1e-9)
   }
+
+  test("phraseSearch: counts overlapping windows, pins positions") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "x a b a b y"), // two "a b" occurrences at 2 and 4
+      (2L, "a a a"), // overlapping "a a": positions 1 and 2
+      (3L, "b a"), // reversed: no match
+      (4L, "a b")).toDF("doc_id", "text")
+    val two = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two == Map(1L -> (2L, 2L), 4L -> (1L, 1L)), s"got $two")
+    val overlap = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sliding windows: "a a a" contains the bigram at 1 AND 2
+    assert(overlap == Map(2L -> (2L, 1L)), s"got $overlap")
+    // phrase longer than the doc: no row
+    val long4 = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("a", "b", "a", "b", "y", "z"))
+    assert(long4.count() == 0)
+  }
+
+  test("booleanSearch: AND semantics, NOT excludes, frequencies exact") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "t h t"), // t twice, h once -> kept
+      (2L, "t h s"), // contains the banned term -> dropped
+      (3L, "t t t"), // missing h -> dropped
+      (4L, "h t")).toDF("doc_id", "text")
+    val got = Retrieval.booleanSearch(docs, "doc_id", "text",
+        must = Seq("t", "h"), mustNot = Seq("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 1L), 4L -> (1L, 1L)), s"got $got")
+  }
 }
