@@ -1194,5 +1194,166 @@ object DedupTextQueries {
         "isNormalized fast path makes all-ASCII rows allocation-free, " +
         "and the codegen'd call keeps the enclosing projection in " +
         "whole-stage codegen.")
+  ) ++ Seq(
+
+    // ---- q261: collocation mining by PMI lift ------------------------------
+    "q261_collocations" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // adjacent-bigram and unigram counts from ONE tokenize pass;
+        // lift = P(xy)/(P(x)P(y)) = n_xy*N/(n_x*n_y) — PMI without the
+        // log (same ranking, and a pure integer ratio both engines
+        // divide identically; ln is not bit-portable)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bi = toks
+          .withColumn("w2", lead(col("w"), 1).over(byDoc))
+          .filter(col("w2").isNotNull)
+          .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 10)
+        val total = toks.agg(count(lit(1)).as("n_tokens"))
+        val scored = bi
+          .join(uni.select(col("w"), col("n_w").as("n_x")), Seq("w"))
+          .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")),
+            Seq("w2"))
+          .crossJoin(total)
+          .select(col("w").as("w1"), col("w2"), col("n_xy"),
+            col("n_x"), col("n_y"),
+            ((col("n_xy") * col("n_tokens")).cast("double") /
+              (col("n_x") * col("n_y")).cast("double")).as("lift"))
+        val rk = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+        scored.withColumn("rank", row_number().over(rk))
+          .filter(col("rank") <= 30)
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM t GROUP BY w),
+        adj AS (
+          SELECT doc_id, pos, w,
+                 lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM t),
+        bi AS (
+          SELECT w, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM adj WHERE w2 IS NOT NULL
+          GROUP BY w, w2 HAVING COUNT(*) >= 10),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t),
+        scored AS (
+          SELECT bi.w AS w1, bi.w2, bi.n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+                 CAST(bi.n_xy * tot.n_tokens AS DOUBLE) /
+                   CAST(ux.n_w * uy.n_w AS DOUBLE) AS lift
+          FROM bi
+          JOIN uni ux ON ux.w = bi.w
+          JOIN uni uy ON uy.w = bi.w2
+          CROSS JOIN tot)
+        SELECT w1, w2, n_xy, n_x, n_y, lift,
+               CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT)
+                 AS rank
+        FROM scored
+        QUALIFY rank <= 30
+        ORDER BY rank"""),
+      "Collocation mining — the bigrams that co-occur far beyond " +
+        "chance (multi-word terms, named entities, tokenizer-merge " +
+        "candidates): adjacency counts from one tokenize pass, ranked " +
+        "by PMI LIFT n_xy*N/(n_x*n_y) — the log-free form of pointwise " +
+        "mutual information, monotone-identical for ranking and a pure " +
+        "IEEE division of exact integers where ln would drift in the " +
+        "last ulp. The n_xy >= 10 support floor is the standard " +
+        "low-frequency PMI guard (a hapax pair otherwise tops any " +
+        "lift ranking). Map-side-combinable counts; the final top-30 " +
+        "window runs over the support-filtered bigram relation only.")
+  ) ++ Seq(
+
+    // ---- q262: TextRank keyword extraction ---------------------------------
+    "q262_textrank" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val nodes = toks.select(col("w")).distinct()
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bi = toks
+          .withColumn("w2", lead(col("w"), 1).over(byDoc))
+          .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+          .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 5)
+        val edges = bi.select(col("w").as("src"), col("w2").as("dst"))
+          .unionAll(bi.select(col("w2").as("src"), col("w").as("dst")))
+        val pr = graft.operators.Graph.pageRank(nodes, "w", edges,
+          "src", "dst", iters = 3)
+        val rk = Window.orderBy(col("pr").desc, col("w"))
+        pr.withColumn("rank", row_number().over(rk))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("w"), col("pr"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        def step(i: Int): String = {
+          val p = s"r${i - 1}"
+          s"""
+        c$i AS (
+          SELECT e.dst AS v,
+                 CAST(SUM(CAST(round($p.r / deg.outd, 14) AS DECIMAL(28,14))) AS DOUBLE) AS c
+          FROM edges e JOIN $p ON $p.v = e.src JOIN deg ON deg.v = e.src
+          GROUP BY 1
+        ), d$i AS (
+          SELECT COALESCE(CAST(SUM(CAST(round(x.r, 14) AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS dang
+          FROM $p x ANTI JOIN deg ON deg.v = x.v
+        ), r$i AS (
+          SELECT $p.v,
+                 round((1.0 - 0.85) / nn.nd +
+                       0.85 * (COALESCE(c$i.c, 0.0) + d$i.dang / nn.nd), 12) AS r
+          FROM $p LEFT JOIN c$i ON c$i.v = $p.v, d$i, nn
+        ),"""
+        }
+        s"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ), nodes AS (SELECT DISTINCT w FROM t
+        ), adj AS (
+          SELECT doc_id, pos, w,
+                 lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM t
+        ), bi AS (
+          SELECT w, w2 FROM adj
+          WHERE w2 IS NOT NULL AND w <> w2
+          GROUP BY w, w2 HAVING COUNT(*) >= 5
+        ), edges AS (
+          SELECT w AS src, w2 AS dst FROM bi
+          UNION ALL SELECT w2, w FROM bi
+        ), deg AS (
+          SELECT src AS v, COUNT(*) AS outd FROM edges GROUP BY 1
+        ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes
+        ), r0 AS (
+          SELECT w AS v, round(1.0 / nn.nd, 12) AS r FROM nodes, nn
+        ),${step(1)}${step(2)}${step(3)}
+        fin AS (
+          SELECT v AS w, round(r, 9) AS pr,
+                 CAST(ROW_NUMBER() OVER (ORDER BY round(r, 9) DESC, v) AS INT)
+                   AS rank
+          FROM r3)
+        SELECT rank, w, pr FROM fin
+        WHERE rank <= 20
+        ORDER BY rank"""
+      },
+      "TextRank keyword extraction — centrality in the word " +
+        "co-occurrence graph (Mihalcea & Tarau): support-filtered " +
+        "adjacency pairs become symmetric edges, three damped " +
+        "decimal-locked PageRank passes (q111's engine-identical " +
+        "iteration, reused verbatim) score every vocabulary word, and " +
+        "the top-20 emerge. Frequency-independent salience: a word " +
+        "ranks by the company it keeps, not its raw count — the " +
+        "unsupervised keyword baseline for corpus labeling and " +
+        "query-expansion seeds. Graph size is vocabulary-bounded, " +
+        "never corpus-bounded.")
   )
 }

@@ -206,7 +206,9 @@ object BenchScale {
     // partial-aggregatable pass + a scalar crossJoin
     "q258_trimmed_mean", "q259_freshness_audit",
     // q260: key projection + forward as-of over a 128-row broadcast ring
-    "q260_ring_rebalance")
+    "q260_ring_rebalance",
+    // vocabulary-bounded graphs/windows over one tokenize pass
+    "q261_collocations", "q262_textrank")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -280,7 +282,7 @@ object BenchScale {
     // on a cluster those stages spill and distribute
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
     "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit",
-    "q260_ring_rebalance")
+    "q260_ring_rebalance", "q261_collocations", "q262_textrank")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
