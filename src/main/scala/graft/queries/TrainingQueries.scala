@@ -1701,5 +1701,118 @@ object TrainingQueries {
         "Mann-Whitney as q188 with the cumulative-negatives window " +
         "partitioned per segment, so per-segment state stays bounded " +
         "by the score spine; single-class segments report null, not " +
-        "0/0."))
+        "0/0.")) ++ Seq(
+
+    // ---- q263: leakage-free churn-label builder ----------------------------
+    "q263_churn_labels" -> Q(
+      (s, dir) => {
+        // point-in-time discipline: features may read ONLY before the
+        // split instant, the label ONLY at-or-after — the off-by-one
+        // that silently leaks (a boundary event in both windows) is
+        // the most common training-data bug this query exists to avoid
+        val split = "2024-01-24 00:00:00"
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        ev.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < lit(split).cast("timestamp"), 1L)
+              .otherwise(0L)).as("n_before"),
+            sum(when(col("ts") < lit(split).cast("timestamp") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases_before"),
+            sum(when(col("ts") < lit(split).cast("timestamp") &&
+              col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_errors_before"),
+            max(when(col("ts") >= lit(split).cast("timestamp"), 1L)
+              .otherwise(0L)).as("label_active_after"))
+          .filter(col("n_before") > 0) // no features -> not a training row
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-24 00:00:00'
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchases_before,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-24 00:00:00'
+                 AND event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_errors_before,
+               CAST(MAX(CASE WHEN CAST(ts AS TIMESTAMP)
+                 >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS label_active_after
+        FROM events
+        GROUP BY user_id
+        HAVING SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+          < TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) > 0
+        ORDER BY user_id"""),
+      "Leakage-free churn/retention label construction — the training-" +
+        "set builder for 'will this user stay active': features read " +
+        "STRICTLY before the split instant, the label strictly at-or-" +
+        "after, with the boundary owned by exactly one side (the " +
+        "off-by-one that silently leaks is the most common training-" +
+        "data bug). Users with no pre-split history produce no row — " +
+        "they would be pure label noise. One conditional-aggregate " +
+        "corpus pass; at scale the split literal becomes the feature-" +
+        "store snapshot timestamp and this query IS the point-in-time " +
+        "join discipline (q158) in aggregate form."),
+
+    // ---- q264: feature hashing (the hashing trick) -------------------------
+    "q264_feature_hashing" -> Q(
+      (s, dir) => {
+        // 16-dim signed hashed counts: index = md5 nibble, sign from
+        // the next bit — the collision-tolerant fixed-width featurizer
+        // (Weinberger et al.) that needs NO vocabulary, NO fit pass,
+        // and survives any vocab drift; emitted as csv so the hash
+        // compare sees a scalar
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .withColumn("h", conv(substring(md5(col("w")), 1, 2), 16, 10)
+            .cast("int"))
+          .withColumn("idx", col("h") % 16)
+          .withColumn("sgn", when((col("h") / 16).cast("int") % 2 === 0,
+            1L).otherwise(-1L))
+        val cells = toks.groupBy(col("doc_id"), col("idx"))
+          .agg(sum(col("sgn")).as("v"))
+        cells.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("idx"), col("v"))))
+            .as("arr"))
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("arr"),
+              x => concat(x.getField("idx"), lit(":"), x.getField("v"))))
+              .as("fvec"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 2)) AS INT) AS hv
+          FROM t),
+        cells AS (
+          SELECT doc_id, hv % 16 AS idx,
+                 CAST(SUM(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                   AS BIGINT) AS v
+          FROM h GROUP BY 1, 2)
+        SELECT doc_id,
+               string_agg(concat(idx, ':', v), ',' ORDER BY idx, v) AS fvec
+        FROM cells
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Feature hashing (the hashing trick): fixed 16-dim signed " +
+        "hashed-count vectors per document — the featurizer that needs " +
+        "no vocabulary, no fit pass, and no broadcast dictionary, " +
+        "which is why it survives vocab drift and streams trivially. " +
+        "Index and sign both come from the word's md5 (portable), " +
+        "signed counts make collisions unbiased in expectation, and " +
+        "the vector emits as an index:value csv so the driver's hash " +
+        "compare sees one scalar per row. Two partial-aggregatable " +
+        "shuffles on (doc, 16) cells.")
+  )
 }

@@ -208,7 +208,9 @@ object BenchScale {
     // q260: key projection + forward as-of over a 128-row broadcast ring
     "q260_ring_rebalance",
     // vocabulary-bounded graphs/windows over one tokenize pass
-    "q261_collocations", "q262_textrank")
+    "q261_collocations", "q262_textrank",
+    // one conditional-aggregate pass / two bounded-cell shuffles
+    "q263_churn_labels", "q264_feature_hashing")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -282,7 +284,8 @@ object BenchScale {
     // on a cluster those stages spill and distribute
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
     "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit",
-    "q260_ring_rebalance", "q261_collocations", "q262_textrank")
+    "q260_ring_rebalance", "q261_collocations", "q262_textrank",
+    "q263_churn_labels", "q264_feature_hashing")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
