@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1662,5 +1662,158 @@ object RelationalQueries {
         "ever runs. The oracle explores the same bounded walk as a " +
         "recursive CTE and takes MIN(d) — integer outputs, nothing to " +
         "drift.")
+  ) ++ Seq(
+
+    // ---- q265: Pareto / ABC inventory classification -----------------------
+    "q265_pareto_abc" -> Q(
+      (s, d) => {
+        // cumulative-share prefix runs over the AGGREGATED part
+        // relation (|part| rows, never |lineitem|) — the same
+        // bounded-spine stance as bhFdr's battery window; revenue stays
+        // DECIMAL through the window so the prefix sum is exact and the
+        // share is one IEEE division of exact parts
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(27, 6))).as("rev_dec"))
+        val w = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+        val wAll = Window.partitionBy()
+        rev
+          .withColumn("cum_dec", sum(col("rev_dec")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
+          .withColumn("rank", row_number().over(w))
+          .select(col("l_partkey").as("p_partkey"),
+            col("rank"),
+            col("rev_dec").cast("double").as("revenue"),
+            round(col("cum_dec").cast("double") /
+              col("tot_dec").cast("double"), 6).as("cum_share"))
+          .withColumn("abc_class",
+            when(col("cum_share") <= lit(0.8), lit("A"))
+              .when(col("cum_share") <= lit(0.95), lit("B"))
+              .otherwise(lit("C")))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey AS p_partkey,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(27,6))) AS rev_dec
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT p_partkey, rev_dec,
+                 CAST(row_number() OVER
+                   (ORDER BY rev_dec DESC, p_partkey) AS INT) AS rank,
+                 SUM(rev_dec) OVER
+                   (ORDER BY rev_dec DESC, p_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_dec,
+                 SUM(rev_dec) OVER () AS tot_dec
+          FROM rev)
+        SELECT p_partkey, rank, CAST(rev_dec AS DOUBLE) AS revenue,
+               round(CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6)
+                 AS cum_share,
+               CASE WHEN round(CAST(cum_dec AS DOUBLE)
+                      / CAST(tot_dec AS DOUBLE), 6) <= 0.8 THEN 'A'
+                    WHEN round(CAST(cum_dec AS DOUBLE)
+                      / CAST(tot_dec AS DOUBLE), 6) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked ORDER BY rank"""),
+      "Pareto / ABC classification of parts by revenue share — the " +
+        "'which 20% of SKUs carry 80% of revenue' curation primitive " +
+        "(the same cumulative-share shape picks which sources dominate " +
+        "a training corpus). One corpus aggregation bounded by part " +
+        "cardinality, then a prefix window over THAT bounded relation " +
+        "— revenue stays DECIMAL through the window so the running sum " +
+        "is exact and each share is one IEEE division; class edges " +
+        "compare the ROUNDED share on both engines so the boundary " +
+        "rows cannot fork."),
+
+    // ---- q266: association rules (support / confidence / lift) -------------
+    "q266_assoc_rules" -> Q(
+      (s, d) => {
+        // q164's capped-basket shape (the 8 smallest distinct parts
+        // per order — a projection-bounded 28 pairs/basket), but the
+        // market-basket RULE readout: a->b with support, confidence
+        // and lift, min-support pruned BEFORE the directional expand
+        // (the Apriori downward-closure trick: an infrequent pair
+        // cannot produce a frequent rule)
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 8)
+            .as("pks"))
+          .localCheckpoint()
+        val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+        val pairs = baskets
+          .select(explode(col("pks")).as("i"), col("pks"))
+          .select(col("i"), explode(col("pks")).as("j"))
+          .filter(col("i") < col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+          .localCheckpoint()
+        val itemN = baskets.select(explode(col("pks")).as("it"))
+          .groupBy(col("it")).agg(count(lit(1)).as("ni"))
+        val rules = pairs.select(col("i").as("a"), col("j").as("b"), col("co"))
+          .union(pairs.select(col("j").as("a"), col("i").as("b"), col("co")))
+        def d2(c: Column) = c.cast("double")
+        rules
+          .join(itemN.toDF("it_a", "na"), col("a") === col("it_a"))
+          .join(itemN.toDF("it_b", "nb"), col("b") === col("it_b"))
+          .crossJoin(broadcast(nBaskets))
+          .withColumn("support", round(d2(col("co")) / d2(col("n_baskets")), 6))
+          .withColumn("confidence", round(d2(col("co")) / d2(col("na")), 6))
+          .withColumn("lift", round(d2(col("co")) * d2(col("n_baskets")) /
+            (d2(col("na")) * d2(col("nb"))), 6))
+          .filter(col("confidence") >= 0.1)
+          .select(col("a"), col("b"), col("co"), col("na").as("n_a"),
+            col("nb").as("n_b"), col("support"), col("confidence"),
+            col("lift"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""
+        WITH baskets AS (
+          SELECT l_orderkey,
+                 list_sort(list_distinct(list(l_partkey)))[1:8] AS pks
+          FROM lineitem GROUP BY 1),
+        nb AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+        items AS (
+          SELECT unnest(pks) AS it, l_orderkey FROM baskets),
+        itemn AS (
+          SELECT it, COUNT(*) AS ni FROM items GROUP BY 1),
+        pairs AS (
+          SELECT x.it AS i, y.it AS j, COUNT(*) AS co
+          FROM items x JOIN items y
+            ON x.l_orderkey = y.l_orderkey AND x.it < y.it
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        rules AS (
+          SELECT i AS a, j AS b, co FROM pairs
+          UNION ALL
+          SELECT j AS a, i AS b, co FROM pairs)
+        SELECT r.a, r.b, r.co, ia.ni AS n_a, ib.ni AS n_b,
+               round(CAST(r.co AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+                 AS support,
+               round(CAST(r.co AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+                 AS confidence,
+               round(CAST(r.co AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6)
+                 AS lift
+        FROM rules r
+        JOIN itemn ia ON ia.it = r.a
+        JOIN itemn ib ON ib.it = r.b
+        CROSS JOIN nb
+        WHERE round(CAST(r.co AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6) >= 0.1
+        ORDER BY a, b"""),
+      "Association rules over order baskets: directional a→b with " +
+        "support, confidence and lift — the market-basket readout one " +
+        "tier above q164's symmetric cosine neighbors. Min-support " +
+        "prunes pairs BEFORE the directional expand (Apriori downward " +
+        "closure: an infrequent itemset cannot yield a frequent rule), " +
+        "so the rule relation is born small; item counts join back " +
+        "onto it, never onto the corpus. All three metrics are single " +
+        "IEEE chains over exact counts, rounded on both engines; the " +
+        "confidence gate compares the ROUNDED value so boundary rules " +
+        "cannot fork.")
   )
 }

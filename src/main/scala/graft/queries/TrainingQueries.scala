@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.TextAnalysis
+import graft.operators.{Features, TextAnalysis}
 
 /** Training-data curation queries over `documents.parquet`: benchmark
   * decontamination, deterministic epoch mixing, repetition signals,
@@ -1813,6 +1813,88 @@ object TrainingQueries {
         "signed counts make collisions unbiased in expectation, and " +
         "the vector emits as an index:value csv so the driver's hash " +
         "compare sees one scalar per row. Two partial-aggregatable " +
-        "shuffles on (doc, 16) cells.")
+        "shuffles on (doc, 16) cells."),
+
+    // ---- q267: leave-one-out target encoding -------------------------------
+    "q267_target_encoding" -> Q(
+      (s, dir) => Features.targetEncodeLoo(Tables.orders(s, dir),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          m = 20.0)
+        .orderBy(col("id")),
+      Some("""
+        WITH b AS (
+          SELECT o_orderkey AS id, o_orderpriority AS level,
+                 CAST(round(o_totalprice * 1e9) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        levels AS (
+          SELECT level, CAST(COUNT(*) AS BIGINT) AS n_c,
+                 SUM(CAST(v AS DECIMAL(38,0))) AS s_c
+          FROM b GROUP BY 1),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                 SUM(CAST(v AS DECIMAL(38,0))) AS s_all
+          FROM b)
+        SELECT b.id, b.level, round(CAST(b.v AS DOUBLE) / 1e9, 6) AS v,
+               round(((CAST(l.s_c AS DOUBLE) - CAST(b.v AS DOUBLE)) / 1e9
+                   + 20.0 * (CAST(g.s_all AS DOUBLE)
+                             / CAST(g.n_all AS DOUBLE) / 1e9))
+                 / (CAST(l.n_c AS DOUBLE) - 1.0 + 20.0), 6) AS enc
+        FROM b JOIN levels l USING (level) CROSS JOIN g
+        ORDER BY id"""),
+      "Leave-one-out smoothed target encoding of order priority " +
+        "against order value — the high-cardinality categorical " +
+        "encoder whose leave-one-out fold stops the feature from " +
+        "memorizing its own label (q263's leakage discipline applied " +
+        "to FEATURES: each row's encoding reads every row but its " +
+        "own). One level-bounded aggregation broadcast back as a " +
+        "projection; level sums are exact 1e-9-grid DECIMALs, the " +
+        "encoding one mirrored IEEE chain, so the hash proves the " +
+        "leak guard arithmetic itself."),
+
+    // ---- q268: weight-of-evidence + information value ----------------------
+    "q268_woe_iv" -> Q(
+      (s, dir) => Features.woeIv(Tables.customer(s, dir),
+        col("c_mktsegment"), col("c_acctbal") > lit(0.0)),
+      Some("""
+        WITH cells AS (
+          SELECT c_mktsegment AS level, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_good,
+                 CAST(SUM(CASE WHEN c_acctbal > 0.0 THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_bad
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+          GROUP BY 1),
+        t AS (
+          SELECT level, n, n_good, n_bad,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                 CAST(SUM(n_good) OVER () AS BIGINT) AS g_tot,
+                 CAST(SUM(n_bad) OVER () AS BIGINT) AS b_tot
+          FROM cells),
+        sh AS (
+          SELECT level, n, n_good, n_bad,
+                 (CAST(n_good AS DOUBLE) + 0.5)
+                   / (CAST(g_tot AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))
+                   AS gs,
+                 (CAST(n_bad AS DOUBLE) + 0.5)
+                   / (CAST(b_tot AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))
+                   AS bs
+          FROM t)
+        SELECT level, n, n_good, n_bad,
+               round(ln(gs / bs), 6) AS woe,
+               round((gs - bs) * ln(gs / bs), 6) AS iv_term,
+               round(CAST(SUM(CAST(round((gs - bs) * ln(gs / bs), 12)
+                   AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS iv_total
+        FROM sh
+        ORDER BY level"""),
+      "Weight-of-evidence + information value of market segment " +
+        "against a positive-balance outcome — the credit-scoring " +
+        "column screen (IV < 0.02 useless, > 0.5 usually a leak). One " +
+        "hash aggregation bounded by level cardinality with totals " +
+        "from windows OVER THE LEVELS; the 0.5 continuity correction " +
+        "applies to every cell so zero cells stay finite without " +
+        "forking the formula; IV terms snap to the 1e-12 grid and sum " +
+        "exactly (the q109 entropy discipline for ln-sums).")
   )
 }
