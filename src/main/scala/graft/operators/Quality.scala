@@ -932,4 +932,98 @@ object Quality {
           col("g3_rows"), (col("g3_rows") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Murphy decomposition of the Brier score over DISCRETE forecast
+    * bins — the single-number companion to [[calibrationReport]]'s
+    * reliability table: with forecasts taking the bin-center values
+    * p_k, the mean squared error splits EXACTLY into
+    *   brier = reliability − resolution + uncertainty
+    * (reliability: how far each bin's forecast sits from its observed
+    * rate — lower is better; resolution: how much the bins separate
+    * the base rate — higher is better; uncertainty: the base rate's
+    * own variance, the no-skill floor). The identity is what makes
+    * the decomposition audit-grade: `brier` is ALSO computed directly
+    * from per-bin moments and must equal the recomposition to the
+    * last grid digit.
+    *
+    * One aggregation to the bounded bin relation, one reduction over
+    * it; per-bin terms snap to the 1e-12 grid and sum as exact
+    * DECIMALs (the q109 ln-sum discipline), so the report
+    * hash-proves. Input: `bin` an integer bin id whose forecast is
+    * (bin + 0.5) / nBins; `outcome` boolean. Output: one row (n,
+    * base_rate, uncertainty, reliability, resolution, brier,
+    * brier_identity). */
+  def brierDecomposition(df: DataFrame, bin: Column, outcome: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "brierDecomposition: nBins >= 2")
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(bin.isNotNull && outcome.isNotNull)
+      .groupBy(bin.cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(when(outcome, 1L).otherwise(0L)).as("s_k"))
+    val wAll = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    val withTotals = cells
+      .withColumn("n", sum(col("n_k")).over(wAll))
+      .withColumn("s", sum(col("s_k")).over(wAll))
+    val pK = (d(col("bin")) + lit(0.5)) / lit(nBins.toDouble)
+    val obarK = d(col("s_k")) / d(col("n_k"))
+    val obar = d(col("s")) / d(col("n"))
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val relTerm = d(col("n_k")) * (pK - obarK) * (pK - obarK)
+    val resTerm = d(col("n_k")) * (obarK - obar) * (obarK - obar)
+    val brierTerm = d(col("n_k")) * pK * pK -
+      lit(2.0) * pK * d(col("s_k")) + d(col("s_k"))
+    val red = withTotals
+      .withColumn("_rel", grid12(relTerm))
+      .withColumn("_res", grid12(resTerm))
+      .withColumn("_bri", grid12(brierTerm))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("_rel")).as("sum_rel"), sum(col("_res")).as("sum_res"),
+        sum(col("_bri")).as("sum_bri"))
+    val ob = d(col("s")) / d(col("n"))
+    red.select(
+      col("n"),
+      round(ob, 6).as("base_rate"),
+      round(ob * (lit(1.0) - ob), 6).as("uncertainty"),
+      round(d(col("sum_rel")) / d(col("n")), 6).as("reliability"),
+      round(d(col("sum_res")) / d(col("n")), 6).as("resolution"),
+      round(d(col("sum_bri")) / d(col("n")), 6).as("brier"),
+      round(d(col("sum_rel")) / d(col("n")) -
+        d(col("sum_res")) / d(col("n")) +
+        ob * (lit(1.0) - ob), 6).as("brier_identity"))
+  }
+
+  /** Mean reciprocal rank over a RANKED retrieval relation — the
+    * first-relevant-hit eval that complements [[Retrieval.ndcg]]'s
+    * graded gains and the recall@k audits (q208/q210): "how far down
+    * the list is the first right answer?". Input is any (probe, rank,
+    * is_relevant) relation — BM25, cosine, IVF, fused — so one
+    * readout serves every retriever.
+    *
+    * Per-probe reduction (min rank over relevant hits), then one
+    * window over the BOUNDED probe relation for the corpus MRR;
+    * reciprocal ranks snap to the 1e-12 grid and sum as exact
+    * DECIMALs so the mean is order-independent. Probes with no
+    * relevant hit in their list contribute rr = 0 (the standard
+    * truncated-MRR convention). Output: one row per probe (probe,
+    * hit_rank nullable, rr, mrr) ordered by probe; `mrr` repeats the
+    * corpus value on every row. */
+  def mrrReport(ranked: DataFrame, probe: Column, rank: Column,
+      isRelevant: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perProbe = ranked
+      .groupBy(probe.as("probe"))
+      .agg(min(when(isRelevant, rank)).as("hit_rank"))
+      .withColumn("rr", coalesce(
+        lit(1.0) / col("hit_rank").cast("double"), lit(0.0)))
+    val wAll = Window.partitionBy()
+    perProbe
+      .withColumn("_rr", round(col("rr"), 12).cast(DecimalType(28, 12)))
+      .withColumn("mrr", round(sum(col("_rr")).over(wAll).cast("double") /
+        count(lit(1)).over(wAll).cast("double"), 6))
+      .select(col("probe"), col("hit_rank").cast("int").as("hit_rank"),
+        col("rr"), col("mrr"))
+      .orderBy(col("probe"))
+  }
 }

@@ -749,4 +749,113 @@ object Stats {
           .as("scaled"))
       .orderBy(col("id"))
   }
+
+  /** Sequential probability ratio test (Wald SPRT) read at bounded
+    * LOOKS — the always-valid monitor for a Bernoulli rate that the
+    * fixed-horizon tests (q161/q216) cannot give: peeking at a
+    * z-test inflates false positives, while the SPRT's log-likelihood
+    * ratio may be checked after EVERY look with the error rates still
+    * α/β. Each look aggregates the trials of one period (the caller's
+    * `look` column — a day, an ingest batch); cumulative successes/
+    * failures come from a prefix window over the BOUNDED look spine,
+    * so the corpus contributes one conditional-aggregation pass and
+    * nothing per-row ever sorts globally.
+    *
+    * llr after look t = s_t·ln(p1/p0) + f_t·ln((1−p1)/(1−p0)); accept
+    * H1 at llr ≥ ln((1−β)/α), accept H0 at llr ≤ ln(β/(1−α)). The
+    * caller passes the two per-trial log terms and the boundary as
+    * 1e-9-snapped LITERALS (the cross-engine transcendental stance:
+    * constants are computed once and embedded, never re-derived), so
+    * the llr is an exact-integer-weighted sum of two literals — the
+    * hash proves the decision sequence itself. `decision` reports the
+    * FIRST boundary crossing and then latches (the SPRT stops at the
+    * crossing; later looks report the stopped state).
+    *
+    * Output: one row per look (look, n_trials, n_success, cum_trials,
+    * cum_success, llr, decision) ordered by look. */
+  def sprtLooks(df: DataFrame, look: Column, success: Column,
+      lnRatioPos: Double, lnRatioNeg: Double, boundary: Double)
+      : DataFrame = {
+    require(boundary > 0, "sprtLooks: boundary > 0")
+    val perLook = df.filter(look.isNotNull && success.isNotNull)
+      .groupBy(look.as("look"))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(success, 1L).otherwise(0L)).as("n_success"))
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLook
+      .withColumn("cum_trials", sum(col("n_trials")).over(w))
+      .withColumn("cum_success", sum(col("n_success")).over(w))
+    def d(c: Column) = c.cast("double")
+    val llr = d(col("cum_success")) * lit(lnRatioPos) +
+      (d(col("cum_trials")) - d(col("cum_success"))) * lit(lnRatioNeg)
+    val state = when(llr >= lit(boundary), lit("accept_h1"))
+      .when(llr <= lit(-boundary), lit("accept_h0"))
+      .otherwise(lit("continue"))
+    val wAll = Window.partitionBy()
+    cum
+      .withColumn("llr", round(llr, 6))
+      .withColumn("_state", state)
+      // latch: the SPRT stops at the FIRST boundary crossing — find
+      // that look over the bounded spine, then every look at or after
+      // it reports the crossing's decision (not its own raw state)
+      .withColumn("_fc",
+        min(when(col("_state") =!= "continue", col("look"))).over(wAll))
+      .withColumn("_fcState",
+        min(when(col("look") === col("_fc"), col("_state"))).over(wAll))
+      .withColumn("decision",
+        when(col("_fc").isNull || col("look") < col("_fc"),
+          lit("continue")).otherwise(col("_fcState")))
+      .select(col("look"), col("n_trials"), col("n_success"),
+        col("cum_trials"), col("cum_success"), col("llr"),
+        col("decision"))
+      .orderBy(col("look"))
+  }
+
+  /** Autocorrelation function of a regularly-indexed count series at
+    * lags 0..maxLag — the seasonality detector that tells the
+    * forecasters (q241/q242) WHICH period to fit: a spike at lag 7 is
+    * the weekly cycle. The series is the per-`period` aggregate of
+    * the corpus (one conditional-aggregation pass, bounded spine);
+    * consecutive spine rows are indexed by position so every lag is
+    * an equi-join of the spine against itself — 15 bounded joins,
+    * never a corpus shuffle.
+    *
+    * Exactness: acf_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)² expands to
+    * integer sums — Σ x_t·x_{t+l}, the head/tail window sums, Σx,
+    * Σx² — accumulated as exact DECIMALs; x̄ and the final ratio are
+    * one mirrored IEEE chain, so no float ever sums across rows.
+    * Output: (lag, n_pairs, acf) ordered by lag; lag 0 reports 1. */
+  def acfReport(df: DataFrame, period: Column, maxLag: Int = 14)
+      : DataFrame = {
+    require(maxLag >= 1, "acfReport: maxLag >= 1")
+    val spine = df.filter(period.isNotNull)
+      .groupBy(period.as("p"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(Window.orderBy(col("p"))))
+    val tot = spine.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val a = spine.select(col("t").as("ta"), col("x").as("xa"))
+    val b = spine.select(col("t").as("tb"), col("x").as("xb"))
+    val lags = a.sparkSession.range(0L, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, col("tb") === col("ta") + col("lag"))
+    def d(c: Column) = c.cast("double")
+    val perLag = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("xa")) * dec(col("xb"))).as("sab"),
+        sum(dec(col("xa"))).as("sa"),
+        sum(dec(col("xb"))).as("sb"))
+      .crossJoin(broadcast(tot))
+    val xbar = d(col("sx")) / d(col("n"))
+    val denom = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
+    val num = d(col("sab")) - xbar * d(col("sa")) - xbar * d(col("sb")) +
+      d(col("n_pairs")) * xbar * xbar
+    perLag
+      .select(col("lag"), col("n_pairs"),
+        round(num / denom, 6).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

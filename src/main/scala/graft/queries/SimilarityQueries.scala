@@ -1418,6 +1418,70 @@ object SimilarityQueries {
         "broadcast projection (k model rows ship with the plan). " +
         "sqrt is correctly rounded so both engines score identical " +
         "doubles; per-cell means snap each s to the 1e-9 grid and sum " +
-        "exactly — no float accumulation order anywhere.")
+        "exactly — no float accumulation order anywhere."),
+
+    // ---- q269: mean reciprocal rank of the cosine retriever ----------------
+    "q269_mrr" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+        val tg = e.filter(col("vec_id") >= 100)
+          .select(col("vec_id").as("t_id"), col("emb").as("t_vec"))
+        val ranked = Similarity.topK(probes, "p_id", "p_vec",
+          tg, "t_id", "t_vec", k = 10)
+        val pLab = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("p_id"), col("label").as("p_label"))
+        val tLab = e.filter(col("vec_id") >= 100)
+          .select(col("vec_id").as("t_id"), col("label").as("t_label"))
+        val labeled = ranked
+          .join(broadcast(pLab), "p_id")
+          .join(tLab, "t_id")
+        graft.operators.Quality.mrrReport(labeled, col("p_id"),
+            col("rank"), col("p_label") === col("t_label"))
+          .select(col("probe").as("p_id"), col("hit_rank"), col("rr"),
+            col("mrr"))
+          .orderBy(col("p_id"))
+      },
+      Some(s"""
+        WITH e AS ($SqlEmb),
+        sims AS (
+          SELECT p.vec_id AS p_id, p.label AS p_label,
+                 t.vec_id AS t_id, t.label AS t_label,
+            round(list_inner_product(p.emb, t.emb) /
+              (sqrt(list_inner_product(p.emb, p.emb)) *
+               sqrt(list_inner_product(t.emb, t.emb))), 6) AS sim
+          FROM e p, e t
+          WHERE p.vec_id < 100 AND t.vec_id >= 100),
+        ranked AS (
+          SELECT p_id, p_label, t_label, sim,
+            ROW_NUMBER() OVER (PARTITION BY p_id
+              ORDER BY sim DESC, t_id) AS rank
+          FROM sims),
+        hits AS (
+          SELECT p_id, MIN(rank) AS hit_rank
+          FROM ranked WHERE rank <= 10 AND p_label = t_label
+          GROUP BY p_id),
+        base AS (
+          SELECT p.vec_id AS p_id, h.hit_rank,
+                 coalesce(CAST(1 AS DOUBLE) / h.hit_rank,
+                   CAST('0.0' AS DOUBLE)) AS rr
+          FROM e p LEFT JOIN hits h ON h.p_id = p.vec_id
+          WHERE p.vec_id < 100)
+        SELECT p_id, CAST(hit_rank AS INT) AS hit_rank, rr,
+               round(CAST(SUM(CAST(round(rr, 12) AS DECIMAL(28,12)))
+                   OVER () AS DOUBLE)
+                 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS mrr
+        FROM base ORDER BY p_id"""),
+      "Mean reciprocal rank of the exact cosine retriever: where does " +
+        "the first same-label hit land in each probe's top-10? — the " +
+        "first-hit eval completing the retrieval scorecard beside " +
+        "NDCG's graded gains (q189) and the recall@k audits " +
+        "(q208/q210). Rides the SAME rounded-sim ranking the q31 " +
+        "oracle pins; per-probe reduction then one window over the " +
+        "bounded probe relation; reciprocal ranks are pure integer " +
+        "ratios (unrounded), the corpus MRR a 1e-12-grid exact mean. " +
+        "No-hit probes contribute rr = 0, the truncated-MRR " +
+        "convention.")
   )
 }

@@ -1414,7 +1414,132 @@ object StatQueries {
         "unreproducible; production substitutes the trigger time). One " +
         "partial-aggregatable pass + a scalar crossJoin; pure integer " +
         "outputs. The batch readout of what MetricsListener tracks " +
-        "per-micro-batch in streams.")
+        "per-micro-batch in streams."),
+
+    // ---- q271: Wald SPRT monitor at daily looks ----------------------------
+    "q271_sprt_monitor" -> Q(
+      (s, d) => Stats.sprtLooks(Tables.events(s, d),
+        to_date(col("ts")).cast("string"),
+        col("event_type").isin("purchase", "click", "view"),
+        // H0: engagement rate p0=0.55, H1: p1=0.65 — per-trial log
+        // terms and the alpha=beta=0.05 boundary ln(19), computed once
+        // and embedded as 1e-9-snapped literals on BOTH engines (the
+        // cross-engine transcendental stance)
+        lnRatioPos = 0.167054085, lnRatioNeg = -0.251314428,
+        boundary = 2.944438979),
+      Some(s"""
+        WITH tr AS (
+          SELECT CAST(CAST($TS AS DATE) AS VARCHAR) AS look,
+                 CASE WHEN event_type IN ('purchase', 'click', 'view')
+                      THEN 1 ELSE 0 END AS succ
+          FROM events),
+        looks AS (
+          SELECT look, CAST(COUNT(*) AS BIGINT) AS n_trials,
+                 CAST(SUM(succ) AS BIGINT) AS n_success
+          FROM tr GROUP BY 1),
+        cum AS (
+          SELECT look, n_trials, n_success,
+                 CAST(SUM(n_trials) OVER (ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_trials,
+                 CAST(SUM(n_success) OVER (ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_success
+          FROM looks),
+        st AS (
+          SELECT *,
+                 CAST(cum_success AS DOUBLE) * 0.167054085
+                   + (CAST(cum_trials AS DOUBLE)
+                      - CAST(cum_success AS DOUBLE)) * (-0.251314428)
+                   AS llr_raw,
+                 CASE WHEN CAST(cum_success AS DOUBLE) * 0.167054085
+                        + (CAST(cum_trials AS DOUBLE)
+                           - CAST(cum_success AS DOUBLE)) * (-0.251314428)
+                        >= 2.944438979 THEN 'accept_h1'
+                      WHEN CAST(cum_success AS DOUBLE) * 0.167054085
+                        + (CAST(cum_trials AS DOUBLE)
+                           - CAST(cum_success AS DOUBLE)) * (-0.251314428)
+                        <= -2.944438979 THEN 'accept_h0'
+                      ELSE 'continue' END AS state
+          FROM cum),
+        fc AS (
+          SELECT *,
+                 MIN(CASE WHEN state <> 'continue' THEN look END)
+                   OVER () AS first_cross
+          FROM st),
+        fs AS (
+          SELECT *,
+                 MIN(CASE WHEN look = first_cross THEN state END)
+                   OVER () AS cross_state
+          FROM fc)
+        SELECT look, n_trials, n_success, cum_trials, cum_success,
+               round(llr_raw, 6) AS llr,
+               CASE WHEN first_cross IS NULL OR look < first_cross
+                    THEN 'continue' ELSE cross_state END AS decision
+        FROM fs ORDER BY look"""),
+      "Wald sequential probability ratio test of the engagement rate " +
+        "read at daily looks — the always-valid monitor the fixed-" +
+        "horizon tests (q161/q216) cannot be: peeking at a z-test " +
+        "inflates alpha, while the SPRT's LLR may be checked after " +
+        "every look with error rates still alpha/beta, and it stops " +
+        "(latches) at the first boundary crossing. One conditional-" +
+        "aggregation corpus pass to the bounded daily spine; the LLR " +
+        "is an exact-integer-weighted sum of two embedded 1e-9 " +
+        "literals, so the decision sequence itself hash-proves."),
+
+    // ---- q272: autocorrelation function of the daily series ----------------
+    "q272_acf" -> Q(
+      (s, d) => Stats.acfReport(Tables.events(s, d),
+        to_date(col("ts")), maxLag = 14),
+      Some(s"""
+        WITH sp AS (
+          SELECT CAST($TS AS DATE) AS p, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        idx AS (
+          SELECT p, x,
+                 CAST(row_number() OVER (ORDER BY p) AS INT) AS t
+          FROM sp),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx
+          FROM idx),
+        lags AS (
+          SELECT CAST(unnest(range(0, 15)) AS INT) AS lag),
+        pairs AS (
+          SELECT l.lag, a.x AS xa, b.x AS xb
+          FROM idx a CROSS JOIN lags l
+          JOIN idx b ON b.t = a.t + l.lag),
+        per AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 SUM(CAST(xa AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+                   AS sab,
+                 SUM(CAST(xa AS DECIMAL(38,0))) AS sa,
+                 SUM(CAST(xb AS DECIMAL(38,0))) AS sb
+          FROM pairs GROUP BY 1)
+        SELECT lag, n_pairs,
+               round((CAST(sab AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                   * CAST(sa AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                   * CAST(sb AS DOUBLE)
+                 + CAST(n_pairs AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 6) AS acf
+        FROM per, tot ORDER BY lag"""),
+      "Autocorrelation of the daily event-count series at lags 0–14 — " +
+        "the seasonality detector that tells the forecasters " +
+        "(q241/q242) WHICH period to fit: a spike at lag 7 is the " +
+        "weekly cycle. One conditional-aggregation pass to the " +
+        "bounded daily spine, then 15 spine self-joins; the ACF " +
+        "expands to exact-DECIMAL integer sums (Σx_t·x_{t+l}, " +
+        "head/tail windows, Σx, Σx²) with the mean and ratio one " +
+        "mirrored IEEE chain — no float ever accumulates across " +
+        "rows.")
   )
 
   private val W = "string_split(text, ' ')"

@@ -1896,5 +1896,90 @@ object TrainingQueries {
         "applies to every cell so zero cells stay finite without " +
         "forking the formula; IV terms snap to the 1e-12 grid and sum " +
         "exactly (the q109 entropy discipline for ln-sums).")
+  ) ++ Seq(
+
+    // ---- q270: Brier score Murphy decomposition ----------------------------
+    "q270_brier_decomposition" -> Q(
+      (s, dir) => {
+        // bin-center forecasts p_k = (bin+0.5)/10 from a deterministic
+        // length signal; discrete forecasts make the Murphy identity
+        // EXACT (brier = reliability - resolution + uncertainty), and
+        // the report carries both sides of it
+        val docs = Tables.documents(s, dir)
+        graft.operators.Quality.brierDecomposition(docs,
+          least(greatest(floor(col("n_chars") / lit(80.0)), lit(0.0)),
+            lit(9.0)),
+          col("n_chars") > 300, nBins = 10)
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(least(greatest(floor(n_chars / 80.0), 0.0), 9.0)
+                   AS INT) AS bin,
+                 CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+          FROM documents
+          WHERE n_chars IS NOT NULL),
+        cells AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(y) AS BIGINT) AS s_k
+          FROM b GROUP BY 1),
+        t AS (
+          SELECT bin, n_k, s_k,
+                 CAST(SUM(n_k) OVER () AS BIGINT) AS n,
+                 CAST(SUM(s_k) OVER () AS BIGINT) AS s
+          FROM cells),
+        terms AS (
+          SELECT n, s,
+                 CAST(n_k AS DOUBLE)
+                   * ((CAST(bin AS DOUBLE) + 0.5) / 10.0
+                      - CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                   * ((CAST(bin AS DOUBLE) + 0.5) / 10.0
+                      - CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                   AS rel_t,
+                 CAST(n_k AS DOUBLE)
+                   * (CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS res_t,
+                 CAST(n_k AS DOUBLE)
+                   * ((CAST(bin AS DOUBLE) + 0.5) / 10.0)
+                   * ((CAST(bin AS DOUBLE) + 0.5) / 10.0)
+                 - 2.0 * ((CAST(bin AS DOUBLE) + 0.5) / 10.0)
+                   * CAST(s_k AS DOUBLE)
+                 + CAST(s_k AS DOUBLE) AS bri_t
+          FROM t),
+        red AS (
+          SELECT n, s,
+                 SUM(CAST(round(rel_t, 12) AS DECIMAL(28,12))) AS sum_rel,
+                 SUM(CAST(round(res_t, 12) AS DECIMAL(28,12))) AS sum_res,
+                 SUM(CAST(round(bri_t, 12) AS DECIMAL(28,12))) AS sum_bri
+          FROM terms GROUP BY n, s)
+        SELECT n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS base_rate,
+               round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS uncertainty,
+               round(CAST(sum_rel AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS reliability,
+               round(CAST(sum_res AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS resolution,
+               round(CAST(sum_bri AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS brier,
+               round(CAST(sum_rel AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(sum_res AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS brier_identity
+        FROM red"""),
+      "Murphy decomposition of the Brier score over discrete bin-" +
+        "center forecasts — the single-number audit behind q186's " +
+        "reliability table: brier = reliability − resolution + " +
+        "uncertainty, and the report computes BOTH sides of the " +
+        "identity from the same per-bin moments (a decomposition " +
+        "that cannot silently drift from the score it decomposes). " +
+        "One aggregation to ≤10 bins, one exact-DECIMAL reduction " +
+        "over them; every division is a mirrored IEEE chain of " +
+        "exact integer counts.")
   )
 }

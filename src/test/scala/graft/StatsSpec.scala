@@ -306,4 +306,85 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Long]("n_groups") == 2)
     assert(r.getAs[Boolean]("holds")) // k=2 -> {null, null}: consistent
   }
+
+  test("mrrReport: first-hit reciprocal ranks and the truncated-MRR mean") {
+    import spark.implicits._
+    // probe 1: relevant at ranks 3 and 5 -> rr = 1/3
+    // probe 2: no relevant hit -> rr = 0
+    // probe 3: relevant at rank 1 -> rr = 1
+    val ranked = Seq(
+      (1L, 1, false), (1L, 2, false), (1L, 3, true), (1L, 5, true),
+      (2L, 1, false), (2L, 2, false),
+      (3L, 1, true), (3L, 2, false)).toDF("p", "rank", "rel")
+    val out = Quality.mrrReport(ranked, col("p"), col("rank"), col("rel"))
+      .collect().map(r => r.getAs[Long]("probe") -> r).toMap
+    assert(out(1L).getAs[Int]("hit_rank") == 3)
+    assert(out(1L).getAs[Double]("rr") == 1.0 / 3.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("hit_rank")))
+    assert(out(2L).getAs[Double]("rr") == 0.0)
+    assert(out(3L).getAs[Double]("rr") == 1.0)
+    val mrr = out(1L).getAs[Double]("mrr")
+    assert(math.abs(mrr - (1.0 / 3.0 + 0.0 + 1.0) / 3.0) < 1e-6)
+    assert(out.values.forall(_.getAs[Double]("mrr") == mrr))
+  }
+
+  test("brierDecomposition: the Murphy identity holds to the grid digit") {
+    import spark.implicits._
+    // bins 2 (p=0.25) and 7 (p=0.75): forecasts are bin centers, so
+    // brier MUST equal reliability - resolution + uncertainty exactly
+    val df = Seq((2, false), (2, false), (2, true),
+      (7, true), (7, true), (7, false), (7, true)).toDF("bin", "y")
+    val r = Quality.brierDecomposition(df, col("bin"), col("y"), 10)
+      .collect().head
+    assert(r.getAs[Long]("n") == 7)
+    assert(math.abs(r.getAs[Double]("brier") -
+      r.getAs[Double]("brier_identity")) <= 1e-6)
+    // hand check: brier = mean (p_i - y_i)^2
+    val brierHand = (
+      2 * 0.25 * 0.25 + math.pow(0.25 - 1, 2) +
+      3 * 0.25 * 0.25 + math.pow(0.75 - 0, 2)) / 7.0
+    assert(math.abs(r.getAs[Double]("brier") - brierHand) < 1e-6)
+    assert(math.abs(r.getAs[Double]("base_rate") - 4.0 / 7.0) < 1e-6)
+  }
+
+  test("sprtLooks: crossing latches the decision for every later look") {
+    import spark.implicits._
+    // symmetric +1/-1 per-trial terms, boundary 2.5: look 1 puts
+    // llr=+3 (cross h1); look 2 is all failures, raw llr would fall
+    // to -1 — the latched decision must stay accept_h1
+    val trials = (1 to 3).map(i => ("d1", true)) ++
+      (1 to 4).map(i => ("d2", false))
+    val df = trials.toDF("look", "succ")
+    val out = Stats.sprtLooks(df, col("look"), col("succ"),
+        lnRatioPos = 1.0, lnRatioNeg = -1.0, boundary = 2.5)
+      .collect().map(r => r.getAs[String]("look") -> r).toMap
+    assert(out("d1").getAs[Double]("llr") == 3.0)
+    assert(out("d1").getAs[String]("decision") == "accept_h1")
+    assert(out("d2").getAs[Double]("llr") == -1.0)
+    assert(out("d2").getAs[String]("decision") == "accept_h1") // latched
+    // and a never-crossing run stays 'continue'
+    val calm = Seq(("d1", true), ("d1", false), ("d2", false), ("d2", true))
+      .toDF("look", "succ")
+    val c = Stats.sprtLooks(calm, col("look"), col("succ"), 1.0, -1.0, 2.5)
+      .collect()
+    assert(c.forall(_.getAs[String]("decision") == "continue"))
+  }
+
+  test("acfReport: lag 0 is 1 and an alternating series has acf(1) < 0") {
+    import spark.implicits._
+    // period spine built from row multiplicity: alternating 3,1,3,1...
+    val rows = (1 to 12).flatMap { t =>
+      val n = if (t % 2 == 1) 3 else 1
+      (1 to n).map(_ => t)
+    }
+    val df = rows.toDF("p")
+    val out = Stats.acfReport(df, col("p"), maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(out(0).getAs[Double]("acf") == 1.0)
+    assert(out(0).getAs[Long]("n_pairs") == 12)
+    assert(out(1).getAs[Long]("n_pairs") == 11)
+    // perfectly alternating: strong negative at lag 1, positive at 2
+    assert(out(1).getAs[Double]("acf") < -0.8)
+    assert(out(2).getAs[Double]("acf") > 0.8)
+  }
 }
