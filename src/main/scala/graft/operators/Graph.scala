@@ -519,4 +519,76 @@ object Graph {
     }
     dist
   }
+
+  /** Per-root BFS distances for a SMALL root set — [[bfsHops]] keyed
+    * by source, the building block for per-node centralities. The
+    * frontier/distance state carries (root, v) pairs, so one iteration
+    * advances every root's BFS together: per-round shuffle volume is
+    * the UNION of the roots' frontier neighborhoods, not |roots|
+    * sequential traversals. Roots must be a bounded panel (the
+    * centrality-sampling contract — sampled-source centrality is the
+    * standard scale practice; exact all-nodes closeness is O(V·E) on
+    * any engine).
+    *
+    * Output: (root, v, hops: int) — one row per (root, reached node). */
+  def bfsHopsPerRoot(edges: DataFrame, src: String, dst: String,
+      roots: DataFrame, rootCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "bfsHopsPerRoot: 1 <= maxHops <= 32")
+    val e = edges
+      .select(col(src).as("s"), col(dst).as("t"))
+      .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint()
+    var dist = roots.select(col(rootCol).as("root")).distinct()
+      .select(col("root"), col("root").as("v"))
+      .withColumn("hops", lit(0))
+      .localCheckpoint()
+    var frontier = dist.select(col("root"), col("v"))
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val nxt = frontier.join(e, frontier("v") === e("s"))
+        .select(col("root"), col("t").as("v")).distinct()
+        .join(dist.select(col("root"), col("v")), Seq("root", "v"),
+          "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select(col("root"), col("v"))
+      }
+    }
+    dist
+  }
+
+  /** Hop-bounded closeness + harmonic centrality for a sampled root
+    * panel — "which hubs reach the graph fastest": closeness is
+    * n_reached / Σd over the root's ≤maxHops neighborhood (the
+    * bounded-neighborhood variant that stays comparable across
+    * disconnected graphs), harmonic is Σ 1/d (Marchiori-Latora, the
+    * form that needs no reachability normalization at all). One
+    * [[bfsHopsPerRoot]] sweep then a per-root reduction; closeness is
+    * a pure integer ratio, harmonic terms snap to the 1e-12 grid and
+    * sum exactly.
+    *
+    * Output: one row per root (root, n_reached, sum_hops, closeness,
+    * harmonic) ordered by root. */
+  def closenessReport(edges: DataFrame, src: String, dst: String,
+      roots: DataFrame, rootCol: String, maxHops: Int): DataFrame = {
+    val d = bfsHopsPerRoot(edges, src, dst, roots, rootCol, maxHops)
+      .filter(col("hops") > 0)
+    d.groupBy(col("root"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("hops").cast("long")).as("sum_hops"),
+        sum(round(lit(1.0) / col("hops").cast("double"), 12)
+          .cast(DecimalType(28, 12))).as("_h"))
+      .select(col("root"), col("n_reached"), col("sum_hops"),
+        (col("n_reached").cast("double") / col("sum_hops").cast("double"))
+          .as("closeness"),
+        round(col("_h").cast("double"), 6).as("harmonic"))
+      .orderBy(col("root"))
+  }
 }

@@ -1425,4 +1425,69 @@ object TextAnalysis {
       .select(col("period"), col("rank").cast("int").as("rank"),
         col("term"), col("c_tp"), col("lift"))
   }
+
+  /** Multinomial Naive Bayes language/label classifier — train counts
+    * on one corpus slice, score another, all inside the engine: the
+    * classical generative text classifier (add-one smoothing) that a
+    * curation pipeline uses when the heuristic langid (q43) needs a
+    * supervised cross-check. Training is two bounded aggregations
+    * (per-(token, label) counts — vocab × labels cells — and label
+    * priors); scoring explodes test tokens against the LABEL panel
+    * and left-joins the count grid, so an unseen token falls through
+    * coalesce to the smoothing floor ln(1/(n_label + V)) without a
+    * dense vocab × labels materialization.
+    *
+    * Portability: each token's log-likelihood ln((c+1)/(n_l+V)) and
+    * the label's log-prior are IEEE ln of exact integer ratios,
+    * snapped to the 1e-12 grid and summed as exact DECIMALs (the q109
+    * ln-sum discipline); the argmax ranks by the EXACT decimal score
+    * (never the rounded double), labels ascending on ties, so both
+    * engines pick identical winners.
+    *
+    * Output: one row per test doc (id, label_true, label_pred,
+    * correct, score) ordered by id; `score` is the winning
+    * log-posterior rounded to 6. */
+  def naiveBayes(train: DataFrame, test: DataFrame, id: String,
+      text: String, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    def d(c: Column) = c.cast("double")
+    val trTok = train.select(col(label).as("lab"),
+      explode(tokens(col(text))).as("w"))
+    val counts = trTok.groupBy(col("lab"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val labTotals = counts.groupBy(col("lab"))
+      .agg(sum(col("c")).as("n_lab"))
+    val vocab = counts.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col(label).as("lab"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_all", sum(col("n_docs")).over(Window.partitionBy()))
+    val labels = labTotals
+      .join(broadcast(priors), "lab")
+      .crossJoin(broadcast(vocab))
+      .select(col("lab"), col("n_lab"), col("v"),
+        grid12(log(d(col("n_docs")) / d(col("n_all")))).as("_prior"))
+    val teTok = test.select(col(id).as("id"), col(label).as("label_true"),
+      explode(tokens(col(text))).as("w"))
+    val scoredTok = teTok
+      .crossJoin(broadcast(labels))
+      .join(counts, Seq("lab", "w"), "left")
+      .withColumn("_ll", grid12(log(
+        (coalesce(d(col("c")), lit(0.0)) + lit(1.0)) /
+          (d(col("n_lab")) + d(col("v"))))))
+    val perDocLab = scoredTok
+      .groupBy(col("id"), col("label_true"), col("lab"))
+      .agg((sum(col("_ll")) + first(col("_prior"))).as("_score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("_score").desc, col("lab"))
+    perDocLab
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label_true"), col("lab").as("label_pred"),
+        (col("lab") === col("label_true")).as("correct"),
+        round(col("_score").cast("double"), 6).as("score"))
+      .orderBy(col("id"))
+  }
 }

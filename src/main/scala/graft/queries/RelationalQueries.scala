@@ -1814,6 +1814,54 @@ object RelationalQueries {
         "onto it, never onto the corpus. All three metrics are single " +
         "IEEE chains over exact counts, rounded on both engines; the " +
         "confidence gate compares the ROUNDED value so boundary rules " +
-        "cannot fork.")
+        "cannot fork."),
+
+    // ---- q274: sampled-source closeness / harmonic centrality --------------
+    "q274_closeness" -> Q(
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("sn"),
+            (col("l_partkey") + 1000000L).as("pn"))
+          .distinct()
+        val roots = Tables.supplier(s, d)
+          .filter(col("s_suppkey") <= 3)
+          .select(col("s_suppkey"))
+        graft.operators.Graph.closenessReport(edges, "sn", "pn",
+          roots, "s_suppkey", maxHops = 4)
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT l_suppkey AS s, 1000000 + l_partkey AS t
+          FROM lineitem
+          UNION
+          SELECT DISTINCT 1000000 + l_partkey, l_suppkey FROM lineitem),
+        srcs AS (
+          SELECT s_suppkey AS root FROM supplier WHERE s_suppkey <= 3),
+        walk(root, v, dd) AS (
+          SELECT root, root, 0 FROM srcs
+          UNION
+          SELECT w.root, e.t, w.dd + 1
+          FROM walk w JOIN e ON e.s = w.v WHERE w.dd < 4),
+        md AS (
+          SELECT root, v, MIN(dd) AS dd FROM walk GROUP BY 1, 2)
+        SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(dd) AS BIGINT) AS sum_hops,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dd) AS DOUBLE)
+                 AS closeness,
+               round(CAST(SUM(CAST(round(CAST(1 AS DOUBLE)
+                     / CAST(dd AS DOUBLE), 12) AS DECIMAL(28,12)))
+                 AS DOUBLE), 6) AS harmonic
+        FROM md WHERE dd > 0
+        GROUP BY root ORDER BY root"""),
+      "Hop-bounded closeness and harmonic centrality for a sampled " +
+        "root panel over the supplier-part supply graph — 'which hubs " +
+        "reach the graph fastest', the per-node readout beside the " +
+        "global centralities (q111 PageRank, q212 HITS). One keyed " +
+        "BFS sweep advances every root together (per-round shuffle = " +
+        "the union of frontier neighborhoods, the sampled-source " +
+        "contract that keeps exact closeness off the O(V·E) cliff), " +
+        "then a per-root reduction: closeness is a pure integer " +
+        "ratio, harmonic terms snap to the 1e-12 grid and sum " +
+        "exactly.")
   )
 }

@@ -1980,6 +1980,75 @@ object TrainingQueries {
         "that cannot silently drift from the score it decomposes). " +
         "One aggregation to ≤10 bins, one exact-DECIMAL reduction " +
         "over them; every division is a mirrored IEEE chain of " +
-        "exact integer counts.")
+        "exact integer counts."),
+
+    // ---- q273: multinomial Naive Bayes language classifier ------------------
+    "q273_naive_bayes" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("bucket", TextAnalysis.hashBucket(col("text")))
+        TextAnalysis.naiveBayes(
+          docs.filter(col("bucket") < 97),
+          docs.filter(col("bucket") >= 97),
+          "doc_id", "text", "lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, lang, $Bucket AS bucket FROM documents),
+        tr AS (
+          SELECT lang AS lab, unnest($W) AS w FROM d WHERE bucket < 97),
+        counts AS (
+          SELECT lab, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tr GROUP BY 1, 2),
+        labtot AS (
+          SELECT lab, CAST(SUM(c) AS BIGINT) AS n_lab
+          FROM counts GROUP BY 1),
+        voc AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM counts),
+        pri AS (
+          SELECT lang AS lab, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM d WHERE bucket < 97 GROUP BY 1),
+        pritot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM pri),
+        labels AS (
+          SELECT lt.lab, lt.n_lab, voc.v,
+                 CAST(round(ln(CAST(p.n_docs AS DOUBLE)
+                     / CAST(t.n_all AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS prior
+          FROM labtot lt JOIN pri p USING (lab)
+          CROSS JOIN voc CROSS JOIN pritot t),
+        te AS (
+          SELECT doc_id AS id, lang AS label_true, unnest($W) AS w
+          FROM d WHERE bucket >= 97),
+        sc AS (
+          SELECT te.id, te.label_true, l.lab, l.prior,
+                 CAST(round(ln((coalesce(CAST(c.c AS DOUBLE),
+                       CAST('0.0' AS DOUBLE)) + 1.0)
+                     / (CAST(l.n_lab AS DOUBLE) + CAST(l.v AS DOUBLE))), 12)
+                   AS DECIMAL(28,12)) AS ll
+          FROM te CROSS JOIN labels l
+          LEFT JOIN counts c ON c.lab = l.lab AND c.w = te.w),
+        agg AS (
+          SELECT id, label_true, lab,
+                 SUM(ll) + MAX(prior) AS score_dec
+          FROM sc GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY score_dec DESC, lab) AS rn
+          FROM agg)
+        SELECT id, label_true, lab AS label_pred,
+               lab = label_true AS correct,
+               round(CAST(score_dec AS DOUBLE), 6) AS score
+        FROM ranked WHERE rn = 1 ORDER BY id"""),
+      "Multinomial Naive Bayes trained and scored INSIDE the engine — " +
+        "the supervised cross-check for q43's heuristic langid, on the " +
+        "q54 content-hash split (train <97, score >=97). Training is " +
+        "two bounded aggregations (vocab × label counts, label " +
+        "priors); scoring left-joins the count grid so unseen tokens " +
+        "fall to the add-one smoothing floor without a dense " +
+        "materialization. Token log-likelihoods are ln of exact " +
+        "integer ratios on the 1e-12 grid summed as exact DECIMALs; " +
+        "the argmax ranks by the EXACT decimal score (ties to the " +
+        "lexicographically first label) so both engines pick " +
+        "identical winners.")
   )
 }

@@ -523,4 +523,30 @@ class EntityGraphSpec extends SparkSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("bfsHopsPerRoot + closenessReport: per-root distances and centralities") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5; roots 1 and 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val roots = Seq(1L, 3L).toDF("r")
+    val d = Graph.bfsHopsPerRoot(edges, "a", "b", roots, "r", maxHops = 4)
+      .collect().map(r => (r.getAs[Long]("root"), r.getAs[Long]("v")) ->
+        r.getAs[Int]("hops")).toMap
+    assert(d((1L, 5L)) == 4 && d((1L, 3L)) == 2 && d((1L, 1L)) == 0)
+    assert(d((3L, 1L)) == 2 && d((3L, 5L)) == 2 && d((3L, 4L)) == 1)
+    val c = Graph.closenessReport(edges, "a", "b", roots, "r", maxHops = 4)
+      .collect().map(r => r.getAs[Long]("root") -> r).toMap
+    // root 1: dists 1,2,3,4 -> closeness 4/10, harmonic 1+1/2+1/3+1/4
+    assert(c(1L).getAs[Long]("n_reached") == 4)
+    assert(c(1L).getAs[Double]("closeness") == 0.4)
+    assert(math.abs(c(1L).getAs[Double]("harmonic") -
+      (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-5)
+    // root 3 (center): dists 1,1,2,2 -> closeness 4/6, harmonic 3
+    assert(math.abs(c(3L).getAs[Double]("closeness") - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(c(3L).getAs[Double]("harmonic") - 3.0) < 1e-5)
+    // the hop bound prunes: maxHops=1 from root 1 reaches only node 2
+    val b = Graph.closenessReport(edges, "a", "b",
+      Seq(1L).toDF("r"), "r", maxHops = 1).collect().head
+    assert(b.getAs[Long]("n_reached") == 1 && b.getAs[Double]("closeness") == 1.0)
+  }
 }

@@ -505,4 +505,29 @@ class TextAnalysisSpec extends SparkSuite {
       .select(call_function("nfc_normalize", col("s"))).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("naiveBayes: separable fixture classifies perfectly, ties break to first label") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "apple apple banana", "fruit"),
+      (2L, "apple banana banana", "fruit"),
+      (3L, "dog cat dog", "pet"),
+      (4L, "cat cat dog", "pet")).toDF("doc_id", "text", "lang")
+    val test0 = Seq(
+      (10L, "apple banana apple", "fruit"),
+      (11L, "dog dog cat", "pet"),
+      (12L, "kiwi wombat", "fruit")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.naiveBayes(train, test0, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(10L).getAs[String]("label_pred") == "fruit")
+    assert(out(10L).getAs[Boolean]("correct"))
+    assert(out(11L).getAs[String]("label_pred") == "pet")
+    // doc 12 is all-unseen tokens: every label scores the smoothing
+    // floor; vocab V=4 and n_lab=6 tokens for BOTH labels with equal
+    // priors, so scores tie exactly -> lexicographically first label
+    assert(out(12L).getAs[String]("label_pred") == "fruit")
+    // hand-check doc 10: P(apple|fruit)=(3+1)/(6+4), P(banana|fruit)=(3+1)/(6+4)
+    val sFruit = 2 * math.log(4.0 / 10.0) + math.log(4.0 / 10.0) + math.log(0.5)
+    assert(math.abs(out(10L).getAs[Double]("score") - sFruit) < 1e-5)
+  }
 }
