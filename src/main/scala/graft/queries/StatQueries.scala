@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -1539,7 +1541,117 @@ object StatQueries {
         "expands to exact-DECIMAL integer sums (Σx_t·x_{t+l}, " +
         "head/tail windows, Σx, Σx²) with the mean and ratio one " +
         "mirrored IEEE chain — no float ever accumulates across " +
-        "rows.")
+        "rows."),
+
+    // ---- q275: nearest-neighbor matched ATT (PSM shape) --------------------
+    "q275_psm_att" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id")).agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * lit(1e9)).cast("long")).otherwise(0L))
+            .as("y9"),
+          // treatment = revealed high intent: more purchases than
+          // clicks (every user has every event type in the fixture, so
+          // membership flags cannot split the panel)
+          when(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)) >
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)),
+            1L).otherwise(0L).as("treat"),
+          (floor(unix_timestamp(min(col("ts"))) / lit(3600L)) % 6)
+            .cast("int").as("stratum"))
+        // unique total-order match axis: covariate dominates, user id
+        // breaks exact-covariate ties — the q148 composite trick, so
+        // both engines resolve |Δ| and ties identically
+        val jt = (col("x") * lit(10000000L) + col("user_id")).as("jt")
+        val t = perUser.filter(col("treat") === 1L)
+          .select(col("user_id"), col("x"), col("y9"), col("stratum"), jt)
+        val c = perUser.filter(col("treat") === 0L)
+          .select(col("user_id").as("c_user"), col("y9").as("c_y9"),
+            col("stratum").as("c_stratum"),
+            (col("x") * lit(10000000L) + col("user_id")).as("c_jt"))
+        val m = graft.operators.EventOps.asOfJoinNative(t, c,
+          "stratum", "c_stratum", "jt", "c_jt", direction = "nearest")
+        val per = m.groupBy(col("stratum")).agg(
+          count(lit(1)).as("n_treated"),
+          sum(when(col("c_user").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("c_user").isNotNull, col("y9") - col("c_y9"))
+            .otherwise(0L)).as("d9"))
+        val wAll = Window.partitionBy()
+        def dd(cc: Column) = cc.cast("double")
+        per
+          .withColumn("att", dd(col("d9")) /
+            nullif(dd(col("n_matched")), lit(0.0)) / lit(1e9))
+          .withColumn("att_overall",
+            dd(sum(col("d9")).over(wAll)) /
+              nullif(dd(sum(col("n_matched")).over(wAll)), lit(0.0)) /
+              lit(1e9))
+          .select(col("stratum"), col("n_treated"), col("n_matched"),
+            col("att"), col("att_overall"))
+          .orderBy(col("stratum"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e9) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS y9,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END)
+                        > SUM(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END)
+                      THEN 1 ELSE 0 END AS treat,
+                 CAST(floor(floor(epoch(MIN($TS))) / 3600) % 6 AS INT)
+                   AS stratum
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT user_id, x, y9, stratum,
+                 x * 10000000 + user_id AS jt
+          FROM u WHERE treat = 1),
+        c AS (
+          SELECT user_id AS c_user, y9 AS c_y9, stratum AS c_stratum,
+                 x * 10000000 + user_id AS c_jt
+          FROM u WHERE treat = 0),
+        m AS (
+          SELECT t.stratum, t.y9, cm.c_user, cm.c_y9
+          FROM t LEFT JOIN LATERAL (
+            SELECT c_user, c_y9 FROM c
+            WHERE c.c_stratum = t.stratum
+            ORDER BY abs(c.c_jt - t.jt),
+                     (CASE WHEN c.c_jt <= t.jt THEN 0 ELSE 1 END)
+            LIMIT 1) cm ON true),
+        per AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_treated,
+                 CAST(SUM(CASE WHEN c_user IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+                 CAST(SUM(CASE WHEN c_user IS NOT NULL THEN y9 - c_y9
+                   ELSE 0 END) AS BIGINT) AS d9
+          FROM m GROUP BY 1)
+        SELECT stratum, n_treated, n_matched,
+               CAST(d9 AS DOUBLE)
+                 / nullif(CAST(n_matched AS DOUBLE), CAST('0.0' AS DOUBLE))
+                 / 1e9 AS att,
+               CAST(SUM(d9) OVER () AS DOUBLE)
+                 / nullif(CAST(SUM(n_matched) OVER () AS DOUBLE),
+                     CAST('0.0' AS DOUBLE)) / 1e9 AS att_overall
+        FROM per ORDER BY stratum"""),
+      "Nearest-neighbor matched ATT — the propensity-matching shape " +
+        "beside q225's DiD and q226's IPW: each high-intent user " +
+        "(more purchases than clicks) matches " +
+        "the nearest low-intent user on the activity covariate within " +
+        "a blocking stratum (1:1, with replacement), and the treated-" +
+        "minus-matched purchase-value gap is the effect estimate. The " +
+        "match itself runs through the NATIVE nearest as-of exec " +
+        "(q148's single merge pass per stratum — matching at 100 TB " +
+        "is exactly a big-big as-of join, not an O(n²) pair search); " +
+        "the |Δ| axis is a unique covariate-dominant composite so " +
+        "both engines resolve ties identically; per-stratum and " +
+        "overall ATT are integer-grid sums with one IEEE division.")
   )
 
   private val W = "string_split(text, ' ')"

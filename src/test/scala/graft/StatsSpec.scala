@@ -370,6 +370,23 @@ class StatsSpec extends SparkSuite {
     assert(c.forall(_.getAs[String]("decision") == "continue"))
   }
 
+  test("q275 matched ATT: full matching and the weighted-mean identity") {
+    val rows = SparkEntry.queries("q275_psm_att")(spark, sf("0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_treated"))
+    }
+    // att_overall is the n_matched-weighted mean of per-stratum atts
+    val matched = rows.filter(_.getAs[Long]("n_matched") > 0)
+    val num = matched.map(r =>
+      r.getAs[Double]("att") * r.getAs[Long]("n_matched")).sum
+    val den = matched.map(_.getAs[Long]("n_matched")).sum.toDouble
+    val overall = rows.head.getAs[Double]("att_overall")
+    assert(math.abs(overall - num / den) < 1e-6)
+    assert(rows.forall(_.getAs[Double]("att_overall") == overall))
+  }
+
   test("acfReport: lag 0 is 1 and an alternating series has acf(1) < 0") {
     import spark.implicits._
     // period spine built from row multiplicity: alternating 3,1,3,1...
