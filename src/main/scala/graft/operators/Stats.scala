@@ -775,12 +775,22 @@ object Stats {
     * cum_success, llr, decision) ordered by look. */
   def sprtLooks(df: DataFrame, look: Column, success: Column,
       lnRatioPos: Double, lnRatioNeg: Double, boundary: Double)
+      : DataFrame =
+    sprtFromLooks(
+      df.filter(look.isNotNull && success.isNotNull)
+        .groupBy(look.as("look"))
+        .agg(count(lit(1)).as("n_trials"),
+          sum(when(success, 1L).otherwise(0L)).as("n_success")),
+      lnRatioPos, lnRatioNeg, boundary)
+
+  /** The decision core of [[sprtLooks]] over an ALREADY-AGGREGATED
+    * look relation (look, n_trials, n_success) — shared by the batch
+    * query and the streaming twin, so streamed == batch is an
+    * identity of inputs, not a re-derivation. */
+  def sprtFromLooks(perLook: DataFrame,
+      lnRatioPos: Double, lnRatioNeg: Double, boundary: Double)
       : DataFrame = {
-    require(boundary > 0, "sprtLooks: boundary > 0")
-    val perLook = df.filter(look.isNotNull && success.isNotNull)
-      .groupBy(look.as("look"))
-      .agg(count(lit(1)).as("n_trials"),
-        sum(when(success, 1L).otherwise(0L)).as("n_success"))
+    require(boundary > 0, "sprtFromLooks: boundary > 0")
     val w = Window.orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perLook
@@ -811,6 +821,37 @@ object Stats {
         col("decision"))
       .orderBy(col("look"))
   }
+
+  /** Streaming maintenance for the SPRT monitor: per-batch (look,
+    * trials, successes) partial counts land as idempotent delta
+    * partitions ([[Sketches.writeDelta]] — replay overwrites, stale
+    * batches skip), so a crash between append and checkpoint cannot
+    * double-count a batch. Counts are additive and order-free, which
+    * is exactly why the SPRT streams: [[sprtMerged]] reads the SAME
+    * look relation the one-shot batch run aggregates, and therefore
+    * the SAME decision sequence — the always-valid A/B monitor as a
+    * standing query instead of a nightly recomputation. */
+  def sprtIngest(look: Column, success: Column, prefix: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      Sketches.writeDelta(
+        batch.filter(look.isNotNull && success.isNotNull)
+          .groupBy(look.as("look"))
+          .agg(count(lit(1)).as("n_trials"),
+            sum(when(success, 1L).otherwise(0L)).as("n_success")),
+        batchId, prefix)
+    }
+
+  /** [[sprtFromLooks]] over everything [[sprtIngest]] landed. */
+  def sprtMerged(spark: org.apache.spark.sql.SparkSession, prefix: String,
+      lnRatioPos: Double, lnRatioNeg: Double, boundary: Double)
+      : DataFrame =
+    sprtFromLooks(
+      spark.table(s"${prefix}_deltas")
+        .groupBy(col("look"))
+        .agg(sum(col("n_trials")).as("n_trials"),
+          sum(col("n_success")).as("n_success")),
+      lnRatioPos, lnRatioNeg, boundary)
 
   /** Autocorrelation function of a regularly-indexed count series at
     * lags 0..maxLag — the seasonality detector that tells the

@@ -210,7 +210,17 @@ object BenchScale {
     // vocabulary-bounded graphs/windows over one tokenize pass
     "q261_collocations", "q262_textrank",
     // one conditional-aggregate pass / two bounded-cell shuffles
-    "q263_churn_labels", "q264_feature_hashing")
+    "q263_churn_labels", "q264_feature_hashing",
+    // round-9 closing wave: corpus agg + bounded prefix window (q265),
+    // capped-basket rule mining (q266), level-bounded encoder
+    // aggregations (q267/q268), the 100-probe exact retrieval audit
+    // (q269 — the q208 class), bounded bins/spines (q270-q272), the
+    // vocab × label NB grid (q273), the per-root BFS panel (q274 — the
+    // q246 one-JVM class at 100×), and the per-user as-of match (q275)
+    "q265_pareto_abc", "q266_assoc_rules", "q267_target_encoding",
+    "q268_woe_iv", "q269_mrr", "q270_brier_decomposition",
+    "q271_sprt_monitor", "q272_acf", "q273_naive_bayes",
+    "q274_closeness", "q275_psm_att")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -285,7 +295,15 @@ object BenchScale {
     "q253_mcnemar", "q254_mann_kendall", "q255_nelson_aalen",
     "q256_ips_offpolicy", "q257_boolean_search", "q259_freshness_audit",
     "q260_ring_rebalance", "q261_collocations", "q262_textrank",
-    "q263_churn_labels", "q264_feature_hashing")
+    "q263_churn_labels", "q264_feature_hashing",
+    // round-9 closing wave 100×-capable shapes: bounded-spine windows
+    // and level/bin/label-bounded aggregations (q265/q267/q268/
+    // q270-q273), capped-basket rules (q266), the per-user as-of match
+    // (q275 — the q128 merge class). q269's exact retrieval audit and
+    // q274's BFS panel are 10×-only (the q208 / q246 precedents).
+    "q265_pareto_abc", "q266_assoc_rules", "q267_target_encoding",
+    "q268_woe_iv", "q270_brier_decomposition", "q271_sprt_monitor",
+    "q272_acf", "q273_naive_bayes", "q275_psm_att")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

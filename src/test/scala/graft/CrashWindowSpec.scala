@@ -292,6 +292,34 @@ class CrashWindowSpec extends SparkSuite {
     } finally ts.foreach(Catalog.dropTable(spark, _))
   }
 
+  test("sprtIngest: merged decision sequence equals one-shot batch") {
+    import graft.operators.Stats
+    val prefix = "graft_cw_sprt"
+    val ts = Seq(s"${prefix}_deltas", s"${prefix}_state")
+    try {
+      ts.foreach(Catalog.dropTable(spark, _))
+      val ev = Tables.events(spark, sf("0.01"))
+        .select(col("event_id"),
+          to_date(col("ts")).cast("string").as("lk"),
+          col("event_type").isin("purchase", "click", "view").as("succ"))
+      val fn = Stats.sprtIngest(col("lk"), col("succ"), prefix)
+      (0 to 2).foreach(i => fn(ev.filter(col("event_id") % 3 === i), i.toLong))
+      val merged = Stats.sprtMerged(spark, prefix,
+        0.167054085, -0.251314428, 2.944438979).collect()
+      val batch = Stats.sprtLooks(ev, col("lk"), col("succ"),
+        0.167054085, -0.251314428, 2.944438979).collect()
+      assert(merged.length == batch.length && merged.length >= 28)
+      assert(merged.toSeq == batch.toSeq,
+        "merged streamed SPRT must equal the one-shot batch decision sequence")
+      // crash window: redeliver batch 2 — counts must not double, the
+      // latched decision must not move
+      fn(ev.filter(col("event_id") % 3 === 2), 2L)
+      assert(Stats.sprtMerged(spark, prefix,
+        0.167054085, -0.251314428, 2.944438979).collect().toSeq == batch.toSeq,
+        "crash-window replay must not change the decision sequence")
+    } finally ts.foreach(Catalog.dropTable(spark, _))
+  }
+
   test("semDedupIngest crash-window replay recomputes the identical keep-set") {
     import graft.functions.VectorFunctions.asDoubleVec
     graft.plans.VectorExpressions.register(spark)

@@ -515,4 +515,35 @@ class PlanSpec extends SparkSuite {
     val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
   }
+
+  test("q275 matching runs through the native AsOfJoin exec, no cartesian") {
+    val p = plan("q275_psm_att")
+    assert(p.contains("AsOfJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q267 target encoding joins its level stats by broadcast") {
+    val p = plan("q267_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the corpus side must NOT re-shuffle for the level join
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q265 Pareto prefix window runs over the aggregated part relation") {
+    val p = plan("q265_pareto_abc")
+    // the corpus aggregation must be partial (map-side) before the
+    // single exchange; the window then sees only the part relation
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "corpus aggregate must have a map-side phase\n" + p.take(2000))
+    assert(p.contains("Window"))
+  }
+
+  test("q273 NB scoring broadcasts the label panel and the count grid") {
+    val p = plan("q273_naive_bayes")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
