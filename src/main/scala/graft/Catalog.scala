@@ -168,4 +168,32 @@ object Catalog {
           .otherwise(lit("unchanged")).as("status"),
         col("hash_a"), col("hash_b"))
   }
+
+  /** MERGE-INTO semantics over a keyed snapshot: apply a CDC
+    * changeset of inserts/updates/deletes in one pass —
+    *   result = (base ⟕anti changeset.keys) ∪ changeset[op ≠ 'D']
+    * Upsert and delete collapse into the same two operators: every
+    * changed key's old row drops via the anti-join; every non-delete
+    * change contributes its NEW image. The changeset must carry at
+    * most one row per key (the compacted form every CDC log reader
+    * emits — enforce upstream with a last-write-wins window); `op` is
+    * 'I' | 'U' | 'D' and the payload columns must match the base
+    * schema.
+    *
+    * Scale: one equi-shuffle on the key for the anti-join (broadcast
+    * when the changeset is small — the common case, which AQE picks
+    * from stats) plus a union: the base is never re-aggregated or
+    * sorted, so applying a 0.1% daily changeset to a 100 TB snapshot
+    * costs one pruned join, not a rebuild. The delete half is the
+    * batch shape of [[deleteRows]]; the upsert half is [[tableDiff]]'s
+    * inverse (diff derives a changeset, this applies one). */
+  def applyChangeSet(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val payload = base.columns.toSeq
+    val kept = base.join(changes.select(col(key)), Seq(key), "left_anti")
+    val applied = changes.filter(col(opCol) =!= "D")
+      .select(payload.map(col): _*)
+    kept.unionByName(applied)
+  }
 }

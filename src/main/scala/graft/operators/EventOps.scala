@@ -705,4 +705,275 @@ object EventOps {
         (col(y6).cast("double") - col("trend9").cast("double") / lit(1e9)
           - col("seasonal")).as("resid"))
   }
+
+  /** Two-group log-rank test — the significance layer over
+    * [[kaplanMeier]]: "do group A and group B convert on DIFFERENT
+    * survival curves, or is the gap chance?" (the A/B readout when the
+    * outcome is time-to-event with censoring, where a naive mean or
+    * z-test is biased by the censoring). Same cohort semantics as KM
+    * (entry at first `isStart`, event at first subsequent `isEvent`,
+    * right-censored at last activity) with a 0/1 `group` column that
+    * must be constant per user (an assignment hash, a cohort flag).
+    *
+    * At each distinct event duration t the 2×2 (group × event) table
+    * contributes observed deaths d_a, hypergeometric expectation
+    * e_a = n_a·d/n and variance v = n_a·n_b·d·(n−d)/(n²·(n−1)); the
+    * statistic (O_a−E_a)²/V is chi-square(1) under the null.
+    *
+    * Scale + portability: the corpus collapses to the bounded
+    * (duration × group) spine in ONE aggregation; risk sets are
+    * cumulative windows over that spine; e and v terms are IEEE
+    * expressions of exact integers snapped to the 1e-12 grid and
+    * summed as DECIMALs, so the statistic hash-proves cross-engine.
+    * Output: one row (n_users_a, n_users_b, obs_a, exp_a, obs_b,
+    * exp_b, chi2, significant at α=0.05 / crit 3.841459). */
+  def logRank(events: DataFrame, user: String, epCol: String,
+      isStart: Column, isEvent: Column, group: Column,
+      bucketSec: Long = 86400): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = events.groupBy(col(user)).agg(
+      min(when(isStart, col(epCol))).as("t0"),
+      max(col(epCol)).as("t_last"),
+      min(when(isEvent, col(epCol))).as("te_any"),
+      min(group).as("g"))
+    val u = perUser.filter(col("t0").isNotNull)
+      .withColumn("te", when(col("te_any") >= col("t0"), col("te_any")))
+      .withColumn("observed", col("te").isNotNull)
+      .withColumn("dur",
+        floor((coalesce(col("te"), col("t_last")) - col("t0")) /
+          lit(bucketSec.toDouble)).cast("long"))
+    // the bounded (duration × group) spine feeds THREE arms (totals,
+    // risk windows, the final sums) — materialize it once so the
+    // corpus is scanned exactly once however the consumers multiply
+    // (study-length rows, trivial at any corpus size)
+    val byDur = u.groupBy(col("dur")).agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("c_b"),
+      sum(when(col("observed") && col("g") === 0, 1L).otherwise(0L)).as("d_a"),
+      sum(when(col("observed") && col("g") === 1, 1L).otherwise(0L)).as("d_b"))
+      .localCheckpoint()
+    val total = byDur.groupBy().agg(
+      sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def d(c: Column) = c.cast("double")
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val risk = byDur.crossJoin(broadcast(total))
+      .withColumn("n_a",
+        col("tot_a") - coalesce(sum(col("c_a")).over(wPrev), lit(0L)))
+      .withColumn("n_b",
+        col("tot_b") - coalesce(sum(col("c_b")).over(wPrev), lit(0L)))
+      .withColumn("dd", col("d_a") + col("d_b"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .filter(col("dd") > 0)
+      // e/v terms: IEEE expressions of exact integers, 1e-12-snapped.
+      // the n_a·n_b·d·(n−d) product is computed in DOUBLE (it can pass
+      // 2^63 near 1e9 users — the ~1e-16 relative rounding is far
+      // below the 1e-12 grid the term lands on)
+      .withColumn("e_a", grid12(d(col("n_a")) * d(col("dd")) / d(col("nn"))))
+      .withColumn("v", when(col("nn") > 1, grid12(
+        d(col("n_a")) * d(col("n_b")) * d(col("dd")) *
+          d(col("nn") - col("dd")) /
+          (d(col("nn")) * d(col("nn")) * d(col("nn") - lit(1))))))
+    risk.agg(
+        max(col("tot_a")).as("n_users_a"),
+        max(col("tot_b")).as("n_users_b"),
+        sum(col("d_a")).as("obs_a"),
+        sum(col("e_a")).cast("double").as("exp_a"),
+        sum(col("d_b")).as("obs_b"),
+        sum(col("v")).cast("double").as("_var"))
+      .withColumn("exp_b",
+        round(d(col("obs_a") + col("obs_b")) - col("exp_a"), 6))
+      .withColumn("chi2", round(
+        (d(col("obs_a")) - col("exp_a")) * (d(col("obs_a")) - col("exp_a"))
+          / col("_var"), 6))
+      .select(col("n_users_a"), col("n_users_b"),
+        col("obs_a"), round(col("exp_a"), 6).as("exp_a"),
+        col("obs_b"), col("exp_b"), col("chi2"),
+        (col("chi2") > lit(3.841459)).as("significant"))
+  }
+
+  /** K-step Markov state-distribution forecast over the bounded
+    * event-type transition matrix — the "where do user journeys
+    * settle" readout on top of the q146 transition matrix: from a
+    * uniform start, apply π ← πP `iters` times. For an ergodic chain
+    * ~16 steps is visually stationary; the output is DEFINED as the
+    * exact K-step iterate (deterministic whether or not the chain has
+    * mixed), so both engines reproduce it bit-for-bit.
+    *
+    * Scale: one user-partitioned lead() pass collapses the corpus to
+    * the |types|² transition grid (localCheckpointed — iteration never
+    * re-reads the corpus); each step is a join + aggregate over that
+    * bounded grid with every addend π·p snapped to the 1e-12 grid and
+    * summed as exact DECIMALs (order-independent — the matvec sum is
+    * the one float accumulation in the loop). Requires every observed
+    * state to have at least one outgoing transition (true whenever the
+    * chain is observed mid-stream; states without outgoing rows would
+    * silently leak mass). Output: (state, pi) ascending by state. */
+  def markovStationary(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, idCol: String, iters: Int = 16): DataFrame = {
+    require(iters >= 1 && iters <= 64, "markovStationary: 1 <= iters <= 64")
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
+    val grid = events
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint()
+    val nStates = grid.select(col("src")).distinct()
+      .agg(count(lit(1)).as("k"))
+    var dist = grid.select(col("src").as("state")).distinct()
+      .crossJoin(broadcast(nStates))
+      .select(col("state"), (lit(1.0) / col("k").cast("double")).as("pi"))
+    (1 to iters).foreach { _ =>
+      dist = dist.join(grid, col("state") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("pi") * col("p"), 12).cast(DecimalType(28, 12)))
+          .cast("double").as("pi"))
+        .select(col("dst").as("state"), col("pi"))
+    }
+    dist.select(col("state"), round(col("pi"), 6).as("pi"))
+      .orderBy(col("state"))
+  }
+
+  /** Absorption probabilities of the event-type Markov chain — the
+    * "will this journey CONVERT or ABANDON from here" readout, and the
+    * computational core of Markov (removal-effect) attribution: with
+    * `convert` and `abandon` redefined as absorbing states, report for
+    * each transient state the probability of reaching `convert`
+    * first. Computed as `iters` rounds of the fixed-point iteration
+    * a ← P(→convert) + P(transient)·a from a = 0 — monotonically
+    * convergent for any substochastic P, and the output is DEFINED as
+    * the exact `iters`-step iterate (deterministic on both engines).
+    *
+    * Scale: the [[markovStationary]] discipline — one lead() pass to
+    * the |types|² grid (localCheckpointed), every round a join +
+    * aggregate over the transient sub-grid with each p·a addend
+    * snapped to the 1e-12 grid and summed as exact DECIMALs. Requires
+    * every transient state to have outgoing transitions. Output:
+    * (state, p_convert) over transient states, ascending. */
+  def markovAbsorption(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, idCol: String, convert: String, abandon: String,
+      iters: Int = 24): DataFrame = {
+    require(iters >= 1 && iters <= 64, "markovAbsorption: 1 <= iters <= 64")
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
+    val grid = events
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .filter(col(typeCol) =!= convert && col(typeCol) =!= abandon)
+      .groupBy(col(typeCol).as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint()
+    val tb = grid.groupBy(col("src"))
+      .agg(coalesce(sum(when(col("dst") === convert, col("p"))), lit(0.0))
+        .as("direct"))
+      .localCheckpoint()
+    val tr = grid
+      .filter(col("dst") =!= convert && col("dst") =!= abandon)
+      .localCheckpoint()
+    var a = tb.select(col("src").as("state"), lit(0.0).as("a"))
+    (1 to iters).foreach { _ =>
+      val contrib = tr.join(a, col("dst") === col("state"))
+        .groupBy(col("src"))
+        .agg(sum(round(col("p") * col("a"), 12).cast(DecimalType(28, 12)))
+          .cast("double").as("acc"))
+      // the iterate feeds the next round ONCE, so the plan grows
+      // linearly in iters (no checkpoint needed — the q281 precedent)
+      a = tb.join(contrib, Seq("src"), "left")
+        .select(col("src").as("state"),
+          (col("direct") + coalesce(col("acc"), lit(0.0))).as("a"))
+    }
+    a.select(col("state"), round(col("a"), 6).as("p_convert"))
+      .orderBy(col("state"))
+  }
+
+  /** Expected steps to absorption of the journey chain —
+    * [[markovAbsorption]]'s companion readout ("HOW LONG until this
+    * journey resolves, either way"): with the same absorbing
+    * redefinition, iterate the monotone fixed point
+    * n ← 1 + P(transient)·n from n = 0 — the fundamental-matrix
+    * row sums, computed without materializing (I−Q)⁻¹. Same grid
+    * discipline as q281/q287; output DEFINED as the exact
+    * `iters`-step iterate. Output: (state, exp_steps) ascending. */
+  def markovTimeToAbsorb(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, idCol: String, absorbing: Seq[String],
+      iters: Int = 24): DataFrame = {
+    require(iters >= 1 && iters <= 64, "markovTimeToAbsorb: 1 <= iters <= 64")
+    require(absorbing.nonEmpty, "markovTimeToAbsorb: absorbing states required")
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
+    val grid = events
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .filter(!col(typeCol).isin(absorbing: _*))
+      .groupBy(col(typeCol).as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint()
+    val tb = grid.select(col("src")).distinct().localCheckpoint()
+    val tr = grid.filter(!col("dst").isin(absorbing: _*)).localCheckpoint()
+    var a = tb.select(col("src").as("state"), lit(0.0).as("a"))
+    (1 to iters).foreach { _ =>
+      val contrib = tr.join(a, col("dst") === col("state"))
+        .groupBy(col("src"))
+        .agg(sum(round(col("p") * col("a"), 12).cast(DecimalType(28, 12)))
+          .cast("double").as("acc"))
+      a = tb.join(contrib, Seq("src"), "left")
+        .select(col("src").as("state"),
+          (lit(1.0) + coalesce(col("acc"), lit(0.0))).as("a"))
+    }
+    a.select(col("state"), round(col("a"), 6).as("exp_steps"))
+      .orderBy(col("state"))
+  }
+
+  /** Inter-arrival burstiness per event type — the traffic-shape
+    * diagnostic ("are clicks Poisson or do they storm?") that sizes
+    * stream buffers and anomaly thresholds: per-user consecutive-gap
+    * series per type, then the Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1) (−1 periodic, 0 Poisson, →1 bursty)
+    * and the coefficient of variation σ/μ. Gaps are integer seconds,
+    * so Σg and Σg² accumulate exactly as DECIMALs and σ/B are IEEE
+    * expressions of exact integers — hash-proves with no grid. ONE
+    * per-(user, type) ordered window builds the gaps; the aggregate
+    * is per-type. Degenerate types (< 2 gaps or zero mean) report
+    * null B/CV. Output: (event_type, n_gaps, mean_gap, sd_gap, cv,
+    * burstiness) ascending. */
+  def burstiness(events: DataFrame, user: String, typeCol: String,
+      epCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def d(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col(user), col(typeCol))
+      .orderBy(col(epCol), col(idCol))
+    val gaps = events
+      .withColumn("nxt", lead(col(epCol), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col(typeCol).as("event_type"),
+        (col("nxt") - col(epCol)).cast("long").as("g"))
+    val mom = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("g"))).as("sg"),
+        sum(dec(col("g")) * dec(col("g"))).as("sgg"))
+    val m = d(col("sg")) / d(col("n_gaps"))
+    val variance = (d(col("sgg")) - d(col("sg")) * d(col("sg")) /
+      d(col("n_gaps"))) / (d(col("n_gaps")) - 1)
+    val s = sqrt(variance)
+    mom.select(col("event_type"), col("n_gaps"),
+        round(m, 6).as("mean_gap"),
+        when(col("n_gaps") > 1, round(s, 6)).as("sd_gap"),
+        when(col("n_gaps") > 1 && m =!= 0.0, round(s / m, 6)).as("cv"),
+        when(col("n_gaps") > 1 && (s + m) =!= 0.0,
+          round((s - m) / (s + m), 6)).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
 }

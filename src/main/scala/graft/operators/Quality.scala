@@ -1026,4 +1026,39 @@ object Quality {
         col("rr"), col("mrr"))
       .orderBy(col("probe"))
   }
+
+  /** Herfindahl–Hirschman concentration of a weighted group mix — the
+    * one-row "is this corpus dominated by one source?" audit that
+    * belongs next to the mixture weights (q81): HHI = Σ share²
+    * (1/n_groups = uniform, 1 = monopoly), its min-max normalized
+    * form, and the effective number of groups 1/HHI (the Hill number
+    * a mixing plan should quote — '47 sources' can behave like 3).
+    *
+    * One aggregation to the per-group weight relation; shares are
+    * IEEE ratios of exact DECIMAL weight sums, each share² snapped to
+    * the 1e-12 grid and summed exactly. `weight` must be a
+    * non-negative integer-valued column (counts, tokens, bytes).
+    * Output: one row (n_groups, hhi, hhi_norm, n_effective);
+    * hhi_norm is null for a single group. */
+  def hhiReport(df: DataFrame, group: Column, weight: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val per = df.filter(group.isNotNull && weight.isNotNull)
+      .groupBy(group.as("g"))
+      .agg(sum(dec(weight.cast("long"))).as("wg"))
+    val tot = per.agg(sum(col("wg")).as("wt"), count(lit(1)).as("k"))
+    val hhi = per.crossJoin(broadcast(tot))
+      .select(col("k"),
+        round(d(col("wg")) / d(col("wt")) * (d(col("wg")) / d(col("wt"))),
+          12).cast(DecimalType(28, 12)).as("s2"))
+      .groupBy(col("k"))
+      .agg(sum(col("s2")).cast("double").as("hhi"))
+    hhi.select(col("k").as("n_groups"),
+      round(col("hhi"), 6).as("hhi"),
+      when(col("k") > 1, round(
+        (col("hhi") - lit(1.0) / d(col("k"))) /
+          (lit(1.0) - lit(1.0) / d(col("k"))), 6)).as("hhi_norm"),
+      round(lit(1.0) / col("hhi"), 6).as("n_effective"))
+  }
 }

@@ -44,8 +44,17 @@ object Stats {
     * data-dependent dof and is a table lookup, not a portable
     * expression. */
   def chiSquareReport(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.filter(a.isNotNull && b.isNotNull)
+    val observed = df.filter(a.isNotNull && b.isNotNull)
       .groupBy(a.as("ca"), b.as("cb")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    // densify to the full levels_a × levels_b lattice: an UNOBSERVED
+    // cell still contributes (0−e)²/e — dropping it silently
+    // understates the statistic exactly when association is strongest
+    // (a perfectly diagonal 2×2 table would read half its true χ²)
+    val cells = observed.select(col("ca")).distinct()
+      .crossJoin(observed.select(col("cb")).distinct())
+      .join(observed, Seq("ca", "cb"), "left")
+      .na.fill(0L, Seq("o"))
     val wr = Window.partitionBy(col("ca"))
     val wc = Window.partitionBy(col("cb"))
     val wAll = Window.partitionBy()
@@ -853,6 +862,54 @@ object Stats {
           sum(col("n_success")).as("n_success")),
       lnRatioPos, lnRatioNeg, boundary)
 
+  /** Iterative proportional fitting (raking) of a two-way contingency
+    * grid to uniform target margins — the survey-weighting / dataset-
+    * rebalancing primitive: after `iters` row/column scaling rounds,
+    * the weighted cell counts match the row targets exactly and the
+    * column targets to IPF's geometric convergence rate. This is how
+    * a curation pipeline reweights a corpus to a target (source ×
+    * quality) mix without resampling.
+    *
+    * Scale + portability: one corpus aggregation to the bounded
+    * (rowKey × colKey) grid, then 2·iters window passes over THOSE
+    * CELLS. Each margin sum snaps w·n to the 1e-9 grid and sums as
+    * exact DECIMALs (cross-engine float sums never happen); the scale
+    * factors target/margin are IEEE divisions applied in a mirrored
+    * chain. Output: (row_key, col_key, n, weight, fitted) ordered;
+    * weight rounded to 6, fitted = rounded w·n. */
+  def rake2(df: DataFrame, rowKey: Column, colKey: Column,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "rake2: 1 <= iters <= 8")
+    val cells = df.filter(rowKey.isNotNull && colKey.isNotNull)
+      .groupBy(rowKey.cast("string").as("rk"), colKey.cast("string").as("ck"))
+      .agg(count(lit(1)).as("n"))
+    val tots = cells.agg(sum(col("n")).as("tot"),
+      countDistinct(col("rk")).as("n_rows"),
+      countDistinct(col("ck")).as("n_cols"))
+    def d(c: Column) = c.cast("double")
+    val wr = Window.partitionBy(col("rk"))
+    val wc = Window.partitionBy(col("ck"))
+    var cur = cells.crossJoin(broadcast(tots))
+      .withColumn("w", lit(1.0))
+    val rTarget = d(col("tot")) / d(col("n_rows"))
+    val cTarget = d(col("tot")) / d(col("n_cols"))
+    (1 to iters).foreach { _ =>
+      cur = cur
+        .withColumn("_rs",
+          sum(round(col("w") * d(col("n")) * lit(1e9)).cast("long")
+            .cast(DecimalType(38, 0))).over(wr).cast("double") / lit(1e9))
+        .withColumn("w", col("w") * (rTarget / col("_rs")))
+        .withColumn("_cs",
+          sum(round(col("w") * d(col("n")) * lit(1e9)).cast("long")
+            .cast(DecimalType(38, 0))).over(wc).cast("double") / lit(1e9))
+        .withColumn("w", col("w") * (cTarget / col("_cs")))
+    }
+    cur.select(col("rk").as("row_key"), col("ck").as("col_key"), col("n"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") * d(col("n")), 6).as("fitted"))
+      .orderBy(col("row_key"), col("col_key"))
+  }
+
   /** Autocorrelation function of a regularly-indexed count series at
     * lags 0..maxLag — the seasonality detector that tells the
     * forecasters (q241/q242) WHICH period to fit: a spike at lag 7 is
@@ -898,5 +955,411 @@ object Stats {
       .select(col("lag"), col("n_pairs"),
         round(num / denom, 6).as("acf"))
       .orderBy(col("lag"))
+  }
+
+  /** Bradley–Terry preference strengths from a pairwise-wins grid —
+    * the preference-aggregation primitive (RLHF preference data,
+    * ranker evaluation, tournament scoring): given n_ij = "times i
+    * beat j", fit P(i beats j) = p_i/(p_i+p_j) by `iters` rounds of
+    * the standard MM update p_i ← W_i / Σ_{j≠i} m_ij/(p_i+p_j)
+    * (W_i = total wins of i, m_ij = comparisons of the pair),
+    * renormalized to Σp = 1 each round. The output is DEFINED as the
+    * exact `iters`-round iterate — deterministic on both engines
+    * whether or not the fit has converged.
+    *
+    * `wins` must already be the aggregated grid (item_a, item_b, n =
+    * wins of a over b) over a bounded item domain — the corpus-sized
+    * work (deriving comparisons) happens upstream; everything here is
+    * joins/aggregates over the |items|² grid. Items with zero wins are
+    * pinned to the MM fixed point p = 0 (they never recover under the
+    * update, and 0/… divisions would otherwise NaN the round).
+    * Portability: each denominator/normalizer addend snaps to the
+    * 1e-12 grid and sums as exact DECIMALs; the updates are IEEE
+    * divisions of those sums. Output: (item, strength, rank) by
+    * strength desc, item asc. */
+  def bradleyTerry(wins: DataFrame, itemA: String, itemB: String,
+      n: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, "bradleyTerry: 1 <= iters <= 32")
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    def d(c: Column) = c.cast("double")
+    // symmetrize once: per unordered pair carry (wins of i over j, total
+    // comparisons m); keep DIRECTED rows (i, j, w_i, m_ij) for both
+    // orientations so the per-i sums below are plain groupBys
+    val fwd = wins.select(col(itemA).as("i"), col(itemB).as("j"),
+      col(n).cast("long").as("w"))
+    val rev = wins.select(col(itemB).as("i"), col(itemA).as("j"),
+      lit(0L).as("w"))
+    val pairs = fwd.unionByName(rev)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("w")).as("w_ij"))
+    val m = pairs.select(col("i"), col("j"), col("w_ij"))
+      .join(pairs.select(col("i").as("j2"), col("j").as("i2"),
+        col("w_ij").as("w_ji")),
+        col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("w_ij"),
+        (col("w_ij") + col("w_ji")).as("m_ij"))
+      .filter(col("m_ij") > 0)
+      .localCheckpoint()
+    val itemW = m.groupBy(col("i")).agg(sum(col("w_ij")).as("w_tot"))
+    val k = itemW.agg(count(lit(1)).as("k"))
+    var p = itemW.crossJoin(broadcast(k))
+      .select(col("i").as("item"), col("w_tot"),
+        (lit(1.0) / d(col("k"))).as("p"))
+    (1 to iters).foreach { _ =>
+      val pj = p.select(col("item").as("j"), col("p").as("p_j"))
+      val upd = m
+        .join(p, col("i") === col("item"))
+        .join(pj, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(grid12(d(col("m_ij")) / (col("p") + col("p_j"))))
+          .cast("double").as("den"))
+      val raw = p.drop("p").join(upd, col("item") === col("i")).drop("i")
+        .withColumn("p_raw",
+          when(col("w_tot") > 0, d(col("w_tot")) / col("den"))
+            .otherwise(lit(0.0)))
+      val tot = raw.agg(sum(grid12(col("p_raw"))).cast("double").as("t"))
+      // localCheckpoint each round: the iterate feeds the NEXT round
+      // twice (p_i and p_j sides), so without it the logical plan
+      // doubles per round (2^iters analysis blow-up). The checkpoint
+      // materializes |items| rows — trivial at any corpus size, since
+      // the grid is bounded by the item domain, never the corpus.
+      p = raw.crossJoin(broadcast(tot))
+        .select(col("item"), col("w_tot"),
+          (col("p_raw") / col("t")).as("p"))
+        .localCheckpoint()
+    }
+    val wRank = Window.orderBy(col("p").desc, col("item"))
+    p.withColumn("rank", row_number().over(wRank))
+      .select(col("item"), round(col("p"), 6).as("strength"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Sharp regression-discontinuity estimate at a cutoff — the causal
+    * readout when treatment flips deterministically at a threshold of
+    * a running variable (credit limits, eligibility scores, ranking
+    * cutoffs): fit a local linear regression on each side of the
+    * cutoff within ±`bandwidth` and report the jump in the fitted
+    * value AT the cutoff. Completes the quasi-experimental battery
+    * (q225 DiD needs a pre-period, q226 IPW needs overlap, q275 PSM
+    * needs conditional ignorability; RD needs only the threshold
+    * rule + continuity).
+    *
+    * Portability: x and y are money-scale (≤ 2 decimals), so the five
+    * per-side OLS moments Σ1, Σx, Σy, Σx², Σxy accumulate EXACTLY as
+    * DECIMAL(38,6)-cast products of grid values; slope/intercept are
+    * the closed-form IEEE expressions of those exact moments (the q248
+    * recipe) with x centered at the cutoff so each intercept IS the
+    * fitted value at the cutoff. One conditional-aggregate pass.
+    * Output: one row (n_left, n_right, slope_left, slope_right,
+    * y0_left, y0_right, rd_effect), effect = y0_right − y0_left. */
+  def rddEstimate(df: DataFrame, running: Column, outcome: Column,
+      cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "rddEstimate: bandwidth > 0")
+    def d(c: Column) = c.cast("double")
+    def dec6(c: Column) = c.cast(DecimalType(38, 6))
+    val base = df
+      .filter(running.isNotNull && outcome.isNotNull)
+      .select((running - lit(cutoff)).as("x"), outcome.as("y"))
+      .filter(abs(col("x")) < lit(bandwidth))
+      .withColumn("r", col("x") >= 0)
+    def side(flag: Boolean, suf: String) = Seq(
+      sum(when(col("r") === flag, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col("r") === flag, dec6(col("x")))).as(s"sx_$suf"),
+      sum(when(col("r") === flag, dec6(col("y")))).as(s"sy_$suf"),
+      sum(when(col("r") === flag, dec6(col("x") * col("x"))))
+        .as(s"sxx_$suf"),
+      sum(when(col("r") === flag, dec6(col("x") * col("y"))))
+        .as(s"sxy_$suf"))
+    val agg = side(false, "l") ++ side(true, "r")
+    val mom = base.agg(agg.head, agg.tail: _*)
+    def fit(suf: String): (Column, Column) = {
+      val nn = d(col(s"n_$suf"))
+      val sx = d(col(s"sx_$suf")); val sy = d(col(s"sy_$suf"))
+      val sxx = d(col(s"sxx_$suf")); val sxy = d(col(s"sxy_$suf"))
+      val b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+      val a = (sy - b * sx) / nn
+      (b, a)
+    }
+    val (bl, al) = fit("l"); val (br, ar) = fit("r")
+    mom.select(
+      col("n_l").as("n_left"), col("n_r").as("n_right"),
+      round(bl, 6).as("slope_left"), round(br, 6).as("slope_right"),
+      round(al, 6).as("y0_left"), round(ar, 6).as("y0_right"),
+      round(ar - al, 6).as("rd_effect"))
+  }
+
+  /** Wald instrumental-variable estimate with a binary instrument —
+    * the causal effect of a (self-selected, confounded) binary
+    * treatment when an as-if-random ENCOURAGEMENT exists (holdout
+    * flags, staggered invites, hash-based exposure): β = (ȳ₁ − ȳ₀) /
+    * (x̄₁ − x̄₀) over instrument arms — the intent-to-treat outcome
+    * gap rescaled by the first-stage compliance gap, i.e. exactly
+    * two-stage least squares for one binary instrument. Reports the
+    * ITT and first stage alongside β so a weak instrument
+    * (first_stage ≈ 0) is visible rather than silently blowing up.
+    *
+    * One conditional-aggregate pass: per-arm counts as longs, Σx as
+    * longs (binary treatment), Σy as exact DECIMAL(38,9) sums (the
+    * outcome contract: ≤ 9 decimals — feed 1e-9-gridded values); the
+    * three estimates are IEEE expressions of those exact components.
+    * Output: one row (n_z0, n_z1, mean_x_z0, mean_x_z1, mean_y_z0,
+    * mean_y_z1, first_stage, itt, beta_iv). */
+  def ivWald(df: DataFrame, instrument: Column, treatment: Column,
+      outcome: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec6(c: Column) = c.cast(DecimalType(38, 9))
+    val base = df.filter(instrument.isNotNull && treatment.isNotNull &&
+        outcome.isNotNull)
+      .select(instrument.cast("int").as("z"),
+        treatment.cast("long").as("x"), outcome.as("y"))
+    val mom = base.agg(
+      sum(when(col("z") === 0, 1L).otherwise(0L)).as("n_z0"),
+      sum(when(col("z") === 1, 1L).otherwise(0L)).as("n_z1"),
+      sum(when(col("z") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("z") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("z") === 0, dec6(col("y")))).as("sy0"),
+      sum(when(col("z") === 1, dec6(col("y")))).as("sy1"))
+    val x0 = d(col("sx0")) / d(col("n_z0"))
+    val x1 = d(col("sx1")) / d(col("n_z1"))
+    val y0 = d(col("sy0")) / d(col("n_z0"))
+    val y1 = d(col("sy1")) / d(col("n_z1"))
+    mom.select(
+      col("n_z0"), col("n_z1"),
+      round(x0, 6).as("mean_x_z0"), round(x1, 6).as("mean_x_z1"),
+      round(y0, 6).as("mean_y_z0"), round(y1, 6).as("mean_y_z1"),
+      round(x1 - x0, 6).as("first_stage"),
+      round(y1 - y0, 6).as("itt"),
+      round((y1 - y0) / (x1 - x0), 6).as("beta_iv"))
+  }
+
+  /** Friedman rank test for k related treatments over n blocks — the
+    * repeated-measures sibling of [[kruskalWallisReport]] (KW assumes
+    * independent groups; Friedman ranks WITHIN each block, so
+    * block-level shifts cancel — "do the k variants differ, given
+    * every user saw all k?"). Only COMPLETE blocks (all k treatments
+    * present) enter, the standard requirement. Uses the tie-corrected
+    * form χ² = (k−1)·Σ_j(R_j − n(k+1)/2)² / (Σr² − nk(k+1)²/4),
+    * which reduces to the classic statistic when no ties exist.
+    *
+    * Portability: within-block average ranks are rank() + (ties−1)/2 —
+    * multiples of 0.5, exact in doubles; every sum (R_j, Σr²) snaps
+    * to the 1e-9 grid and accumulates as exact DECIMALs; the statistic
+    * is one IEEE expression of those sums. The corpus collapses to the
+    * (block × treatment) relation in one aggregation; ranking windows
+    * partition BY BLOCK (k rows each), never globally. Output: one row
+    * (n_blocks, k, chi2_f); the χ²(k−1) decision is the caller's
+    * table lookup (data-dependent dof — the chiSquareReport rule). */
+  def friedmanTest(df: DataFrame, block: Column, treatment: Column,
+      response: Column): DataFrame = {
+    val cell = df.filter(block.isNotNull && treatment.isNotNull &&
+        response.isNotNull)
+      .groupBy(block.as("blk"), treatment.as("trt"))
+      .agg((sum(grid(response)).cast("double") / lit(1e9) /
+        count(lit(1)).cast("double")).as("y"))
+    val k = cell.agg(countDistinct(col("trt")).as("k"))
+    val complete = cell
+      .withColumn("kb", count(lit(1))
+        .over(Window.partitionBy(col("blk"))))
+      .crossJoin(broadcast(k))
+      .filter(col("kb") === col("k"))
+    val wBlk = Window.partitionBy(col("blk")).orderBy(col("y"))
+    val ties = Window.partitionBy(col("blk"), col("y"))
+    val ranked = complete
+      .withColumn("rmin", rank().over(wBlk))
+      .withColumn("t", count(lit(1)).over(ties))
+      .withColumn("r",
+        col("rmin").cast("double") +
+          (col("t") - 1).cast("double") / lit(2.0))
+    def d(c: Column) = c.cast("double")
+    val perTrt = ranked.groupBy(col("trt"))
+      .agg(max(col("k")).as("k"),
+        count(lit(1)).as("n"),
+        (sum(dec(grid(col("r")))).cast("double") / lit(1e9)).as("rj"),
+        (sum(dec(grid(col("r") * col("r")))).cast("double") / lit(1e9))
+          .as("sr2"))
+    perTrt.agg(
+        max(col("n")).as("n_blocks"), max(col("k")).as("k"),
+        sum(dec(grid((col("rj") - d(col("n")) * (d(col("k")) + 1) / lit(2.0)) *
+          (col("rj") - d(col("n")) * (d(col("k")) + 1) / lit(2.0)))))
+          .as("num9"),
+        sum(dec(grid(col("sr2")))).as("sr29"))
+      .select(col("n_blocks"), col("k"),
+        round((d(col("k")) - 1) * (col("num9").cast("double") / lit(1e9)) /
+          ((col("sr29").cast("double") / lit(1e9)) -
+            d(col("n_blocks")) * d(col("k")) * (d(col("k")) + 1) *
+              (d(col("k")) + 1) / lit(4.0)), 6).as("chi2_f"))
+  }
+
+  /** Cochran's Q test for k related BINARY treatments over n blocks —
+    * [[friedmanTest]]'s 0/1 special case ("do the k variants differ
+    * in success RATE, given every user saw all k?"). Same
+    * complete-block rule. Q = k(k−1)·Σ_j(C_j − N/k)² /
+    * (k·ΣR_i − ΣR_i²) with C_j column successes, R_i block successes,
+    * N total — every component an exact integer, so the statistic is
+    * one IEEE expression of exact DECIMAL sums and hash-proves with
+    * no grid at all. One aggregation to the (block × treatment)
+    * relation; the block/column sums are grid-sized. Output: one row
+    * (n_blocks, k, q_stat). */
+  def cochranQ(df: DataFrame, block: Column, treatment: Column,
+      success: Column): DataFrame = {
+    val cell = df.filter(block.isNotNull && treatment.isNotNull)
+      .groupBy(block.as("blk"), treatment.as("trt"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("x"))
+    val k = cell.agg(countDistinct(col("trt")).as("k"))
+    val complete = cell
+      .withColumn("kb", count(lit(1))
+        .over(Window.partitionBy(col("blk"))))
+      .crossJoin(broadcast(k))
+      .filter(col("kb") === col("k"))
+      .localCheckpoint()
+    def d(c: Column) = c.cast("double")
+    val perBlk = complete.groupBy(col("blk"))
+      .agg(sum(col("x")).as("ri"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("ri"))).as("sum_r"),
+        sum(dec(col("ri")) * dec(col("ri"))).as("sum_r2"))
+    val perTrt = complete.groupBy(col("trt"))
+      .agg(sum(col("x")).as("cj"))
+      .agg(count(lit(1)).as("k"),
+        sum(dec(col("cj"))).as("nn"),
+        sum(dec(col("cj")) * dec(col("cj"))).as("sum_c2"))
+    perBlk.crossJoin(broadcast(perTrt))
+      // Σ(C_j − N/k)² = ΣC_j² − N²/k, kept in exact decimals as
+      // (k·ΣC_j² − N²)/k via the IEEE chain below. The denominator is
+      // 0 exactly when every block is all-success or all-failure —
+      // the statistic is undefined there (no within-block variation
+      // to test), reported as null rather than a divide error
+      .select(col("n_blocks"), col("k"),
+        when(d(col("k")) * d(col("sum_r")) - d(col("sum_r2")) =!= 0.0,
+          round(
+            (d(col("k")) - 1) *
+              (d(col("k")) * d(col("sum_c2")) - d(col("nn")) * d(col("nn"))) /
+              (d(col("k")) * d(col("sum_r")) - d(col("sum_r2"))), 6))
+          .as("q_stat"))
+  }
+
+  /** Kish effective sample size + design effect of a weighted corpus —
+    * the one-row readout that tells a curation pipeline what a
+    * reweighting (e.g. [[rake2]]) COST in statistical power:
+    * n_eff = (Σw)²/Σw², deff = n/n_eff ≥ 1. Takes any (weight,
+    * multiplicity) relation — pass n = 1 rows for per-row weights or
+    * the raked grid's (weight, n) cells; Σw = Σ m·w and Σw² = Σ m·w²
+    * fold identically either way. Weights snap to the 1e-6 grid (the
+    * rake2 output contract) so w and w² sums accumulate as exact
+    * DECIMALs. Output: one row (n_rows, sum_w, n_eff, deff). */
+  def kishReport(cells: DataFrame, weight: Column,
+      multiplicity: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val w6 = round(weight * lit(1e6)).cast("long")
+    val agg = cells.filter(weight.isNotNull)
+      .agg(sum(multiplicity.cast("long")).as("n_rows"),
+        sum(dec(multiplicity) * dec(w6)).as("sw6"),
+        sum(dec(multiplicity) * dec(w6) * dec(w6)).as("sww12"))
+    agg.select(col("n_rows"),
+      round(d(col("sw6")) / lit(1e6), 6).as("sum_w"),
+      round((d(col("sw6")) / lit(1e6)) * (d(col("sw6")) / lit(1e6)) /
+        (d(col("sww12")) / lit(1e12)), 6).as("n_eff"),
+      round(d(col("n_rows")) * (d(col("sww12")) / lit(1e12)) /
+        ((d(col("sw6")) / lit(1e6)) * (d(col("sw6")) / lit(1e6))), 6)
+        .as("deff"))
+  }
+
+  /** Gumbel (type-I extreme value) tail fit by the method of moments —
+    * the capacity-planning readout over a maxima-shaped column ("what
+    * is the chance a value exceeds t?"): β = s·√6/π, μ = m − γ·β from
+    * the exact first two moments, then P(X > t) = 1 − exp(−exp(−(t−μ)/β)).
+    * Moment matching is the standard closed-form Gumbel estimator —
+    * no iteration, so the whole fit is one conditional-aggregate pass.
+    *
+    * Portability: values are money-grid (≤ 2 decimals), so Σv and Σv²
+    * accumulate exactly as DECIMAL(38,6); m, s and the plug-in
+    * probability are IEEE expressions of those exact moments (√6 and
+    * √ are correctly rounded by IEEE-754; γ and π are embedded as the
+    * same 17-digit literals in both engines; exp's last-ulp wiggle
+    * dies in the final round). Output: one row (n, mean, sd, mu,
+    * beta, p_exceed). */
+  def gumbelTail(df: DataFrame, value: Column, threshold: Double): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec6(c: Column) = c.cast(DecimalType(38, 6))
+    val mom = df.filter(value.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(value)).as("sv"),
+        sum(dec6(value * value)).as("svv"))
+    val m = d(col("sv")) / d(col("n"))
+    val variance = (d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n"))) /
+      (d(col("n")) - 1)
+    val s = sqrt(variance)
+    val beta = s * sqrt(lit(6.0)) / lit(3.141592653589793)
+    val mu = m - lit(0.5772156649015329) * beta
+    val z = (lit(threshold) - mu) / beta
+    mom.select(col("n"),
+      round(m, 6).as("mean"), round(s, 6).as("sd"),
+      round(mu, 6).as("mu"), round(beta, 6).as("beta"),
+      round(lit(1.0) - exp(-exp(-z)), 6).as("p_exceed"))
+  }
+
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-group binary rates — the estimator a curation pipeline
+    * should publish instead of raw per-source quality rates: small
+    * sources' noisy rates shrink toward the corpus mean in proportion
+    * to their evidence, shrunk_j = (s_j + M·m)/(n_j + M) with prior
+    * strength M = m(1−m)/var_p − 1 matched to the observed
+    * between-group variance (var_p = Σn_j(p_j−m)² / Σn_j). When the
+    * observed spread is at/under binomial noise (M undefined or
+    * negative) M clamps to 0 — no shrinkage rather than a NaN.
+    *
+    * One aggregation to the per-group (n, s) relation, one grid-sized
+    * second pass for the variance (each n·(p−m)² addend snapped to
+    * the 1e-9 grid, summed as exact DECIMALs), then pure IEEE
+    * per-group arithmetic. Output: (group, n, successes, raw_rate,
+    * shrunk_rate, prior_m, prior_strength) ascending by group. */
+  def ebShrinkRates(df: DataFrame, group: Column,
+      success: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val per = df.filter(group.isNotNull)
+      .groupBy(group.cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("s"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"))
+    val wMean = d(col("ts")) / d(col("tn"))
+    val varP = per.crossJoin(broadcast(tot))
+      .withColumn("m", wMean)
+      .select(col("m"), col("tn"),
+        grid(d(col("n")) * (d(col("s")) / d(col("n")) - col("m")) *
+          (d(col("s")) / d(col("n")) - col("m"))).as("g"))
+      .agg(max(col("m")).as("m"), max(col("tn")).as("tn"),
+        (sum(dec(col("g"))).cast("double") / lit(1e9) /
+          max(col("tn")).cast("double")).as("var_p"))
+    val withPrior = varP
+      .withColumn("mm", when(col("var_p") > 0,
+        greatest(lit(0.0),
+          col("m") * (lit(1.0) - col("m")) / col("var_p") - 1))
+        .otherwise(lit(0.0)))
+    per.crossJoin(broadcast(withPrior))
+      .select(col("grp").as("group_key"), col("n"), col("s").as("successes"),
+        round(d(col("s")) / d(col("n")), 6).as("raw_rate"),
+        round((d(col("s")) + col("mm") * col("m")) /
+          (d(col("n")) + col("mm")), 6).as("shrunk_rate"),
+        round(col("m"), 6).as("prior_m"),
+        round(col("mm"), 6).as("prior_strength"))
+      .orderBy(col("group_key"))
+  }
+
+  /** Effect-size panel over [[chiSquareReport]] — significance says
+    * "not chance", these say "how big": Cramér's V (the bounded [0,1]
+    * association strength, comparable across table shapes), the phi
+    * coefficient, and Pearson's contingency coefficient. Pure IEEE
+    * functions of the report's (chi2, n, levels) row — zero extra
+    * corpus work. Output: one row (n, levels_a, levels_b, dof, chi2,
+    * phi, cramers_v, contingency_c). */
+  def chiSquareEffects(df: DataFrame, a: Column, b: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    chiSquareReport(df, a, b)
+      .withColumn("phi", round(sqrt(col("chi2") / d(col("n"))), 6))
+      .withColumn("cramers_v", round(sqrt(col("chi2") / (d(col("n")) *
+        (least(col("levels_a"), col("levels_b")) - 1).cast("double"))), 6))
+      .withColumn("contingency_c",
+        round(sqrt(col("chi2") / (col("chi2") + d(col("n")))), 6))
   }
 }

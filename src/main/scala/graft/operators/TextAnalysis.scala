@@ -1490,4 +1490,186 @@ object TextAnalysis {
         round(col("_score").cast("double"), 6).as("score"))
       .orderBy(col("id"))
   }
+
+  /** Per-group Jensen–Shannon divergence (bits) between each group's
+    * unigram distribution and the REST of the corpus — the bounded
+    * [0,1] drift readout that completes the distribution-shift battery
+    * (PSI needs bins, KS is one-dimensional, EMD needs a metric; JSD
+    * reads any discrete distribution, is symmetric, and never
+    * divides by zero, so new-vocabulary mass — KL's failure mode —
+    * contributes finitely).
+    *
+    * Sparse-lattice algebra: with p = term share in the group and q =
+    * its share in the rest, terms absent from the group contribute 0
+    * on the p-side and exactly q·log2(2) = q bits on the q-side, so
+    * the whole q-side tail of terms the group never saw collapses to
+    * ½·(1 − Σ_{t∈group} q_t) — the computation touches only the
+    * OBSERVED (group × term) grid, never a dense group×vocab cross.
+    *
+    * Scale + portability: one corpus explode aggregates to the
+    * (group, term) grid; term totals derive from the grid; p and q are
+    * IEEE ratios of exact longs, each log2 term snaps to the 1e-12
+    * grid and sums as exact DECIMALs. Output: (group, n_terms,
+    * n_tokens, jsd_bits) ascending by group — 0 = identical mix,
+    * 1 = disjoint vocabulary. */
+  def jsDivergenceByGroup(docs: DataFrame, text: String,
+      group: Column): DataFrame =
+    jsDivergenceFromCounts(docs
+      .select(group.as("g"), explode(tokens(col(text))).as("term"))
+      .groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("c_gt"))
+      .localCheckpoint())
+
+  /** [[jsDivergenceByGroup]] over a pre-aggregated (g, term, c_gt)
+    * grid — shared by the batch form and [[jsdMerged]] so the
+    * streaming-maintained monitor reads the identical report. */
+  def jsDivergenceFromCounts(gt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: Column) = c.cast("double")
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val perGroup = gt.groupBy(col("g"))
+      .agg(sum(col("c_gt")).as("t_g"), count(lit(1)).as("n_terms"))
+    val perTerm = gt.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
+    val total = gt.agg(sum(col("c_gt")).as("tt"))
+    val scored = gt
+      .join(perGroup, "g")
+      .join(perTerm, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("p", d(col("c_gt")) / d(col("t_g")))
+      .withColumn("q",
+        d(col("c_t") - col("c_gt")) / d(col("tt") - col("t_g")))
+      // per observed term: ½p·log2(2p/(p+q)) + ½q·log2(2q/(p+q));
+      // q = 0 (group-only term) drops the q half, p > 0 always here.
+      // log2 spelled ln(x)/ln(2) so the oracle mirrors the exact same
+      // IEEE composition (DuckDB's native log2 is a different code
+      // path; ln is the one transcendental both engines agree on to
+      // the last ulp in practice — the q133/q273 precedent)
+      .withColumn("term_bits", grid12(
+        lit(0.5) * col("p") *
+          (log(lit(2.0) * col("p") / (col("p") + col("q"))) / log(lit(2.0))) +
+        when(col("q") > 0, lit(0.5) * col("q") *
+          (log(lit(2.0) * col("q") / (col("p") + col("q"))) / log(lit(2.0))))
+          .otherwise(lit(0.0))))
+      .groupBy(col("g"))
+      .agg(max(col("n_terms")).as("n_terms"), max(col("t_g")).as("n_tokens"),
+        sum(col("term_bits")).cast("double").as("_seen"),
+        // the unseen-tail q mass: ½·(1 − Σ q over the group's terms)
+        sum(grid12(col("q"))).cast("double").as("_qseen"))
+    scored.select(col("g").as("grp"), col("n_terms"), col("n_tokens"),
+        round(col("_seen") + lit(0.5) * (lit(1.0) - col("_qseen")), 6)
+          .as("jsd_bits"))
+      .orderBy(col("grp"))
+  }
+
+  /** Streaming twin of [[jsDivergenceByGroup]] — the standing drift
+    * monitor form (psi/ks/emd ingests watch a NUMERIC column; this
+    * watches the full unigram MIX per source): each micro-batch lands
+    * its (g, term, c_gt) counts as an idempotent batch_id delta
+    * partition (the [[termCountsIngest]] contract — replayed ids
+    * rewrite their own partition, so crash-window redelivery is
+    * exactly-once), and [[jsdMerged]] reads the folded grid through
+    * the SAME [[jsDivergenceFromCounts]] the batch form uses, so
+    * streamed == batch bit-for-bit. State is the observed
+    * (source × term) grid — vocabulary-bounded, never corpus-bounded. */
+  def jsdIngest(group: Column, text: String, prefix: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
+      graft.operators.Sketches.writeDelta(
+        batch.select(group.as("g"), explode(tokens(col(text))).as("term"))
+          .groupBy(col("g"), col("term")).agg(count(lit(1)).as("c_gt")),
+        batchId, prefix)
+    }
+
+  /** The per-source JSD report over everything [[jsdIngest]] landed —
+    * identical to [[jsDivergenceByGroup]] over the union of all
+    * ingested batches. */
+  def jsdMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): DataFrame =
+    jsDivergenceFromCounts(
+      spark.table(s"${prefix}_deltas")
+        .groupBy(col("g"), col("term")).agg(sum(col("c_gt")).as("c_gt"))
+        .localCheckpoint())
+
+  /** Zipf-law fit of the corpus rank–frequency curve — the one-row
+    * corpus-health diagnostic (natural language sits near slope −1;
+    * a flat slope flags boilerplate/template floods, a cliff flags
+    * truncated or deduplicated-to-death text): OLS of ln(freq) on
+    * ln(rank) over the top `topV` terms, reporting slope, intercept,
+    * and R². One corpus explode collapses to the (term, c) grid; the
+    * ranking window and the five OLS moments run over the top-V spine
+    * only. Each ln snaps to the 1e-12 grid and the moments sum as
+    * exact DECIMALs; slope/intercept/R² are IEEE expressions of those
+    * exact moments (the q248 closed-form recipe). Output: one row
+    * (n_terms, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, text: String, topV: Int): DataFrame = {
+    require(topV >= 3, "zipfFit: topV >= 3")
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: Column) = c.cast("double")
+    def grid12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val counts = docs
+      .select(explode(tokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topV)
+      .select(grid12(log(d(col("rk")))).as("x"),
+        grid12(log(d(col("c")))).as("y"))
+    val mom = top.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(grid12(d(col("x")) * d(col("x")))).cast("double").as("sxx"),
+      sum(grid12(d(col("x")) * d(col("y")))).cast("double").as("sxy"),
+      sum(grid12(d(col("y")) * d(col("y")))).cast("double").as("syy"))
+    val nn = d(col("n"))
+    val cov = nn * col("sxy") - col("sx") * col("sy")
+    val vx = nn * col("sxx") - col("sx") * col("sx")
+    val vy = nn * col("syy") - col("sy") * col("sy")
+    mom.select(col("n").as("n_terms"),
+      round(cov / vx, 6).as("slope"),
+      round((col("sy") - (cov / vx) * col("sx")) / nn, 6).as("intercept"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  /** Vocabulary churn between adjacent corpus periods — the
+    * "is the language itself drifting?" readout that complements
+    * [[jsDivergenceByGroup]] (JSD weighs the whole mix; churn asks
+    * specifically whether the HEAD of the distribution turned over):
+    * per period take the top-`topK` terms by (count desc, term), then
+    * for each adjacent period pair report the overlap and Jaccard of
+    * those two sets. One corpus explode to the (period, term) grid;
+    * ranking windows partition per period; the pair join touches only
+    * the 2·topK rows per pair. Output: (period_a, period_b, k,
+    * n_common, jaccard) ascending — Jaccard of equal-size-k sets,
+    * so jaccard = common/(2k − common). */
+  def vocabChurn(docs: DataFrame, text: String, period: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "vocabChurn: topK >= 1")
+    def d(c: Column) = c.cast("double")
+    val tp = docs
+      .select(period.cast("long").as("p"), explode(tokens(col(text))).as("term"))
+      .groupBy(col("p"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("c").desc, col("term"))
+    val top = tp.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("p"), col("term"))
+      .localCheckpoint()
+    val sizes = top.groupBy(col("p")).agg(count(lit(1)).as("kk"))
+    val a = top.select(col("p").as("pa"), col("term"))
+      .join(sizes.select(col("p").as("pa"), col("kk").as("ka")), "pa")
+    val b = top.select(col("p").as("pb"), col("term"))
+      .join(sizes.select(col("p").as("pb"), col("kk").as("kb")), "pb")
+    a.join(b, col("pb") === col("pa") + 1 && a("term") === b("term"))
+      .groupBy(col("pa").as("period_a"), col("pb").as("period_b"))
+      .agg(max(col("ka")).as("ka"), max(col("kb")).as("kb"),
+        count(lit(1)).as("n_common"))
+      .select(col("period_a"), col("period_b"),
+        col("ka").as("k"), col("n_common"),
+        (d(col("n_common")) /
+          d(col("ka") + col("kb") - col("n_common"))).as("jaccard"))
+      .orderBy(col("period_a"))
+  }
 }

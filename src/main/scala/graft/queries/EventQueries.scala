@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -3051,5 +3052,318 @@ object EventQueries {
         "semantics involved). State per user is its event count — the " +
         "per-key linear scan every CEP engine runs; 'ee' storms and " +
         "'ep' rage-buys fall out of one pass.")
+  ) ++ Seq(
+
+    // ---- q278: exact Shapley-value channel attribution ---------------------
+    "q278_shapley_attribution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = Tables.events(s, d)
+        // per-user channel-presence mask (bit i set iff > 13 events of
+        // type i — engagement, not mere membership: the fixture gives
+        // every user every type) and a conversion flag on the exact
+        // purchase-value grid
+        val mask = types.zipWithIndex.map { case (t, i) =>
+          when(sum(when(col("event_type") === t, 1L).otherwise(0L)) > 13,
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val conv = when(
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * lit(1e9)).cast("long")).otherwise(0L))
+            > lit(650000000000L), 1L).otherwise(0L)
+        val u = ev.groupBy(col("user_id"))
+          .agg(mask.as("m"), conv.as("conv"))
+        val coal = u.groupBy(col("m"))
+          .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+          .localCheckpoint()
+        // the full coalition lattice is a 32×5 LITERAL grid (n=5
+        // channels): Shapley weights |S|!(n−1−|S|)!/n! precomputed as
+        // exact driver-side doubles, S∪{i} masks precomputed so both
+        // probes are plain equi-joins
+        val wBySz = Array(0.2, 0.05, 1.0 / 30, 0.05, 0.2)
+        val grid = (for {
+          m <- 0 until 32; ch <- 0 until 5 if ((m >> ch) & 1) == 0
+        } yield (m.toLong, ch, m.toLong | (1L << ch),
+          wBySz(Integer.bitCount(m)))).toDF("m", "ch", "mi", "w")
+        def dd(c: Column) = c.cast("double")
+        val cs = coal.select(col("m").as("s_m"), col("nu").as("s_nu"),
+          col("nc").as("s_nc"))
+        val ci = coal.select(col("m").as("i_m"), col("nu").as("i_nu"),
+          col("nc").as("i_nc"))
+        val terms = grid
+          .join(cs, col("m") === col("s_m"), "left")
+          .join(ci, col("mi") === col("i_m"), "left")
+          .withColumn("t", col("w") * (
+            coalesce(dd(col("i_nc")) / dd(col("i_nu")), lit(0.0)) -
+              coalesce(dd(col("s_nc")) / dd(col("s_nu")), lit(0.0))))
+        val phi = terms.groupBy(col("ch"))
+          .agg(sum(round(col("t"), 12).cast(DecimalType(28, 12))).as("p"))
+        val wAll = Window.partitionBy()
+        phi
+          .withColumn("sp", sum(col("p")).over(wAll))
+          .select(
+            when(col("ch") === 0, "click").when(col("ch") === 1, "error")
+              .when(col("ch") === 2, "purchase")
+              .when(col("ch") === 3, "signup").otherwise("view")
+              .as("channel"),
+            round(dd(col("p")), 6).as("phi"),
+            round(dd(col("p")) / dd(col("sp")), 6).as("share"))
+          .orderBy(col("channel"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+            CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END
+            + 2 * CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END
+            + 4 * CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END
+            + 8 * CASE WHEN SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END
+            + 16 * CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END
+              AS m,
+            CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 1e9) AS BIGINT) ELSE 0 END)
+              > 650000000000 THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY 1),
+        coal AS (
+          SELECT m, CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(conv) AS BIGINT) AS nc
+          FROM u GROUP BY 1),
+        grid AS (
+          SELECT s.m, c.ch, s.m | (1 << c.ch) AS mi,
+                 CAST(((s.m >> 0) & 1) + ((s.m >> 1) & 1) + ((s.m >> 2) & 1)
+                   + ((s.m >> 3) & 1) + ((s.m >> 4) & 1) AS INT) AS sz
+          FROM (SELECT unnest(range(0, 32)) AS m) s
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS ch) c
+          WHERE ((s.m >> c.ch) & 1) = 0),
+        gw AS (
+          SELECT m, ch, mi,
+                 CASE sz WHEN 0 THEN CAST('0.2' AS DOUBLE)
+                         WHEN 1 THEN CAST('0.05' AS DOUBLE)
+                         WHEN 2 THEN CAST(1 AS DOUBLE) / 30
+                         WHEN 3 THEN CAST('0.05' AS DOUBLE)
+                         ELSE CAST('0.2' AS DOUBLE) END AS w
+          FROM grid),
+        terms AS (
+          SELECT g.ch,
+                 g.w * (
+                   coalesce(CAST(ci.nc AS DOUBLE) / CAST(ci.nu AS DOUBLE),
+                     CAST('0.0' AS DOUBLE))
+                   - coalesce(CAST(cs.nc AS DOUBLE) / CAST(cs.nu AS DOUBLE),
+                     CAST('0.0' AS DOUBLE))) AS t
+          FROM gw g
+          LEFT JOIN coal cs ON cs.m = g.m
+          LEFT JOIN coal ci ON ci.m = g.mi),
+        phi AS (
+          SELECT ch, SUM(CAST(round(t, 12) AS DECIMAL(28,12))) AS p
+          FROM terms GROUP BY 1),
+        tot AS (SELECT SUM(p) AS sp FROM phi)
+        SELECT CASE ch WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                       WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                       ELSE 'view' END AS channel,
+               round(CAST(p AS DOUBLE), 6) AS phi,
+               round(CAST(p AS DOUBLE) / CAST(sp AS DOUBLE), 6) AS share
+        FROM phi CROSS JOIN tot ORDER BY channel"""),
+      "Exact Shapley-value channel attribution — the game-theoretic " +
+        "credit split that last-touch (q140) and linear (q178) " +
+        "attribution approximate: each channel's φ averages its " +
+        "marginal conversion lift over every coalition, with the " +
+        "|S|!(n−1−|S|)!/n! weights precomputed as exact driver " +
+        "literals. n=5 channels makes the coalition lattice a 32×5 " +
+        "LITERAL grid, so the whole computation after one per-user " +
+        "corpus pass is two broadcast equi-joins over ≤32 observed " +
+        "coalitions — exact Shapley is exponential in CHANNELS, " +
+        "linear in corpus, which is why the bounded-panel contract " +
+        "(≤~20 channels) is the honest scale story. Coalition values " +
+        "are pure integer conversion-rate ratios; unobserved " +
+        "coalitions contribute v = 0 (the standard observed-lattice " +
+        "convention); φ sums snap to the 1e-12 grid."),
+
+    // ---- q279: two-group log-rank survival test ----------------------------
+    "q279_logrank" -> Q(
+      (s, d) => graft.operators.EventOps.logRank(
+        Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts"))),
+        "user_id", "ep",
+        isStart = col("event_type") === "view",
+        isEvent = col("event_type") === "purchase",
+        group = col("user_id") % 2),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, $EPOCH AS ep FROM events
+        ), pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+                 MAX(ep) AS t_last,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ep END) AS te_any,
+                 MIN(user_id % 2) AS g
+          FROM e GROUP BY user_id
+        ), u AS (
+          SELECT g, CASE WHEN te_any >= t0 THEN te_any END AS te,
+                 t0, t_last
+          FROM pu WHERE t0 IS NOT NULL
+        ), du AS (
+          SELECT g, te IS NOT NULL AS observed,
+                 CAST(floor((COALESCE(te, t_last) - t0) / 86400.0) AS BIGINT)
+                   AS dur
+          FROM u
+        ), bd AS (
+          SELECT dur,
+                 SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c_a,
+                 SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c_b,
+                 SUM(CASE WHEN observed AND g = 0 THEN 1 ELSE 0 END) AS d_a,
+                 SUM(CASE WHEN observed AND g = 1 THEN 1 ELSE 0 END) AS d_b
+          FROM du GROUP BY dur
+        ), tot AS (
+          SELECT CAST(SUM(c_a) AS BIGINT) AS tot_a,
+                 CAST(SUM(c_b) AS BIGINT) AS tot_b FROM bd
+        ), risk AS (
+          SELECT dur, d_a, d_b, tot_a, tot_b,
+                 tot_a - COALESCE(SUM(c_a) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_a,
+                 tot_b - COALESCE(SUM(c_b) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_b
+          FROM bd CROSS JOIN tot
+        ), ev AS (
+          SELECT dur, d_a, d_b, tot_a, tot_b, n_a, n_b,
+                 d_a + d_b AS dd, n_a + n_b AS nn
+          FROM risk WHERE d_a + d_b > 0
+        ), terms AS (
+          SELECT tot_a, tot_b, d_a, d_b,
+                 CAST(round(CAST(n_a AS DOUBLE) * CAST(dd AS DOUBLE)
+                   / CAST(nn AS DOUBLE), 12) AS DECIMAL(28,12)) AS e_a,
+                 CASE WHEN nn > 1 THEN CAST(round(
+                   CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * CAST(dd AS DOUBLE) * CAST(nn - dd AS DOUBLE)
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                      * CAST(nn - 1 AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) END AS v
+          FROM ev
+        ), agg AS (
+          SELECT CAST(MAX(tot_a) AS BIGINT) AS n_users_a,
+                 CAST(MAX(tot_b) AS BIGINT) AS n_users_b,
+                 CAST(SUM(d_a) AS BIGINT) AS obs_a,
+                 CAST(SUM(e_a) AS DOUBLE) AS exp_a_raw,
+                 CAST(SUM(d_b) AS BIGINT) AS obs_b,
+                 CAST(SUM(v) AS DOUBLE) AS var_raw
+          FROM terms
+        ), fin AS (
+          SELECT n_users_a, n_users_b, obs_a, exp_a_raw, obs_b, var_raw,
+                 round((CAST(obs_a AS DOUBLE) - exp_a_raw)
+                   * (CAST(obs_a AS DOUBLE) - exp_a_raw) / var_raw, 6)
+                   AS chi2
+          FROM agg)
+        SELECT n_users_a, n_users_b, obs_a,
+               round(exp_a_raw, 6) AS exp_a, obs_b,
+               round(CAST(obs_a + obs_b AS DOUBLE) - exp_a_raw, 6) AS exp_b,
+               chi2, chi2 > 3.841459 AS significant
+        FROM fin"""),
+      "Two-group log-rank test — the significance layer over q133's " +
+        "Kaplan-Meier curves (a censored time-to-event outcome biases " +
+        "any naive mean/z-test; log-rank is the standard answer): at " +
+        "each event duration the 2×2 group×event table contributes " +
+        "hypergeometric expectation and variance, and (O−E)²/V is " +
+        "chi-square(1) under the null. The corpus collapses to the " +
+        "bounded (duration × group) spine in ONE aggregation; risk " +
+        "sets are cumulative windows over the spine; e/v terms snap " +
+        "to the 1e-12 grid and sum as exact DECIMALs."),
+
+    // ---- q281: K-step Markov state-distribution forecast -------------------
+    "q281_markov_stationary" -> Q(
+      (s, d) => graft.operators.EventOps.markovStationary(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        iters = 16),
+      Some {
+        val iterCtes = (1 to 16).map { i =>
+          val prev = if (i == 1) "d0" else s"d${i - 1}"
+          s"""d$i AS (
+          SELECT p.dst AS state,
+                 CAST(SUM(CAST(round(d.pi * p.p, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS pi
+          FROM $prev d JOIN p ON d.state = p.src GROUP BY 1)"""
+        }.mkString(", ")
+        s"""
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY $TS, event_id) AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2
+        ), p AS MATERIALIZED (
+          SELECT src, dst, CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+          FROM t
+        ), kk AS (SELECT COUNT(DISTINCT src) AS k FROM p),
+        d0 AS (
+          SELECT DISTINCT src AS state, 1.0 / CAST(k AS DOUBLE) AS pi
+          FROM p CROSS JOIN kk
+        ), $iterCtes
+        SELECT state, round(pi, 6) AS pi FROM d16 ORDER BY state"""
+      },
+      "16-step Markov state-distribution forecast over the q146 " +
+        "transition matrix — 'where do user journeys settle': π ← πP " +
+        "iterated from uniform, DEFINED as the exact K-step iterate " +
+        "so both engines reproduce it bit-for-bit whether or not the " +
+        "chain has mixed. One lead() pass collapses the corpus to the " +
+        "|types|² grid (localCheckpointed — iteration never re-reads " +
+        "the corpus); each step is a join+aggregate over that bounded " +
+        "grid with every π·p addend snapped to the 1e-12 grid and " +
+        "summed as exact DECIMALs. The oracle unrolls the same 16 " +
+        "matvecs as generated CTEs."),
+
+    // ---- q287: Markov absorption probability (convert vs abandon) ----------
+    "q287_markov_absorption" -> Q(
+      (s, d) => graft.operators.EventOps.markovAbsorption(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        convert = "purchase", abandon = "error", iters = 24),
+      Some {
+        val iterCtes = (1 to 24).map { i =>
+          val prev = if (i == 1) "a0" else s"a${i - 1}"
+          s"""a$i AS (
+          SELECT tb.src AS state, tb.direct + COALESCE(c.acc, 0.0) AS a
+          FROM tb LEFT JOIN (
+            SELECT tr.src, CAST(SUM(CAST(round(tr.p * ap.a, 12)
+              AS DECIMAL(28,12))) AS DOUBLE) AS acc
+            FROM tr JOIN $prev ap ON tr.dst = ap.state
+            GROUP BY tr.src) c
+          ON tb.src = c.src)"""
+        }.mkString(", ")
+        s"""
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY $TS, event_id) AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL AND src NOT IN ('purchase', 'error')
+          GROUP BY 1, 2
+        ), p AS MATERIALIZED (
+          SELECT src, dst, CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+          FROM t
+        ), tb AS MATERIALIZED (
+          SELECT src, COALESCE(SUM(CASE WHEN dst = 'purchase'
+                 THEN p END), 0.0) AS direct
+          FROM p GROUP BY src
+        ), tr AS MATERIALIZED (
+          SELECT * FROM p WHERE dst NOT IN ('purchase', 'error')
+        ), a0 AS (
+          SELECT src AS state, 0.0 AS a FROM tb
+        ), $iterCtes
+        SELECT state, round(a, 6) AS p_convert FROM a24 ORDER BY state"""
+      },
+      "Absorption probability of the journey chain — 'will this user " +
+        "CONVERT or ABANDON from here', the computational core of " +
+        "Markov removal-effect attribution: purchase/error redefined " +
+        "as absorbing, each transient state reports its probability " +
+        "of reaching purchase first, via 24 rounds of the monotone " +
+        "fixed point a ← P(→convert) + P(transient)·a (DEFINED as " +
+        "the exact iterate — deterministic on both engines). Same " +
+        "scale shape as q281: one lead() pass to the checkpointed " +
+        "|types|² grid, rounds are grid-only joins with 1e-12-snapped " +
+        "DECIMAL sums; the oracle unrolls the same 24 rounds.")
   )
 }

@@ -557,7 +557,65 @@ object MaintenanceQueries {
         "successor point is a FORWARD broadcast as-of join (q130's " +
         "direction) with the wraparound as a literal fallback — the " +
         "binary-search-on-a-ring every router runs, expressed as the " +
-        "existing as-of operator over a 128-row dimension.")
+        "existing as-of operator over a 128-row dimension."),
+
+    // ---- q276: CDC changeset apply (MERGE INTO semantics) ------------------
+    "q276_cdc_merge" -> Q(
+      (s, d) => {
+        val base = Tables.customer(s, d)
+        // deterministic compacted changeset: one op per touched key —
+        // updates (+100 balance) on keys ≡0 (mod 10), deletes on ≡1,
+        // inserts (offset key space) on ≡2
+        val upd = base.filter(col("c_custkey") % 10 === 0)
+          .select(lit("U").as("op"), col("c_custkey"), col("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+            col("c_mktsegment"))
+        val del = base.filter(col("c_custkey") % 10 === 1)
+          .select(lit("D").as("op"), col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        val ins = base.filter(col("c_custkey") % 10 === 2)
+          .select(lit("I").as("op"),
+            (col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            concat(lit("new_"), col("c_name")).as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        graft.Catalog.applyChangeSet(base, changes, "c_custkey")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH ch AS (
+          SELECT 'U' AS op, c_custkey, c_name, c_nationkey,
+                 c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT 'D', c_custkey, c_name, c_nationkey, c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT 'I', 1000000 + c_custkey, concat('new_', c_name),
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 2)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM (
+          SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+                 b.c_mktsegment
+          FROM customer b LEFT JOIN ch ON ch.c_custkey = b.c_custkey
+          WHERE ch.c_custkey IS NULL
+          UNION ALL
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM ch WHERE op <> 'D')
+        ORDER BY c_custkey"""),
+      "MERGE-INTO semantics as one operator (Catalog.applyChangeSet): " +
+        "a compacted CDC changeset of inserts/updates/deletes applies " +
+        "in a single anti-join + union — every touched key's old image " +
+        "drops, every non-delete contributes its new image, and the " +
+        "base is never re-aggregated or sorted (a 0.1% daily changeset " +
+        "against a 100 TB snapshot costs one key-pruned join, not a " +
+        "rebuild; AQE broadcasts the changeset side when small). The " +
+        "inverse of q250's tableDiff — diff derives a changeset, this " +
+        "applies one — and the batch shape of Catalog.deleteRows' " +
+        "delete half. Hash-proved over the full row images.")
   )
 
   /** Consistent-hash ring: `vnodes` md5 positions per shard (13 hex

@@ -36,12 +36,17 @@ object StatQueries {
       (s, d) => Stats.chiSquareReport(Tables.lineitem(s, d),
         col("l_returnflag"), col("l_linestatus")),
       Some("""
-        WITH cells AS (
+        WITH cells0 AS MATERIALIZED (
           SELECT l_returnflag AS ca, l_linestatus AS cb,
                  CAST(COUNT(*) AS BIGINT) AS o
           FROM lineitem
           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
           GROUP BY 1, 2),
+        cells AS (
+          SELECT la.ca, lb.cb, COALESCE(o, CAST(0 AS BIGINT)) AS o
+          FROM (SELECT DISTINCT ca FROM cells0) la
+          CROSS JOIN (SELECT DISTINCT cb FROM cells0) lb
+          LEFT JOIN cells0 USING (ca, cb)),
         m AS (
           SELECT ca, cb, o,
                  SUM(o) OVER (PARTITION BY ca) AS rm,
@@ -1651,9 +1656,498 @@ object StatQueries {
         "is exactly a big-big as-of join, not an O(n²) pair search); " +
         "the |Δ| axis is a unique covariate-dominant composite so " +
         "both engines resolve ties identically; per-stratum and " +
-        "overall ATT are integer-grid sums with one IEEE division.")
+        "overall ATT are integer-grid sums with one IEEE division."),
+
+    // ---- q277: IPF raking to uniform margins -------------------------------
+    "q277_raking" -> Q(
+      (s, d) => Stats.rake2(Tables.customer(s, d),
+        col("c_nationkey"), col("c_mktsegment"), iters = 3),
+      Some(s"""
+        WITH $RakeChain
+        SELECT row_key, col_key, n, round(w6, 6) AS weight,
+               round(w6 * CAST(n AS DOUBLE), 6) AS fitted
+        FROM c3 ORDER BY row_key, col_key"""),
+      "Iterative proportional fitting (raking) of the nation × " +
+        "segment grid to uniform target margins — the survey-" +
+        "weighting / corpus-rebalancing primitive: three row/column " +
+        "scaling rounds leave weighted counts matching the row " +
+        "targets exactly and the column targets to IPF's geometric " +
+        "rate, reweighting a skewed corpus to a target mix without " +
+        "resampling a row. One corpus aggregation to the bounded " +
+        "grid, then six window passes over the CELLS; every margin " +
+        "sum snaps w·n to the 1e-9 grid and sums as exact DECIMALs, " +
+        "so the whole iteration is a mirrored IEEE chain and the " +
+        "final weights hash-prove."),
+
+    // ---- q282: Bradley-Terry preference strengths ---------------------------
+    "q282_bradley_terry" -> Q(
+      (s, d) => {
+        val cnt = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val a = cnt.select(col("user_id"), col("event_type").as("i"),
+          col("c").as("ca"))
+        val b = cnt.select(col("user_id").as("u2"),
+          col("event_type").as("j"), col("c").as("cb"))
+        val wins = a.join(b,
+            col("user_id") === col("u2") && col("i") =!= col("j") &&
+              col("ca") > col("cb"))
+          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+        graft.operators.Stats.bradleyTerry(wins, "i", "j", "n", iters = 8)
+      },
+      Some {
+        // every CTE that is referenced more than once is MATERIALIZED:
+        // DuckDB otherwise INLINES each reference, which rescans the
+        // whole chain per use — across 8 unrolled MM rounds that is
+        // exponential re-reading of events.parquet (observed as a
+        // "too many open files" blow-up at sf0.01)
+        val iterCtes = (1 to 8).map { r =>
+          val prev = if (r == 1) "p0" else s"p${r - 1}"
+          s"""u$r AS (
+          SELECT m.i, CAST(SUM(CAST(round(CAST(m_ij AS DOUBLE)
+                 / (pi.p + pj.p), 12) AS DECIMAL(28,12))) AS DOUBLE) AS den
+          FROM m JOIN $prev pi ON m.i = pi.item
+                 JOIN $prev pj ON m.j = pj.item
+          GROUP BY 1
+        ), r$r AS MATERIALIZED (
+          SELECT pi.item, pi.w_tot,
+                 CASE WHEN pi.w_tot > 0
+                      THEN CAST(pi.w_tot AS DOUBLE) / u.den
+                      ELSE 0.0 END AS p_raw
+          FROM $prev pi JOIN u$r u ON pi.item = u.i
+        ), t$r AS (
+          SELECT CAST(SUM(CAST(round(p_raw, 12) AS DECIMAL(28,12)))
+            AS DOUBLE) AS t FROM r$r
+        ), p$r AS MATERIALIZED (
+          SELECT item, w_tot, p_raw / t AS p FROM r$r CROSS JOIN t$r)"""
+        }.mkString(", ")
+        s"""
+        WITH cnt AS MATERIALIZED (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ), w AS MATERIALIZED (
+          SELECT a.event_type AS i, b.event_type AS j,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cnt a JOIN cnt b
+            ON a.user_id = b.user_id AND a.event_type <> b.event_type
+          WHERE a.c > b.c GROUP BY 1, 2
+        ), both_dir AS (
+          SELECT i, j, n AS win FROM w
+          UNION ALL SELECT j AS i, i AS j, 0 AS win FROM w
+        ), pairs AS MATERIALIZED (
+          SELECT i, j, CAST(SUM(win) AS BIGINT) AS w_ij
+          FROM both_dir GROUP BY 1, 2
+        ), m AS MATERIALIZED (
+          SELECT p1.i, p1.j, p1.w_ij, p1.w_ij + p2.w_ij AS m_ij
+          FROM pairs p1 JOIN pairs p2 ON p1.i = p2.j AND p1.j = p2.i
+          WHERE p1.w_ij + p2.w_ij > 0
+        ), iw AS (
+          SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w_tot FROM m GROUP BY i
+        ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM iw),
+        p0 AS MATERIALIZED (
+          SELECT i AS item, w_tot, 1.0 / CAST(k AS DOUBLE) AS p
+          FROM iw CROSS JOIN kk
+        ), $iterCtes
+        SELECT item, round(p, 6) AS strength,
+               CAST(ROW_NUMBER() OVER (ORDER BY p DESC, item) AS INT)
+                 AS rank
+        FROM p8 ORDER BY rank"""
+      },
+      "Bradley-Terry preference strengths via 8 MM rounds — the " +
+        "preference-aggregation primitive under RLHF preference data " +
+        "and ranker eval: P(i beats j) = p_i/(p_i+p_j) fit to a " +
+        "pairwise-wins grid (here: per-user engagement duels — i " +
+        "beats j for a user when the user fired i more often). The " +
+        "corpus-sized work is ONE per-user count aggregation; the " +
+        "duel derivation and every MM round are joins over the " +
+        "|types|² grid. Output is DEFINED as the exact 8-round " +
+        "iterate; denominator/normalizer addends snap to the 1e-12 " +
+        "grid and sum as exact DECIMALs, the oracle unrolls the same " +
+        "rounds as generated CTEs."),
+
+    // ---- q283: sharp regression-discontinuity estimate ---------------------
+    "q283_rdd" -> Q(
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(Tables.moneySum(col("o_totalprice")).as("y"))
+        val base = Tables.customer(s, d)
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_acctbal"), coalesce(col("y"), lit(0.0)).as("y"))
+        graft.operators.Stats.rddEstimate(base, col("c_acctbal"),
+          col("y"), cutoff = 0.0, bandwidth = 2000.0)
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT o_custkey, ${Tables.sqlMoneySum("o_totalprice")} AS y
+          FROM orders GROUP BY o_custkey
+        ), base AS (
+          SELECT c_acctbal AS x0, COALESCE(y, 0.0) AS y
+          FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+        ), cen AS (
+          SELECT x0 - 0.0 AS x, y, (x0 - 0.0) >= 0 AS r
+          FROM base WHERE abs(x0 - 0.0) < 2000.0
+        ), mom AS (
+          SELECT
+            SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS n_l,
+            SUM(CASE WHEN NOT r THEN CAST(x AS DECIMAL(38,6)) END) AS sx_l,
+            SUM(CASE WHEN NOT r THEN CAST(y AS DECIMAL(38,6)) END) AS sy_l,
+            SUM(CASE WHEN NOT r THEN CAST(x * x AS DECIMAL(38,6)) END) AS sxx_l,
+            SUM(CASE WHEN NOT r THEN CAST(x * y AS DECIMAL(38,6)) END) AS sxy_l,
+            SUM(CASE WHEN r THEN 1 ELSE 0 END) AS n_r,
+            SUM(CASE WHEN r THEN CAST(x AS DECIMAL(38,6)) END) AS sx_r,
+            SUM(CASE WHEN r THEN CAST(y AS DECIMAL(38,6)) END) AS sy_r,
+            SUM(CASE WHEN r THEN CAST(x * x AS DECIMAL(38,6)) END) AS sxx_r,
+            SUM(CASE WHEN r THEN CAST(x * y AS DECIMAL(38,6)) END) AS sxy_r
+          FROM cen
+        ), fit AS (
+          SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+            (CAST(n_l AS DOUBLE) * CAST(sxy_l AS DOUBLE)
+              - CAST(sx_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+            / (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE)
+              - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)) AS bl,
+            (CAST(n_r AS DOUBLE) * CAST(sxy_r AS DOUBLE)
+              - CAST(sx_r AS DOUBLE) * CAST(sy_r AS DOUBLE))
+            / (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE)
+              - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)) AS br,
+            CAST(sx_l AS DOUBLE) AS sxl, CAST(sy_l AS DOUBLE) AS syl,
+            CAST(sx_r AS DOUBLE) AS sxr, CAST(sy_r AS DOUBLE) AS syr
+          FROM mom
+        ), ab AS (
+          SELECT n_left, n_right, bl, br,
+                 (syl - bl * sxl) / CAST(n_left AS DOUBLE) AS al,
+                 (syr - br * sxr) / CAST(n_right AS DOUBLE) AS ar
+          FROM fit)
+        SELECT n_left, n_right,
+               round(bl, 6) AS slope_left, round(br, 6) AS slope_right,
+               round(al, 6) AS y0_left, round(ar, 6) AS y0_right,
+               round(ar - al, 6) AS rd_effect
+        FROM ab"""),
+      "Sharp regression discontinuity at the zero-balance cutoff — " +
+        "the quasi-experimental estimate when treatment flips " +
+        "deterministically at a threshold (completes the causal " +
+        "battery: q225 DiD needs a pre-period, q226 IPW needs " +
+        "overlap, q275 PSM needs ignorability; RD needs only the " +
+        "threshold rule + continuity): local linear fits on each " +
+        "side within the bandwidth, jump of the fitted values AT the " +
+        "cutoff. One conditional-aggregate pass to ten exact " +
+        "DECIMAL(38,6) moments (money-grid inputs make every product " +
+        "exact); slopes/intercepts are the closed-form IEEE " +
+        "expressions of those moments, x centered so each intercept " +
+        "IS the value at the cutoff."),
+
+    // ---- q284: Wald instrumental-variable estimate --------------------------
+    "q284_iv_wald" -> Q(
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("clicks"),
+            (sum(when(col("event_type") === "purchase",
+              round(col("value") * lit(1e9)).cast("long")).otherwise(0L))
+              .cast("double") / lit(1e9)).as("y"))
+          .select((col("user_id") % 2).as("z"),
+            (col("clicks") > 13).cast("int").as("x"), col("y"))
+        graft.operators.Stats.ivWald(perUser, col("z"), col("x"), col("y"))
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id % 2 AS z,
+            CASE WHEN SUM(CASE WHEN event_type = 'click'
+                   THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 1e9) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e9 AS y
+          FROM events GROUP BY user_id
+        ), mom AS (
+          SELECT
+            CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z0,
+            CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_z1,
+            SUM(CASE WHEN z = 0 THEN CAST(x AS BIGINT) ELSE 0 END) AS sx0,
+            SUM(CASE WHEN z = 1 THEN CAST(x AS BIGINT) ELSE 0 END) AS sx1,
+            SUM(CASE WHEN z = 0 THEN CAST(y AS DECIMAL(38,9)) END) AS sy0,
+            SUM(CASE WHEN z = 1 THEN CAST(y AS DECIMAL(38,9)) END) AS sy1
+          FROM pu
+        ), est AS (
+          SELECT n_z0, n_z1,
+                 CAST(sx0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS x0,
+                 CAST(sx1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) AS x1,
+                 CAST(sy0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS y0,
+                 CAST(sy1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) AS y1
+          FROM mom)
+        SELECT n_z0, n_z1,
+               round(x0, 6) AS mean_x_z0, round(x1, 6) AS mean_x_z1,
+               round(y0, 6) AS mean_y_z0, round(y1, 6) AS mean_y_z1,
+               round(x1 - x0, 6) AS first_stage,
+               round(y1 - y0, 6) AS itt,
+               round((y1 - y0) / (x1 - x0), 6) AS beta_iv
+        FROM est"""),
+      "Wald instrumental-variable estimate with a binary instrument " +
+        "— the causal effect of a self-selected treatment when an " +
+        "as-if-random encouragement exists (holdouts, staggered " +
+        "invites, hash-based exposure): the intent-to-treat outcome " +
+        "gap rescaled by the first-stage compliance gap = exactly " +
+        "2SLS for one binary instrument. First stage and ITT are " +
+        "reported alongside β so a weak instrument is visible rather " +
+        "than silently exploding. One per-user pass + one " +
+        "conditional-aggregate pass; outcome sums are exact " +
+        "DECIMAL(38,9) over the 1e-9 value grid."),
+
+    // ---- q285: Friedman rank test (repeated measures) -----------------------
+    "q285_friedman" -> Q(
+      (s, d) => Stats.friedmanTest(Tables.events(s, d),
+        col("user_id"), col("event_type"), col("value")),
+      Some("""
+        WITH cell AS (
+          SELECT user_id AS blk, event_type AS trt,
+                 CAST(SUM(CAST(round(value * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 / CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY 1, 2),
+        kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cell),
+        complete AS (
+          SELECT * FROM (
+            SELECT cell.*, k,
+                   COUNT(*) OVER (PARTITION BY blk) AS kb
+            FROM cell CROSS JOIN kk)
+          WHERE kb = k),
+        ranked AS (
+          SELECT trt, k,
+                 CAST(RANK() OVER (PARTITION BY blk ORDER BY y) AS DOUBLE)
+                   + CAST(COUNT(*) OVER (PARTITION BY blk, y) - 1 AS DOUBLE)
+                     / 2.0 AS r
+          FROM complete),
+        pt AS (
+          SELECT trt, MAX(k) AS k, COUNT(*) AS n,
+                 CAST(SUM(CAST(CAST(round(r * 1e9) AS BIGINT)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS rj,
+                 CAST(SUM(CAST(CAST(round(r * r * 1e9) AS BIGINT)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS sr2
+          FROM ranked GROUP BY trt),
+        agg AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+                 CAST(MAX(k) AS BIGINT) AS k,
+                 SUM(CAST(CAST(round(
+                   (rj - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1) / 2.0)
+                   * (rj - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1) / 2.0)
+                   * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS num9,
+                 SUM(CAST(CAST(round(sr2 * 1e9) AS BIGINT)
+                   AS DECIMAL(38,0))) AS sr29
+          FROM pt)
+        SELECT n_blocks, k,
+               round((CAST(k AS DOUBLE) - 1)
+                 * (CAST(num9 AS DOUBLE) / 1e9)
+                 / ((CAST(sr29 AS DOUBLE) / 1e9)
+                    - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                      * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) + 1)
+                      / 4.0), 6) AS chi2_f
+        FROM agg"""),
+      "Friedman rank test across the event-type panel with users as " +
+        "blocks — the repeated-measures sibling of q231's Kruskal-" +
+        "Wallis (KW assumes independent groups; Friedman ranks WITHIN " +
+        "each user, cancelling user-level spending shifts). Tie-" +
+        "corrected form over within-block average ranks (exact " +
+        "multiples of 0.5); only complete blocks enter. One " +
+        "aggregation to the (user × type) relation, per-BLOCK ranking " +
+        "windows (k rows each — never a global sort), every rank sum " +
+        "snapped to the 1e-9 grid into exact DECIMALs."),
+
+    // ---- q286: Cochran's Q (related binary treatments) ----------------------
+    "q286_cochran_q" -> Q(
+      (s, d) => Stats.cochranQ(Tables.events(s, d),
+        col("user_id"), col("event_type"), col("value") > 200.0),
+      Some("""
+        WITH cell AS (
+          SELECT user_id AS blk, event_type AS trt,
+                 MAX(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS x
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cell),
+        complete AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT cell.*, k,
+                   COUNT(*) OVER (PARTITION BY blk) AS kb
+            FROM cell CROSS JOIN kk)
+          WHERE kb = k),
+        pb AS (SELECT blk, CAST(SUM(x) AS BIGINT) AS ri
+               FROM complete GROUP BY blk),
+        pba AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 SUM(CAST(ri AS DECIMAL(38,0))) AS sum_r,
+                 SUM(CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0)))
+                   AS sum_r2
+          FROM pb),
+        pt AS (SELECT trt, CAST(SUM(x) AS BIGINT) AS cj
+               FROM complete GROUP BY trt),
+        pta AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(CAST(cj AS DECIMAL(38,0))) AS nn,
+                 SUM(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0)))
+                   AS sum_c2
+          FROM pt)
+        SELECT n_blocks, k,
+               CASE WHEN CAST(k AS DOUBLE) * CAST(sum_r AS DOUBLE)
+                         - CAST(sum_r2 AS DOUBLE) <> 0.0
+               THEN round((CAST(k AS DOUBLE) - 1)
+                 * (CAST(k AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+                    - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sum_r AS DOUBLE)
+                    - CAST(sum_r2 AS DOUBLE)), 6) END AS q_stat
+        FROM pba CROSS JOIN pta"""),
+      "Cochran's Q across the event-type panel — q285's 0/1 special " +
+        "case: 'do the k variants differ in high-value-event RATE, " +
+        "given every user saw all k?'. Every component (block/column " +
+        "success totals and their squares) is an exact integer " +
+        "accumulated as DECIMAL, so the statistic is a single IEEE " +
+        "expression with no float grid at all. One aggregation to the " +
+        "(user × type) panel; complete blocks only."),
+
+    // ---- q288: Kish effective sample size of the raked weights --------------
+    "q288_design_effect" -> Q(
+      (s, d) => Stats.kishReport(
+        Stats.rake2(Tables.customer(s, d),
+          col("c_nationkey"), col("c_mktsegment"), iters = 3),
+        col("weight"), col("n")),
+      Some(s"""
+        WITH $RakeChain,
+        rw AS (
+          SELECT n, round(w6, 6) AS weight FROM c3),
+        agg AS (
+          SELECT CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS n_rows,
+                 SUM(CAST(n AS DECIMAL(38,0))
+                   * CAST(CAST(round(weight * 1e6) AS BIGINT)
+                       AS DECIMAL(38,0))) AS sw6,
+                 SUM(CAST(n AS DECIMAL(38,0))
+                   * CAST(CAST(round(weight * 1e6) AS BIGINT)
+                       AS DECIMAL(38,0))
+                   * CAST(CAST(round(weight * 1e6) AS BIGINT)
+                       AS DECIMAL(38,0))) AS sww12
+          FROM rw WHERE weight IS NOT NULL)
+        SELECT n_rows,
+               round(CAST(sw6 AS DOUBLE) / 1e6, 6) AS sum_w,
+               round((CAST(sw6 AS DOUBLE) / 1e6) * (CAST(sw6 AS DOUBLE) / 1e6)
+                 / (CAST(sww12 AS DOUBLE) / 1e12), 6) AS n_eff,
+               round(CAST(n_rows AS DOUBLE) * (CAST(sww12 AS DOUBLE) / 1e12)
+                 / ((CAST(sw6 AS DOUBLE) / 1e6)
+                    * (CAST(sw6 AS DOUBLE) / 1e6)), 6) AS deff
+        FROM agg"""),
+      "Kish effective sample size + design effect of the q277 raked " +
+        "weights — what the reweighting COST in statistical power: " +
+        "n_eff = (Σw)²/Σw², deff = n/n_eff ≥ 1. Rides the raked GRID " +
+        "(weight, multiplicity) — Σw folds as Σ n·w — so the whole " +
+        "readout is grid-sized after q277's one corpus aggregation; " +
+        "weights snap to the 1e-6 grid and every sum is an exact " +
+        "DECIMAL. The standard survey-sampling companion every " +
+        "corpus-rebalancing pass should publish next to its weights."),
+
+    // ---- q290: chi-square effect-size panel ---------------------------------
+    "q290_chi2_effects" -> Q(
+      (s, d) => Stats.chiSquareEffects(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderstatus")),
+      Some("""
+        WITH cells0 AS MATERIALIZED (
+          SELECT o_orderpriority AS ca, o_orderstatus AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+          GROUP BY 1, 2),
+        cells AS (
+          SELECT la.ca, lb.cb, COALESCE(o, CAST(0 AS BIGINT)) AS o
+          FROM (SELECT DISTINCT ca FROM cells0) la
+          CROSS JOIN (SELECT DISTINCT cb FROM cells0) lb
+          LEFT JOIN cells0 USING (ca, cb)),
+        m AS (
+          SELECT ca, cb, o,
+                 SUM(o) OVER (PARTITION BY ca) AS rm,
+                 SUM(o) OVER (PARTITION BY cb) AS cm,
+                 SUM(o) OVER () AS n
+          FROM cells),
+        g AS (
+          SELECT ca, cb, o, n,
+                 CAST(round(
+                   (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                     * 1e9) AS BIGINT) AS gr
+          FROM (SELECT *,
+                  CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE) AS e
+                FROM m)),
+        rep AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT ca) AS BIGINT) AS levels_a,
+                 CAST(COUNT(DISTINCT cb) AS BIGINT) AS levels_b,
+                 CAST((COUNT(DISTINCT ca) - 1) * (COUNT(DISTINCT cb) - 1)
+                   AS BIGINT) AS dof,
+                 CAST(SUM(gr) AS DOUBLE) / 1e9 AS chi2
+          FROM g)
+        SELECT n, levels_a, levels_b, dof, chi2,
+               round(sqrt(chi2 / CAST(n AS DOUBLE)), 6) AS phi,
+               round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(levels_a, levels_b) - 1 AS DOUBLE))), 6)
+                 AS cramers_v,
+               round(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
+                 AS contingency_c
+        FROM rep"""),
+      "Effect-size panel over the priority × status contingency " +
+        "table — significance (q214) says 'not chance', this says " +
+        "'how BIG': Cramér's V (bounded [0,1], comparable across " +
+        "table shapes), phi, and Pearson's contingency coefficient, " +
+        "all pure IEEE functions of the chi-square report's one row — " +
+        "zero extra corpus work beyond the q214-class cell " +
+        "aggregation. The practical-significance gate a drift alert " +
+        "should carry at 100 TB, where chi-square flags everything.")
   )
 
   private val W = "string_split(text, ' ')"
   private val TS = "CAST(ts AS TIMESTAMP)"
+
+  /** The q277 IPF chain (cells → … → c3), shared with q288's Kish
+    * readout so both oracles rake identically. */
+  private val RakeChain = """cells AS (
+          SELECT CAST(c_nationkey AS VARCHAR) AS row_key,
+                 c_mktsegment AS col_key,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer
+          WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+          GROUP BY 1, 2),
+        tots AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(DISTINCT row_key) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT col_key) AS BIGINT) AS n_cols
+          FROM cells),
+        i0 AS (
+          SELECT c.*, t.tot, t.n_rows, t.n_cols, CAST(1 AS DOUBLE) AS w
+          FROM cells c CROSS JOIN tots t),
+        r1 AS (
+          SELECT *, w * ((CAST(tot AS DOUBLE) / CAST(n_rows AS DOUBLE))
+            / (CAST(SUM(CAST(round(w * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY row_key) AS DOUBLE) / 1e9)) AS w1
+          FROM i0),
+        c1 AS (
+          SELECT *, w1 * ((CAST(tot AS DOUBLE) / CAST(n_cols AS DOUBLE))
+            / (CAST(SUM(CAST(round(w1 * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY col_key) AS DOUBLE) / 1e9)) AS w2
+          FROM r1),
+        r2 AS (
+          SELECT *, w2 * ((CAST(tot AS DOUBLE) / CAST(n_rows AS DOUBLE))
+            / (CAST(SUM(CAST(round(w2 * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY row_key) AS DOUBLE) / 1e9)) AS w3
+          FROM c1),
+        c2 AS (
+          SELECT *, w3 * ((CAST(tot AS DOUBLE) / CAST(n_cols AS DOUBLE))
+            / (CAST(SUM(CAST(round(w3 * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY col_key) AS DOUBLE) / 1e9)) AS w4
+          FROM r2),
+        r3 AS (
+          SELECT *, w4 * ((CAST(tot AS DOUBLE) / CAST(n_rows AS DOUBLE))
+            / (CAST(SUM(CAST(round(w4 * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY row_key) AS DOUBLE) / 1e9)) AS w5
+          FROM c2),
+        c3 AS (
+          SELECT *, w5 * ((CAST(tot AS DOUBLE) / CAST(n_cols AS DOUBLE))
+            / (CAST(SUM(CAST(round(w5 * CAST(n AS DOUBLE) * 1e9) AS BIGINT))
+                 OVER (PARTITION BY col_key) AS DOUBLE) / 1e9)) AS w6
+          FROM r3)"""
 }

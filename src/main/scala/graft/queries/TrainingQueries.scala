@@ -2049,6 +2049,108 @@ object TrainingQueries {
         "integer ratios on the 1e-12 grid summed as exact DECIMALs; " +
         "the argmax ranks by the EXACT decimal score (ties to the " +
         "lexicographically first label) so both engines pick " +
-        "identical winners.")
+        "identical winners."),
+
+    // ---- q280: per-source Jensen-Shannon divergence drift ------------------
+    "q280_jsd_drift" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.jsDivergenceByGroup(
+        Tables.documents(s, dir), "text", col("source")),
+      Some(s"""
+        WITH gt AS (
+          SELECT source AS g, unnest($W) AS term FROM documents
+        ), grid AS (
+          SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c_gt
+          FROM gt GROUP BY 1, 2
+        ), pg AS (
+          SELECT g, CAST(SUM(c_gt) AS BIGINT) AS t_g,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM grid GROUP BY g
+        ), pt AS (
+          SELECT term, CAST(SUM(c_gt) AS BIGINT) AS c_t
+          FROM grid GROUP BY term
+        ), tt AS (SELECT CAST(SUM(c_gt) AS BIGINT) AS tt FROM grid),
+        sc AS (
+          SELECT grid.g, n_terms, t_g,
+                 CAST(c_gt AS DOUBLE) / CAST(t_g AS DOUBLE) AS p,
+                 CAST(c_t - c_gt AS DOUBLE) / CAST(tt - t_g AS DOUBLE) AS q
+          FROM grid JOIN pg USING (g) JOIN pt USING (term) CROSS JOIN tt
+        ), tb AS (
+          SELECT g, n_terms, t_g,
+                 CAST(round(0.5 * p * (ln(2.0 * p / (p + q)) / ln(2.0)) +
+                   CASE WHEN q > 0
+                        THEN 0.5 * q * (ln(2.0 * q / (p + q)) / ln(2.0))
+                        ELSE 0.0 END, 12) AS DECIMAL(28,12)) AS term_bits,
+                 CAST(round(q, 12) AS DECIMAL(28,12)) AS qg
+          FROM sc
+        ), agg AS (
+          SELECT g, CAST(MAX(n_terms) AS BIGINT) AS n_terms,
+                 CAST(MAX(t_g) AS BIGINT) AS n_tokens,
+                 CAST(SUM(term_bits) AS DOUBLE) AS seen,
+                 CAST(SUM(qg) AS DOUBLE) AS qseen
+          FROM tb GROUP BY g)
+        SELECT g AS grp, n_terms, n_tokens,
+               round(seen + 0.5 * (1.0 - qseen), 6) AS jsd_bits
+        FROM agg ORDER BY grp"""),
+      "Per-source Jensen-Shannon divergence (bits) between each " +
+        "source's unigram distribution and the REST of the corpus — " +
+        "the bounded [0,1] drift readout completing the shift battery " +
+        "(PSI bins, KS is 1-D, EMD needs a metric; JSD reads any " +
+        "discrete distribution and never divides by zero, so " +
+        "new-vocabulary mass — KL's failure mode — stays finite). " +
+        "Sparse-lattice algebra: terms the group never saw collapse " +
+        "to ½·(1 − Σ q_seen), so only the OBSERVED (source × term) " +
+        "grid is touched — one corpus explode, then grid-sized " +
+        "joins; log2 spelled ln/ln(2) so both engines run the same " +
+        "IEEE composition, each term snapped to the 1e-12 grid."),
+
+    // ---- q289: Zipf rank-frequency fit --------------------------------------
+    "q289_zipf_fit" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.zipfFit(
+        Tables.documents(s, dir), "text", topV = 1000),
+      Some(s"""
+        WITH counts AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest($W) AS term FROM documents)
+          GROUP BY term
+        ), ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+          FROM counts
+        ), top AS (
+          SELECT CAST(round(ln(CAST(rk AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS y
+          FROM ranked WHERE rk <= 1000
+        ), mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                   12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE),
+                   12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE),
+                   12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+          FROM top)
+        SELECT n AS n_terms,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        FROM mom"""),
+      "Zipf-law fit of the rank-frequency curve over the top-1000 " +
+        "terms — the one-row corpus-health diagnostic (natural " +
+        "language sits near slope −1; a flat slope flags boilerplate " +
+        "floods, a cliff flags over-deduplicated text): OLS of " +
+        "ln(freq) on ln(rank) with slope, intercept, and R². One " +
+        "corpus explode to the (term, c) grid; ranking and the five " +
+        "moments run over the bounded top-V spine, each ln snapped " +
+        "to the 1e-12 grid, moments as exact DECIMALs, estimates as " +
+        "the q248 closed-form IEEE expressions.")
   )
 }

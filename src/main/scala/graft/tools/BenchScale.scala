@@ -220,7 +220,25 @@ object BenchScale {
     "q265_pareto_abc", "q266_assoc_rules", "q267_target_encoding",
     "q268_woe_iv", "q269_mrr", "q270_brier_decomposition",
     "q271_sprt_monitor", "q272_acf", "q273_naive_bayes",
-    "q274_closeness", "q275_psm_att")
+    "q274_closeness", "q275_psm_att",
+    // post-close additions: one key-pruned anti-join + union (q276 —
+    // the q155 join class), a corpus agg to the bounded nation×segment
+    // grid then windows over CELLS (q277), and one per-user pass +
+    // broadcast joins over the 32-row coalition lattice (q278)
+    "q276_cdc_merge", "q277_raking", "q278_shapley_attribution",
+    // causal/stats completion wave: bounded duration×group spine
+    // (q279), the (source × term) grid (q280 — the q202 class), the
+    // |types|² transition grid iterated (q281), per-user counts then
+    // grid-only MM rounds (q282), and one conditional-aggregate pass
+    // each (q283/q284)
+    "q279_logrank", "q280_jsd_drift", "q281_markov_stationary",
+    "q282_bradley_terry", "q283_rdd", "q284_iv_wald",
+    // panel tests over the (user × type) relation with per-BLOCK
+    // ranking windows (q285/q286), the q281-class grid iteration
+    // (q287), grid-sized readouts over q277's rake (q288) and q214's
+    // cells (q290), and the top-V-bounded OLS fit (q289)
+    "q285_friedman", "q286_cochran_q", "q287_markov_absorption",
+    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -303,7 +321,21 @@ object BenchScale {
     // q274's BFS panel are 10×-only (the q208 / q246 precedents).
     "q265_pareto_abc", "q266_assoc_rules", "q267_target_encoding",
     "q268_woe_iv", "q270_brier_decomposition", "q271_sprt_monitor",
-    "q272_acf", "q273_naive_bayes", "q275_psm_att")
+    "q272_acf", "q273_naive_bayes", "q275_psm_att",
+    // post-close: the changeset anti-join never re-aggregates the base
+    // (q276); q277/q278 reduce the corpus to bounded grids (cells /
+    // the 32-coalition lattice) before any window or join
+    "q276_cdc_merge", "q277_raking", "q278_shapley_attribution",
+    // causal/stats completion: every query reduces the corpus to a
+    // bounded spine/grid in one pass (duration×group, source×term,
+    // |types|², moments) before any window, join, or iteration
+    "q279_logrank", "q280_jsd_drift", "q281_markov_stationary",
+    "q282_bradley_terry", "q283_rdd", "q284_iv_wald",
+    // panel/grid shapes: per-BLOCK k-row ranking windows (q285/q286 —
+    // no global sort), the checkpointed-grid iteration (q287), rake-
+    // grid and contingency-cell readouts (q288/q290), top-V OLS (q289)
+    "q285_friedman", "q286_cochran_q", "q287_markov_absorption",
+    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

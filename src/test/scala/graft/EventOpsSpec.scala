@@ -275,4 +275,134 @@ class EventOpsSpec extends SparkSuite {
       EventOps.seasonalDecompose(series, "bucket", "y6", "pk", halfWindow = 1)
     }
   }
+
+  test("logRank: O and E totals balance; identical curves score ~0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    // two groups with IDENTICAL event patterns (u mod 2 pairs users
+    // with the same timeline) -> chi2 must be exactly 0
+    val rows = (0L until 40L).flatMap { u =>
+      val base = 1000000L + (u / 2) * 1000
+      Seq((u, "view", base),
+        (u, "purchase", base + 86400L * (1 + (u / 2) % 5)))
+    }
+    val df = rows.toDF("user_id", "event_type", "ep")
+    val out = EventOps.logRank(df, "user_id", "ep",
+      col("event_type") === "view", col("event_type") === "purchase",
+      col("user_id") % 2).collect().head
+    assert(out.getAs[Long]("n_users_a") == 20)
+    assert(out.getAs[Long]("n_users_b") == 20)
+    // O_a + O_b = total deaths; E_a + E_b = the same total
+    val oa = out.getAs[Long]("obs_a"); val ob = out.getAs[Long]("obs_b")
+    val ea = out.getAs[Double]("exp_a"); val eb = out.getAs[Double]("exp_b")
+    assert(math.abs((oa + ob).toDouble - (ea + eb)) < 1e-6)
+    assert(out.getAs[Double]("chi2") == 0.0)
+    assert(!out.getAs[Boolean]("significant"))
+    // now delay every group-1 conversion far beyond group 0's: the
+    // separation must produce a large, significant statistic
+    val sep = (0L until 40L).flatMap { u =>
+      val late = if (u % 2 == 1) 86400L * 40 else 86400L
+      Seq((u, "view", 1000000L), (u, "purchase", 1000000L + late))
+    }.toDF("user_id", "event_type", "ep")
+    val out2 = EventOps.logRank(sep, "user_id", "ep",
+      col("event_type") === "view", col("event_type") === "purchase",
+      col("user_id") % 2).collect().head
+    assert(out2.getAs[Double]("chi2") > 3.841459)
+    assert(out2.getAs[Boolean]("significant"))
+  }
+
+  test("markovAbsorption converges to the closed-form absorption probabilities") {
+    import spark.implicits._
+    // s1 -> {purchase .5, s2 .5}; s2 -> {error .5, s1 .5}
+    // closed form: a(s1) = 1/2 + 1/2*a(s2), a(s2) = 1/2*a(s1)
+    //           -> a(s1) = 2/3, a(s2) = 1/3
+    val rows = Seq(
+      (1L, "s1", 1L, 1), (1L, "purchase", 2L, 2),
+      (2L, "s1", 1L, 3), (2L, "s2", 2L, 4),
+      (3L, "s2", 1L, 5), (3L, "error", 2L, 6),
+      (4L, "s2", 1L, 7), (4L, "s1", 2L, 8))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventOps.markovAbsorption(rows, "user_id", "event_type",
+      "ts", "event_id", convert = "purchase", abandon = "error",
+      iters = 24)
+      .collect().map(r => r.getAs[String]("state") ->
+        r.getAs[Double]("p_convert")).toMap
+    assert(math.abs(out("s1") - 2.0 / 3) < 1e-6, out("s1"))
+    assert(math.abs(out("s2") - 1.0 / 3) < 1e-6, out("s2"))
+  }
+
+  test("markovTimeToAbsorb solves the symmetric two-state chain exactly") {
+    import spark.implicits._
+    // same chain as the absorption test: n(s1) = 1 + .5 n(s2),
+    // n(s2) = 1 + .5 n(s1) -> n = 2 for both
+    val rows = Seq(
+      (1L, "s1", 1L, 1), (1L, "purchase", 2L, 2),
+      (2L, "s1", 1L, 3), (2L, "s2", 2L, 4),
+      (3L, "s2", 1L, 5), (3L, "error", 2L, 6),
+      (4L, "s2", 1L, 7), (4L, "s1", 2L, 8))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventOps.markovTimeToAbsorb(rows, "user_id", "event_type",
+      "ts", "event_id", absorbing = Seq("purchase", "error"), iters = 48)
+      .collect().map(r => r.getAs[String]("state") ->
+        r.getAs[Double]("exp_steps")).toMap
+    assert(math.abs(out("s1") - 2.0) < 1e-6, out("s1"))
+    assert(math.abs(out("s2") - 2.0) < 1e-6, out("s2"))
+  }
+
+  test("burstiness: periodic gaps score -1, bursty gaps positive-shifted") {
+    import spark.implicits._
+    // type "tick": gaps 10,10,10 (periodic); "storm": gaps 1,1,1,97
+    val rows =
+      Seq(0L, 10L, 20L, 30L).zipWithIndex.map { case (t, i) =>
+        (1L, "tick", t, i) } ++
+      Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex.map { case (t, i) =>
+        (1L, "storm", t, 100 + i) }
+    val out = EventOps.burstiness(rows.toDF("user_id", "event_type", "ep", "event_id"),
+      "user_id", "event_type", "ep", "event_id")
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("tick").getAs[Double]("burstiness") == -1.0)
+    assert(out("tick").getAs[Double]("cv") == 0.0)
+    val g = Seq(1.0, 1.0, 1.0, 97.0)
+    val m = g.sum / g.size
+    val s = math.sqrt(g.map(x => (x - m) * (x - m)).sum / (g.size - 1))
+    assert(math.abs(out("storm").getAs[Double]("burstiness") -
+      (s - m) / (s + m)) < 1e-6)
+    assert(out("storm").getAs[Long]("n_gaps") == 4)
+  }
+
+  test("markovStationary: mass conserved and matches driver power iteration") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, sf("0.001"))
+    val out = EventOps.markovStationary(e, "user_id", "event_type",
+      "ts", "event_id", iters = 16).collect()
+    val mass = out.map(_.getAs[Double]("pi")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
+    // reference: collect the transition matrix and run the same 16
+    // matvecs in driver scala (double arithmetic, no grid) — the
+    // gridded engine run must agree to ~1e-9
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = e.withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("n")).toMap
+    val states = tr.keys.map(_._1).toSeq.distinct.sorted
+    val rowTot = states.map(s0 =>
+      s0 -> states.map(d0 => tr.getOrElse((s0, d0), 0L)).sum.toDouble).toMap
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    (1 to 16).foreach { _ =>
+      pi = states.map { d0 =>
+        d0 -> states.map(s0 =>
+          pi(s0) * tr.getOrElse((s0, d0), 0L) / rowTot(s0)).sum
+      }.toMap
+    }
+    out.foreach { r =>
+      val s0 = r.getAs[String]("state")
+      assert(math.abs(r.getAs[Double]("pi") - pi(s0)) < 1e-6,
+        s"$s0: engine ${r.getAs[Double]("pi")} vs driver ${pi(s0)}")
+    }
+  }
 }

@@ -516,6 +516,62 @@ class PlanSpec extends SparkSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
   }
 
+  test("applyChangeSet: upsert/delete semantics and one anti-join, no rebuild") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      ("U", 2L, "b2", 25.0),   // update key 2
+      ("D", 3L, "c", 30.0),    // delete key 3
+      ("I", 9L, "z", 90.0))    // insert key 9
+      .toDF("op", "k", "name", "v")
+    val out = Catalog.applyChangeSet(base, changes, "k")
+    val got = out.collect().map(r =>
+      r.getAs[Long]("k") -> (r.getAs[String]("name"), r.getAs[Double]("v")))
+      .toMap
+    assert(got == Map(1L -> ("a", 10.0), 2L -> ("b2", 25.0),
+      9L -> ("z", 90.0)))
+    // plan shape: the base is filtered by ONE anti-join then unioned —
+    // no aggregate, no sort, no window over the base
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+  }
+
+  test("q279 log-rank: one corpus lineage, no cartesian pair work") {
+    val p = plan("q279_logrank")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the (duration × group) spine is localCheckpointed, so the
+    // final plan's three consumers (totals, risk windows, sums) read
+    // the materialized spine — zero parquet rescans downstream
+    assert(p.split("Scan parquet").length - 1 == 0, p.take(2000))
+  }
+
+  test("q281 markov iteration plan never re-reads the corpus") {
+    // the transition grid is localCheckpointed before the 16 matvecs:
+    // the registered query's FINAL plan must contain zero parquet
+    // scans — all corpus work happened once, at grid build
+    val p = plan("q281_markov_stationary")
+    assert(!p.contains("Scan parquet"), p.take(1500))
+  }
+
+  test("q282 bradley-terry iteration plan is grid-only") {
+    // same contract: the duel grid and each MM iterate are
+    // checkpointed, so the final plan reads no parquet and the
+    // per-round state is |items| rows whatever the corpus size
+    val p = plan("q282_bradley_terry")
+    assert(!p.contains("Scan parquet"), p.take(1500))
+  }
+
+  test("q283/q284 are single conditional-aggregate passes") {
+    for (q <- Seq("q283_rdd", "q284_iv_wald")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(800)}")
+    }
+  }
+
   test("q275 matching runs through the native AsOfJoin exec, no cartesian") {
     val p = plan("q275_psm_att")
     assert(p.contains("AsOfJoin"), p.take(1500))

@@ -387,6 +387,64 @@ class StatsSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Double]("att_overall") == overall))
   }
 
+  test("rake2: the last-scaled margin hits its target exactly") {
+    import spark.implicits._
+    // skewed 2x3 grid
+    val df = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(5)(("a", "z")) ++ Seq.fill(5)(("b", "x")) ++
+      Seq.fill(20)(("b", "y")) ++ Seq.fill(30)(("b", "z"))
+    val out = Stats.rake2(df.toDF("r", "c"), col("r"), col("c"), iters = 3)
+      .collect()
+    val tot = 100.0
+    // column margins were scaled LAST -> each must equal tot/3 to fp
+    val colSums = out.groupBy(_.getAs[String]("col_key"))
+      .map { case (_, rows) => rows.map(_.getAs[Double]("fitted")).sum }
+    colSums.foreach(s => assert(math.abs(s - tot / 3) < 1e-3, s))
+    // row margins converge toward tot/2 (IPF geometric rate)
+    val rowSums = out.groupBy(_.getAs[String]("row_key"))
+      .map { case (_, rows) => rows.map(_.getAs[Double]("fitted")).sum }
+    rowSums.foreach(s => assert(math.abs(s - tot / 2) < 2.0, s))
+    assert(out.forall(_.getAs[Double]("weight") > 0))
+  }
+
+  test("q278 Shapley matches the permutation-enumeration definition") {
+    import org.apache.spark.sql.functions.{col => f}
+    // rebuild the coalition value table exactly as the query does
+    val ev = Tables.events(spark, sf("0.001"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val mask = types.zipWithIndex.map { case (t, i) =>
+      when(sum(when(f("event_type") === t, 1L).otherwise(0L)) > 13,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val conv = when(sum(when(f("event_type") === "purchase",
+      round(f("value") * lit(1e9)).cast("long")).otherwise(0L))
+      > lit(650000000000L), 1L).otherwise(0L)
+    val coal = ev.groupBy(f("user_id")).agg(mask.as("m"), conv.as("conv"))
+      .groupBy(f("m")).agg(count(lit(1)).as("nu"), sum(f("conv")).as("nc"))
+      .collect()
+      .map(r => r.getAs[Long]("m") ->
+        (r.getAs[Long]("nc").toDouble / r.getAs[Long]("nu"))).toMap
+    def v(m: Long): Double = coal.getOrElse(m, 0.0)
+    // phi_i = average over all 120 channel orderings of the marginal
+    // v(prefix + i) - v(prefix) — the definition the weighted-coalition
+    // sum in the query is algebra for
+    val perms = (0 until 5).permutations.toSeq
+    val phiRef = (0 until 5).map { i =>
+      i -> perms.map { p =>
+        val before = p.takeWhile(_ != i)
+        val pre = before.foldLeft(0L)((acc, ch) => acc | (1L << ch))
+        v(pre | (1L << i)) - v(pre)
+      }.sum / perms.size
+    }.toMap
+    val got = SparkEntry.queries("q278_shapley_attribution")(spark, sf("0.001"))
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Double]("phi"))
+      .toMap
+    types.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(got(t) - phiRef(i)) < 1e-5,
+        s"$t: query ${got(t)} vs enumeration ${phiRef(i)}")
+    }
+  }
+
   test("acfReport: lag 0 is 1 and an alternating series has acf(1) < 0") {
     import spark.implicits._
     // period spine built from row multiplicity: alternating 3,1,3,1...
@@ -403,5 +461,207 @@ class StatsSpec extends SparkSuite {
     // perfectly alternating: strong negative at lag 1, positive at 2
     assert(out(1).getAs[Double]("acf") < -0.8)
     assert(out(2).getAs[Double]("acf") > 0.8)
+  }
+
+  test("bradleyTerry matches the driver-side MM reference and orders by skill") {
+    import spark.implicits._
+    // a > b > c by win counts, d never wins (pinned to p = 0)
+    val wins = Seq(
+      ("a", "b", 8L), ("b", "a", 2L),
+      ("a", "c", 9L), ("c", "a", 1L),
+      ("b", "c", 7L), ("c", "b", 3L),
+      ("a", "d", 5L), ("b", "d", 5L), ("c", "d", 5L))
+      .toDF("i", "j", "n")
+    val out = Stats.bradleyTerry(wins, "i", "j", "n", iters = 8)
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Double]("strength"), r.getAs[Int]("rank"))).toMap
+    assert(out("a")._2 == 1 && out("b")._2 == 2 && out("c")._2 == 3)
+    assert(out("d")._1 == 0.0 && out("d")._2 == 4)
+    // driver-side reference: the same MM update in plain doubles
+    val items = Seq("a", "b", "c", "d")
+    val w = Map(("a","b")->8.0, ("b","a")->2.0, ("a","c")->9.0,
+      ("c","a")->1.0, ("b","c")->7.0, ("c","b")->3.0, ("a","d")->5.0,
+      ("b","d")->5.0, ("c","d")->5.0).withDefaultValue(0.0)
+    def m(i: String, j: String) = w((i, j)) + w((j, i))
+    val wTot = items.map(i => i -> items.map(j => w((i, j))).sum).toMap
+    var p = items.map(_ -> 0.25).toMap
+    (1 to 8).foreach { _ =>
+      val raw = items.map { i =>
+        i -> (if (wTot(i) > 0)
+          wTot(i) / items.filter(j => j != i && m(i, j) > 0)
+            .map(j => m(i, j) / (p(i) + p(j))).sum
+        else 0.0)
+      }.toMap
+      val t = raw.values.sum
+      p = raw.map { case (k, v) => k -> v / t }
+    }
+    items.foreach { i =>
+      assert(math.abs(out(i)._1 - p(i)) < 1e-5,
+        s"$i: engine ${out(i)._1} vs reference ${p(i)}")
+    }
+  }
+
+  test("rddEstimate recovers a planted discontinuity") {
+    import spark.implicits._
+    // y = 10 + 2x below the cutoff, y = 50 + 5x above -> jump = 40
+    val rows = (-100 to 100).filter(_ != 0).map { i =>
+      val x = i * 10.0
+      val y = if (x >= 0) 50.0 + 5.0 * x else 10.0 + 2.0 * x
+      (x, y)
+    }
+    val out = Stats.rddEstimate(rows.toDF("x", "y"), col("x"), col("y"),
+      cutoff = 0.0, bandwidth = 500.0).collect().head
+    assert(out.getAs[Long]("n_left") == 49)   // -490..-10
+    assert(out.getAs[Long]("n_right") == 49)  // 10..490 (i = 0 excluded)
+    assert(math.abs(out.getAs[Double]("slope_left") - 2.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("slope_right") - 5.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("y0_left") - 10.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("y0_right") - 50.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("rd_effect") - 40.0) < 1e-9)
+  }
+
+  test("friedmanTest equals the classic statistic on a tie-free panel") {
+    import spark.implicits._
+    // 4 blocks x 3 treatments, A < B < C in every block ->
+    // R = (4, 8, 12), classic chi2_F = 12/(nk(k+1))*sum(R^2) - 3n(k+1) = 8
+    val rows = for {
+      b <- 1 to 4
+      (t, v) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0))
+    } yield (b.toLong, t, v + b)  // block shift cancels under ranking
+    val out = Stats.friedmanTest(rows.toDF("blk", "trt", "v"),
+      col("blk"), col("trt"), col("v")).collect().head
+    assert(out.getAs[Long]("n_blocks") == 4)
+    assert(out.getAs[Long]("k") == 3)
+    assert(out.getAs[Double]("chi2_f") == 8.0)
+    // incomplete blocks are dropped: adding a 2-treatment block
+    // changes nothing
+    val extra = rows ++ Seq((9L, "A", 1.0), (9L, "B", 2.0))
+    val out2 = Stats.friedmanTest(extra.toDF("blk", "trt", "v"),
+      col("blk"), col("trt"), col("v")).collect().head
+    assert(out2.getAs[Long]("n_blocks") == 4)
+    assert(out2.getAs[Double]("chi2_f") == 8.0)
+  }
+
+  test("cochranQ matches the hand-computed statistic") {
+    import spark.implicits._
+    // success matrix: C = (4,2,1), R = (2,1,3,1), N = 7 -> Q = 14/3
+    val x = Map(
+      (1, "A") -> 1, (1, "B") -> 1, (1, "C") -> 0,
+      (2, "A") -> 1, (2, "B") -> 0, (2, "C") -> 0,
+      (3, "A") -> 1, (3, "B") -> 1, (3, "C") -> 1,
+      (4, "A") -> 1, (4, "B") -> 0, (4, "C") -> 0)
+    val rows = x.toSeq.map { case ((b, t), v) => (b.toLong, t, v.toDouble) }
+    val out = Stats.cochranQ(rows.toDF("blk", "trt", "v"),
+      col("blk"), col("trt"), col("v") > 0.5).collect().head
+    assert(out.getAs[Long]("n_blocks") == 4)
+    assert(out.getAs[Long]("k") == 3)
+    assert(math.abs(out.getAs[Double]("q_stat") - 14.0 / 3) < 1e-6)
+  }
+
+  test("kishReport: uniform weights cost nothing, concentrated weights halve n_eff") {
+    import spark.implicits._
+    val uniform = Seq((1.0, 10L), (1.0, 10L)).toDF("w", "m")
+    val u = Stats.kishReport(uniform, col("w"), col("m")).collect().head
+    assert(u.getAs[Long]("n_rows") == 20)
+    assert(u.getAs[Double]("n_eff") == 20.0)
+    assert(u.getAs[Double]("deff") == 1.0)
+    // all mass on half the rows: n_eff = (sum w)^2 / sum w^2 = 10
+    val conc = Seq((2.0, 10L), (0.0, 10L)).toDF("w", "m")
+    val c = Stats.kishReport(conc, col("w"), col("m")).collect().head
+    assert(c.getAs[Double]("n_eff") == 10.0)
+    assert(c.getAs[Double]("deff") == 2.0)
+  }
+
+  test("chiSquareEffects: perfect 2x2 association scores V = phi = 1") {
+    import spark.implicits._
+    val rows = Seq.fill(50)(("a", "x")) ++ Seq.fill(50)(("b", "y"))
+    val out = Stats.chiSquareEffects(rows.toDF("u", "v"),
+      col("u"), col("v")).collect().head
+    assert(out.getAs[Double]("chi2") == 100.0)
+    assert(out.getAs[Double]("phi") == 1.0)
+    assert(out.getAs[Double]("cramers_v") == 1.0)
+    assert(math.abs(out.getAs[Double]("contingency_c") -
+      math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("hhiReport: uniform mix scores 1/k, near-monopoly scores ~1") {
+    import spark.implicits._
+    val uniform = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("g", "w")
+    val u = Quality.hhiReport(uniform, col("g"), col("w")).collect().head
+    assert(u.getAs[Long]("n_groups") == 4)
+    assert(u.getAs[Double]("hhi") == 0.25)
+    assert(u.getAs[Double]("hhi_norm") == 0.0)
+    assert(u.getAs[Double]("n_effective") == 4.0)
+    val mono = Seq(("a", 99L), ("b", 1L)).toDF("g", "w")
+    val m = Quality.hhiReport(mono, col("g"), col("w")).collect().head
+    assert(m.getAs[Double]("hhi") == 0.9802)
+    assert(math.abs(m.getAs[Double]("hhi_norm") - 0.9604) < 1e-9)
+    assert(math.abs(m.getAs[Double]("n_effective") - 1.0 / 0.9802) < 1e-4)
+  }
+
+  test("gumbelTail matches the closed-form moment fit") {
+    import spark.implicits._
+    // 50x8 + 50x12: m = 10, var = 400/99
+    val df = (Seq.fill(50)(8.0) ++ Seq.fill(50)(12.0)).toDF("v")
+    val out = Stats.gumbelTail(df, col("v"), threshold = 15.0)
+      .collect().head
+    val m = 10.0
+    val s = math.sqrt(400.0 / 99)
+    val beta = s * math.sqrt(6.0) / math.Pi
+    val mu = m - 0.5772156649015329 * beta
+    val p = 1.0 - math.exp(-math.exp(-(15.0 - mu) / beta))
+    assert(out.getAs[Long]("n") == 100)
+    assert(math.abs(out.getAs[Double]("mean") - m) < 1e-9)
+    assert(math.abs(out.getAs[Double]("sd") - s) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mu") - mu) < 1e-6)
+    assert(math.abs(out.getAs[Double]("beta") - beta) < 1e-6)
+    assert(math.abs(out.getAs[Double]("p_exceed") - p) < 1e-6)
+  }
+
+  test("ebShrinkRates pulls small groups toward the prior, big groups barely") {
+    import spark.implicits._
+    // A: 1000 trials at 50%; B: 10 trials at 90% (noisy)
+    val rows = (1 to 1000).map(i => ("A", i % 2 == 0)) ++
+      (1 to 10).map(i => ("B", i != 1))
+    val out = Stats.ebShrinkRates(rows.toDF("g", "ok"),
+      col("g"), col("ok")).collect()
+      .map(r => r.getAs[String]("group_key") -> r).toMap
+    val m = out("A").getAs[Double]("prior_m")
+    val rawA = out("A").getAs[Double]("raw_rate")
+    val rawB = out("B").getAs[Double]("raw_rate")
+    val shrA = out("A").getAs[Double]("shrunk_rate")
+    val shrB = out("B").getAs[Double]("shrunk_rate")
+    assert(rawA == 0.5 && rawB == 0.9)
+    // both shrink toward m, B much further (10 vs 1000 trials)
+    assert(math.abs(shrA - rawA) < math.abs(shrB - rawB))
+    assert((shrB - m) * (rawB - m) >= 0 &&
+      math.abs(shrB - m) <= math.abs(rawB - m))
+    assert(out("A").getAs[Double]("prior_strength") ==
+      out("B").getAs[Double]("prior_strength"))
+    assert(out("B").getAs[Double]("prior_strength") > 0)
+  }
+
+  test("ivWald: beta = ITT / first-stage on a planted complier design") {
+    import spark.implicits._
+    // z=1 doubles treatment take-up; treated outcome +10. 200 users:
+    // z=0 -> 25% treated, z=1 -> 75% treated; y = 5 + 10x exactly
+    val rows = (0 until 200).map { i =>
+      val z = i % 2
+      // odd i: i%8 in {1,3,5,7} -> treated unless i%8==1 (75%);
+      // even i: treated when i%8==0 (25%)
+      val x = if (z == 1) (if (i % 8 != 1) 1 else 0)
+              else (if (i % 8 == 0) 1 else 0)
+      (z, x, 5.0 + 10.0 * x)
+    }
+    val out = Stats.ivWald(rows.toDF("z", "x", "y"),
+      col("z"), col("x"), col("y")).collect().head
+    val fs = out.getAs[Double]("first_stage")
+    val itt = out.getAs[Double]("itt")
+    val beta = out.getAs[Double]("beta_iv")
+    assert(out.getAs[Long]("n_z0") == 100 && out.getAs[Long]("n_z1") == 100)
+    assert(fs == 0.5)
+    assert(math.abs(itt - 5.0) < 1e-9)
+    assert(math.abs(beta - 10.0) < 1e-9)
   }
 }

@@ -1270,6 +1270,47 @@ class StreamingSpec extends SparkSuite {
       .foreach(Catalog.dropTable(spark, _))
   }
 
+  test("jsdIngest: streamed per-source JSD report equals the batch report") {
+    // the unigram-mix drift monitor: merged (source x term) deltas fed
+    // through jsDivergenceFromCounts must equal the one-shot batch
+    // report, and a replayed batch id must not shift any divergence
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_jsd"
+    try {
+      Seq(s"${prefix}_deltas", s"${prefix}_state")
+        .foreach(Catalog.dropTable(spark, _))
+      val docs = Tables.documents(spark, sf("0.001"))
+        .select(col("source"), col("text"))
+      val rows = docs.collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._2)
+      val input = MemoryStream[(String, String)]
+      val q = input.toDF().toDF("source", "text").writeStream
+        .foreachBatch(TextAnalysis.jsdIngest(col("source"), "text", prefix))
+        .start()
+      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val streamed = key(TextAnalysis.jsdMerged(spark, prefix))
+      val batch = key(TextAnalysis.jsDivergenceByGroup(
+        docs, "text", col("source")))
+      assert(streamed == batch,
+        s"extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      // replay guard: re-landing batch 0 must leave the report identical
+      TextAnalysis.jsdIngest(col("source"), "text", prefix)(
+        rows.take(5).toSeq.toDF("source", "text"), 0L)
+      assert(key(TextAnalysis.jsdMerged(spark, prefix)) == batch,
+        "a replayed batch must not shift the divergence")
+    } finally Seq(s"${prefix}_deltas", s"${prefix}_state")
+      .foreach(Catalog.dropTable(spark, _))
+  }
+
   test("sceneCutStream: emitted frames equal batch sceneSegments starts") {
     // perceptual frame skipping: the streamed cut filter must emit
     // exactly the frames batch sceneSegments reports as scene starts —

@@ -530,4 +530,58 @@ class TextAnalysisSpec extends SparkSuite {
     val sFruit = 2 * math.log(4.0 / 10.0) + math.log(4.0 / 10.0) + math.log(0.5)
     assert(math.abs(out(10L).getAs[Double]("score") - sFruit) < 1e-5)
   }
+
+  test("jsDivergenceByGroup: hand computation, symmetry, and the zero case") {
+    def log2(v: Double) = math.log(v) / math.log(2.0)
+    // A = {x x y}, B = {y z}: with two groups "rest of A" IS B, so
+    // both rows must carry the SAME (symmetric) divergence
+    val df = Seq(("A", "x x y"), ("B", "y z")).toDF("g", "text")
+    val out = TextAnalysis.jsDivergenceByGroup(df, "text", col("g"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val expected = 1.0 / 3 + (1.0 / 6) * log2(0.8) +
+      0.25 * log2(1.2) + 0.25
+    assert(math.abs(out("A").getAs[Double]("jsd_bits") - expected) < 1e-6)
+    assert(out("A").getAs[Double]("jsd_bits") ==
+      out("B").getAs[Double]("jsd_bits"))
+    assert(out("A").getAs[Long]("n_terms") == 2)
+    assert(out("A").getAs[Long]("n_tokens") == 3)
+    // identical mixes -> exactly 0; disjoint vocabularies -> exactly 1
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("g", "text")
+    TextAnalysis.jsDivergenceByGroup(same, "text", col("g")).collect()
+      .foreach(r => assert(r.getAs[Double]("jsd_bits") == 0.0))
+    val disj = Seq(("A", "x x"), ("B", "y z")).toDF("g", "text")
+    TextAnalysis.jsDivergenceByGroup(disj, "text", col("g")).collect()
+      .foreach(r => assert(r.getAs[Double]("jsd_bits") == 1.0))
+  }
+
+  test("vocabChurn: adjacent-period top-k Jaccard on a hand corpus") {
+    // period tops (k=2): p0 {a,b}, p1 {b,c}, p2 {c,d}
+    // adjacent overlaps of 1 -> jaccard = 1/3
+    val df = Seq(
+      (0L, "a a a b b x"), (1L, "b b b c c y"), (2L, "c c c d d z"))
+      .toDF("p", "text")
+    val out = TextAnalysis.vocabChurn(df, "text", col("p"), topK = 2)
+      .collect().map(r => (r.getAs[Long]("period_a"),
+        r.getAs[Long]("period_b")) -> r).toMap
+    assert(out.keySet == Set((0L, 1L), (1L, 2L)))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("k") == 2)
+      assert(r.getAs[Long]("n_common") == 1)
+      assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-9)
+    }
+  }
+
+  test("zipfFit recovers slope -1 on an exact power-law corpus") {
+    // counts 840/rank at ranks 1..4 (840, 420, 280, 210):
+    // ln c = ln 840 - ln rk exactly, so the fit is a perfect line
+    def rep(t: String, n: Int) = Seq.fill(n)(t).mkString(" ")
+    val text = Seq(rep("t1", 840), rep("t2", 420), rep("t3", 280),
+      rep("t4", 210)).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(Tuple1(text)).toDF("text"),
+      "text", topV = 4).collect().head
+    assert(out.getAs[Long]("n_terms") == 4)
+    assert(math.abs(out.getAs[Double]("slope") + 1.0) < 1e-6)
+    assert(out.getAs[Double]("r2") >= 0.999999)
+    assert(math.abs(out.getAs[Double]("intercept") - math.log(840.0)) < 1e-6)
+  }
 }
