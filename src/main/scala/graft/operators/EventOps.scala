@@ -936,6 +936,51 @@ object EventOps {
       .orderBy(col("state"))
   }
 
+  /** Next-event prediction eval of the first-order Markov model —
+    * in-engine train/test for the q146 transition matrix: train
+    * transitions on the users where `isTrain` holds, take each
+    * state's argmax successor (ties to the lexicographically first —
+    * deterministic on both engines), then score top-1 accuracy on the
+    * held-out users' consecutive pairs. The baseline every sequence
+    * model must beat, measured with the same split discipline as the
+    * q54/q104 classifiers (user-level split — no user leaks between
+    * train and test).
+    *
+    * Scale: one lead() pass builds ALL pairs; the model is the
+    * |types|²-bounded train grid reduced to |types| argmax rows
+    * (broadcast); scoring is a broadcast equi-join + counting
+    * aggregate. Accuracy is a pure integer ratio (unrounded — the
+    * bit-portable class). Output: (src, predicted, n_pairs,
+    * n_correct, accuracy) over test-observed sources, ascending;
+    * sources unseen in training carry null predicted and 0 accuracy. */
+  def nextEventEval(events: DataFrame, user: String, typeCol: String,
+      tsCol: String, idCol: String, isTrain: Column): DataFrame = {
+    val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_train", isTrain)
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("_train"), col(typeCol).as("src"), col("dst"))
+      .localCheckpoint()
+    val wArg = Window.partitionBy(col("src"))
+      .orderBy(col("n").desc, col("dst"))
+    val model = pairs.filter(col("_train"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("src").as("m_src"), col("dst").as("predicted"))
+    pairs.filter(!col("_train"))
+      .join(broadcast(model), col("src") === col("m_src"), "left")
+      .groupBy(col("src"))
+      .agg(max(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dst") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("src"))
+  }
+
   /** Inter-arrival burstiness per event type — the traffic-shape
     * diagnostic ("are clicks Poisson or do they storm?") that sizes
     * stream buffers and anomaly thresholds: per-user consecutive-gap

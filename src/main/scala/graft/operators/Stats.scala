@@ -1264,6 +1264,51 @@ object Stats {
         .as("deff"))
   }
 
+  /** Walk-forward cross-validation splits with an embargo gap — the
+    * leakage-safe eval harness for temporal data (random k-fold leaks
+    * future into past; the embargo additionally absorbs label/feature
+    * lookahead at the boundary, the de Prado "purged CV" rule): fold
+    * f trains on days [0, trainDays0 + f·stepDays), skips
+    * `embargoDays`, tests on the next `testDays`. Returns the split
+    * MANIFEST (per fold × split: day range, event and user counts) —
+    * the auditable artifact a training pipeline materializes before
+    * reading any rows.
+    *
+    * Scale: the folds spine is a literal ≤`folds·2`-row broadcast;
+    * membership is a conditional projection per event (no shuffle
+    * beyond the counting aggregate); nothing is ever sorted. Counts
+    * are exact integers. Output: (fold, split, day_start, day_end,
+    * n_events, n_users) ordered by (fold, split). */
+  def walkForwardSplits(df: DataFrame, user: Column, epCol: Column,
+      epoch0: Long, trainDays0: Int, stepDays: Int, embargoDays: Int,
+      testDays: Int, folds: Int, daySec: Long = 86400L): DataFrame = {
+    require(folds >= 1 && folds <= 64, "walkForwardSplits: 1 <= folds <= 64")
+    require(trainDays0 >= 1 && stepDays >= 0 && embargoDays >= 0 &&
+      testDays >= 1, "walkForwardSplits: nonsensical window sizes")
+    val spark = df.sparkSession
+    val spine = spark.createDataFrame(
+      (0 until folds).flatMap { f =>
+        val trEnd = trainDays0 + f * stepDays
+        val teStart = trEnd + embargoDays
+        Seq((f, "train", 0L, trEnd.toLong),
+          (f, "test", teStart.toLong, (teStart + testDays).toLong))
+      }).toDF("fold", "split", "day_start", "day_end")
+    val days = df.filter(user.isNotNull && epCol.isNotNull)
+      .select(user.as("u"),
+        floor((epCol - lit(epoch0)).cast("double") / lit(daySec.toDouble))
+          .cast("long").as("day"))
+    days.join(broadcast(spine),
+        col("day") >= col("day_start") && col("day") < col("day_end"))
+      .groupBy(col("fold"), col("split"))
+      .agg(max(col("day_start")).as("day_start"),
+        max(col("day_end")).as("day_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("u")).as("n_users"))
+      .select(col("fold"), col("split"), col("day_start"), col("day_end"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("fold"), col("split"))
+  }
+
   /** Gumbel (type-I extreme value) tail fit by the method of moments —
     * the capacity-planning readout over a maxima-shaped column ("what
     * is the chance a value exceeds t?"): β = s·√6/π, μ = m − γ·β from

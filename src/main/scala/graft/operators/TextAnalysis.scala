@@ -1632,6 +1632,57 @@ object TextAnalysis {
       round(cov * cov / (vx * vy), 6).as("r2"))
   }
 
+  /** Quantile normalization of a per-group value column onto the
+    * POOLED distribution — the cross-source score-alignment primitive
+    * (per-source quality scores are not comparable: source A's 0.7
+    * may be source B's 0.9; mapping every source through its own CDF
+    * onto the pooled quantiles makes one global threshold mean the
+    * same thing everywhere — the microarray-normalization recipe
+    * applied to corpus curation): each row's within-group
+    * percent_rank indexes a `gridSize`-point pooled-quantile spine,
+    * and the spine value at that index is the normalized score.
+    *
+    * Scale: the pooled spine materializes once as gridSize+1 rows
+    * (broadcast); per-row work is a within-GROUP ranking window (the
+    * group is the parallelism unit) + one broadcast equi-join on the
+    * grid index — no global sort of the corpus, no big-big join.
+    * Ranks are unique (id tiebreak), percent_rank is an IEEE ratio of
+    * exact integers, and the grid index round is identical half-away
+    * rounding in both engines. Output: (id, grp, value, norm_value)
+    * ordered by id. */
+  def quantileNormalize(df: DataFrame, id: String, group: Column,
+      value: Column, gridSize: Int = 1024): DataFrame = {
+    require(gridSize >= 2, "quantileNormalize: gridSize >= 2")
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(group.isNotNull && value.isNotNull)
+      .select(col(id).as("id"), group.as("grp"), value.as("v"))
+    // pooled spine: global order with unique (v, id) tiebreak; grid
+    // point g takes the value at position 1 + round(g·(n−1)/gridSize)
+    val wPool = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+    val pooled = base
+      .withColumn("rn", row_number().over(wPool))
+      .select(col("rn"), col("v"))
+      .localCheckpoint()
+    val n = pooled.agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(0, gridSize + 1)
+      .select(col("id").cast("int").as("g"))
+      .crossJoin(broadcast(n))
+      .select(col("g"),
+        (lit(1L) + round(d(col("g")) * (d(col("n")) - 1) / lit(gridSize.toDouble))
+          .cast("long")).as("pos"))
+    val spine = grid.join(pooled, col("pos") === col("rn"))
+      .select(col("g").as("s_g"), col("v").as("norm_value"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    base
+      .withColumn("pr", percent_rank().over(wGrp))
+      .withColumn("gi", round(col("pr") * lit(gridSize.toDouble)).cast("int"))
+      .join(broadcast(spine), col("gi") === col("s_g"))
+      .select(col("id"), col("grp"), col("v").as("value"), col("norm_value"))
+      .orderBy(col("id"))
+  }
+
   /** Vocabulary churn between adjacent corpus periods — the
     * "is the language itself drifting?" readout that complements
     * [[jsDivergenceByGroup]] (JSD weighs the whole mix; churn asks

@@ -3276,7 +3276,7 @@ object EventQueries {
       Some {
         val iterCtes = (1 to 16).map { i =>
           val prev = if (i == 1) "d0" else s"d${i - 1}"
-          s"""d$i AS (
+          s"""d$i AS MATERIALIZED (
           SELECT p.dst AS state,
                  CAST(SUM(CAST(round(d.pi * p.p, 12) AS DECIMAL(28,12)))
                    AS DOUBLE) AS pi
@@ -3321,7 +3321,7 @@ object EventQueries {
       Some {
         val iterCtes = (1 to 24).map { i =>
           val prev = if (i == 1) "a0" else s"a${i - 1}"
-          s"""a$i AS (
+          s"""a$i AS MATERIALIZED (
           SELECT tb.src AS state, tb.direct + COALESCE(c.acc, 0.0) AS a
           FROM tb LEFT JOIN (
             SELECT tr.src, CAST(SUM(CAST(round(tr.p * ap.a, 12)
@@ -3364,6 +3364,137 @@ object EventQueries {
         "the exact iterate — deterministic on both engines). Same " +
         "scale shape as q281: one lead() pass to the checkpointed " +
         "|types|² grid, rounds are grid-only joins with 1e-12-snapped " +
-        "DECIMAL sums; the oracle unrolls the same 24 rounds.")
+        "DECIMAL sums; the oracle unrolls the same 24 rounds."),
+
+    // ---- q292: expected steps to absorption --------------------------------
+    "q292_time_to_absorb" -> Q(
+      (s, d) => graft.operators.EventOps.markovTimeToAbsorb(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        absorbing = Seq("purchase", "error"), iters = 32),
+      Some {
+        val iterCtes = (1 to 32).map { i =>
+          val prev = if (i == 1) "a0" else s"a${i - 1}"
+          s"""a$i AS MATERIALIZED (
+          SELECT tb.src AS state, 1.0 + COALESCE(c.acc, 0.0) AS a
+          FROM tb LEFT JOIN (
+            SELECT tr.src, CAST(SUM(CAST(round(tr.p * ap.a, 12)
+              AS DECIMAL(28,12))) AS DOUBLE) AS acc
+            FROM tr JOIN $prev ap ON tr.dst = ap.state
+            GROUP BY tr.src) c
+          ON tb.src = c.src)"""
+        }.mkString(", ")
+        s"""
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY $TS, event_id) AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL AND src NOT IN ('purchase', 'error')
+          GROUP BY 1, 2
+        ), p AS MATERIALIZED (
+          SELECT src, dst, CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+          FROM t
+        ), tb AS MATERIALIZED (
+          SELECT DISTINCT src FROM p
+        ), tr AS MATERIALIZED (
+          SELECT * FROM p WHERE dst NOT IN ('purchase', 'error')
+        ), a0 AS (
+          SELECT src AS state, 0.0 AS a FROM tb
+        ), $iterCtes
+        SELECT state, round(a, 6) AS exp_steps FROM a32 ORDER BY state"""
+      },
+      "Expected steps to journey resolution — q287's companion ('HOW " +
+        "LONG until this journey converts or abandons'): the " +
+        "fundamental-matrix row sums of the absorbing chain, computed " +
+        "as 32 rounds of the monotone fixed point n ← 1 + P·n " +
+        "without materializing (I−Q)⁻¹. Grid-only rounds over the " +
+        "checkpointed transition matrix, 1e-12-snapped DECIMAL " +
+        "matvec sums, oracle = the same 32 rounds unrolled."),
+
+    // ---- q294: inter-arrival burstiness per event type ----------------------
+    "q294_burstiness" -> Q(
+      (s, d) => graft.operators.EventOps.burstiness(
+        Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts"))),
+        "user_id", "event_type", "ep", "event_id"),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, $EPOCH AS ep FROM events
+        ), gaps AS (
+          SELECT event_type,
+                 lead(ep) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ep, event_id) - ep AS g
+          FROM e
+        ), mom AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 SUM(CAST(g AS DECIMAL(38,0))) AS sg,
+                 SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+                   AS sgg
+          FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+        ), fit AS (
+          SELECT event_type, n_gaps,
+                 CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS m,
+                 sqrt((CAST(sgg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                     / CAST(n_gaps AS DOUBLE))
+                   / (CAST(n_gaps AS DOUBLE) - 1)) AS s
+          FROM mom)
+        SELECT event_type, n_gaps,
+               round(m, 6) AS mean_gap,
+               CASE WHEN n_gaps > 1 THEN round(s, 6) END AS sd_gap,
+               CASE WHEN n_gaps > 1 AND m <> 0.0
+                    THEN round(s / m, 6) END AS cv,
+               CASE WHEN n_gaps > 1 AND s + m <> 0.0
+                    THEN round((s - m) / (s + m), 6) END AS burstiness
+        FROM fit ORDER BY event_type"""),
+      "Goh-Barabási burstiness of per-user inter-arrival gaps, per " +
+        "event type — the traffic-shape diagnostic that sizes stream " +
+        "buffers and anomaly thresholds: B = (σ−μ)/(σ+μ) ∈ (−1,1) " +
+        "(−1 periodic, 0 Poisson, →1 bursty) plus the coefficient of " +
+        "variation. Gaps are integer seconds, so the moments are " +
+        "EXACT DECIMAL sums and every statistic is IEEE over exact " +
+        "integers — no float grid at all. One per-(user, type) " +
+        "ordered window, then a |types|-bounded aggregate."),
+
+    // ---- q298: Markov next-event prediction eval ----------------------------
+    "q298_next_event_eval" -> Q(
+      (s, d) => graft.operators.EventOps.nextEventEval(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        isTrain = col("user_id") % 5 =!= 0),
+      Some(s"""
+        WITH seq AS (
+          SELECT user_id % 5 <> 0 AS train, event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY $TS, event_id) AS dst
+          FROM events
+        ), pairs AS MATERIALIZED (
+          SELECT * FROM seq WHERE dst IS NOT NULL
+        ), model AS MATERIALIZED (
+          SELECT src AS m_src, dst AS predicted FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY COUNT(*) DESC, dst) AS rn
+            FROM pairs WHERE train GROUP BY src, dst)
+          WHERE rn = 1)
+        SELECT src, MAX(predicted) AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dst = predicted THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN dst = predicted THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM pairs LEFT JOIN model ON src = m_src
+        WHERE NOT train
+        GROUP BY src ORDER BY src"""),
+      "Top-1 next-event accuracy of the q146 Markov model under a " +
+        "user-level 80/20 split — in-engine train/test for sequence " +
+        "models, the baseline any session model must beat (and the " +
+        "same no-user-leakage split discipline as the q54/q104 " +
+        "classifiers). One lead() pass builds all pairs; the model is " +
+        "the train grid reduced to |types| argmax rows (ties to the " +
+        "lexicographically first successor — deterministic both " +
+        "engines) broadcast into a counting join; accuracy is a pure " +
+        "integer ratio, unrounded.")
   )
 }

@@ -2044,6 +2044,146 @@ object StatQueries {
         "DECIMAL. The standard survey-sampling companion every " +
         "corpus-rebalancing pass should publish next to its weights."),
 
+    // ---- q291: Gumbel extreme-value tail fit --------------------------------
+    "q291_gumbel_tail" -> Q(
+      (s, d) => Stats.gumbelTail(Tables.orders(s, d),
+        col("o_totalprice"), threshold = 450000.0),
+      Some("""
+        WITH mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sv,
+                 SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                   AS svv
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), fit AS (
+          SELECT n,
+                 CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                 sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS s
+          FROM mom
+        ), gum AS (
+          SELECT n, m, s,
+                 s * sqrt(6.0) / 3.141592653589793 AS beta
+          FROM fit
+        ), g2 AS (
+          SELECT n, m, s, beta,
+                 m - 0.5772156649015329 * beta AS mu
+          FROM gum)
+        SELECT n, round(m, 6) AS mean, round(s, 6) AS sd,
+               round(mu, 6) AS mu, round(beta, 6) AS beta,
+               round(1.0 - exp(-exp(-((450000.0 - mu) / beta))), 6)
+                 AS p_exceed
+        FROM g2"""),
+      "Gumbel (type-I extreme value) tail fit of the order-value " +
+        "distribution by the method of moments — the capacity-" +
+        "planning readout ('what is the chance a value exceeds t?') " +
+        "for maxima-shaped columns where a normal tail badly " +
+        "understates risk. Closed form — β = s·√6/π, μ = m − γβ — so " +
+        "the whole fit is ONE conditional-aggregate pass over exact " +
+        "DECIMAL(38,6) moments; √ is IEEE-correctly-rounded, γ/π are " +
+        "identical 17-digit literals in both engines, exp's last-ulp " +
+        "wiggle dies in the final round."),
+
+    // ---- q296: empirical-Bayes shrinkage of per-source rates ----------------
+    "q296_eb_rates" -> Q(
+      (s, d) => Stats.ebShrinkRates(Tables.documents(s, d),
+        col("source"), col("n_chars") > 306L),
+      Some("""
+        WITH per AS MATERIALIZED (
+          SELECT CAST(source AS VARCHAR) AS grp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN n_chars > 306 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s
+          FROM documents WHERE source IS NOT NULL GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(s) AS BIGINT) AS ts
+          FROM per
+        ), vp AS (
+          SELECT MAX(m) AS m, MAX(tn) AS tn,
+                 CAST(SUM(CAST(g AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                   / CAST(MAX(tn) AS DOUBLE) AS var_p
+          FROM (
+            SELECT t.tn, CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) AS m,
+                   CAST(round(CAST(p.n AS DOUBLE)
+                     * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+                        - CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                     * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+                        - CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                     * 1e9) AS BIGINT) AS g
+            FROM per p CROSS JOIN tot t)
+        ), pri AS (
+          SELECT m,
+                 CASE WHEN var_p > 0
+                      THEN greatest(0.0, m * (1.0 - m) / var_p - 1)
+                      ELSE 0.0 END AS mm
+          FROM vp)
+        SELECT grp AS group_key, n, s AS successes,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+               round((CAST(s AS DOUBLE) + mm * m)
+                 / (CAST(n AS DOUBLE) + mm), 6) AS shrunk_rate,
+               round(m, 6) AS prior_m,
+               round(mm, 6) AS prior_strength
+        FROM per CROSS JOIN pri
+        ORDER BY group_key"""),
+      "Empirical-Bayes (beta-binomial, method-of-moments) shrinkage " +
+        "of per-source long-document rates — the estimator a curation " +
+        "pipeline should publish instead of raw per-source quality " +
+        "rates: sparse sources' noisy rates pull toward the corpus " +
+        "mean in proportion to their evidence, with prior strength " +
+        "M = m(1−m)/var_p − 1 matched to the observed between-source " +
+        "spread (clamped to 0 when spread is at/under binomial " +
+        "noise). One aggregation to the per-source (n, s) relation; " +
+        "the variance pass is grid-sized with 1e-9-snapped DECIMAL " +
+        "sums; everything else is IEEE over exact integers."),
+
+    // ---- q297: walk-forward CV splits with embargo ---------------------------
+    "q297_walkforward_cv" -> Q(
+      (s, d) => Stats.walkForwardSplits(
+        Tables.events(s, d).withColumn("ep", unix_timestamp(col("ts"))),
+        col("user_id"), col("ep"), epoch0 = 1704067200L,
+        trainDays0 = 8, stepDays = 7, embargoDays = 1, testDays = 3,
+        folds = 3),
+      Some {
+        val spineRows = (0 until 3).flatMap { f =>
+          val trEnd = 8 + f * 7
+          val teStart = trEnd + 1
+          Seq(s"($f, 'train', 0, $trEnd)",
+            s"($f, 'test', $teStart, ${teStart + 3})")
+        }.mkString(", ")
+        s"""
+        WITH spine(fold, split, day_start, day_end) AS (
+          VALUES $spineRows
+        ), days AS (
+          SELECT user_id AS u,
+                 CAST(floor(CAST(ep - 1704067200 AS DOUBLE) / 86400.0)
+                   AS BIGINT) AS day
+          FROM (SELECT user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         AS ep
+                FROM events)
+          WHERE user_id IS NOT NULL AND ep IS NOT NULL)
+        SELECT CAST(fold AS INT) AS fold, split,
+               CAST(day_start AS BIGINT) AS day_start,
+               CAST(day_end AS BIGINT) AS day_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        FROM days JOIN spine
+          ON day >= day_start AND day < day_end
+        GROUP BY 1, 2, 3, 4
+        ORDER BY fold, split"""
+      },
+      "Walk-forward cross-validation manifest with a 1-day embargo — " +
+        "the leakage-safe eval harness for temporal data (random " +
+        "k-fold leaks future into past; the embargo absorbs boundary " +
+        "lookahead — the purged-CV rule): three expanding train " +
+        "windows each followed by a gap and a 3-day test window, " +
+        "reported as the per-(fold, split) day ranges with event and " +
+        "user counts. The folds spine is a 6-row broadcast literal; " +
+        "membership is a conditional projection — no global sort, " +
+        "one counting aggregate."),
+
     // ---- q290: chi-square effect-size panel ---------------------------------
     "q290_chi2_effects" -> Q(
       (s, d) => Stats.chiSquareEffects(Tables.orders(s, d),

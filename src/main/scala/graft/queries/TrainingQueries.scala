@@ -2151,6 +2151,125 @@ object TrainingQueries {
         "corpus explode to the (term, c) grid; ranking and the five " +
         "moments run over the bounded top-V spine, each ln snapped " +
         "to the 1e-12 grid, moments as exact DECIMALs, estimates as " +
-        "the q248 closed-form IEEE expressions.")
+        "the q248 closed-form IEEE expressions."),
+
+    // ---- q293: source concentration (HHI) -----------------------------------
+    "q293_source_concentration" -> Q(
+      (s, dir) => graft.operators.Quality.hhiReport(
+        Tables.documents(s, dir), col("source"), col("n_chars")),
+      Some("""
+        WITH per AS (
+          SELECT source AS g,
+                 SUM(CAST(n_chars AS DECIMAL(38,0))) AS wg
+          FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+          GROUP BY 1
+        ), tot AS (
+          SELECT SUM(wg) AS wt, CAST(COUNT(*) AS BIGINT) AS k FROM per
+        ), hh AS (
+          SELECT k, CAST(SUM(s2) AS DOUBLE) AS hhi FROM (
+            SELECT k,
+                   CAST(round(CAST(wg AS DOUBLE) / CAST(wt AS DOUBLE)
+                     * (CAST(wg AS DOUBLE) / CAST(wt AS DOUBLE)), 12)
+                     AS DECIMAL(28,12)) AS s2
+            FROM per CROSS JOIN tot)
+          GROUP BY k)
+        SELECT k AS n_groups,
+               round(hhi, 6) AS hhi,
+               CASE WHEN k > 1 THEN round(
+                 (hhi - 1.0 / CAST(k AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(k AS DOUBLE)), 6) END AS hhi_norm,
+               round(1.0 / hhi, 6) AS n_effective
+        FROM hh"""),
+      "Herfindahl-Hirschman concentration of the corpus source mix " +
+        "(weighted by characters) — the one-row 'is this corpus " +
+        "dominated by one source?' audit next to the q81 mixture " +
+        "weights: HHI = Σ share², min-max normalized, and the " +
+        "effective number of sources 1/HHI (the Hill number a mixing " +
+        "plan should quote — '47 sources' can behave like 3). One " +
+        "aggregation to the per-source weight relation; shares are " +
+        "IEEE ratios of exact DECIMAL sums, each share² snapped to " +
+        "the 1e-12 grid."),
+
+    // ---- q295: vocabulary churn between adjacent periods --------------------
+    "q295_vocab_churn" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.vocabChurn(
+        Tables.documents(s, dir), "text", col("doc_id") % 4, topK = 100),
+      Some(s"""
+        WITH tp AS (
+          SELECT p, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id % 4 AS p, unnest($W) AS term FROM documents)
+          GROUP BY 1, 2
+        ), top AS MATERIALIZED (
+          SELECT p, term FROM (
+            SELECT p, term,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY c DESC, term) AS rk
+            FROM tp)
+          WHERE rk <= 100
+        ), sizes AS MATERIALIZED (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS kk FROM top GROUP BY p
+        ), pairs AS (
+          SELECT a.p AS period_a, b.p AS period_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM top a JOIN top b
+            ON b.p = a.p + 1 AND a.term = b.term
+          GROUP BY 1, 2)
+        SELECT period_a, period_b, sa.kk AS k, n_common,
+               CAST(n_common AS DOUBLE)
+                 / CAST(sa.kk + sb.kk - n_common AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.p = period_a
+        JOIN sizes sb ON sb.p = period_b
+        ORDER BY period_a"""),
+      "Vocabulary churn between adjacent corpus periods — the 'did " +
+        "the HEAD of the language turn over?' drift readout " +
+        "complementing q280's whole-mix JSD: per period the top-100 " +
+        "terms by (count desc, term), then overlap and Jaccard for " +
+        "each adjacent pair. One corpus explode to the (period × " +
+        "term) grid; ranking windows partition per period; the pair " +
+        "join touches 2·topK rows per pair; jaccard is a pure IEEE " +
+        "ratio of exact integers (unrounded, the bit-portable " +
+        "class)."),
+
+    // ---- q299: cross-source quantile normalization --------------------------
+    "q299_quantile_normalize" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.quantileNormalize(
+        Tables.documents(s, dir), "doc_id", col("source"), col("n_chars"),
+        gridSize = 256),
+      Some("""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id AS id, source AS grp, n_chars AS v
+          FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ), pooled AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY v, id) AS rn, v FROM base
+        ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pooled),
+        grid AS (
+          SELECT g, 1 + CAST(round(CAST(g AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1) / 256.0) AS BIGINT) AS pos
+          FROM (SELECT unnest(range(0, 257)) AS g) CROSS JOIN nn
+        ), spine AS MATERIALIZED (
+          SELECT g AS s_g, v AS norm_value
+          FROM grid JOIN pooled ON pos = rn
+        ), ranked AS (
+          SELECT id, grp, v,
+                 CAST(round(percent_rank() OVER
+                   (PARTITION BY grp ORDER BY v, id) * 256.0) AS INT) AS gi
+          FROM base)
+        SELECT id, grp, v AS value, norm_value
+        FROM ranked JOIN spine ON gi = s_g
+        ORDER BY id"""),
+      "Quantile normalization of per-source document lengths onto " +
+        "the pooled distribution — the cross-source score-alignment " +
+        "primitive (per-source quality scores are not comparable; " +
+        "mapping each source through its own CDF onto the pooled " +
+        "quantiles makes one global threshold mean the same thing " +
+        "everywhere — the microarray recipe applied to curation): " +
+        "each row's within-source percent_rank indexes a 257-point " +
+        "pooled-quantile spine. No global corpus sort and no big-big " +
+        "join: the spine materializes once and broadcasts; ranking " +
+        "windows partition per source; ranks are unique via the id " +
+        "tiebreak so both engines pick identical spine cells.")
   )
 }

@@ -238,7 +238,18 @@ object BenchScale {
     // (q287), grid-sized readouts over q277's rake (q288) and q214's
     // cells (q290), and the top-V-bounded OLS fit (q289)
     "q285_friedman", "q286_cochran_q", "q287_markov_absorption",
-    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects")
+    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects",
+    // one-pass exact-moment fits (q291/q294/q296), the q287 grid
+    // iteration (q292), and vocab-bounded share/top-K grids
+    // (q293/q295)
+    "q291_gumbel_tail", "q292_time_to_absorb",
+    "q293_source_concentration", "q294_burstiness",
+    "q295_vocab_churn", "q296_eb_rates",
+    // broadcast-spine splits/eval/normalization: conditional
+    // projections + counting aggregates (q297/q298); per-GROUP
+    // ranking windows + a 257-row broadcast spine (q299)
+    "q297_walkforward_cv", "q298_next_event_eval",
+    "q299_quantile_normalize")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -335,7 +346,17 @@ object BenchScale {
     // no global sort), the checkpointed-grid iteration (q287), rake-
     // grid and contingency-cell readouts (q288/q290), top-V OLS (q289)
     "q285_friedman", "q286_cochran_q", "q287_markov_absorption",
-    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects")
+    "q288_design_effect", "q289_zipf_fit", "q290_chi2_effects",
+    // one-pass exact-moment fits and bounded grids, all partial-
+    // aggregatable (q291/q293/q294/q296); the q287 iteration class
+    // (q292); the per-period top-K grid join (q295)
+    "q291_gumbel_tail", "q292_time_to_absorb",
+    "q293_source_concentration", "q294_burstiness",
+    "q295_vocab_churn", "q296_eb_rates",
+    // 6-row / |types|-row / 257-row broadcast spines against
+    // conditional projections and per-group windows — no global sort
+    "q297_walkforward_cv", "q298_next_event_eval",
+    "q299_quantile_normalize")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -331,6 +331,30 @@ class EventOpsSpec extends SparkSuite {
     assert(math.abs(out("s2") - 1.0 / 3) < 1e-6, out("s2"))
   }
 
+  test("nextEventEval: argmax model scores held-out pairs, ties break low") {
+    import spark.implicits._
+    // train users 1,2 (odd of %5... use explicit flag): a->b twice,
+    // a->c once => model predicts a->b; test user: a->b, a->c
+    val rows = Seq(
+      (1L, "a", 1L, 1), (1L, "b", 2L, 2),
+      (2L, "a", 1L, 3), (2L, "b", 2L, 4),
+      (3L, "a", 1L, 5), (3L, "c", 2L, 6),
+      (10L, "a", 1L, 7), (10L, "b", 2L, 8), (10L, "a", 3L, 9),
+      (10L, "c", 4L, 10))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventOps.nextEventEval(rows, "user_id", "event_type",
+      "ts", "event_id", isTrain = col("user_id") < 10)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(out("a").getAs[String]("predicted") == "b")
+    assert(out("a").getAs[Long]("n_pairs") == 2)
+    assert(out("a").getAs[Long]("n_correct") == 1)
+    assert(out("a").getAs[Double]("accuracy") == 0.5)
+    // test-side b->a pair: "b" was seen in train only as a sink; the
+    // train grid has no b-> rows, so predicted is null, accuracy 0
+    assert(out("b").getAs[String]("predicted") == null)
+    assert(out("b").getAs[Long]("n_correct") == 0)
+  }
+
   test("markovTimeToAbsorb solves the symmetric two-state chain exactly") {
     import spark.implicits._
     // same chain as the absorption test: n(s1) = 1 + .5 n(s2),

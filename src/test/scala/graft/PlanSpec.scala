@@ -564,6 +564,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Scan parquet"), p.take(1500))
   }
 
+  test("q287/q292 absorption iterations are grid-only (no corpus rescan)") {
+    for (q <- Seq("q287_markov_absorption", "q292_time_to_absorb")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q291/q293 are one-pass grid/moment reductions") {
+    for (q <- Seq("q291_gumbel_tail", "q293_source_concentration")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("q297/q299 broadcast their bounded spines (no corpus-side big join)") {
+    for (q <- Seq("q297_walkforward_cv", "q299_quantile_normalize")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(800)}")
+    }
+  }
+
   test("q283/q284 are single conditional-aggregate passes") {
     for (q <- Seq("q283_rdd", "q284_iv_wald")) {
       val p = plan(q)

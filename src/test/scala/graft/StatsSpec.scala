@@ -584,6 +584,29 @@ class StatsSpec extends SparkSuite {
       math.sqrt(0.5)) < 1e-6)
   }
 
+  test("walkForwardSplits: embargo days land in NO split, windows expand") {
+    import spark.implicits._
+    // one event per (user, day) for days 0..19, 2 users
+    val rows = for (u <- 1L to 2L; day <- 0L until 20L)
+      yield (u, day * 86400L + 10L)
+    val out = Stats.walkForwardSplits(rows.toDF("u", "ep"),
+      col("u"), col("ep"), epoch0 = 0L,
+      trainDays0 = 5, stepDays = 5, embargoDays = 2, testDays = 3,
+      folds = 2).collect()
+      .map(r => (r.getAs[Int]("fold"), r.getAs[String]("split")) -> r).toMap
+    // fold 0: train [0,5) = 5 days, embargo [5,7), test [7,10)
+    assert(out((0, "train")).getAs[Long]("n_events") == 10)
+    assert(out((0, "test")).getAs[Long]("day_start") == 7)
+    assert(out((0, "test")).getAs[Long]("n_events") == 6)
+    // fold 1: train [0,10), test [12,15)
+    assert(out((1, "train")).getAs[Long]("n_events") == 20)
+    assert(out((1, "test")).getAs[Long]("day_start") == 12)
+    assert(out((1, "test")).getAs[Long]("n_events") == 6)
+    out.values.foreach(r => assert(r.getAs[Long]("n_users") == 2))
+    // embargo day 5 is in neither fold-0 window
+    assert(out((0, "train")).getAs[Long]("day_end") == 5)
+  }
+
   test("hhiReport: uniform mix scores 1/k, near-monopoly scores ~1") {
     import spark.implicits._
     val uniform = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))

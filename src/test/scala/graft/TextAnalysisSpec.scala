@@ -571,6 +571,28 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("quantileNormalize maps both groups' quantiles onto the pooled scale") {
+    import org.apache.spark.sql.functions.{col => f}
+    // A = 1..5, B = 101..105: after normalization the two groups'
+    // k-th order statistics must LAND ON THE SAME pooled values
+    val df = ((1L to 5L).map(v => (v, "A", v)) ++
+      (1L to 5L).map(v => (v + 100L, "B", v + 100L)))
+      .toDF("doc_id", "src", "v")
+    val out = TextAnalysis.quantileNormalize(df, "doc_id",
+      f("src"), f("v"), gridSize = 256)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("norm_value")).toMap
+    // per-group rank i (1..5) -> same normalized value for A and B
+    (0 until 5).foreach { i =>
+      assert(out(1L + i) == out(101L + i),
+        s"rank ${i + 1}: A=${out(1L + i)} B=${out(101L + i)}")
+    }
+    // extremes pin to the pooled extremes
+    assert(out(1L) == 1L)
+    assert(out(105L) == 105L)
+    assert(out(5L) == 105L)  // A's max maps to the pooled max
+  }
+
   test("zipfFit recovers slope -1 on an exact power-law corpus") {
     // counts 840/rank at ranks 1..4 (840, 420, 280, 210):
     // ln c = ln 840 - ln rk exactly, so the fit is a perfect line
