@@ -824,6 +824,37 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
       .select(col("src"), col("dst"), col("p"))
       .localCheckpoint()
+    // DRIVER-LOCAL fast path (the kMeans q61 precedent): the grid is
+    // |types|²-bounded by contract, so below 2^12 cells the K
+    // distributed rounds are pure stage-scheduling overhead (measured
+    // ~100 ms/round on an idle local[32] for a 25-cell grid). The
+    // loop replicates the distributed arithmetic BIT-FOR-BIT: the
+    // same IEEE π·p products, the same HALF_UP round to the 1e-12
+    // grid (java BigDecimal.valueOf == Spark's Round on doubles —
+    // RoundChk-verified), the same exact-decimal sums cast to double.
+    if (grid.count() <= (1 << 12)) {
+      val cells = grid.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val srcs = cells.map(_._1).distinct
+      var dist: Map[String, Double] =
+        srcs.map(_ -> 1.0 / srcs.length.toDouble).toMap
+      (1 to iters).foreach { _ =>
+        val acc = scala.collection.mutable.Map.empty[String, JBD]
+        cells.foreach { case (src, dst, p) =>
+          dist.get(src).foreach { pi =>
+            val term = JBD.valueOf(pi * p).setScale(12, RoundingMode.HALF_UP)
+            acc(dst) = acc.getOrElse(dst, JBD.ZERO).add(term)
+          }
+        }
+        dist = acc.map { case (k, v) => k -> v.doubleValue }.toMap
+      }
+      val spark = events.sparkSession
+      return spark.createDataFrame(dist.toSeq.sortBy(_._1))
+        .toDF("state", "pi")
+        .select(col("state"), round(col("pi"), 6).as("pi"))
+        .orderBy(col("state"))
+    }
     val nStates = grid.select(col("src")).distinct()
       .agg(count(lit(1)).as("k"))
     var dist = grid.select(col("src").as("state")).distinct()
@@ -872,6 +903,39 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
       .select(col("src"), col("dst"), col("p"))
       .localCheckpoint()
+    // DRIVER-LOCAL fast path (the q281 recipe — see markovStationary):
+    // the grid's (src, dst) rows are DISTINCT, so each src has at most
+    // one direct-to-convert cell (no float-sum ordering to replicate),
+    // and the fixed-point rounds run in driver scala with the exact
+    // same IEEE products, HALF_UP 1e-12 rounds, and decimal sums.
+    if (grid.count() <= (1 << 12)) {
+      val cells = grid.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val direct = cells.filter(_._2 == convert)
+        .map(c => c._1 -> c._3).toMap
+      val tr0 = cells.filter(c => c._2 != convert && c._2 != abandon)
+      val srcs = cells.map(_._1).distinct
+      var a: Map[String, Double] = srcs.map(_ -> 0.0).toMap
+      (1 to iters).foreach { _ =>
+        val acc = scala.collection.mutable.Map.empty[String, JBD]
+        tr0.foreach { case (src, dst, p) =>
+          a.get(dst).foreach { av =>
+            val term = JBD.valueOf(p * av).setScale(12, RoundingMode.HALF_UP)
+            acc(src) = acc.getOrElse(src, JBD.ZERO).add(term)
+          }
+        }
+        a = srcs.map { s =>
+          s -> (direct.getOrElse(s, 0.0) +
+            acc.get(s).map(_.doubleValue).getOrElse(0.0))
+        }.toMap
+      }
+      val spark = events.sparkSession
+      return spark.createDataFrame(a.toSeq.sortBy(_._1))
+        .toDF("state", "a")
+        .select(col("state"), round(col("a"), 6).as("p_convert"))
+        .orderBy(col("state"))
+    }
     val tb = grid.groupBy(col("src"))
       .agg(coalesce(sum(when(col("dst") === convert, col("p"))), lit(0.0))
         .as("direct"))
@@ -920,6 +984,33 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
       .select(col("src"), col("dst"), col("p"))
       .localCheckpoint()
+    // DRIVER-LOCAL fast path — see markovAbsorption; direct term is
+    // the constant 1.0 (one step is always taken)
+    if (grid.count() <= (1 << 12)) {
+      val cells = grid.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val tr0 = cells.filter(c => !absorbing.contains(c._2))
+      val srcs = cells.map(_._1).distinct
+      var a: Map[String, Double] = srcs.map(_ -> 0.0).toMap
+      (1 to iters).foreach { _ =>
+        val acc = scala.collection.mutable.Map.empty[String, JBD]
+        tr0.foreach { case (src, dst, p) =>
+          a.get(dst).foreach { av =>
+            val term = JBD.valueOf(p * av).setScale(12, RoundingMode.HALF_UP)
+            acc(src) = acc.getOrElse(src, JBD.ZERO).add(term)
+          }
+        }
+        a = srcs.map { s =>
+          s -> (1.0 + acc.get(s).map(_.doubleValue).getOrElse(0.0))
+        }.toMap
+      }
+      val spark = events.sparkSession
+      return spark.createDataFrame(a.toSeq.sortBy(_._1))
+        .toDF("state", "a")
+        .select(col("state"), round(col("a"), 6).as("exp_steps"))
+        .orderBy(col("state"))
+    }
     val tb = grid.select(col("src")).distinct().localCheckpoint()
     val tr = grid.filter(!col("dst").isin(absorbing: _*)).localCheckpoint()
     var a = tb.select(col("src").as("state"), lit(0.0).as("a"))

@@ -1000,6 +1000,49 @@ object Stats {
         (col("w_ij") + col("w_ji")).as("m_ij"))
       .filter(col("m_ij") > 0)
       .localCheckpoint()
+    // DRIVER-LOCAL fast path (the q281/q287 recipe): the duel grid is
+    // |items|²-bounded by contract — below 2^12 cells the 8 MM rounds
+    // (each a join + aggregate + normalize + checkpoint) are pure
+    // stage-scheduling overhead. Arithmetic replicates the
+    // distributed path bit-for-bit: the same IEEE m/(p_i+p_j) and
+    // w/den divisions, the same HALF_UP 1e-12 rounds
+    // (BigDecimal.valueOf == Spark's Round on doubles), the same
+    // exact-decimal sums. The corpus-scale work (deriving `wins`)
+    // already happened upstream.
+    if (m.count() <= (1 << 12)) {
+      val mCells = m.collect()
+        .map(r => (r.getAs[Any]("i").toString, r.getAs[Any]("j").toString,
+          r.getAs[Long]("w_ij"), r.getAs[Long]("m_ij")))
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val items0 = mCells.map(_._1).distinct
+      val wTot = items0.map(i =>
+        i -> mCells.filter(_._1 == i).map(_._3).sum).toMap
+      var pMap: Map[String, Double] =
+        items0.map(_ -> 1.0 / items0.length.toDouble).toMap
+      (1 to iters).foreach { _ =>
+        val den = scala.collection.mutable.Map.empty[String, JBD]
+        mCells.foreach { case (i, j, _, mij) =>
+          val term = JBD.valueOf(mij.toDouble / (pMap(i) + pMap(j)))
+            .setScale(12, RoundingMode.HALF_UP)
+          den(i) = den.getOrElse(i, JBD.ZERO).add(term)
+        }
+        val raw = items0.map { i =>
+          i -> (if (wTot(i) > 0) wTot(i).toDouble / den(i).doubleValue
+                else 0.0)
+        }.toMap
+        val tot = raw.values
+          .map(v => JBD.valueOf(v).setScale(12, RoundingMode.HALF_UP))
+          .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+        pMap = raw.map { case (i, v) => i -> v / tot }
+      }
+      val spark = wins.sparkSession
+      val wRankL = Window.orderBy(col("p").desc, col("item"))
+      return spark.createDataFrame(pMap.toSeq.sortBy(_._1))
+        .toDF("item", "p")
+        .withColumn("rank", row_number().over(wRankL))
+        .select(col("item"), round(col("p"), 6).as("strength"), col("rank"))
+        .orderBy(col("rank"))
+    }
     val itemW = m.groupBy(col("i")).agg(sum(col("w_ij")).as("w_tot"))
     val k = itemW.agg(count(lit(1)).as("k"))
     var p = itemW.crossJoin(broadcast(k))
