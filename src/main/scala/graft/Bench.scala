@@ -43,6 +43,21 @@ object Bench {
     // global warm-up: exercise scan, shuffle, and codegen paths once
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).groupBy("r_name").count().collect()
+    // host-speed calibration: a fixed CPU-bound job (hash 200M longs,
+    // all cores), timed after warm-up. Cross-round totals have swung
+    // >2× purely on host/VM speed (r9: an identical harness measured
+    // 98 s one day and 214 s another, uniformly across queries);
+    // recording a reference workload inside the artifact lets any
+    // consumer normalize before comparing rounds.
+    // (the % bounds the ANSI long sum: full-range hash values overflow)
+    val calib = {
+      def job(): Unit = spark.range(200000000L)
+        .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      job()
+      val t0 = System.nanoTime()
+      job()
+      (System.nanoTime() - t0) / 1e9
+    }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     // a crashing query reports -1 seconds (visible failure marker)
@@ -78,14 +93,14 @@ object Bench {
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
-    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"queries":{},"value":${fmt(total)}}"""
+    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"calib_sec":${fmt(calib)},"queries":{},"value":${fmt(total)}}"""
     println(totalLine)
     // the stdout tail-capture has lost the per-query map three rounds
     // running (it scrolls out of the consumer's window at 190+
     // queries), so ALSO persist the complete map as a committed
     // artifact next to the build — no capture window can lose a file
     try {
-      val self = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"value":${fmt(total)},"queries":${entries.mkString("{", ",", "}")}}"""
+      val self = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"calib_sec":${fmt(calib)},"value":${fmt(total)},"queries":${entries.mkString("{", ",", "}")}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SELF_JSON", "BENCH_SELF.json")),
         (self + "\n").getBytes("UTF-8"))
