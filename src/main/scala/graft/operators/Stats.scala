@@ -1307,6 +1307,84 @@ object Stats {
         .as("deff"))
   }
 
+  /** Cohen's d / Hedges' g standardized effect size for a two-group
+    * mean difference — the practical-significance companion to
+    * [[welchTReport]] (at corpus scale the t-test flags everything;
+    * d says whether the gap MATTERS, in pooled-standard-deviation
+    * units, comparable across metrics): d = (m̄_A − m̄_B)/s_pooled,
+    * g = d·(1 − 3/(4n − 9)) (the small-sample bias correction).
+    * One conditional-aggregate pass over 1e-9-grid moments (exact
+    * DECIMAL sums); all estimates are IEEE expressions of those exact
+    * components — d and g are scale-invariant so the grid factor
+    * cancels. Output: one row (n_a, n_b, mean_a, mean_b, sd_pooled,
+    * cohens_d, hedges_g). */
+  def cohensD(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val v = grid(value)
+    def d(c: Column) = c.cast("double")
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val mom = df.filter(value.isNotNull && inA.isNotNull)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"),
+        sum(when(inA, dec(v)).otherwise(zero)).as("sa"),
+        sum(when(!inA, dec(v)).otherwise(zero)).as("sb"),
+        sum(when(inA, dec(v) * dec(v)).otherwise(zero)).as("saa"),
+        sum(when(!inA, dec(v) * dec(v)).otherwise(zero)).as("sbb"))
+    val ma = d(col("sa")) / d(col("n_a"))
+    val mb = d(col("sb")) / d(col("n_b"))
+    val va = (d(col("saa")) - d(col("sa")) * d(col("sa")) / d(col("n_a"))) /
+      (d(col("n_a")) - 1)
+    val vb = (d(col("sbb")) - d(col("sb")) * d(col("sb")) / d(col("n_b"))) /
+      (d(col("n_b")) - 1)
+    val sp = sqrt(((d(col("n_a")) - 1) * va + (d(col("n_b")) - 1) * vb) /
+      (d(col("n_a")) + d(col("n_b")) - 2))
+    val dv = (ma - mb) / sp
+    val g = dv * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (d(col("n_a")) + d(col("n_b"))) - lit(9.0)))
+    mom.select(col("n_a"), col("n_b"),
+      round(ma / lit(1e9), 6).as("mean_a"),
+      round(mb / lit(1e9), 6).as("mean_b"),
+      round(sp / lit(1e9), 6).as("sd_pooled"),
+      round(dv, 6).as("cohens_d"),
+      round(g, 6).as("hedges_g"))
+  }
+
+  /** Odds ratio of a 2×2 exposure × outcome table with its 95% Wald
+    * confidence interval — the epidemiology-standard A/B readout when
+    * the outcome is binary (complements [[ivWald]]'s continuous-
+    * outcome estimate): OR = (n₁₁·n₀₀)/(n₁₀·n₀₁),
+    * CI = exp(ln OR ± 1.96·√(Σ 1/n_ij)). One conditional-aggregate
+    * pass to four exact integers; the estimates are IEEE expressions
+    * of them (ln/exp's last-ulp wiggle dies in the rounds). Any empty
+    * cell makes the OR undefined — reported null rather than an
+    * infinity (callers wanting a continuity correction can add 0.5
+    * upstream). Output: one row (n_11, n_10, n_01, n_00, odds_ratio,
+    * ln_or, se, ci_lo, ci_hi). */
+  def oddsRatioReport(df: DataFrame, exposed: Column,
+      outcome: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val mom = df.filter(exposed.isNotNull && outcome.isNotNull)
+      .agg(
+        cnt(exposed && outcome).as("n_11"),
+        cnt(exposed && !outcome).as("n_10"),
+        cnt(!exposed && outcome).as("n_01"),
+        cnt(!exposed && !outcome).as("n_00"))
+    val ok = col("n_11") > 0 && col("n_10") > 0 &&
+      col("n_01") > 0 && col("n_00") > 0
+    val or = d(col("n_11")) * d(col("n_00")) /
+      (d(col("n_10")) * d(col("n_01")))
+    val lnOr = log(or)
+    val se = sqrt(lit(1.0) / d(col("n_11")) + lit(1.0) / d(col("n_10")) +
+      lit(1.0) / d(col("n_01")) + lit(1.0) / d(col("n_00")))
+    mom.select(col("n_11"), col("n_10"), col("n_01"), col("n_00"),
+      when(ok, round(or, 6)).as("odds_ratio"),
+      when(ok, round(lnOr, 6)).as("ln_or"),
+      when(ok, round(se, 6)).as("se"),
+      when(ok, round(exp(lnOr - lit(1.96) * se), 6)).as("ci_lo"),
+      when(ok, round(exp(lnOr + lit(1.96) * se), 6)).as("ci_hi"))
+  }
+
   /** Walk-forward cross-validation splits with an embargo gap — the
     * leakage-safe eval harness for temporal data (random k-fold leaks
     * future into past; the embargo additionally absorbs label/feature

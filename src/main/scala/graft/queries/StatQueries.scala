@@ -2184,6 +2184,120 @@ object StatQueries {
         "membership is a conditional projection — no global sort, " +
         "one counting aggregate."),
 
+    // ---- q300: Cohen's d / Hedges' g effect size -----------------------------
+    "q300_cohens_d" -> Q(
+      (s, d) => Stats.cohensD(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderpriority").isin(urgent: _*)),
+      Some("""
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 1e9) AS BIGINT) AS g,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS ina
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        ), mom AS (
+          SELECT
+            CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+            SUM(CASE WHEN ina THEN CAST(g AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+            SUM(CASE WHEN NOT ina THEN CAST(g AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb,
+            SUM(CASE WHEN ina THEN CAST(g AS DECIMAL(38,0))
+                * CAST(g AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS saa,
+            SUM(CASE WHEN NOT ina THEN CAST(g AS DECIMAL(38,0))
+                * CAST(g AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS sbb
+          FROM s
+        ), est AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)
+                   * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1) AS va,
+                 (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)
+                   * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1) AS vb
+          FROM mom
+        ), fin AS (
+          SELECT n_a, n_b, ma, mb,
+                 sqrt(((CAST(n_a AS DOUBLE) - 1) * va
+                   + (CAST(n_b AS DOUBLE) - 1) * vb)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS sp
+          FROM est)
+        SELECT n_a, n_b,
+               round(ma / 1e9, 6) AS mean_a,
+               round(mb / 1e9, 6) AS mean_b,
+               round(sp / 1e9, 6) AS sd_pooled,
+               round((ma - mb) / sp, 6) AS cohens_d,
+               round((ma - mb) / sp * (1.0 - 3.0
+                 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    - 9.0)), 6) AS hedges_g
+        FROM fin"""),
+      "Cohen's d / Hedges' g for the urgent-vs-rest order-value gap — " +
+        "the practical-significance companion to q216's Welch t (at " +
+        "corpus scale the t-test flags everything; d says whether the " +
+        "gap MATTERS, in pooled-SD units, comparable across metrics). " +
+        "One conditional-aggregate pass over 1e-9-grid exact DECIMAL " +
+        "moments; d and g are scale-invariant so the grid factor " +
+        "cancels in the IEEE chain."),
+
+    // ---- q301: odds ratio with 95% Wald CI -----------------------------------
+    "q301_odds_ratio" -> Q(
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * lit(1e9)).cast("long")).otherwise(0L))
+            .as("spend9"))
+          .select((col("user_id") % 2 === 1).as("exposed"),
+            (col("spend9") > lit(650000000000L)).as("converted"))
+        Stats.oddsRatioReport(perUser, col("exposed"), col("converted"))
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id % 2 = 1 AS exposed,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e9) AS BIGINT)
+                     ELSE 0 END) > 650000000000 AS converted
+          FROM events GROUP BY user_id
+        ), mom AS (
+          SELECT
+            CAST(SUM(CASE WHEN exposed AND converted THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_11,
+            CAST(SUM(CASE WHEN exposed AND NOT converted THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_10,
+            CAST(SUM(CASE WHEN NOT exposed AND converted THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_01,
+            CAST(SUM(CASE WHEN NOT exposed AND NOT converted THEN 1 ELSE 0
+              END) AS BIGINT) AS n_00
+          FROM pu
+        ), est AS (
+          SELECT n_11, n_10, n_01, n_00,
+                 n_11 > 0 AND n_10 > 0 AND n_01 > 0 AND n_00 > 0 AS ok,
+                 CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                   / (CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)) AS orr,
+                 sqrt(1.0 / CAST(n_11 AS DOUBLE) + 1.0 / CAST(n_10 AS DOUBLE)
+                   + 1.0 / CAST(n_01 AS DOUBLE) + 1.0 / CAST(n_00 AS DOUBLE))
+                   AS se
+          FROM mom)
+        SELECT n_11, n_10, n_01, n_00,
+               CASE WHEN ok THEN round(orr, 6) END AS odds_ratio,
+               CASE WHEN ok THEN round(ln(orr), 6) END AS ln_or,
+               CASE WHEN ok THEN round(se, 6) END AS se,
+               CASE WHEN ok THEN round(exp(ln(orr) - 1.96 * se), 6) END
+                 AS ci_lo,
+               CASE WHEN ok THEN round(exp(ln(orr) + 1.96 * se), 6) END
+                 AS ci_hi
+        FROM est"""),
+      "Odds ratio of the (user-parity exposure) × (high-spend " +
+        "conversion) 2×2 with its 95% Wald CI — the epidemiology-" +
+        "standard binary-outcome A/B readout next to q161's z-test " +
+        "and q284's continuous-outcome IV: one per-user pass, one " +
+        "conditional aggregate to four exact integers, IEEE " +
+        "estimates; empty cells report null rather than an infinity."),
+
     // ---- q290: chi-square effect-size panel ---------------------------------
     "q290_chi2_effects" -> Q(
       (s, d) => Stats.chiSquareEffects(Tables.orders(s, d),

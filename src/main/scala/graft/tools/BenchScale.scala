@@ -249,7 +249,9 @@ object BenchScale {
     // projections + counting aggregates (q297/q298); per-GROUP
     // ranking windows + a 257-row broadcast spine (q299)
     "q297_walkforward_cv", "q298_next_event_eval",
-    "q299_quantile_normalize")
+    "q299_quantile_normalize",
+    // one conditional-aggregate pass each (the q216 moment class)
+    "q300_cohens_d", "q301_odds_ratio")
 
   /** The registered scale-path queries measured at 100× (the VERDICT's
     * "~12 headline scale-path queries"): every one routes, bands,
@@ -356,7 +358,9 @@ object BenchScale {
     // 6-row / |types|-row / 257-row broadcast spines against
     // conditional projections and per-group windows — no global sort
     "q297_walkforward_cv", "q298_next_event_eval",
-    "q299_quantile_normalize")
+    "q299_quantile_normalize",
+    // exact-moment one-pass reductions (the q216 class)
+    "q300_cohens_d", "q301_odds_ratio")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

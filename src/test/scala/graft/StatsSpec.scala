@@ -623,6 +623,44 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(m.getAs[Double]("n_effective") - 1.0 / 0.9802) < 1e-4)
   }
 
+  test("cohensD recovers the textbook effect size on planted groups") {
+    import spark.implicits._
+    // A: 25x8 + 25x12 (m=10, var=200/49); B: 25x4 + 25x8 (m=6, same
+    // var) -> pooled sd = sqrt(200/49); d = 4 / sp
+    val rows = (Seq.fill(25)(8.0) ++ Seq.fill(25)(12.0)).map(v => (v, true)) ++
+      (Seq.fill(25)(4.0) ++ Seq.fill(25)(8.0)).map(v => (v, false))
+    val out = Stats.cohensD(rows.toDF("v", "a"), col("v"), col("a"))
+      .collect().head
+    val sp = math.sqrt(200.0 / 49)
+    assert(out.getAs[Long]("n_a") == 50 && out.getAs[Long]("n_b") == 50)
+    assert(out.getAs[Double]("mean_a") == 10.0)
+    assert(out.getAs[Double]("mean_b") == 6.0)
+    assert(math.abs(out.getAs[Double]("sd_pooled") - sp) < 1e-6)
+    assert(math.abs(out.getAs[Double]("cohens_d") - 4.0 / sp) < 1e-6)
+    val g = 4.0 / sp * (1.0 - 3.0 / (4.0 * 100 - 9.0))
+    assert(math.abs(out.getAs[Double]("hedges_g") - g) < 1e-6)
+  }
+
+  test("oddsRatioReport matches the hand 2x2 and nulls on empty cells") {
+    import spark.implicits._
+    // a=30, b=20, c=10, d=40 -> OR = 30*40/(20*10) = 6
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(40)((false, false))
+    val out = Stats.oddsRatioReport(rows.toDF("e", "y"),
+      col("e"), col("y")).collect().head
+    assert(out.getAs[Double]("odds_ratio") == 6.0)
+    val se = math.sqrt(1.0 / 30 + 1.0 / 20 + 1.0 / 10 + 1.0 / 40)
+    assert(math.abs(out.getAs[Double]("se") - se) < 1e-6)
+    assert(math.abs(out.getAs[Double]("ci_lo") -
+      math.exp(math.log(6.0) - 1.96 * se)) < 1e-5)
+    // an empty cell -> null estimates, counts still reported
+    val deg = (Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false)))
+      .toDF("e", "y")
+    val d2 = Stats.oddsRatioReport(deg, col("e"), col("y")).collect().head
+    assert(d2.getAs[Long]("n_10") == 0)
+    assert(d2.isNullAt(d2.fieldIndex("odds_ratio")))
+  }
+
   test("gumbelTail matches the closed-form moment fit") {
     import spark.implicits._
     // 50x8 + 50x12: m = 10, var = 400/99
