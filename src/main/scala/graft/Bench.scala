@@ -60,20 +60,39 @@ object Bench {
     }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // Release every persisted/localCheckpointed block a query left
+    // behind. Without this, checkpoint-heavy iterative queries (graph
+    // tier) ran 3-6x slower inside the full bench than standalone:
+    // each query's warm-up run doubled its own block population, and
+    // blocks accumulated across all preceding queries, so later
+    // queries paid GC/eviction pressure that has nothing to do with
+    // their plan (r9: q212 34.5 s in-bench vs 5.96 s standalone).
+    def releaseCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
+        try rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      try spark.catalog.clearCache()
+      catch { case _: Throwable => () }
+    }
     // a crashing query reports -1 seconds (visible failure marker)
     // instead of a spuriously-fast timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmup) {
         try run(fn(spark, sfDir))
         catch { case _: Throwable => () } // the timed run reports it
+        releaseCaches()
       }
       val t0 = System.nanoTime()
       try {
         run(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseCaches()
+        name -> dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          releaseCaches()
           name -> -1.0
       }
     }

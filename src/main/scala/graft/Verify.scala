@@ -57,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only-by-design markers (engine sketches with no portable SQL
+    // twin): lets the driver/judge distinguish "no oracle by design"
+    // from "missing oracle" in CORRECTNESS_r{N}.
+    val rowsOnlyJson =
+      SparkEntry.rowsOnly.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rowsOnlyJson)
     spark.stop()
   }
 }

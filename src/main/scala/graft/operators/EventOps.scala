@@ -811,7 +811,8 @@ object EventOps {
     * chain is observed mid-stream; states without outgoing rows would
     * silently leak mass). Output: (state, pi) ascending by state. */
   def markovStationary(events: DataFrame, user: String, typeCol: String,
-      tsCol: String, idCol: String, iters: Int = 16): DataFrame = {
+      tsCol: String, idCol: String, iters: Int = 16,
+      driverCellLimit: Long = 1L << 12): DataFrame = {
     require(iters >= 1 && iters <= 64, "markovStationary: 1 <= iters <= 64")
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
@@ -832,7 +833,7 @@ object EventOps {
     // same IEEE π·p products, the same HALF_UP round to the 1e-12
     // grid (java BigDecimal.valueOf == Spark's Round on doubles —
     // RoundChk-verified), the same exact-decimal sums cast to double.
-    if (grid.count() <= (1 << 12)) {
+    if (grid.count() <= driverCellLimit) {
       val cells = grid.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       import java.math.{BigDecimal => JBD, RoundingMode}
@@ -889,7 +890,7 @@ object EventOps {
     * (state, p_convert) over transient states, ascending. */
   def markovAbsorption(events: DataFrame, user: String, typeCol: String,
       tsCol: String, idCol: String, convert: String, abandon: String,
-      iters: Int = 24): DataFrame = {
+      iters: Int = 24, driverCellLimit: Long = 1L << 12): DataFrame = {
     require(iters >= 1 && iters <= 64, "markovAbsorption: 1 <= iters <= 64")
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
@@ -908,7 +909,7 @@ object EventOps {
     // one direct-to-convert cell (no float-sum ordering to replicate),
     // and the fixed-point rounds run in driver scala with the exact
     // same IEEE products, HALF_UP 1e-12 rounds, and decimal sums.
-    if (grid.count() <= (1 << 12)) {
+    if (grid.count() <= driverCellLimit) {
       val cells = grid.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       import java.math.{BigDecimal => JBD, RoundingMode}
@@ -969,7 +970,7 @@ object EventOps {
     * `iters`-step iterate. Output: (state, exp_steps) ascending. */
   def markovTimeToAbsorb(events: DataFrame, user: String, typeCol: String,
       tsCol: String, idCol: String, absorbing: Seq[String],
-      iters: Int = 24): DataFrame = {
+      iters: Int = 24, driverCellLimit: Long = 1L << 12): DataFrame = {
     require(iters >= 1 && iters <= 64, "markovTimeToAbsorb: 1 <= iters <= 64")
     require(absorbing.nonEmpty, "markovTimeToAbsorb: absorbing states required")
     import org.apache.spark.sql.types.DecimalType
@@ -986,7 +987,7 @@ object EventOps {
       .localCheckpoint()
     // DRIVER-LOCAL fast path — see markovAbsorption; direct term is
     // the constant 1.0 (one step is always taken)
-    if (grid.count() <= (1 << 12)) {
+    if (grid.count() <= driverCellLimit) {
       val cells = grid.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       import java.math.{BigDecimal => JBD, RoundingMode}

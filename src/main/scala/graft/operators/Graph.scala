@@ -158,9 +158,23 @@ object Graph {
     * row per node) are the only per-pass shuffle.
     *
     * Output: (role 'hub'|'authority', id, score) — every source node
-    * has a hub score, every target node an authority score. */
+    * has a hub score, every target node an authority score.
+    *
+    * Execution routes on edge count, the [[Dedup.connectedComponents]]
+    * union-find discipline: at or below `driverEdgeLimit` (default 2²³
+    * ≈ 8.4M edges, a few hundred MB of driver heap) the whole power
+    * iteration runs as a single driver loop over ONE collected edge
+    * array — the per-pass cost of a distributed half-step (join +
+    * shuffle agg + checkpoint + normalizer read ≈ 4 job turnarounds) is
+    * pure fixed overhead when scores fit in memory, and r9 measured it
+    * at ~6 s for a 587k-edge graph whose arithmetic takes milliseconds.
+    * Above the guard the distributed plan runs. Both paths walk the
+    * SAME decimal grid (14-decimal DECIMAL terms summed exactly,
+    * 12-decimal re-round per normalize — the driver path replicates
+    * Spark's Round/Cast semantics with java.math.BigDecimal HALF_UP),
+    * pinned bit-identical by HitsParitySpec. */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int,
-      roundTo: Int = 9): DataFrame = {
+      roundTo: Int = 9, driverEdgeLimit: Long = 1L << 23): DataFrame = {
     require(iters >= 1 && iters <= 16, "hits: 1 <= iters <= 16")
     import org.apache.spark.sql.types.DecimalType
     def decSum(c: Column) =
@@ -168,7 +182,22 @@ object Graph {
     val e = edges.select(col(src).as("s"), col(dst).as("t"))
       .distinct()
       .localCheckpoint() // read twice per iteration
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeLimit &&
+        e.schema("s").dataType == e.schema("t").dataType)
+      return hitsDriver(e, iters, roundTo)
     val srcN = e.select(col("s")).distinct().count()
+    val dstN = e.select(col("t")).distinct().count()
+    // Score relations are one row per node — tiny next to the edge
+    // relation. Below this node-count guard, hint them broadcast so
+    // each half-step is a shuffle-FREE broadcast join over the
+    // checkpointed edges + a map-side-combined aggregate (the only
+    // shuffle per half-step is node-sized partial sums). Above it
+    // (billion-node graphs), fall back to the plain shuffle join —
+    // same values either way, strategy only.
+    val BroadcastNodeLimit = 1L << 21
+    def hint(scores: DataFrame, n: Long): DataFrame =
+      if (n <= BroadcastNodeLimit) broadcast(scores) else scores
     var hubs = e.select(col("s")).distinct()
       .select(col("s"), round(lit(1.0 / srcN.toDouble), 12).as("h"))
     var auths: DataFrame = null
@@ -176,24 +205,98 @@ object Graph {
       // checkpoint the RAW aggregates, not the normalized scores: each
       // raw relation feeds BOTH its normalizer scalar and the score
       // projection — uncheckpointed, the edge⋈score join re-executes
-      // per arm (measured 2x the per-iteration cost)
-      val aRaw = e.join(hubs, "s")
+      // per arm (measured 2x the per-iteration cost). The normalizer
+      // is COLLECTED to a scalar literal rather than crossJoin'd back
+      // in: the collect is a millisecond job over the node-sized
+      // checkpoint, and baking the literal makes every downstream read
+      // a pure projection — no per-materialization broadcast-exchange
+      // round-trips (r9 measured ~14 job turnarounds for 3 iterations;
+      // this plan does 2 checkpoints + 2 scalar reads per iteration).
+      // Same double value either way, so scores are bit-identical.
+      val aRaw = e.join(hint(hubs, srcN), "s")
         .groupBy(col("t")).agg(decSum(col("h")).as("a_raw"))
         .localCheckpoint()
-      val aNorm = aRaw.agg(decSum(col("a_raw")).as("az"))
-      auths = aRaw.crossJoin(aNorm)
-        .select(col("t"), round(col("a_raw") / col("az"), 12).as("a"))
-      val hRaw = e.join(auths, "t")
+      val az = aRaw.agg(decSum(col("a_raw"))).head.getDouble(0)
+      auths = aRaw
+        .select(col("t"), round(col("a_raw") / lit(az), 12).as("a"))
+      val hRaw = e.join(hint(auths, dstN), "t")
         .groupBy(col("s")).agg(decSum(col("a")).as("h_raw"))
         .localCheckpoint()
-      val hNorm = hRaw.agg(decSum(col("h_raw")).as("hz"))
-      hubs = hRaw.crossJoin(hNorm)
-        .select(col("s"), round(col("h_raw") / col("hz"), 12).as("h"))
+      val hz = hRaw.agg(decSum(col("h_raw"))).head.getDouble(0)
+      hubs = hRaw
+        .select(col("s"), round(col("h_raw") / lit(hz), 12).as("h"))
     }
     hubs.select(lit("hub").as("role"), col("s").as("id"),
         round(col("h"), roundTo).as("score"))
       .unionByName(auths.select(lit("authority").as("role"),
         col("t").as("id"), round(col("a"), roundTo).as("score")))
+  }
+
+  /** Driver fast path for [[hits]]: one collect of the (already
+    * distinct, checkpointed) edge relation, then the full power
+    * iteration in memory. Replicates the distributed decimal grid
+    * exactly — Spark's `round(x, s)` on a double is
+    * `BigDecimal.valueOf(x).setScale(s, HALF_UP).toDouble`, and the
+    * `cast(DECIMAL(28,14))` term is `valueOf(rounded).setScale(14,
+    * HALF_UP)` summed exactly — so scores are bit-identical to the
+    * distributed path (HitsParitySpec pins this). Join semantics are
+    * replicated too: a null join key never matches (equi-join), while
+    * a null GROUP key aggregates normally. */
+  private def hitsDriver(e: DataFrame, iters: Int, roundTo: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    def rnd(x: Double, s: Int): Double =
+      JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue
+    def term(x: Double): JBD =
+      JBD.valueOf(rnd(x, 14)).setScale(14, RoundingMode.HALF_UP)
+    val edgesArr: Array[(Any, Any)] = e.collect().map(r => (r.get(0), r.get(1)))
+    // srcN counts null as a distinct value (matches distinct().count())
+    val distinctS = collection.mutable.LinkedHashSet[Any]()
+    edgesArr.foreach(p => distinctS += p._1)
+    val h0 = rnd(1.0 / distinctS.size.toDouble, 12)
+    var hubs: collection.Map[Any, Double] =
+      distinctS.iterator.map(k => k -> h0).toMap
+    var auths: collection.Map[Any, Double] = null
+    // one half-step: for each edge, look the score up by the JOIN side
+    // (null never matches), add its precomputed 14-decimal term into
+    // the GROUP side's exact accumulator; then normalize by the exact
+    // sum of re-rounded raw values — decSum semantics, order-free.
+    def halfStep(scores: collection.Map[Any, Double],
+        joinSide: ((Any, Any)) => Any,
+        groupSide: ((Any, Any)) => Any): collection.Map[Any, Double] = {
+      val terms = scores.map { case (k, v) => k -> term(v) }
+      val acc = collection.mutable.LinkedHashMap[Any, JBD]()
+      edgesArr.foreach { edge =>
+        val jk = joinSide(edge)
+        if (jk != null) terms.get(jk) match {
+          case Some(t) =>
+            val gk = groupSide(edge)
+            acc.update(gk, acc.getOrElse(gk, JBD.ZERO).add(t))
+          case None => ()
+        }
+      }
+      val raw = acc.map { case (k, v) => k -> v.doubleValue }
+      var z = JBD.ZERO
+      raw.valuesIterator.foreach(v => z = z.add(term(v)))
+      val zd = z.doubleValue
+      raw.map { case (k, v) => k -> rnd(v / zd, 12) }
+    }
+    for (_ <- 1 to iters) {
+      auths = halfStep(hubs, _._1, _._2)
+      hubs = halfStep(auths, _._2, _._1)
+    }
+    val idType = e.schema("s").dataType
+    val schema = StructType(Seq(
+      StructField("role", StringType, nullable = false),
+      StructField("id", idType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val rows: Seq[Row] =
+      hubs.iterator.map { case (k, v) => Row("hub", k, rnd(v, roundTo)) }.toSeq ++
+      auths.iterator.map { case (k, v) => Row("authority", k, rnd(v, roundTo)) }.toSeq
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED

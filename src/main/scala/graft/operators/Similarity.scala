@@ -671,7 +671,8 @@ object Similarity {
     * An emptied cell keeps its previous centroid.
     *
     * @return (cell, n_members, centroid_vec) for the final model. */
-  def kMeans(vecs: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
+  def kMeans(vecs: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      driverRowLimit: Long = 1L << 16): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     import org.apache.spark.sql.types.DecimalType
     ensureRegistered(vecs)
@@ -710,7 +711,7 @@ object Similarity {
     // trained model — and every oracle hash downstream — is unchanged.
     // 2^16 rows × 64-d ≈ 33 MB collected, driver-safe; anything larger
     // is real distributed work and takes the cluster path below.
-    if (n <= (1L << 16)) {
+    if (n <= driverRowLimit) {
       val rows = src.orderBy(col("vid")).collect()
       src.unpersist(false)
       // src is null-filtered, so this counts TRAINABLE vectors — the
