@@ -104,16 +104,50 @@ object EntityResolution {
     * compose multiple blocking passes by unioning scored pairs). The
     * score projection is shuffle-free.
     *
+    * RE-BLOCKING (the SemDeDup hot-cell guard applied to linkage):
+    * when `blockBudget` is set and a block outgrows it, the block
+    * splits into ceil(size/budget) parity sub-blocks by an md5 coin on
+    * `subKey`, and pairs generate only WITHIN a sub-block — in-block
+    * pair work stays ~budget × blockSize (linear in data) instead of
+    * blockSize² (quadratic). `subKey` must be a CONTENT column stable
+    * across the record variants a match should bridge (a name's digit
+    * tail, a normalized address) — a stable subKey sends true pairs to
+    * the SAME sub-block, so only cross-sub COINCIDENCE pairs are
+    * skipped; a random subKey would shed recall. This is the standard
+    * secondary-blocking practice, and it is deterministic +
+    * oracle-mirrorable (md5 % nsub on both engines). Blocks at or
+    * under the budget pair exhaustively, so small-scale results are
+    * IDENTICAL to the unbudgeted form.
+    *
     * Output: (a_id, b_id, agree_<attr>… one boolean per field, score),
     * one row per in-block pair with a_id < b_id. */
   def linkageScores(records: DataFrame, id: String, block: Column,
-      fields: Seq[LinkField]): DataFrame = {
+      fields: Seq[LinkField], subKey: Column = lit(0),
+      blockBudget: Long = Long.MaxValue): DataFrame = {
     require(fields.nonEmpty, "linkageScores: at least one field")
+    require(blockBudget > 0, "linkageScores: blockBudget must be positive")
     val attrs = fields.map(_.attr).distinct
-    val base = records.select(
-      (col(id).as("_id") +: block.as("_blk") +: attrs.map(col)): _*)
+    val base0 = records.select(
+      (col(id).as("_id") +: block.as("_blk") +: subKey.as("_sk") +:
+        attrs.map(col)): _*)
+    val base =
+      if (blockBudget == Long.MaxValue)
+        base0.withColumn("_sub", lit(0L)).drop("_sk")
+      else {
+        // one block-sized aggregate joined back (AQE broadcasts it);
+        // nsub = ceil(size/budget), sub = md5-parity of the subKey
+        val sizes = base0.groupBy(col("_blk")).agg(count(lit(1)).as("_csz"))
+        base0.join(sizes, Seq("_blk"))
+          .withColumn("_nsub",
+            ceil(col("_csz").cast("double") / lit(blockBudget.toDouble))
+              .cast("long"))
+          .withColumn("_sub",
+            conv(substring(md5(col("_sk").cast("string")), 25, 8), 16, 10)
+              .cast("long") % col("_nsub"))
+          .drop("_sk", "_csz", "_nsub")
+      }
     val aSide = base.select(
-      (col("_id").as("a_id") +: col("_blk") +:
+      (col("_id").as("a_id") +: col("_blk") +: col("_sub") +:
         attrs.map(n => col(n).as(s"_a_$n"))): _*)
       // explicit spread before the per-block pair expansion: the record
       // table is small (AQE coalesces it toward one partition) and the
@@ -123,9 +157,11 @@ object EntityResolution {
       .repartition(records.sparkSession.sessionState.conf.numShufflePartitions)
     val bSide = base.select(
       (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
+        col("_sub").as("_subb") +:
         attrs.map(n => col(n).as(s"_b_$n"))): _*)
     val pairs = aSide.join(bSide,
-      col("_blk") === col("_blkb") && col("a_id") < col("b_id"))
+      col("_blk") === col("_blkb") && col("_sub") === col("_subb") &&
+        col("a_id") < col("b_id"))
     val withAgree = fields.foldLeft(pairs) { (df, f) =>
       df.withColumn(s"agree_${f.attr}",
         coalesce(f.agree(col(s"_a_${f.attr}"), col(s"_b_${f.attr}")),

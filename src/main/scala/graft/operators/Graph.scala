@@ -576,6 +576,64 @@ object Graph {
         (col("ra_g").cast("double") / lit(1e9)).as("ra"))
   }
 
+  /** DOULION-sampled [[linkPrediction]] — the 100×-capable twin (the
+    * q196 triangle-estimate discipline applied to wedges): a
+    * DETERMINISTIC md5 coin keeps each RIGHT-side node (the shared
+    * neighbor) with probability 1/`sampleDenom`, the exact wedge
+    * enumeration runs on the surviving baskets only, and
+    * common-neighbor / RA sums scale back by `sampleDenom` as unbiased
+    * estimates (each shared neighbor is a Bernoulli(1/denom) term in
+    * the pair's sums). Sampling whole right nodes — not edges — keeps
+    * every surviving basket COMPLETE, so its size is the true right
+    * degree and the RA weight needs no correction, while wedge work
+    * drops by the full factor `denom`. Left degrees are exact (linear
+    * pass over the unsampled edges), so only the overlap terms are
+    * estimated. The coin is content-addressed (md5 of the right key),
+    * making the estimate reproducible and oracle-checkable.
+    *
+    * Output: (a_id, b_id, common_sampled, est_common, est_jaccard,
+    * est_ra, sample_denom) for pairs with at least `minCommonSampled`
+    * surviving shared neighbors; est_jaccard's denominator is clamped
+    * at 1 (the estimate can exceed the true union bound). */
+  def linkPredictionSampled(edges: DataFrame, left: String, right: String,
+      maxDegree: Int = 256, minCommonSampled: Long = 1,
+      sampleDenom: Int = 16): DataFrame = {
+    require(sampleDenom >= 2 && 256 % sampleDenom == 0,
+      "linkPredictionSampled: sampleDenom must divide 256")
+    val e = edges.select(col(left).as("l"), col(right).as("r")).distinct()
+      .localCheckpoint() // feeds exact left degrees + the sampled baskets
+    val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
+    val kept = e.filter(
+      conv(substring(md5(col("r").cast("string")), 31, 2), 16, 10)
+        .cast("long") < lit(256 / sampleDenom))
+    val baskets = kept.groupBy(col("r"))
+      .agg(sort_array(collect_set(col("l"))).as("ls"))
+      .filter(size(col("ls")) <= maxDegree)
+      .withColumn("rdeg", size(col("ls")).cast("long"))
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions)
+    val wedges = baskets
+      .select(col("rdeg"), explode(col("ls")).as("a_id"), col("ls"))
+      .select(col("rdeg"), col("a_id"), explode(col("ls")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    val pairs = wedges.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common_sampled"),
+        sum(round(lit(1e9) / col("rdeg").cast("double")).cast("long")
+          .cast(DecimalType(38, 0))).as("ra_g"))
+      .filter(col("common_sampled") >= minCommonSampled)
+    pairs
+      .join(ldeg.select(col("l").as("a_id"), col("ldeg").as("adeg")), Seq("a_id"))
+      .join(ldeg.select(col("l").as("b_id"), col("ldeg").as("bdeg")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("common_sampled"),
+        (col("common_sampled") * lit(sampleDenom.toLong)).as("est_common"),
+        ((col("common_sampled") * lit(sampleDenom.toLong)).cast("double") /
+          greatest(col("adeg") + col("bdeg") -
+            col("common_sampled") * lit(sampleDenom.toLong), lit(1L))
+            .cast("double")).as("est_jaccard"),
+        ((col("ra_g") * lit(sampleDenom.toLong)).cast("double") / lit(1e9))
+          .as("est_ra"),
+        lit(sampleDenom).as("sample_denom"))
+  }
+
   /** Multi-source BFS: minimum hop count from any source node, over
     * the UNDIRECTED graph, bounded at `maxHops` (unreached nodes emit
     * no row). The reachability primitive under impact analysis

@@ -64,7 +64,24 @@ object LinkageQueries {
     LinkField("bal", (a, b) => a === b, 2.5, -0.75),
     LinkField("segment", (a, b) => a === b, 1.0, -0.5))
 
+  /** Re-blocking budget: a nation block past this size splits into
+    * ceil(size/512) md5-parity sub-blocks on the name's digit tail
+    * (stable across the perturbed copies, so true pairs always
+    * co-bucket). At sf0.01 every block is under budget — results
+    * identical to exhaustive in-block pairing; at 10×/100× in-block
+    * pair work stays ~512 × n instead of n². */
+  private val BlockBudget = 512L
+
   private val sqlScored = sqlMessy + """,
+        blksz AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS csz
+          FROM recs GROUP BY nation),
+        subbed AS (
+          SELECT r.*,
+                 CAST(concat('0x', substr(md5(right(r.name, 9)), 25, 8))
+                   AS BIGINT)
+                 % CAST(CEIL(CAST(b.csz AS DOUBLE) / 512.0) AS BIGINT) AS sub
+          FROM recs r JOIN blksz b ON b.nation = r.nation),
         scored AS (
           SELECT a.rec_id AS a_id, b.rec_id AS b_id,
                  coalesce(lower(a.name) = lower(b.name), false) AS agree_name,
@@ -79,8 +96,9 @@ object LinkageQueries {
                   + CASE WHEN coalesce(a.segment = b.segment, false)
                          THEN CAST('1.0' AS DOUBLE)
                          ELSE CAST('-0.5' AS DOUBLE) END) AS score
-          FROM recs a JOIN recs b
-            ON a.nation = b.nation AND a.rec_id < b.rec_id)"""
+          FROM subbed a JOIN subbed b
+            ON a.nation = b.nation AND a.sub = b.sub
+           AND a.rec_id < b.rec_id)"""
 
   private val sqlEntities = sqlScored + """,
         edges AS (
@@ -101,7 +119,8 @@ object LinkageQueries {
     // ---- q219: Fellegi-Sunter linkage scores -------------------------------
     "q219_linkage_scores" -> Q(
       (s, d) => EntityResolution.linkageScores(messy(s, d), "rec_id",
-          col("nation"), fields)
+          col("nation"), fields, subKey = expr("right(name, 9)"),
+          blockBudget = BlockBudget)
         // report only candidates at or above the review floor: the
         // all-pairs relation is scan-and-discard by design — dumping
         // (and totally ordering) every in-block pair made the DUMP,
@@ -128,7 +147,8 @@ object LinkageQueries {
       (s, d) => {
         val recs = messy(s, d)
         val scored = EntityResolution.linkageScores(recs, "rec_id",
-          col("nation"), fields)
+          col("nation"), fields, subKey = expr("right(name, 9)"),
+          blockBudget = BlockBudget)
         EntityResolution.entities(recs, "rec_id", scored, 4.0)
           .orderBy(col("rec_id"))
       },
@@ -149,7 +169,8 @@ object LinkageQueries {
       (s, d) => {
         val recs = messy(s, d)
         val scored = EntityResolution.linkageScores(recs, "rec_id",
-          col("nation"), fields)
+          col("nation"), fields, subKey = expr("right(name, 9)"),
+          blockBudget = BlockBudget)
         val ent = EntityResolution.entities(recs, "rec_id", scored, 4.0)
         val withEnt = recs.join(ent,
           recs("rec_id") === ent("rec_id"), "inner")
@@ -233,6 +254,56 @@ object LinkageQueries {
         "nothing and C(deg,2) wedge work would dominate — the q147 " +
         "max-degree discipline); true degrees still score. RA terms " +
         "snap to the 1e-9 grid and sum exactly."),
+
+    // ---- q222b: DOULION-sampled link prediction (100x scale path) ----------
+    "q222b_link_prediction_sampled" -> Q(
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey"))
+        graft.operators.Graph.linkPredictionSampled(edges, "o_custkey",
+            "l_partkey", maxDegree = 256, minCommonSampled = 1,
+            sampleDenom = 16)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS l, l_partkey AS r
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        ld AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS ldeg FROM e GROUP BY l),
+        kept AS (
+          SELECT l, r FROM e
+          WHERE CAST(concat('0x', substr(md5(CAST(r AS VARCHAR)), 31, 2))
+                AS BIGINT) < 16),
+        rd AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS rdeg
+               FROM kept GROUP BY r),
+        capped AS (
+          SELECT kept.l, kept.r, rd.rdeg FROM kept JOIN rd ON rd.r = kept.r
+          WHERE rd.rdeg <= 256),
+        w AS (
+          SELECT a.l AS a_id, b.l AS b_id, a.rdeg
+          FROM capped a JOIN capped b ON a.r = b.r AND a.l < b.l),
+        p AS (
+          SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS common_sampled,
+                 SUM(CAST(round(1e9 / CAST(rdeg AS DOUBLE)) AS BIGINT)) AS ra_g
+          FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 1)
+        SELECT p.a_id, p.b_id, p.common_sampled,
+               CAST(p.common_sampled * 16 AS BIGINT) AS est_common,
+               CAST(p.common_sampled * 16 AS DOUBLE) /
+                 CAST(GREATEST(la.ldeg + lb.ldeg - p.common_sampled * 16, 1)
+                   AS DOUBLE) AS est_jaccard,
+               CAST(p.ra_g * 16 AS DOUBLE) / 1e9 AS est_ra,
+               16 AS sample_denom
+        FROM p JOIN ld la ON la.l = p.a_id JOIN ld lb ON lb.l = p.b_id
+        ORDER BY a_id, b_id"""),
+      "q222's 100x-capable twin (the q196 DOULION discipline applied " +
+        "to wedges): a deterministic md5 coin keeps each shared PART " +
+        "w.p. 1/16, exact common-neighbor/RA sums run on surviving " +
+        "baskets only (complete baskets, so RA weights stay true), " +
+        "and estimates scale back by 16 — unbiased per pair, wedge " +
+        "work cut 16x, which keeps the 100x wedge stream (~870M rows " +
+        "exact) inside one JVM. Left degrees stay exact."),
 
     // ---- q238: fuzzy string matching via native Jaro-Winkler ---------------
     "q240_jw_linkage" -> Q(

@@ -164,17 +164,19 @@ object BenchScale {
     // iterative centrality (the q111 pageRank class: score relations
     // shuffle per pass, edges materialize once)
     "q212_hits", "q213_unseen_mass",
-    // round-9 tier. q219-q221 are slope-EXCLUDED by the q179 precedent:
-    // the fixture's 25 nation blocks are fixed while inflation grows
-    // every block 10×, so in-block pair work is quadratic in the
-    // multiplier BY FIXTURE CONSTRUCTION (the operator is linear in
-    // candidate pairs; real deployments re-block to cap block size).
+    // round-9 tier. q219-q221 re-block as of r10: a nation block past
+    // the 512-record budget splits into md5-parity sub-blocks on the
+    // name's digit tail, so in-block pair work is ~budget × n (linear
+    // in the multiplier) and the tier is slope-measurable again.
     // q215/q217/q218's value spines grow with distinct money values —
     // measured at 10× to keep that cost visible, 100×-excluded like
     // q188's score spine. q222's wedge stream is linear in copies but
-    // ~870M rows at 100× through one local JVM (the q147 class).
+    // ~870M rows at 100× through one local JVM (the q147 class);
+    // q222b is its DOULION-sampled 100×-capable twin.
+    "q219_linkage_scores", "q220_linkage_entities", "q221_golden_record",
     "q214_chi2_independence", "q215_mann_whitney", "q216_welch_ttest",
     "q217_winsorize", "q218_robust_scale", "q222_link_prediction",
+    "q222b_link_prediction_sampled",
     "q223_theil_sen", "q224_conformal", "q225_diff_in_diff",
     "q226_ipw_ate",
     // round-9 later waves. q231's value spine is distinct money values
@@ -278,6 +280,13 @@ object BenchScale {
     // q196 is its 100×-capable twin: DOULION edge sampling shrinks the
     // exact-counting volume ~p² before the same adjacency joins run
     "q196_triangle_estimate",
+    // q222b is q222's 100×-capable twin the same way: the md5 coin on
+    // the shared right node cuts the wedge stream 16× before the exact
+    // overlap sums run
+    "q222b_link_prediction_sampled",
+    // the re-blocked linkage tier (512-record sub-block budget) keeps
+    // in-block pair work linear in the multiplier
+    "q219_linkage_scores", "q220_linkage_entities", "q221_golden_record",
     "q148_asof_nearest", "q152_interval_overlap",
     "q154_record_linkage", "q155_bloom_join_reduce", "q160_twap",
     "q164_basket_cooc", "q165_mad_outliers", "q168_decay_score",
