@@ -393,6 +393,63 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** Edge-sampled [[assortativity]] — the 100×-capable twin (the q196/
+    * q222b DOULION discipline): TRUE degrees come from one streaming
+    * aggregate over the full canonical edge set (linear, never
+    * materialized — the exact form's 120M-edge localCheckpoint is what
+    * broke one-JVM 100× runs), and the Pearson moments fold over only
+    * the edges a deterministic md5 coin keeps (p = 1/`sampleDenom`).
+    * Uniform edge sampling with true-degree stamps makes the sampled
+    * moment sums unbiased estimates of the full sums scaled by p, and
+    * the correlation is scale-invariant in them, so the estimate is
+    * consistent for the true assortativity — no degree-bias correction
+    * needed (degrees are exact, only the edge POPULATION is sampled).
+    *
+    * Output: one row (n_nodes, n_edges, n_edges_sampled,
+    * assortativity_est, sample_denom). */
+  def assortativitySampled(edges: DataFrame, src: String, dst: String,
+      sampleDenom: Int = 16): DataFrame = {
+    require(sampleDenom >= 2 && 256 % sampleDenom == 0,
+      "assortativitySampled: sampleDenom must divide 256")
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // exact degrees in one streaming pass — e is NOT checkpointed
+    // (the exact form's memory killer); it recomputes once per arm
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // node-sized; feeds counts + both stamp joins
+    val sampled = e.filter(
+      conv(substring(md5(concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string"))), 31, 2), 16, 10).cast("long")
+        < lit(256 / sampleDenom))
+    val stamped = sampled
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val m = stamped.agg(
+      count(lit(1)).as("ms"),
+      sum(dec(col("da") + col("db"))).as("sx"),
+      sum(dec(col("da") * col("da") + col("db") * col("db"))).as("sxx"),
+      sum(dec(col("da") * col("db") * lit(2L))).as("sxy"))
+    // n_nodes and the exact edge count both fall out of the degree
+    // relation (sum d = 2m) — no second pass over the edge stream
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / lit(2L)).cast("long").as("n_edges"))
+    val bigM = (col("ms") * 2L).cast("double")
+    m.crossJoin(nn).select(
+      col("n_nodes"), col("n_edges"), col("ms").as("n_edges_sampled"),
+      ((bigM * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+        nullif(bigM * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"), lit(0.0)))
+        .as("assortativity_est"),
+      lit(sampleDenom).as("sample_denom"))
+  }
+
   /** k-core peel, run for a FIXED number of rounds (the deterministic
     * form, like [[pageRank]]'s fixed power iterations): each round
     * recomputes degrees over the surviving subgraph and drops every

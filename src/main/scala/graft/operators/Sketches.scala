@@ -611,6 +611,86 @@ object Sketches {
     kmvEstimateFrom(merged, group, k)
   }
 
+  /** Pairwise set-overlap ESTIMATES from per-group KMV sketches — the
+    * sketch twin of [[Dedup.sourceOverlap]]'s exact source-pair
+    * Jaccard: each group keeps only its bottom-k hash sketch (one
+    * corpus pass), every pair's UNION estimate comes from the min-wise
+    * merge of the two sketches (the k smallest of a union are among
+    * the per-side bottom-k's), and intersection falls out by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B). At
+    * 100 TB the exact form joins per-shingle source sets across the
+    * corpus; this form touches the corpus ONCE to sketch and then
+    * works entirely on ≤ k-row relations per group — the |groups|²/2
+    * pair space never sees a corpus row. Estimates use the pinned
+    * [[kmvEstimateFrom]] estimator (4-decimal rounds), so every
+    * derived number is deterministic and oracle-portable; the
+    * intersection clamps at 0 (inclusion–exclusion on estimates can
+    * go slightly negative for disjoint sets).
+    *
+    * Output: (src_a, src_b, est_a, est_b, est_union, est_inter,
+    * jaccard_est) for every unordered group pair, src_a < src_b. */
+  def kmvPairJaccard(df: DataFrame, group: String, value: String,
+      k: Int = 256): DataFrame =
+    kmvPairJaccardFrom(kmvHashes(df, group, value, k).localCheckpoint(),
+      group, k)
+
+  /** Streamed twin of [[kmvPairJaccard]]: the pair matrix over
+    * everything [[kmvIngest]] has landed. The min-wise merge of the
+    * delta bottom-k's equals the one-shot batch bottom-k, and the pair
+    * matrix is a pure function of the bottom relation, so streamed ==
+    * batch (StreamingSpec pins it). */
+  def kmvPairJaccardMerged(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, group: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(col("h"))
+    val merged = spark.table(s"${prefix}_deltas")
+      .select(col(group), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(group), col("h"))
+    kmvPairJaccardFrom(merged.localCheckpoint(), group, k)
+  }
+
+  /** The pair matrix over an already-built bottom-k relation (batch or
+    * merged-from-deltas). `bottom` must be ≤ k rows per group. */
+  private[graft] def kmvPairJaccardFrom(bottom: DataFrame, group: String,
+      k: Int): DataFrame = {
+    val per = kmvEstimateFrom(bottom, group, k)
+      .select(col(group).as("g"), col("kmv_estimate").as("est"))
+    val groups = bottom.select(col(group).as("g")).distinct()
+    val keys = groups.select(col("g").as("src_a"))
+      .crossJoin(groups.select(col("g").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // min-wise merge: union the two bottom sets (shared hashes
+    // collapse), keep the k smallest, estimate as usual
+    val mA = keys.join(bottom, col(group) === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"))
+    val mB = keys.join(bottom, col(group) === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"))
+    val merged = mA.union(mB).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    // the pinned kmvEstimateFrom estimator, keyed by the pair
+    val unionEst = merged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("est_union", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+            col("hk").cast("double")), 4))
+    unionEst
+      .join(per.select(col("g").as("src_a"), col("est").as("est_a")), "src_a")
+      .join(per.select(col("g").as("src_b"), col("est").as("est_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)).as("est_inter"),
+        (greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)) / col("est_union")).as("jaccard_est"))
+  }
+
   /** Count-min JOIN-SIZE estimation (the sketch inner product of
     * Alon–Gilbert–Matias–Szegedy / Cormode–Muthukrishnan): with both
     * join columns sketched into the same d×w cells,

@@ -524,6 +524,68 @@ object DedupTextQueries {
         "matrix costs |sources|^2/2 rows however big the corpus; no " +
         "doc-pair join anywhere."),
 
+    // ---- q302: KMV-sketch source overlap (q86's 100x sketch twin) --------
+    "q302_kmv_source_overlap" -> Q(
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(col("source"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+            .as("sh"))
+        graft.operators.Sketches.kmvPairJaccard(sh, "source", "sh", k = 256)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""
+        WITH ds AS MATERIALIZED (
+          SELECT DISTINCT src,
+                 CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h
+          FROM (SELECT source AS src, unnest($Shingles3) AS sh
+                FROM documents)),
+        bot AS MATERIALIZED (
+          SELECT src, h FROM (
+            SELECT src, h,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
+            FROM ds) WHERE rn <= 256),
+        pe AS (
+          SELECT src,
+                 round(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 255e0 * 4503599627370496e0 /
+                            CAST(MAX(h) AS DOUBLE) END, 4) AS est
+          FROM bot GROUP BY src),
+        keys AS (
+          SELECT a.src AS src_a, b.src AS src_b
+          FROM (SELECT DISTINCT src FROM bot) a,
+               (SELECT DISTINCT src FROM bot) b
+          WHERE a.src < b.src),
+        m AS (
+          SELECT DISTINCT k.src_a, k.src_b, x.h
+          FROM keys k JOIN bot x ON x.src = k.src_a OR x.src = k.src_b),
+        mb AS (
+          SELECT src_a, src_b, h FROM (
+            SELECT src_a, src_b, h, ROW_NUMBER() OVER
+              (PARTITION BY src_a, src_b ORDER BY h) AS rn
+            FROM m) WHERE rn <= 256),
+        ue AS (
+          SELECT src_a, src_b,
+                 round(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 255e0 * 4503599627370496e0 /
+                            CAST(MAX(h) AS DOUBLE) END, 4) AS est_union
+          FROM mb GROUP BY 1, 2)
+        SELECT ue.src_a, ue.src_b, pa.est AS est_a, pb.est AS est_b,
+               ue.est_union,
+               GREATEST(pa.est + pb.est - ue.est_union, 0.0) AS est_inter,
+               GREATEST(pa.est + pb.est - ue.est_union, 0.0) / ue.est_union
+                 AS jaccard_est
+        FROM ue JOIN pe pa ON pa.src = ue.src_a
+        JOIN pe pb ON pb.src = ue.src_b
+        ORDER BY src_a, src_b"""),
+      "q86's sketch twin: per-source bottom-256 KMV sketches of the " +
+        "3-shingle sets (ONE corpus pass), pairwise union estimates " +
+        "from the min-wise sketch merge, intersection by inclusion-" +
+        "exclusion, Jaccard as their ratio. At 100 TB the exact form " +
+        "shuffles per-shingle source sets corpus-wide; this touches " +
+        "the corpus once and the |sources|^2/2 pair space works on " +
+        "256-row sketches only. The pinned 4-decimal estimator makes " +
+        "every derived number oracle-portable."),
+
     // ---- q100: exact-substring duplicate spans --------------------------
     "q100_substring_spans" -> Q(
       (s, d) => Dedup.substringSpans(Tables.documents(s, d), "doc_id", "text",

@@ -1022,6 +1022,64 @@ object RelationalQueries {
         "(degrees already live on the integer grid), one unrounded " +
         "IEEE chain; never more than the edge list shuffles."),
 
+    // ---- q303: edge-sampled assortativity (q204's 100x twin) ---------------
+    "q303_assortativity_sampled" -> Q(
+      (s, d) => {
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+        val edges = baskets
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
+        graft.operators.Graph.assortativitySampled(edges, "a", "b",
+          sampleDenom = 16)
+      },
+      Some("""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+        ), deg AS MATERIALIZED (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v
+        ), sam AS (
+          SELECT a, b FROM e
+          WHERE CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || '_' ||
+                  CAST(b AS VARCHAR)), 31, 2)) AS BIGINT) < 16
+        ), st AS (
+          SELECT da.d AS da, db.d AS db
+          FROM sam JOIN deg da ON da.v = sam.a JOIN deg db ON db.v = sam.b
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ms,
+                 SUM(CAST(da + db AS HUGEINT)) AS sx,
+                 SUM(CAST(da * da + db * db AS HUGEINT)) AS sxx,
+                 SUM(CAST(da * db * 2 AS HUGEINT)) AS sxy
+          FROM st
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d) / 2 AS BIGINT) AS n_edges
+          FROM deg)
+        SELECT n_nodes, n_edges, ms AS n_edges_sampled,
+               (CAST(ms * 2 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                 nullif(CAST(ms * 2 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                 AS assortativity_est,
+               16 AS sample_denom
+        FROM m CROSS JOIN nn"""),
+      "q204's 100x-capable twin (the q196/q222b DOULION discipline): " +
+        "TRUE degrees from one streaming pass over the full canonical " +
+        "edge set (never checkpointed — the exact form's 120M-edge " +
+        "materialization is its one-JVM killer), Pearson moments " +
+        "folded over only the md5-coin-kept edges (p=1/16). Uniform " +
+        "edge sampling with exact degree stamps is a consistent " +
+        "estimator — the correlation is scale-invariant in the " +
+        "p-scaled moment sums."),
+
     // ---- q199: k-core decomposition ----------------------------------------
     "q199_kcore" -> Q(
       (s, d) => {

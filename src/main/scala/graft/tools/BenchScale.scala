@@ -155,6 +155,7 @@ object BenchScale {
     // set (the q147-class memory shape at 120M edges); q205's heavy arm
     // is the jaccardPairs self-join derivation
     "q204_assortativity", "q205_lpa_communities",
+    "q303_assortativity_sampled", "q302_kmv_source_overlap",
     "q206_vocab_coverage", "q207_lexical_diversity",
     // q208-q211's exact audit arm is the documented sample-slice
     // baseline — linear here (probes x corpus) but 10×-only by the
@@ -369,7 +370,13 @@ object BenchScale {
     "q297_walkforward_cv", "q298_next_event_eval",
     "q299_quantile_normalize",
     // exact-moment one-pass reductions (the q216 class)
-    "q300_cohens_d", "q301_odds_ratio")
+    "q300_cohens_d", "q301_odds_ratio",
+    // q204's DOULION twin: true degrees stream (no edge checkpoint),
+    // moments fold over the 1/16 coin-kept edges
+    "q303_assortativity_sampled",
+    // q86's sketch twin: one corpus pass to 256-row per-source
+    // sketches; the pair space never touches a corpus row
+    "q302_kmv_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

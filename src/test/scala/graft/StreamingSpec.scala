@@ -855,6 +855,37 @@ class StreamingSpec extends SparkSuite {
     } finally { Catalog.dropTables(spark, prefix); () }
   }
 
+  test("kmvPairJaccardMerged: streamed pair matrix equals the one-shot batch") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prefix = "graft_kmvpair"
+    try {
+      Catalog.dropTables(spark, prefix)
+      val rows = Tables.events(spark, sf("0.001"))
+        .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+      val input = MemoryStream[(String, Long)]
+      val q = input.toDF().toDF("event_type", "user_id")
+        .writeStream
+        .foreachBatch(Sketches.kmvIngest("event_type", "user_id", prefix, k = 32))
+        .start()
+      for (chunk <- rows.grouped(rows.length / 3 + 1)) {
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toSet
+      val streamed = key(Sketches.kmvPairJaccardMerged(
+        spark, prefix, "event_type", k = 32))
+      val batch = key(Sketches.kmvPairJaccard(
+        rows.toSeq.toDF("event_type", "user_id"),
+        "event_type", "user_id", k = 32))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally { Catalog.dropTables(spark, prefix); () }
+  }
+
   test("dsirIngest: scores against streamed bucket LMs equal the batch answer") {
     import graft.operators.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
