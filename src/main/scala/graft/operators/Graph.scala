@@ -34,7 +34,7 @@ object Graph {
     * Output: (`id`, pr) — rank rounded to `roundTo`, summing to ~1. */
   def pageRank(nodes: DataFrame, id: String, edges: DataFrame,
       src: String, dst: String, iters: Int, damping: Double = 0.85,
-      roundTo: Int = 9): DataFrame = {
+      roundTo: Int = 9, driverEdgeLimit: Long = 1L << 23): DataFrame = {
     require(iters >= 1, "pageRank: at least one iteration")
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
@@ -46,6 +46,15 @@ object Graph {
       .join(outdeg, col("es") === col("v"))
       .select(col("es"), col("ed"), col("outd"))
       .localCheckpoint()
+    // driver fast path (the hits/union-find discipline): below the
+    // edge guard the power iteration runs in memory on the collected
+    // (es, ed, outd) relation, walking the SAME decimal grid — Spark's
+    // round == BigDecimal.valueOf().setScale(HALF_UP), exact decimal
+    // sums are order-free — so ranks are bit-identical
+    // (ParityBoundarySpec pins it). Above the guard, or with a node
+    // set larger than half the guard, the distributed loop runs.
+    if (ed.count() <= driverEdgeLimit && n <= (driverEdgeLimit >> 1))
+      return pageRankDriver(nodes, id, ed, n, iters, damping, roundTo)
     val hasOut = outdeg.select(col("v"))
     var ranks = nodes.select(col(id).as("v"),
       round(lit(1.0 / nD), 12).as("r"))
@@ -69,6 +78,63 @@ object Graph {
         .localCheckpoint() // cut the per-iteration lineage diamond
     }
     ranks.select(col("v").as(id), round(col("r"), roundTo).as("pr"))
+  }
+
+  /** Driver fast path for [[pageRank]] — same decimal grid, in memory.
+    * `ed` is the already-materialized (es, ed, outd) relation; node ids
+    * are compared by equality only, so any id type works. */
+  private def pageRankDriver(nodes: DataFrame, id: String, ed: DataFrame,
+      n: Long, iters: Int, damping: Double, roundTo: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = nodes.sparkSession
+    def rnd(x: Double, s: Int): Double =
+      JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue
+    def term(x: Double): JBD =
+      JBD.valueOf(rnd(x, 14)).setScale(14, RoundingMode.HALF_UP)
+    val nD = n.toDouble
+    val edgesArr: Array[(Any, Any, Long)] =
+      ed.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val hasOut: Set[Any] = edgesArr.iterator.map(_._1).toSet
+    val nodeIds: Array[Any] =
+      nodes.select(col(id)).collect().map(_.get(0))
+    val r0 = rnd(1.0 / nD, 12)
+    var ranks: collection.Map[Any, Double] =
+      nodeIds.iterator.map(v => v -> r0).toMap
+    for (_ <- 1 to iters) {
+      // contrib: per destination, exact sum of round(r/outd, 14) terms
+      val acc = collection.mutable.HashMap.empty[Any, JBD]
+      edgesArr.foreach { case (es, edst, outd) =>
+        // equi-join semantics: a null key never matches
+        if (es != null) ranks.get(es) match {
+          case Some(r) =>
+            val t = term(r / outd.toDouble)
+            acc.update(edst, acc.getOrElse(edst, JBD.ZERO).add(t))
+          case None => ()
+        }
+      }
+      // dangling mass: ranks of nodes with no out-edges
+      var dz = JBD.ZERO
+      // anti-join semantics: a null key never matches, so it is kept
+      ranks.foreach { case (v, r) =>
+        if (v == null || !hasOut(v)) dz = dz.add(term(r))
+      }
+      val dang = dz.doubleValue
+      ranks = nodeIds.iterator.map { v =>
+        // equi-join semantics again: a null node id matches no contrib
+        val c = if (v == null) 0.0
+          else acc.get(v).map(_.doubleValue).getOrElse(0.0)
+        v -> rnd((1.0 - damping) / nD + damping * (c + dang / nD), 12)
+      }.toMap
+    }
+    val schema = StructType(Seq(
+      StructField(id, nodes.schema(id).dataType, nullable = true),
+      StructField("pr", DoubleType, nullable = true)))
+    val rows: Seq[Row] =
+      nodeIds.iterator.map(v => Row(v, rnd(ranks(v), roundTo))).toSeq
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Degree-ordered triangle counting + global clustering coefficient —
@@ -99,13 +165,20 @@ object Graph {
     * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     * global_cc = 3·triangles/wedges rounded to `roundTo`). */
   def triangleStats(edges: DataFrame, src: String, dst: String,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, driverEdgeLimit: Long = 1L << 22): DataFrame = {
     val e = edges
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // driver fast path: triangle/wedge counts are exact integers and
+    // orientation-invariant, so below the guard one collect + a sorted
+    // adjacency-intersection count replaces the degree/orientation/
+    // adjacency join cascade (ParityBoundarySpec pins equality; the
+    // one rounded output, global_cc, replicates Spark round semantics
+    // with BigDecimal HALF_UP).
+    if (e.count() <= driverEdgeLimit) return triangleStatsDriver(e, roundTo)
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -472,7 +545,7 @@ object Graph {
     * Output: (v, core_deg) for surviving nodes — empty when the graph
     * peels away entirely. */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, driverEdgeLimit: Long = 1L << 22): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1 && rounds <= 64, "kCore: 1 <= rounds <= 64")
     var e = edges
@@ -481,6 +554,12 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // driver fast path: the peel is pure integer degree arithmetic —
+    // no grid to replicate — so below the guard one collect + an
+    // in-memory peel replaces per-round degree shuffles + checkpoints
+    // (ParityBoundarySpec pins equality). Above it, the distributed
+    // shell-removal loop runs.
+    if (e.count() <= driverEdgeLimit) return kCoreDriver(e, k, rounds)
     // early exit at the fixpoint is RESULT-identical to running all
     // `rounds` (post-fixpoint peels are no-ops — the oracle runs them
     // all and agrees). Each round removes the PEELED SHELL (nodes that
@@ -515,6 +594,109 @@ object Graph {
     }
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Driver fast path for [[kCore]] — same integer peel, in memory. */
+  private def kCoreDriver(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = e0.sparkSession
+    var edges: Array[(Any, Any)] = e0.collect().map(r => (r.get(0), r.get(1)))
+    def degrees(es: Array[(Any, Any)]): collection.mutable.LinkedHashMap[Any, Long] = {
+      val d = collection.mutable.LinkedHashMap.empty[Any, Long]
+      es.foreach { case (a, b) =>
+        d.update(a, d.getOrElse(a, 0L) + 1L)
+        d.update(b, d.getOrElse(b, 0L) + 1L)
+      }
+      d
+    }
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
+      round += 1
+      val deg = degrees(edges)
+      val bad = deg.collect { case (v, d) if d < k => v }.toSet
+      if (bad.isEmpty) fixed = true
+      else edges = edges.filter { case (a, b) => !bad(a) && !bad(b) }
+    }
+    val schema = StructType(Seq(
+      StructField("v", e0.schema("a").dataType, nullable = true),
+      StructField("core_deg", LongType, nullable = false)))
+    val rows: Seq[Row] =
+      degrees(edges).iterator.map { case (v, d) => Row(v, d) }.toSeq
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Driver fast path for [[triangleStats]] — the same degree-ordered
+    * intersection count, in memory. Triangle/wedge counts are
+    * orientation-invariant exact integers, so any consistent total
+    * order works for the orientation (node ids map to dense ints,
+    * first-seen order); only global_cc is rounded, with the replicated
+    * BigDecimal HALF_UP semantics. */
+  private def triangleStatsDriver(e: DataFrame, roundTo: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    val raw = e.collect()
+    val idx = collection.mutable.HashMap.empty[Any, Int]
+    def ix(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val ea = new Array[Int](raw.length)
+    val eb = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      ea(i) = ix(raw(i).get(0)); eb(i) = ix(raw(i).get(1)); i += 1
+    }
+    val nN = idx.size
+    val deg = new Array[Int](nN)
+    i = 0
+    while (i < raw.length) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // orient low -> high by (degree, index); adjacency sorted for the
+    // two-pointer intersection
+    val adj = Array.fill(nN)(new collection.mutable.ArrayBuffer[Int]())
+    i = 0
+    while (i < raw.length) {
+      val a = ea(i); val b = eb(i)
+      val aLow = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+      if (aLow) adj(a) += b else adj(b) += a
+      i += 1
+    }
+    val sorted: Array[Array[Int]] = adj.map(_.toArray.sorted)
+    var tri = 0L
+    i = 0
+    while (i < raw.length) {
+      val a = ea(i); val b = eb(i)
+      val (u, h) =
+        if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b) else (b, a)
+      val nu = sorted(u); val nv = sorted(h)
+      var p = 0; var q = 0
+      while (p < nu.length && q < nv.length) {
+        if (nu(p) == nv(q)) { tri += 1; p += 1; q += 1 }
+        else if (nu(p) < nv(q)) p += 1
+        else q += 1
+      }
+      i += 1
+    }
+    var wedges = 0L
+    var v = 0
+    while (v < nN) { wedges += deg(v).toLong * (deg(v) - 1) / 2; v += 1 }
+    def rnd(x: Double, sc: Int): Double =
+      JBD.valueOf(x).setScale(sc, RoundingMode.HALF_UP).doubleValue
+    val schema = StructType(Seq(
+      StructField("n_nodes", LongType, nullable = false),
+      StructField("n_edges", LongType, nullable = false),
+      StructField("n_wedges", LongType, nullable = true),
+      StructField("n_triangles", LongType, nullable = false),
+      StructField("global_cc", DoubleType, nullable = true)))
+    // empty graph: SUM over no rows is null; cc of zero wedges is the
+    // null Spark's double division-by-zero yields
+    val wedgesOut: Any = if (nN == 0) null else wedges
+    val cc: Any = if (wedges == 0L) null else rnd(3.0 * tri / wedges, roundTo)
+    val rows: Seq[Row] =
+      Seq(Row(nN.toLong, raw.length.toLong, wedgesOut, tri, cc))
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** DOULION-style approximate triangle count (Tsourakakis et al., KDD
@@ -709,13 +891,23 @@ object Graph {
     *
     * Output: (v, hops: int) — one row per reached node, sources at 0. */
   def bfsHops(edges: DataFrame, src: String, dst: String,
-      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+      sources: DataFrame, sourceCol: String, maxHops: Int,
+      driverEdgeLimit: Long = 1L << 22): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHops: 1 <= maxHops <= 32")
     val e = edges
       .select(col(src).as("s"), col(dst).as("t"))
       .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
       .filter(col("s") =!= col("t")).distinct()
       .localCheckpoint()
+    // driver fast path: hop counts are exact integers (min-hop by BFS
+    // order — no arithmetic grid to replicate at all), so below the
+    // guard one collect + an in-memory BFS replaces maxHops rounds of
+    // join/anti-join/checkpoint. ParityBoundarySpec pins equality.
+    if (e.count() <= driverEdgeLimit) {
+      val roots = sources.select(col(sourceCol).as("v")).distinct()
+      return bfsDriver(e, roots, maxHops, perRoot = false)
+        .select(col("v"), col("hops"))
+    }
     var dist = sources.select(col(sourceCol).as("v")).distinct()
       .withColumn("hops", lit(0))
       .localCheckpoint()
@@ -750,13 +942,19 @@ object Graph {
     *
     * Output: (root, v, hops: int) — one row per (root, reached node). */
   def bfsHopsPerRoot(edges: DataFrame, src: String, dst: String,
-      roots: DataFrame, rootCol: String, maxHops: Int): DataFrame = {
+      roots: DataFrame, rootCol: String, maxHops: Int,
+      driverEdgeLimit: Long = 1L << 22): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHopsPerRoot: 1 <= maxHops <= 32")
     val e = edges
       .select(col(src).as("s"), col(dst).as("t"))
       .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
       .filter(col("s") =!= col("t")).distinct()
       .localCheckpoint()
+    // driver fast path — see [[bfsHops]]; one BFS per root over the
+    // same collected adjacency
+    if (e.count() <= driverEdgeLimit)
+      return bfsDriver(e, roots.select(col(rootCol).as("v")).distinct(),
+        maxHops, perRoot = true)
     var dist = roots.select(col(rootCol).as("root")).distinct()
       .select(col("root"), col("root").as("v"))
       .withColumn("hops", lit(0))
@@ -779,6 +977,62 @@ object Graph {
       }
     }
     dist
+  }
+
+  /** Driver BFS for [[bfsHops]]/[[bfsHopsPerRoot]]: one collect of the
+    * (already undirected, distinct, null-free) edge relation into an
+    * adjacency map, then plain queue BFS — min-hop distances are exact
+    * integers, identical to the distributed frontier loop by
+    * construction. perRoot = false runs ONE multi-source BFS (the
+    * [[bfsHops]] semantics: hops = min over sources). */
+  private def bfsDriver(e: DataFrame, roots: DataFrame, maxHops: Int,
+      perRoot: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    val adj = collection.mutable.HashMap
+      .empty[Any, collection.mutable.ArrayBuffer[Any]]
+    e.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0),
+        collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    val rootIds: Array[Any] = roots.collect().map(_.get(0))
+    def bfs(srcs: Seq[Any]): collection.mutable.LinkedHashMap[Any, Int] = {
+      val dist = collection.mutable.LinkedHashMap.empty[Any, Int]
+      srcs.foreach(v => if (!dist.contains(v)) dist.update(v, 0))
+      var frontier: Seq[Any] = dist.keys.toSeq
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        val nxt = collection.mutable.ArrayBuffer.empty[Any]
+        frontier.foreach { v =>
+          adj.get(v).foreach(_.foreach { t =>
+            if (!dist.contains(t)) { dist.update(t, h); nxt += t }
+          })
+        }
+        frontier = nxt.toSeq
+      }
+      dist
+    }
+    val vType = e.schema("s").dataType
+    if (perRoot) {
+      val rType = roots.schema.fields(0).dataType
+      val schema = StructType(Seq(
+        StructField("root", rType, nullable = true),
+        StructField("v", vType, nullable = true),
+        StructField("hops", IntegerType, nullable = false)))
+      val rows: Seq[Row] = rootIds.toSeq.flatMap(r =>
+        bfs(Seq(r)).iterator.map { case (v, h) => Row(r, v, h) })
+      spark.createDataFrame(rows.asJava, schema)
+    } else {
+      val schema = StructType(Seq(
+        StructField("v", vType, nullable = true),
+        StructField("hops", IntegerType, nullable = false)))
+      val rows: Seq[Row] =
+        bfs(rootIds.toSeq).iterator.map { case (v, h) => Row(v, h) }.toSeq
+      spark.createDataFrame(rows.asJava, schema)
+    }
   }
 
   /** Hop-bounded closeness + harmonic centrality for a sampled root

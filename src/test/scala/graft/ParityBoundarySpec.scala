@@ -67,6 +67,72 @@ class ParityBoundarySpec extends SparkSuite {
     assertSameRows(driver, dist, "kMeans")
   }
 
+  test("pageRank: driver power iteration == distributed, bit-identical") {
+    val li = Tables.lineitem(spark, sf("0.001"))
+    val nodes = li.select(col("l_suppkey").as("nid")).distinct()
+    val edges = li.select(col("l_suppkey").as("s"),
+      col("l_partkey").as("t"))
+    // supplier -> part edges projected back onto suppliers via orders:
+    // keep it simple — supplier-to-supplier co-order edges
+    val e2 = li.select(col("l_orderkey"), col("l_suppkey"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+        "l_orderkey")
+      .filter(col("l_suppkey") =!= col("s2"))
+      .select(col("l_suppkey").as("es"), col("s2").as("ed"))
+    val driver = Graph.pageRank(nodes, "nid", e2, "es", "ed", iters = 3)
+    val dist = Graph.pageRank(nodes, "nid", e2, "es", "ed", iters = 3,
+      driverEdgeLimit = 0L)
+    assertSameRows(driver, dist, "pageRank")
+  }
+
+  test("bfsHops + bfsHopsPerRoot: driver BFS == distributed frontier loop") {
+    val li = Tables.lineitem(spark, sf("0.001"))
+    val edges = li.select(col("l_suppkey").as("sn"),
+      (col("l_partkey") + 1000000L).as("pn")).distinct()
+    val sources = Tables.supplier(spark, sf("0.001"))
+      .filter(col("s_nationkey") === 0).select(col("s_suppkey"))
+    val d1 = Graph.bfsHops(edges, "sn", "pn", sources, "s_suppkey", 4)
+    val x1 = Graph.bfsHops(edges, "sn", "pn", sources, "s_suppkey", 4,
+      driverEdgeLimit = 0L)
+    assertSameRows(d1, x1, "bfsHops")
+    val roots = Tables.supplier(spark, sf("0.001"))
+      .filter(col("s_suppkey") <= 3).select(col("s_suppkey"))
+    val d2 = Graph.bfsHopsPerRoot(edges, "sn", "pn", roots, "s_suppkey", 4)
+    val x2 = Graph.bfsHopsPerRoot(edges, "sn", "pn", roots, "s_suppkey", 4,
+      driverEdgeLimit = 0L)
+    assertSameRows(d2, x2, "bfsHopsPerRoot")
+  }
+
+  test("kCore: driver peel == distributed shell-removal loop") {
+    val li = Tables.lineitem(spark, sf("0.001"))
+    val baskets = li.select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+    val edges = baskets
+      .select(explode(col("pks")).as("a"), col("pks"))
+      .select(col("a"), explode(col("pks")).as("b"))
+      .filter(col("a") < col("b"))
+    val driver = Graph.kCore(edges, "a", "b", k = 4, rounds = 8)
+    val dist = Graph.kCore(edges, "a", "b", k = 4, rounds = 8,
+      driverEdgeLimit = 0L)
+    assertSameRows(driver, dist, "kCore")
+  }
+
+  test("triangleStats: driver intersection count == distributed joins") {
+    val li = Tables.lineitem(spark, sf("0.001"))
+    val baskets = li.select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+    val edges = baskets
+      .select(explode(col("pks")).as("a"), col("pks"))
+      .select(col("a"), explode(col("pks")).as("b"))
+      .filter(col("a") < col("b"))
+    val driver = Graph.triangleStats(edges, "a", "b")
+    val dist = Graph.triangleStats(edges, "a", "b", roundTo = 6,
+      driverEdgeLimit = 0L)
+    assertSameRows(driver, dist, "triangleStats")
+  }
+
   test("markovStationary: driver grid loop == distributed loop") {
     val ev = Tables.events(spark, sf("0.001"))
     val driver = EventOps.markovStationary(
