@@ -451,7 +451,8 @@ class PlanSpec extends SparkSuite {
     // both are quadratic-LOOKING operators whose scale contract is the
     // blocking/wedge equi-join; a cartesian (or a non-equi BNLJ over
     // the corpus) means the blocking key fell out of the join
-    for (q <- Seq("q219_linkage_scores", "q222_link_prediction")) {
+    for (q <- Seq("q219_linkage_scores", "q222_link_prediction",
+        "q222b_link_prediction_sampled")) {
       val p = SparkEntry.queries(q)(spark, sf("0.001"))
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -459,6 +460,18 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested loop over the corpus:\n${p.take(1500)}")
     }
+  }
+
+  test("q302 KMV pair sketch: bottom-k is WindowGroupLimit'd, no corpus pair join") {
+    // the pair space must work on <= k-row sketches: the per-group
+    // bottom-k must plan as WindowGroupLimit (map-side k-row cap, no
+    // unbounded per-group sort), and no cartesian anywhere — the only
+    // intentionally-quadratic relation is the bounded group-pair grid
+    val p = SparkEntry.queries("q302_kmv_source_overlap")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k lost its group limit:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
   test("q217 winsorize: the corpus-side clip is broadcast, not re-shuffled") {
