@@ -68,12 +68,20 @@ object Bench {
     // queries paid GC/eviction pressure that has nothing to do with
     // their plan (r9: q212 34.5 s in-bench vs 5.96 s standalone).
     def releaseCaches(): Unit = {
+      // blocking: an async unpersist defers block removal into the
+      // NEXT query's timed window (measured as scattered 1.4-2x
+      // inflation on sub-second queries adjacent to checkpoint-heavy
+      // ones); blocking keeps the sweep's cost in the sweep
       spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
-        try rdd.unpersist(blocking = false)
+        try rdd.unpersist(blocking = true)
         catch { case _: Throwable => () }
       }
       try spark.catalog.clearCache()
       catch { case _: Throwable => () }
+      // drop driver-memoized audit baselines too: a timed run must
+      // compute every relation from the parquet inputs, never replay a
+      // result its warmup (or a sibling audit) computed
+      graft.queries.AuditCache.clear()
     }
     // a crashing query reports -1 seconds (visible failure marker)
     // instead of a spuriously-fast timing

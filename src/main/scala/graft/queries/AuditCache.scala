@@ -17,11 +17,19 @@ import org.apache.spark.sql.types.StructType
   * way — only the plan changes (LocalRelation scan vs recompute) — so
   * oracle hashes are untouched. A baseline that unexpectedly exceeds
   * `MaxRows` is returned un-memoized (correct, just not cached).
-  * Driver memory, not Spark block cache: survives the bench harness's
-  * per-query `clearCache()` sweep by design. */
-private[queries] object AuditCache {
+  *
+  * MEASUREMENT HONESTY: the memo only serves UNTIMED surfaces (Verify's
+  * single pass over 300 queries, interactive Explain). `graft.Bench`
+  * calls `clear()` in its between-queries sweep, so every TIMED run
+  * recomputes the exact baseline from the parquet inputs — no result
+  * carries from the warmup run or from a sibling audit into a timed
+  * measurement. */
+object AuditCache {
   private val MaxRows = 1 << 20
   private val cache = new ConcurrentHashMap[String, (StructType, Array[Row])]()
+
+  /** Drop every memoized baseline (bench harness hook). */
+  def clear(): Unit = cache.clear()
 
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val hit = cache.get(key)

@@ -19,6 +19,7 @@ object BenchSubset {
       .write.mode("overwrite").format("noop").save()
     names.foreach { n =>
       try { run(n) } catch { case _: Throwable => () }
+      graft.queries.AuditCache.clear() // timed run computes from parquet
       val t0 = System.nanoTime()
       try { run(n); println(f"SUBSET $n ${(System.nanoTime()-t0)/1e9}%.3f s") }
       catch { case e: Throwable => println(s"SUBSET $n FAILED ${e.getMessage}") }
