@@ -602,29 +602,73 @@ object Graph {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     val spark = e0.sparkSession
-    var edges: Array[(Any, Any)] = e0.collect().map(r => (r.get(0), r.get(1)))
-    def degrees(es: Array[(Any, Any)]): collection.mutable.LinkedHashMap[Any, Long] = {
-      val d = collection.mutable.LinkedHashMap.empty[Any, Long]
-      es.foreach { case (a, b) =>
-        d.update(a, d.getOrElse(a, 0L) + 1L)
-        d.update(b, d.getOrElse(b, 0L) + 1L)
-      }
-      d
+    // dense-int node ids + int-array degrees (the triangleStatsDriver
+    // discipline): the boxed per-round LinkedHashMap[Any, Long] rebuild
+    // cost more than the distributed peel it replaced on shell-by-shell
+    // graphs (up to `rounds` full-edge map rebuilds with boxing). The
+    // peel itself is pure integer arithmetic; only the id<->index map
+    // touches boxed values, once.
+    val raw = e0.collect()
+    val idx = collection.mutable.HashMap.empty[Any, Int]
+    val ids = collection.mutable.ArrayBuffer.empty[Any] // first-seen order
+    def ix(v: Any): Int = idx.getOrElseUpdate(v, { ids += v; ids.size - 1 })
+    val ea = new Array[Int](raw.length)
+    val eb = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      ea(i) = ix(raw(i).get(0)); eb(i) = ix(raw(i).get(1)); i += 1
+    }
+    val nN = ids.size
+    var nE = raw.length
+    val deg = new Array[Long](nN)
+    val alive = new Array[Boolean](nN)
+    java.util.Arrays.fill(alive, true)
+    def recountDegrees(): Unit = {
+      java.util.Arrays.fill(deg, 0L)
+      var j = 0
+      while (j < nE) { deg(ea(j)) += 1L; deg(eb(j)) += 1L; j += 1 }
     }
     var round = 0
     var fixed = false
     while (round < rounds && !fixed) {
       round += 1
-      val deg = degrees(edges)
-      val bad = deg.collect { case (v, d) if d < k => v }.toSet
-      if (bad.isEmpty) fixed = true
-      else edges = edges.filter { case (a, b) => !bad(a) && !bad(b) }
+      recountDegrees()
+      var anyBad = false
+      var v = 0
+      while (v < nN) {
+        if (alive(v) && deg(v) < k) { alive(v) = false; anyBad = true }
+        else if (!alive(v)) deg(v) = 0L
+        v += 1
+      }
+      if (!anyBad) fixed = true
+      else {
+        // compact the surviving edges in place
+        var w = 0
+        var j = 0
+        while (j < nE) {
+          if (alive(ea(j)) && alive(eb(j))) { ea(w) = ea(j); eb(w) = eb(j); w += 1 }
+          j += 1
+        }
+        nE = w
+      }
     }
+    recountDegrees()
     val schema = StructType(Seq(
       StructField("v", e0.schema("a").dataType, nullable = true),
       StructField("core_deg", LongType, nullable = false)))
-    val rows: Seq[Row] =
-      degrees(edges).iterator.map { case (v, d) => Row(v, d) }.toSeq
+    // first-seen order over nodes with surviving edges — the same rows
+    // (and the same deterministic order) the LinkedHashMap form emitted
+    val rows: Seq[Row] = {
+      val seen = new Array[Boolean](nN)
+      val order = collection.mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < nE) {
+        if (!seen(ea(j))) { seen(ea(j)) = true; order += ea(j) }
+        if (!seen(eb(j))) { seen(eb(j)) = true; order += eb(j) }
+        j += 1
+      }
+      order.iterator.map(v => Row(ids(v), deg(v))).toSeq
+    }
     spark.createDataFrame(rows.asJava, schema)
   }
 

@@ -568,10 +568,19 @@ object Sketches {
     val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
       .cast("long")
     val w = Window.partitionBy(col(group)).orderBy(col("h"))
-    df.select(col(group), h.as("h")).distinct()
-      .withColumn("rn", row_number().over(w))
+    // dense_rank BEFORE the dedup: the bottom-k distinct VALUES are the
+    // rows with dense_rank <= k over the raw (duplicated) stream, and
+    // rank-limit windows plan as WindowGroupLimit — a map-side per-task
+    // top-k filter that prunes each scan task's output to ~k rows per
+    // group BEFORE the one exchange. distinct-then-row_number computed
+    // the same set but shuffled the FULL distinct hash stream twice
+    // (dedup exchange + window exchange). Same output rows, so every
+    // downstream estimate (and the streamed delta merge) is unchanged.
+    df.select(col(group), h.as("h"))
+      .withColumn("rn", dense_rank().over(w))
       .filter(col("rn") <= k)
       .select(col(group), col("h"))
+      .distinct()
   }
 
   /** The pinned KMV estimator over a bottom-k relation:
@@ -657,25 +666,26 @@ object Sketches {
       k: Int): DataFrame = {
     val per = kmvEstimateFrom(bottom, group, k)
       .select(col(group).as("g"), col("kmv_estimate").as("est"))
-    val groups = bottom.select(col(group).as("g")).distinct()
-    val keys = groups.select(col("g").as("src_a"))
-      .crossJoin(groups.select(col("g").as("src_b")))
+    // min-wise merge on PER-SOURCE SORTED ARRAYS: each sketch is ≤k
+    // longs (~2 KB) by contract, so the pair matrix pairs sketches,
+    // never rows — array_union collapses shared hashes, array_sort +
+    // slice keeps the k smallest, identically to the row-based
+    // union→distinct→bottom-k window this replaces. The row form
+    // materialized |pairs|×2k rows through a distinct exchange and a
+    // per-pair window (≈256M rows at 100× where the per-copy sources
+    // square the pair count) and heap-OOM'd the one-JVM 100× run; the
+    // array form is a pure projection over |pairs| rows with no
+    // corpus-shaped shuffle anywhere.
+    val arrs = bottom.groupBy(col(group).as("g"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val unionEst = arrs.select(col("g").as("src_a"), col("hs").as("ha"))
+      .crossJoin(arrs.select(col("g").as("src_b"), col("hs").as("hb")))
       .filter(col("src_a") < col("src_b"))
-    // min-wise merge: union the two bottom sets (shared hashes
-    // collapse), keep the k smallest, estimate as usual
-    val mA = keys.join(bottom, col(group) === col("src_a"))
-      .select(col("src_a"), col("src_b"), col("h"))
-    val mB = keys.join(bottom, col(group) === col("src_b"))
-      .select(col("src_a"), col("src_b"), col("h"))
-    val merged = mA.union(mB).distinct()
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
-    // the pinned kmvEstimateFrom estimator, keyed by the pair
-    val unionEst = merged
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("mh",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      // the pinned kmvEstimateFrom estimator, keyed by the pair
+      .select(col("src_a"), col("src_b"),
+        size(col("mh")).as("n_kept"), element_at(col("mh"), -1).as("hk"))
       .withColumn("est_union", round(
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /

@@ -527,9 +527,16 @@ object DedupTextQueries {
     // ---- q302: KMV-sketch source overlap (q86's 100x sketch twin) --------
     "q302_kmv_source_overlap" -> Q(
       (s, d) => {
+        // native single-pass shingles: the declarative transform/
+        // sequence form is an interpreted higher-order lambda that
+        // re-evaluates element_at per shingle word (measured 3.5 s of
+        // q302's 4.8 s at sf0.1); shingle_strings emits the identical
+        // distinct 3-shingle set (same space-split tokens, same
+        // short-doc contract as the oracle's range(1, len-1))
+        graft.plans.TextExpressions.register(s)
         val sh = Tables.documents(s, d).select(col("source"),
-          explode(graft.functions.TextFunctions.shingles(col("text"), 3))
-            .as("sh"))
+          explode(call_function("shingle_strings",
+            col("text"), lit(3), lit(true))).as("sh"))
         graft.operators.Sketches.kmvPairJaccard(sh, "source", "sh", k = 256)
           .orderBy(col("src_a"), col("src_b"))
       },
@@ -1336,14 +1343,22 @@ object DedupTextQueries {
     "q262_textrank" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.plans.TextExpressions.register(s)
         val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .select(explode(split(col("text"), " ")).as("w"))
         val nodes = toks.select(col("w")).distinct()
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val bi = toks
-          .withColumn("w2", lead(col("w"), 1).over(byDoc))
-          .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+        // adjacent pairs as a PROJECTION: every non-distinct 2-shingle
+        // is exactly one lead(w,1)-over-(doc,pos) pair, so the per-doc
+        // window (a full shuffle+sort of the corpus token stream) is
+        // replaced by the native single-pass shingle expression; words
+        // are space-split so the space split below recovers the pair
+        val bi = Tables.documents(s, d)
+          .select(explode(call_function("shingle_strings",
+            col("text"), lit(2), lit(false))).as("pair"))
+          .select(split(col("pair"), " ").as("p"))
+          .select(element_at(col("p"), 1).as("w"),
+            element_at(col("p"), 2).as("w2"))
+          .filter(col("w") =!= col("w2"))
           .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("n_xy"))
           .filter(col("n_xy") >= 5)
         val edges = bi.select(col("w").as("src"), col("w2").as("dst"))

@@ -463,15 +463,29 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q302 KMV pair sketch: bottom-k is WindowGroupLimit'd, no corpus pair join") {
-    // the pair space must work on <= k-row sketches: the per-group
-    // bottom-k must plan as WindowGroupLimit (map-side k-row cap, no
-    // unbounded per-group sort), and no cartesian anywhere — the only
-    // intentionally-quadratic relation is the bounded group-pair grid
+    // the pair space must work on <= k-row sketches. Two pins:
+    // (1) the sketch BUILD (kmvHashes) must plan its bottom-k as
+    //     WindowGroupLimit — the dense_rank-before-dedup form's
+    //     map-side k-row cap, no unbounded per-group sort (the final
+    //     query plan hides this behind the sketch localCheckpoint, so
+    //     pin the build plan directly);
+    // (2) the final plan must have no CartesianProduct, and its pair
+    //     grid must cross ≤k-long sketch ARRAYS (collect_list
+    //     aggregates), never corpus rows — the array min-wise merge
+    //     replaced the per-pair row window.
+    graft.plans.TextExpressions.register(spark)
+    val docs = graft.Tables.documents(spark, sf("0.001")).select(col("source"),
+      explode(call_function("shingle_strings", col("text"), lit(3), lit(true)))
+        .as("sh"))
+    val build = graft.operators.Sketches.kmvHashes(docs, "source", "sh", 256)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("WindowGroupLimit"),
+      s"bottom-k lost its group limit:\n${build.take(1500)}")
     val p = SparkEntry.queries("q302_kmv_source_overlap")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("WindowGroupLimit"),
-      s"bottom-k lost its group limit:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("collect_list"),
+      s"pair grid must cross aggregated sketch arrays:\n${p.take(1500)}")
   }
 
   test("q217 winsorize: the corpus-side clip is broadcast, not re-shuffled") {
