@@ -126,6 +126,7 @@ object EntityResolution {
       blockBudget: Long = Long.MaxValue): DataFrame = {
     require(fields.nonEmpty, "linkageScores: at least one field")
     require(blockBudget > 0, "linkageScores: blockBudget must be positive")
+    graft.plans.TextExpressions.register(records.sparkSession)
     val attrs = fields.map(_.attr).distinct
     val base0 = records.select(
       (col(id).as("_id") +: block.as("_blk") +: subKey.as("_sk") +:
@@ -142,7 +143,7 @@ object EntityResolution {
             ceil(col("_csz").cast("double") / lit(blockBudget.toDouble))
               .cast("long"))
           .withColumn("_sub",
-            conv(substring(md5(col("_sk").cast("string")), 25, 8), 16, 10)
+            call_function("md5_u52", col("_sk").cast("string"), lit(8), lit(25))
               .cast("long") % col("_nsub"))
           .drop("_sk", "_csz", "_nsub")
       }

@@ -496,10 +496,11 @@ object Graph {
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .localCheckpoint() // node-sized; feeds counts + both stamp joins
+    graft.plans.TextExpressions.register(edges.sparkSession)
     val sampled = e.filter(
-      conv(substring(md5(concat(col("a").cast("string"), lit("_"),
-        col("b").cast("string"))), 31, 2), 16, 10).cast("long")
-        < lit(256 / sampleDenom))
+      call_function("md5_u52", concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string")), lit(2), lit(31))
+        < lit((256 / sampleDenom).toLong))
     val stamped = sampled
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -778,10 +779,11 @@ object Graph {
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
+    graft.plans.TextExpressions.register(edges.sparkSession)
     val sampled = e.filter(
-      conv(substring(md5(concat(col("a").cast("string"), lit("_"),
-        col("b").cast("string"))), 31, 2), 16, 10).cast("long")
-        < lit(256 / sampleDenom))
+      call_function("md5_u52", concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string")), lit(2), lit(31))
+        < lit((256 / sampleDenom).toLong))
     val denomCubed = sampleDenom.toLong * sampleDenom * sampleDenom
     triangleStats(sampled, "a", "b")
       .select(col("n_edges").as("n_edges_sampled"),
@@ -886,9 +888,10 @@ object Graph {
     val e = edges.select(col(left).as("l"), col(right).as("r")).distinct()
       .localCheckpoint() // feeds exact left degrees + the sampled baskets
     val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
+    graft.plans.TextExpressions.register(edges.sparkSession)
     val kept = e.filter(
-      conv(substring(md5(col("r").cast("string")), 31, 2), 16, 10)
-        .cast("long") < lit(256 / sampleDenom))
+      call_function("md5_u52", col("r").cast("string"), lit(2), lit(31))
+        < lit((256 / sampleDenom).toLong))
     val baskets = kept.groupBy(col("r"))
       .agg(sort_array(collect_set(col("l"))).as("ls"))
       .filter(size(col("ls")) <= maxDegree)

@@ -632,8 +632,9 @@ object Quality {
     // inverted Poisson(1) CDF on the 52-bit md5 uniform; weights 0..6
     // (P(>6) < 1e-4 — the tail truncation shifts nothing at 2^-52
     // resolution both engines share)
-    val u = conv(substring(md5(concat(col("_id").cast("string"), lit(":"),
-      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13), 16, 10)
+    graft.plans.TextExpressions.register(df.sparkSession)
+    val u = call_function("md5_u52", concat(col("_id").cast("string"),
+      lit(":"), col("rep").cast("string"), lit(":"), lit(seed.toString)))
       .cast("double") / lit(4503599627370496.0)
     val w = when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)

@@ -54,8 +54,8 @@ object Sketches {
     * split equals the one-shot build. */
   def hllRegisters(df: DataFrame, group: String, value: String): DataFrame = {
     val m = 256
-    val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
-      .cast("long")
+    graft.plans.TextExpressions.register(df.sparkSession)
+    val h = call_function("md5_u52", col(value).cast("string"))
     val base = df.select(col(group), h.as("h"))
       .withColumn("idx", (col("h") % m).cast("int"))
       .withColumn("w", shiftright(col("h"), 8))
@@ -565,8 +565,8 @@ object Sketches {
       k: Int): DataFrame = {
     require(k >= 2, "kmvHashes: k must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col(value).cast("string")), 1, 13), 16, 10)
-      .cast("long")
+    graft.plans.TextExpressions.register(df.sparkSession)
+    val h = call_function("md5_u52", col(value).cast("string"))
     val w = Window.partitionBy(col(group)).orderBy(col("h"))
     // dense_rank BEFORE the dedup: the bottom-k distinct VALUES are the
     // rows with dense_rank <= k over the raw (duplicated) stream, and
@@ -756,9 +756,11 @@ object Sketches {
       k: Int = 256): DataFrame = {
     require(k >= 2, "kmvOverlap: k must be >= 2")
     val TwoPow52 = 4503599627370496.0
-    def hashes(df: DataFrame, c: String): DataFrame = df.select(
-      conv(substring(md5(col(c).cast("string")), 1, 13), 16, 10)
-        .cast("long").as("h")).distinct()
+    def hashes(df: DataFrame, c: String): DataFrame = {
+      graft.plans.TextExpressions.register(df.sparkSession)
+      df.select(call_function("md5_u52", col(c).cast("string")).as("h"))
+        .distinct()
+    }
     val ha = hashes(a, aCol).localCheckpoint()
     val hb = hashes(b, bCol).localCheckpoint()
     val bottom = ha.union(hb).distinct().orderBy(col("h")).limit(k)

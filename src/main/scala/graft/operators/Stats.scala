@@ -609,31 +609,39 @@ object Stats {
       d(sa) / nullif(d(na), lit(0.0)) / lit(1e9) -
         (d(s) - d(sa)) / nullif(d(n) - d(na), lit(0.0)) / lit(1e9)
     }
+    // ×reps explosion as a GENERATE (explode of a constant sequence —
+    // rows materialize inline in codegen; the broadcast-range crossJoin
+    // this replaces paid a nested-loop row copy per output row, 3× the
+    // cost at reps=99). The exploded stream carries ONLY (rep, _v, u):
+    // the urn is the codegen'd md5_u52 (same 52-bit value as the
+    // conv/substring/md5 chain), and the observed statistics join back
+    // AFTER the per-rep aggregation instead of riding every row.
+    graft.plans.TextExpressions.register(spark)
     val expanded = base
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .crossJoin(broadcast(spark.range(reps.toLong)
-        .select(col("id").cast("int").as("rep"))))
-      .crossJoin(broadcast(obs))
-    val u = conv(substring(md5(concat(col("_id"), lit(":"),
-      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13),
-      16, 10).cast("long")
-    val assign = dec(u) * dec(col("n")) <
+      .select(col("_v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"),
+        col("_id"))
+      .select(col("rep"), col("_v"),
+        call_function("md5_u52", concat(col("_id"), lit(":"),
+          col("rep").cast("string"), lit(":"), lit(seed.toString)))
+          .as("_u"))
+      .crossJoin(broadcast(obs.select(col("n"), col("n_a"))))
+    val assign = dec(col("_u")) * dec(col("n")) <
       dec(lit(4503599627370496L)) * dec(col("n_a"))
     val perRep = expanded
       .groupBy(col("rep"))
       .agg(
-        max(col("n")).as("n"), max(col("n_a")).as("n_a"),
-        max(col("s")).as("s"),
         sum(when(assign, dec(col("_v"))).otherwise(zero)).as("sar"),
-        sum(when(assign, 1L).otherwise(0L)).as("nar"),
-        max(meanDiff(col("sa"), col("n_a"), col("s"), col("n")))
-          .as("diff_obs"))
+        sum(when(assign, 1L).otherwise(0L)).as("nar"))
+      .crossJoin(broadcast(obs))
     val diffR = meanDiff(col("sar"), col("nar"), col("s"), col("n"))
+    val diffObs = meanDiff(col("sa"), col("n_a"), col("s"), col("n"))
     perRep.agg(
       max(col("n")).as("n"), max(col("n_a")).as("n_a"),
-      max(col("diff_obs")).as("diff_obs"),
+      max(diffObs).as("diff_obs"),
       count(lit(1)).as("reps"),
-      sum(when(abs(diffR) >= abs(col("diff_obs")), 1L).otherwise(0L))
+      sum(when(abs(diffR) >= abs(diffObs), 1L).otherwise(0L))
         .as("n_extreme"))
       .withColumn("p_value",
         (col("n_extreme") + lit(1L)).cast("double") /
@@ -671,30 +679,36 @@ object Stats {
       d(sa) / nullif(d(na), lit(0.0)) / lit(1e9) -
         (d(s) - d(sa)) / nullif(d(n) - d(na), lit(0.0)) / lit(1e9)
     }
+    // same explosion discipline as [[permutationTest]]: GENERATE the
+    // reps inline, keep the exploded stream narrow (g, rep, _v, urn),
+    // join each row's group rate (two longs) from a broadcast, and
+    // bring the wide observed statistics back only at per-(g, rep)
+    // granularity — the stream never carries a decimal it doesn't sum
+    graft.plans.TextExpressions.register(spark)
     val expanded = base
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .crossJoin(broadcast(spark.range(reps.toLong)
-        .select(col("id").cast("int").as("rep"))))
-      .join(broadcast(obs), "g")
-    val u = conv(substring(md5(concat(col("_id"), lit(":"),
-      col("rep").cast("string"), lit(":"), lit(seed.toString))), 1, 13),
-      16, 10).cast("long")
-    val assign = dec(u) * dec(col("n")) <
+      .select(col("g"), col("_v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"),
+        col("_id"))
+      .select(col("g"), col("rep"), col("_v"),
+        call_function("md5_u52", concat(col("_id"), lit(":"),
+          col("rep").cast("string"), lit(":"), lit(seed.toString)))
+          .as("_u"))
+      .join(broadcast(obs.select(col("g"), col("n"), col("n_a"))), "g")
+    val assign = dec(col("_u")) * dec(col("n")) <
       dec(lit(4503599627370496L)) * dec(col("n_a"))
     val perRep = expanded
       .groupBy(col("g"), col("rep"))
       .agg(
-        max(col("n")).as("n"), max(col("n_a")).as("n_a"),
-        max(col("s")).as("s"),
         sum(when(assign, dec(col("_v"))).otherwise(zero)).as("sar"),
-        sum(when(assign, 1L).otherwise(0L)).as("nar"),
-        max(meanDiff(col("sa"), col("n_a"), col("s"), col("n")))
-          .as("diff_obs"))
+        sum(when(assign, 1L).otherwise(0L)).as("nar"))
+      .join(broadcast(obs), "g")
     val diffR = meanDiff(col("sar"), col("nar"), col("s"), col("n"))
+    val diffObs = meanDiff(col("sa"), col("n_a"), col("s"), col("n"))
     perRep.groupBy(col("g")).agg(
       max(col("n")).as("n"), max(col("n_a")).as("n_a"),
-      max(col("diff_obs")).as("diff_obs"),
-      sum(when(abs(diffR) >= abs(col("diff_obs")), 1L).otherwise(0L))
+      max(diffObs).as("diff_obs"),
+      sum(when(abs(diffR) >= abs(diffObs), 1L).otherwise(0L))
         .as("n_extreme"))
       .withColumn("p_value",
         (col("n_extreme") + lit(1L)).cast("double") /

@@ -899,10 +899,117 @@ object TextAnalysis {
     *
     * Deterministic and engine-portable: ties on pair count break
     * lexicographically; counts are exact; replace/trim are literal. */
+  /** Driver guard for the BPE loop: at or below this many corpus text
+    * bytes the loop runs in driver memory (collect once, loop over
+    * arrays); above it the distributed per-round plan runs unchanged.
+    * The same data-size routing as the graph tier's fast paths: 8
+    * rounds of (count job + rewrite job + cache turnover) on a
+    * megabyte-scale corpus is pure fixed overhead. Pinned
+    * driver==distributed by BpeParitySpec. */
+  private[graft] val BpeDriverMaxBytes: Long = 1L << 26
+
+  /** In-memory twin of the distributed BPE loop — IDENTICAL arithmetic:
+    * non-distinct adjacent pairs of space-split tokens (shingle n=2),
+    * exact integer counts, argmax ties to the binary-smallest pair
+    * string (UTF8String order == Spark's string sort), greedy leftmost
+    * non-overlapping rewrite (== the doubled-separator replace chain on
+    * single-space token strings). Returns the merge list and the
+    * rewritten (doc, t) rows for a LocalRelation; the callers' final
+    * projections (md5, token counts) stay in Spark, so their expression
+    * semantics are shared with the distributed path by construction. */
+  private def bpeLoopDriver(rows: Array[org.apache.spark.sql.Row],
+      merges: Int, joiner: String): (Seq[(Int, String, String, Long)], Array[String]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts: Array[String] = rows.map(r => if (r.isNullAt(1)) null else r.getString(1))
+    val toks: Array[Array[String]] =
+      texts.map(t => if (t == null) null else t.split(" ", -1))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      var di = 0
+      while (di < toks.length) {
+        val tk = toks(di)
+        if (tk != null && tk.length >= 2) {
+          var j = 0
+          while (j < tk.length - 1) {
+            val k = tk(j) + " " + tk(j + 1)
+            val slot = counts.get(k)
+            if (slot == null) counts.put(k, Array(1L)) else slot(0) += 1L
+            j += 1
+          }
+        }
+        di += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestU: UTF8String = null
+        var bestCnt = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0)
+          if (c > bestCnt) {
+            bestCnt = c; bestPair = e.getKey
+            bestU = UTF8String.fromString(bestPair)
+          } else if (c == bestCnt) {
+            val u = UTF8String.fromString(e.getKey)
+            if (u.compareTo(bestU) < 0) { bestPair = e.getKey; bestU = u }
+          }
+        }
+        val sp = bestPair.indexOf(' ')
+        val a = bestPair.substring(0, sp)
+        val b = bestPair.substring(sp + 1)
+        val m = a + joiner + b
+        learned += ((i, a, b, bestCnt))
+        di = 0
+        while (di < toks.length) {
+          val tk = toks(di)
+          if (tk != null && tk.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < tk.length) {
+              if (j < tk.length - 1 && tk(j) == a && tk(j + 1) == b) {
+                out += m; j += 2
+              } else { out += tk(j); j += 1 }
+            }
+            toks(di) = out.toArray
+          }
+          di += 1
+        }
+        di = 0
+      }
+    }
+    val outTexts = new Array[String](toks.length)
+    var di = 0
+    while (di < toks.length) {
+      outTexts(di) = if (toks(di) == null) null else toks(di).mkString(" ")
+      di += 1
+    }
+    (learned.toSeq, outTexts)
+  }
+
   private def bpeLoop(docs: DataFrame, id: String, text: String,
-      merges: Int, joiner: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+      merges: Int, joiner: String,
+      driverMaxBytes: Long = BpeDriverMaxBytes): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(merges >= 0, "merges must be non-negative")
     graft.plans.TextExpressions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val sized = docs.agg(coalesce(sum(length(col(text)).cast("long")), lit(0L))).head()
+    if (sized.getLong(0) <= driverMaxBytes) {
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      import scala.jdk.CollectionConverters._
+      val rows = docs.select(col(id).as("doc"), col(text).as("t")).collect()
+      val (learned, outTexts) = bpeLoopDriver(rows, merges, joiner)
+      val schema = StructType(Seq(
+        StructField("doc", docs.schema(id).dataType, nullable = true),
+        StructField("t", StringType, nullable = true)))
+      val outRows: Seq[org.apache.spark.sql.Row] =
+        rows.iterator.zip(outTexts.iterator)
+          .map { case (r, t) => org.apache.spark.sql.Row(r.get(0), t) }.toSeq
+      return (learned, spark.createDataFrame(outRows.asJava, schema))
+    }
     var cur = docs.select(col(id).as("doc"), col(text).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the previous round's relation stays cached until THIS round's
@@ -953,10 +1060,11 @@ object TextAnalysis {
     *
     * Output: (it, lhs, rhs, cnt), it = 1..merges. */
   def bpeMerges(docs: DataFrame, id: String, text: String, merges: Int,
-      joiner: String = "@@"): DataFrame = {
+      joiner: String = "@@",
+      driverMaxBytes: Long = BpeDriverMaxBytes): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (learned, cur) = bpeLoop(docs, id, text, merges, joiner)
+    val (learned, cur) = bpeLoop(docs, id, text, merges, joiner, driverMaxBytes)
     cur.unpersist(false)
     learned.toDF("it", "lhs", "rhs", "cnt")
   }
@@ -1032,8 +1140,9 @@ object TextAnalysis {
     * the md5 of the encoded text — the digest proves the REWRITE
     * matched, not just the counts. */
   def bpeEncode(docs: DataFrame, id: String, text: String, merges: Int,
-      joiner: String = "@@"): DataFrame = {
-    val (_, cur) = bpeLoop(docs, id, text, merges, joiner)
+      joiner: String = "@@",
+      driverMaxBytes: Long = BpeDriverMaxBytes): DataFrame = {
+    val (_, cur) = bpeLoop(docs, id, text, merges, joiner, driverMaxBytes)
     val result = cur.select(col("doc"),
         size(split(col("t"), " ")).cast("long").as("n_tokens"),
         md5(col("t")).as("bpe_md5"))
@@ -1118,8 +1227,9 @@ object TextAnalysis {
     * (by, id, w, key) with key = −ln(u)/w from the row's own md5 urn. */
   private def sampleKeyed(docs: DataFrame, id: String, weight: Column,
       by: String, salt: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit(s"$salt:"), col(id))), 1, 13),
-      16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    val u = (call_function("md5_u52", concat(lit(s"$salt:"), col(id)))
+      .cast("double") + lit(1.0)) / lit(4503599627370496.0)
     docs.select(col(by), col(id), weight.cast("double").as("w"),
       round(-log(u) / weight.cast("double"), 12).as("key"))
   }
@@ -1229,7 +1339,7 @@ object TextAnalysis {
   /** The hashed-bucket token pair (doc stream projection): b = 52-bit
     * md5 prefix of the token, mod m. */
   private def dsirBucket(m: Int): Column =
-    conv(substring(md5(col("term")), 1, 13), 16, 10).cast("long") % m
+    call_function("md5_u52", col("term")) % m
 
   /** The bucket-count relation alone — (b, ct, cr), ≤ m rows. MERGES by
     * sum (integer counts commute across any batch split), so the LM
@@ -1238,6 +1348,7 @@ object TextAnalysis {
   def dsirCounts(docs: DataFrame, text: String, targetPred: Column,
       m: Int): DataFrame = {
     require(m > 0, "dsirCounts: m must be positive")
+    graft.plans.TextExpressions.register(docs.sparkSession)
     docs.select(targetPred.as("is_t"), explode(tokens(col(text))).as("term"))
       .withColumn("b", dsirBucket(m))
       .groupBy(col("b")).agg(
@@ -1251,6 +1362,7 @@ object TextAnalysis {
   def dsirScore(docs: DataFrame, id: String, text: String,
       counts: DataFrame, m: Int, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    graft.plans.TextExpressions.register(docs.sparkSession)
     val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val lam = counts.crossJoin(broadcast(totals)).select(col("b"),
       (log((col("ct").cast("double") + 1) / (col("tt").cast("double") + m)) -

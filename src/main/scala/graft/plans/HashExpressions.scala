@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The 52-bit md5 uniform as ONE codegen'd expression.
+  *
+  * Every deterministic urn in the engine (bootstrap re-draws,
+  * permutation labels, DOULION coins, sub-block parity) is defined as
+  * the first 13 hex digits of md5 parsed base-16 — a value any SQL
+  * engine can recompute, which is why the oracles can mirror it. The
+  * declarative chain `conv(substring(md5(s), 1, 13), 16, 10)` pays for
+  * that portability per row: md5 → 32-char hex UTF8String allocation →
+  * substring copy → conv's string parse → string-to-long cast. On a
+  * ×reps exploded stream (99 urn draws per input row) that chain is
+  * the projection's whole cost.
+  *
+  * This expression computes the IDENTICAL long straight from the
+  * digest bytes: the first 13 hex digits of the md5 hex string are by
+  * construction the first 52 bits of the digest, i.e. bytes 0..5 and
+  * the high nibble of byte 6. No intermediate strings, stays inside
+  * whole-stage codegen. Equality with the declarative chain is pinned
+  * property-style in HashExpressionsSpec.
+  */
+case class Md5U52(child: Expression, hexDigits: Int = 13,
+    startDigit: Int = 1) extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    "md5_u52: hexDigits in 1..15 (long-exact)")
+  require(startDigit >= 1 && startDigit + hexDigits - 1 <= 32,
+    "md5_u52: digit window must lie in the 32 hex digits of md5")
+  override def prettyName: String = "md5_u52"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5U52.hash(input.asInstanceOf[UTF8String], hexDigits, startDigit)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Md5U52.hash($c, $hexDigits, $startDigit)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5U52 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hex digits [startDigit, startDigit+hexDigits) of md5(s), 1-based,
+    * parsed base-16 — equals `conv(substring(md5(s), startDigit,
+    * hexDigits), 16, 10)` cast to long (each hex digit is one digest
+    * nibble, most-significant first). */
+  def hash(s: UTF8String, hexDigits: Int, startDigit: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = startDigit - 1
+    val end = startDigit - 1 + hexDigits
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}

@@ -627,6 +627,16 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_u52",
+      exprs => Md5U52(exprs(0),
+        if (exprs.length > 1)
+          exprs(1).eval().asInstanceOf[Number].intValue()
+        else 13,
+        if (exprs.length > 2)
+          exprs(2).eval().asInstanceOf[Number].intValue()
+        else 1),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_sketch",
       exprs => CmsSketchAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

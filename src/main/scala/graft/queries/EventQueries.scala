@@ -1093,9 +1093,10 @@ object EventQueries {
     "q124_aqp_avg" -> Q(
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
+        graft.plans.TextExpressions.register(s)
         val e = Tables.events(s, d)
-        val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4),
-          16, 10).cast("int") % 100
+        val bucket = call_function("md5_u52",
+          col("event_id").cast("string"), lit(4)).cast("int") % 100
         // deterministic 10% sample (content-derived — any engine and
         // any partitioning draws the same rows)
         val samp = e.filter(bucket < 10)
@@ -1866,14 +1867,15 @@ object EventQueries {
     // ---- q161: two-proportion A/B z-test -----------------------------------
     "q161_ab_ztest" -> Q(
       (s, d) => {
+        graft.plans.TextExpressions.register(s)
         val assigned = Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(max(when(col("event_type") === "purchase" &&
               col("value") > 100, 1).otherwise(0))
             .as("converted"))
           .withColumn("variant",
-            when((conv(substring(md5(col("user_id").cast("string")), 1, 4),
-              16, 10).cast("int") % 2) === 0, "A").otherwise("B"))
+            when((call_function("md5_u52", col("user_id").cast("string"),
+              lit(4)).cast("int") % 2) === 0, "A").otherwise("B"))
         val counts = assigned.groupBy(col("variant"))
           .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
         val a = counts.filter(col("variant") === "A")
@@ -1942,6 +1944,7 @@ object EventQueries {
     // ---- q198: CUPED variance-reduced A/B effect ---------------------------
     "q198_cuped" -> Q(
       (s, d) => {
+        graft.plans.TextExpressions.register(s)
         import org.apache.spark.sql.types.DecimalType
         // per-user pre-period covariate x (purchase cents through Jan
         // 15) and experiment-period metric y (after), both on the
@@ -1954,8 +1957,8 @@ object EventQueries {
           .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
                sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
           .withColumn("variant",
-            when((conv(substring(md5(col("user_id").cast("string")), 1, 4),
-              16, 10).cast("int") % 2) === 0, "A").otherwise("B"))
+            when((call_function("md5_u52", col("user_id").cast("string"),
+              lit(4)).cast("int") % 2) === 0, "A").otherwise("B"))
         def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
         val m = perUser.groupBy(col("variant"))
           .agg(count(lit(1)).as("n"),

@@ -638,9 +638,9 @@ object MaintenanceQueries {
     val pts = ringPoints(shards)
     val ring = pts.toDF("shard", "pos").withColumn("rk", lit(0))
     val minShard = pts.minBy(_._2)._1
+    graft.plans.TextExpressions.register(s)
     val keys = Tables.documents(s, d).select(col("doc_id"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").as("p"))
+        call_function("md5_u52", col("doc_id").cast("string")).as("p"))
       .withColumn("rk", lit(0))
     graft.operators.EventOps.asOfJoinBroadcast(keys, ring, "rk", "p", "pos",
         Seq("shard"), direction = "forward")

@@ -394,11 +394,12 @@ object StatQueries {
     // ---- q225: difference-in-differences ------------------------------------
     "q225_diff_in_diff" -> Q(
       (s, d) => {
+        graft.plans.TextExpressions.register(s)
         val e = Tables.events(s, d)
           .filter(col("event_type") === "purchase" && col("value").isNotNull)
           .withColumn("treat",
-            (conv(substring(md5(col("user_id").cast("string")), 1, 4),
-              16, 10).cast("int") % 2) === 0)
+            (call_function("md5_u52", col("user_id").cast("string"), lit(4))
+              .cast("int") % 2) === 0)
           .withColumn("post", to_date(col("ts")) > lit("2024-01-15"))
         Stats.diffInDiff(e, col("treat"), col("post"), col("value"))
       },
@@ -847,9 +848,10 @@ object StatQueries {
     // ---- q238: isotonic calibration (PAV minimax) ----------------------------
     "q238_isotonic" -> Q(
       (s, d) => {
+        graft.plans.TextExpressions.register(s)
         val docs = Tables.documents(s, d)
-        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":iso"))), 1, 13), 16, 10).cast("long")
+        val u = call_function("md5_u52",
+          concat(col("doc_id").cast("string"), lit(":iso")))
         // 20% deterministic label flips off the md5 urn (5u < 2^52 is
         // an exact integer compare) so the monotone base relation
         // carries real noise for PAV to pool

@@ -957,6 +957,11 @@ object TrainingQueries {
           // correctly-rounded IEEE, so both engines get the same double
           .withColumn("w", sqrt(sqrt((col("f") * col("f") * col("f"))
             .cast("double"))))
+          // consumed twice (the z normalizer AND probs) — materialize
+          // the item-sized aggregate once instead of re-running the
+          // full lineitem groupBy in both arms (dual-arm checkpoint
+          // convention)
+          .localCheckpoint()
         val z = freq.agg(sum(round(col("w"), 6).cast(DecimalType(27, 6)))
           .cast("double").as("z"))
         val probs = freq.crossJoin(broadcast(z))
@@ -972,12 +977,23 @@ object TrainingQueries {
         // |users|x|items| rows inside that single task — re-spreading
         // the pre-expansion side keeps the expansion parallel
         val Oversample = 64.0
-        val cand = users.crossJoin(probs.repartition(32, col("item")))
+        // codegen'd md5 urn (same u32 value as the conv/substring chain
+        // — the chain's string parse was 80% of the candidate filter)
+        graft.plans.TextExpressions.register(s)
+        val cand = users.crossJoin(probs.repartition(
+            s.sessionState.conf.numShufflePartitions, col("item")))
           .withColumn("u01",
-            conv(substring(md5(concat_ws("_", col("user"), col("item"))),
-              1, 8), 16, 10).cast("double") / lit(4294967296.0))
+            call_function("md5_u52",
+              concat_ws("_", col("user"), col("item")), lit(8))
+              .cast("double") / lit(4294967296.0))
           .filter(col("u01") < lit(Oversample) * col("p"))
+        // ownership matters only for sampled users (user ≡ 0 mod 97 by
+        // construction of `users`), so pre-filter BEFORE the join and
+        // the distinct: the anti-join spine shrinks 97× and the
+        // orders side broadcasts — the anti-join result is identical
+        // because no dropped row could match a candidate
         val owned = Tables.orders(s, d)
+          .filter(col("o_custkey") % 97 === 0)
           .join(Tables.lineitem(s, d),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
@@ -1768,10 +1784,11 @@ object TrainingQueries {
         // (Weinberger et al.) that needs NO vocabulary, NO fit pass,
         // and survives any vocab drift; emitted as csv so the hash
         // compare sees a scalar
+        graft.plans.TextExpressions.register(s)
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"),
             explode(split(col("text"), " ")).as("w"))
-          .withColumn("h", conv(substring(md5(col("w")), 1, 2), 16, 10)
+          .withColumn("h", call_function("md5_u52", col("w"), lit(2))
             .cast("int"))
           .withColumn("idx", col("h") % 16)
           .withColumn("sgn", when((col("h") / 16).cast("int") % 2 === 0,

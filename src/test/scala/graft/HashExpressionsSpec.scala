@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins md5_u52 == the declarative conv(substring(md5(s),1,13),16,10)
+  * chain it replaces — the single equality every md5-urn consumer
+  * (permutation labels, bootstrap draws, DOULION coins) rests on. */
+class HashExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("md5_u52 equals conv(substring(md5,1,13),16,10) on arbitrary strings") {
+    graft.plans.TextExpressions.register(spark)
+    val rng = new scala.util.Random(7)
+    val cases = Seq("", ":", "0:0:0", "a", "√unicode·∞", "x" * 300,
+      "order-12345:98:0") ++
+      (1 to 500).map(_ => rng.alphanumeric.take(rng.nextInt(40)).mkString +
+        (if (rng.nextBoolean()) ":" + rng.nextInt(100) else ""))
+    val df = cases.toDF("s")
+      .withColumn("fast", call_function("md5_u52", col("s")))
+      .withColumn("slow",
+        conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long"))
+    val bad = df.filter(col("fast") =!= col("slow")).collect()
+    assert(bad.isEmpty, s"md5_u52 mismatch: ${bad.take(3).mkString(", ")}")
+    // every (digits, start) window used by the engine's urns
+    for ((len, start) <- Seq((13, 1), (8, 1), (4, 1), (2, 1), (1, 1),
+        (2, 31), (8, 25), (13, 20))) {
+      val dd = cases.toDF("s")
+        .withColumn("fast",
+          call_function("md5_u52", col("s"), lit(len), lit(start)))
+        .withColumn("slow",
+          conv(substring(md5(col("s")), start, len), 16, 10).cast("long"))
+      val b2 = dd.filter(col("fast") =!= col("slow")).collect()
+      assert(b2.isEmpty,
+        s"md5_u52($len,$start) mismatch: ${b2.take(3).mkString(", ")}")
+    }
+    // null propagates like the chain it replaces
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(call_function("md5_u52", col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+    // value range: a 52-bit non-negative long
+    val mx = df.agg(max(col("fast")), min(col("fast"))).collect()(0)
+    assert(mx.getLong(1) >= 0L && mx.getLong(0) < (1L << 52))
+  }
+
+  test("md5_u52 stays inside whole-stage codegen") {
+    graft.plans.TextExpressions.register(spark)
+    val df = spark.range(8).select(col("id").cast("string").as("s"))
+      .select(call_function("md5_u52", col("s")).as("u"))
+      .filter(col("u") >= 0L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"md5_u52 must codegen:\n${p.take(800)}")
+    assert(df.count() == 8)
+  }
+}

@@ -166,4 +166,37 @@ class ParityBoundarySpec extends SparkSuite {
       driverCellLimit = 0L)
     assertSameRows(driver, dist, "markovTimeToAbsorb")
   }
+
+  test("bpeMerges/bpeEncode: driver loop == distributed loop") {
+    import spark.implicits._
+    // back-to-back pair runs, cascaded merges (t h -> th e), tie
+    // candidates, single-token and empty docs — the greedy-rewrite and
+    // argmax edge cases the replace-chain semantics are defined by
+    val docs = Seq(
+      (1L, "t h e t h e t h e m"),
+      (2L, "a b a b a b"),
+      (3L, "x a b a b x t h"),
+      (4L, "solo"),
+      (5L, ""),
+      (6L, "t h e q u i c k t h e")).toDF("doc_id", "text")
+    for (m <- Seq(3, 8)) {
+      val dM = graft.operators.TextAnalysis.bpeMerges(
+        docs, "doc_id", "text", merges = m)
+      val xM = graft.operators.TextAnalysis.bpeMerges(
+        docs, "doc_id", "text", merges = m, driverMaxBytes = -1L)
+      assertSameRows(dM, xM, s"bpeMerges m=$m")
+      val dE = graft.operators.TextAnalysis.bpeEncode(
+        docs, "doc_id", "text", merges = m)
+      val xE = graft.operators.TextAnalysis.bpeEncode(
+        docs, "doc_id", "text", merges = m, driverMaxBytes = -1L)
+      assertSameRows(dE, xE, s"bpeEncode m=$m")
+    }
+    // and on the real fixture corpus
+    val real = Tables.documents(spark, sf("0.001"))
+    val dR = graft.operators.TextAnalysis.bpeEncode(
+      real, "doc_id", "text", merges = 4)
+    val xR = graft.operators.TextAnalysis.bpeEncode(
+      real, "doc_id", "text", merges = 4, driverMaxBytes = -1L)
+    assertSameRows(dR, xR, "bpeEncode sf0.001")
+  }
 }
