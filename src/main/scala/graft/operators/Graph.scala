@@ -885,9 +885,16 @@ object Graph {
       sampleDenom: Int = 16): DataFrame = {
     require(sampleDenom >= 2 && 256 % sampleDenom == 0,
       "linkPredictionSampled: sampleDenom must divide 256")
-    val e = edges.select(col(left).as("l"), col(right).as("r")).distinct()
-      .localCheckpoint() // feeds exact left degrees + the sampled baskets
-    val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
+    // NEVER materialize the distinct edge relation (the q303/q196
+    // discipline): localCheckpointing ~100M deserialized rows at 100×
+    // heap-OOM'd the one-JVM run. Both arms stream from the source
+    // join instead — exact left degrees as ONE distinct-aggregate
+    // (count_distinct ≡ distinct→count, spillable), and the baskets'
+    // collect_set dedupes internally, so the coin-kept stream needs no
+    // distinct at all (the coin is a pure function of r, so it
+    // commutes with dedup).
+    val e = edges.select(col(left).as("l"), col(right).as("r"))
+    val ldeg = e.groupBy(col("l")).agg(count_distinct(col("r")).as("ldeg"))
     graft.plans.TextExpressions.register(edges.sparkSession)
     val kept = e.filter(
       call_function("md5_u52", col("r").cast("string"), lit(2), lit(31))

@@ -668,24 +668,26 @@ object Sketches {
       .select(col(group).as("g"), col("kmv_estimate").as("est"))
     // min-wise merge on PER-SOURCE SORTED ARRAYS: each sketch is ≤k
     // longs (~2 KB) by contract, so the pair matrix pairs sketches,
-    // never rows — array_union collapses shared hashes, array_sort +
-    // slice keeps the k smallest, identically to the row-based
-    // union→distinct→bottom-k window this replaces. The row form
-    // materialized |pairs|×2k rows through a distinct exchange and a
-    // per-pair window (≈256M rows at 100× where the per-copy sources
-    // square the pair count) and heap-OOM'd the one-JVM 100× run; the
-    // array form is a pure projection over |pairs| rows with no
-    // corpus-shaped shuffle anywhere.
+    // never rows. The row form materialized |pairs|×2k rows through a
+    // distinct exchange and a per-pair window (≈256M rows at 100×
+    // where the per-copy sources square the pair count) and heap-OOM'd
+    // the one-JVM 100× run. The merge itself is the native
+    // kmv_merge_stats two-pointer over the pre-sorted sketches —
+    // (n_kept, hk) == (size, last) of
+    // slice(array_sort(array_union(ha, hb)), 1, k), but without the
+    // interpreted per-pair lambda sort that dominated the squared pair
+    // grid at 100× (251 s → the union scan is O(k) per pair).
+    graft.plans.TextExpressions.register(bottom.sparkSession)
     val arrs = bottom.groupBy(col(group).as("g"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
     val unionEst = arrs.select(col("g").as("src_a"), col("hs").as("ha"))
       .crossJoin(arrs.select(col("g").as("src_b"), col("hs").as("hb")))
       .filter(col("src_a") < col("src_b"))
-      .withColumn("mh",
-        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("ms",
+        call_function("kmv_merge_stats", col("ha"), col("hb"), lit(k)))
       // the pinned kmvEstimateFrom estimator, keyed by the pair
       .select(col("src_a"), col("src_b"),
-        size(col("mh")).as("n_kept"), element_at(col("mh"), -1).as("hk"))
+        col("ms.n_kept").as("n_kept"), col("ms.hk").as("hk"))
       .withColumn("est_union", round(
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /

@@ -904,9 +904,12 @@ object TextAnalysis {
     * arrays); above it the distributed per-round plan runs unchanged.
     * The same data-size routing as the graph tier's fast paths: 8
     * rounds of (count job + rewrite job + cache turnover) on a
-    * megabyte-scale corpus is pure fixed overhead. Pinned
-    * driver==distributed by BpeParitySpec. */
-  private[graft] val BpeDriverMaxBytes: Long = 1L << 26
+    * megabyte-scale corpus is pure fixed overhead. 16 MiB keeps the
+    * guard where that overhead still dominates the single-threaded
+    * loop — the 10×-inflated corpus (50 MB) deliberately routes to
+    * the 32-core distributed path. Pinned driver==distributed by the
+    * ParityBoundarySpec BPE test. */
+  private[graft] val BpeDriverMaxBytes: Long = 1L << 24
 
   /** In-memory twin of the distributed BPE loop — IDENTICAL arithmetic:
     * non-distinct adjacent pairs of space-split tokens (shingle n=2),

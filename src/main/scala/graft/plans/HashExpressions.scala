@@ -44,6 +44,60 @@ case class Md5U52(child: Expression, hexDigits: Int = 13,
     copy(child = newChild)
 }
 
+/** Bottom-k statistics of the union of two SORTED DISTINCT long
+  * arrays — the KMV pair-merge kernel as one linear expression.
+  *
+  * Equals `(size(mh), element_at(mh, -1))` for
+  * `mh = slice(array_sort(array_union(ha, hb)), 1, k)`: n_kept =
+  * min(k, |ha ∪ hb|) and hk = the n_kept-th smallest union element.
+  * The declarative chain re-sorts every pair's union through the
+  * interpreted higher-order array_sort comparator — at 100× the
+  * squared source-pair grid made that the whole query (q302 251 s
+  * scaled); a two-pointer merge over the pre-sorted sketches is O(k)
+  * per pair with no lambda dispatch. Inputs MUST be sorted ascending
+  * and internally distinct (the `sort_array(collect_list(h))` over
+  * the per-group distinct bottom-k guarantees both).
+  *
+  * Returns struct<n_kept: int, hk: long>. Row-level interpreted eval
+  * (CodegenFallback) — one call per row doing linear work, the
+  * ShingleHashes stance. */
+case class KmvMergeStats(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, "kmv_merge_stats: k >= 1")
+  override def prettyName: String = "kmv_merge_stats"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_kept",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("hk", LongType,
+        nullable = false)))
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var kept = 0
+    var last = 0L
+    while (kept < k && (i < na || j < nb)) {
+      val va = if (i < na) a.getLong(i) else Long.MaxValue
+      val vb = if (j < nb) b.getLong(j) else Long.MaxValue
+      if (va < vb) { last = va; i += 1 }
+      else if (vb < va) { last = vb; j += 1 }
+      else { last = va; i += 1; j += 1 }
+      kept += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(kept, last)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Md5U52 {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

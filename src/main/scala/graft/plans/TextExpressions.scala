@@ -627,6 +627,11 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimhashMd5(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_merge_stats",
+      exprs => KmvMergeStats(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_u52",
       exprs => Md5U52(exprs(0),
         if (exprs.length > 1)

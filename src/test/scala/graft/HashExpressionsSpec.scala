@@ -42,6 +42,31 @@ class HashExpressionsSpec extends SparkSuite {
     assert(mx.getLong(1) >= 0L && mx.getLong(0) < (1L << 52))
   }
 
+  test("kmv_merge_stats equals slice(array_sort(array_union))'s (size, last)") {
+    graft.plans.TextExpressions.register(spark)
+    val rng = new scala.util.Random(11)
+    def sketch(n: Int): Seq[Long] =
+      Seq.fill(n)(rng.nextLong().abs % 10000).distinct.sorted
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L), Seq(1L)),
+      (Seq.empty[Long], Seq(5L, 6L)),
+      (sketch(300), sketch(300)),
+      (sketch(10), sketch(256))) ++
+      (1 to 50).map(_ => (sketch(rng.nextInt(300)), sketch(rng.nextInt(300))))
+    for (k <- Seq(4, 256)) {
+      val df = cases.toDF("ha", "hb")
+        .withColumn("ms", call_function("kmv_merge_stats",
+          col("ha"), col("hb"), lit(k)))
+        .withColumn("mh", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+        .withColumn("ok",
+          col("ms.n_kept") === size(col("mh")) &&
+          (size(col("mh")) === 0 || col("ms.hk") === element_at(col("mh"), -1)))
+      val bad = df.filter(!col("ok")).collect()
+      assert(bad.isEmpty, s"k=$k: ${bad.take(2).mkString("; ")}")
+    }
+  }
+
   test("md5_u52 stays inside whole-stage codegen") {
     graft.plans.TextExpressions.register(spark)
     val df = spark.range(8).select(col("id").cast("string").as("s"))
