@@ -63,6 +63,10 @@ object EntityResolution {
         explode(deletionNeighborhoodPos(col(nameCol))).as("_kp"))
       .select(col("_id"), col("_name"),
         col("_kp.v").as("_blk"), col("_kp.p").as("_pos"))
+      // both self-join sides read this relation; materialize the
+      // neighborhood explosion once instead of re-running the
+      // per-character variant build per side (dual-arm convention)
+      .localCheckpoint()
     val a = keyed.toDF("a_id", "a_name", "_blk", "_apos")
     val b = keyed.toDF("b_id", "b_name", "_blkb", "_bpos")
     a.join(b, a("_blk") === b("_blkb") && a("a_id") < b("b_id") &&
