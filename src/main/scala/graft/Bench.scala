@@ -120,7 +120,12 @@ object Bench {
     val load1 =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
-    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"calib_sec":${fmt(calib)},"queries":{},"value":${fmt(total)}}"""
+    // driver contract: the FINAL one-line JSON carries the COMPLETE
+    // per-query map (the r10 verdict confirmed the driver parses only
+    // this line — two rounds of "queries":{} left PERF per_query empty
+    // and every per-query claim unverifiable). queries_part lines and
+    // BENCH_SELF.json stay as redundancy for narrow tail captures.
+    val totalLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_crashed":$crashed,"load1":$load1,"calib_sec":${fmt(calib)},"queries":${entries.mkString("{", ",", "}")},"value":${fmt(total)}}"""
     println(totalLine)
     // the stdout tail-capture has lost the per-query map three rounds
     // running (it scrolls out of the consumer's window at 190+

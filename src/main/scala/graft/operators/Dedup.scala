@@ -422,7 +422,10 @@ object Dedup {
     * NEAR-duplicates, post-banding), so this is the common case even at
     * 100 TB; anything larger takes the distributed loop. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
-      maxIter: Int = 25, smallGraphEdges: Long = 1L << 20): DataFrame = {
+      maxIter: Int = 25,
+      // same env override as the Graph guards: SPARK_GRAFT_DRIVER_
+      // EDGE_LIMIT=0 forces the distributed min-label loop
+      smallGraphEdges: Long = Graph.driverLimit(1L << 20)): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))

@@ -58,9 +58,14 @@ object EntityResolution {
     * the aggregation collapses the routes). */
   def editDistanceOnePairs(df: DataFrame, idCol: String,
       nameCol: String): DataFrame = {
+    // native single-pass variant build (value-identical to
+    // deletionNeighborhoodPos — EntityGraphSpec pins it): the
+    // declarative transform evaluates an interpreted when/concat/substr
+    // tree per character per row
+    graft.plans.TextExpressions.register(df.sparkSession)
     val keyed = df.select(
         col(idCol).as("_id"), col(nameCol).as("_name"),
-        explode(deletionNeighborhoodPos(col(nameCol))).as("_kp"))
+        explode(call_function("deletion_variants", col(nameCol))).as("_kp"))
       .select(col("_id"), col("_name"),
         col("_kp.v").as("_blk"), col("_kp.p").as("_pos"))
       // both self-join sides read this relation; materialize the
@@ -92,7 +97,16 @@ object EntityResolution {
     * exact doubles, hash-portable with no cross-row float sum. */
   final case class LinkField(attr: String,
       agree: (Column, Column) => Column,
-      wAgree: Double, wDisagree: Double)
+      wAgree: Double, wDisagree: Double,
+      /** Optional agreement-key extractor enabling the `minScore`
+        * candidate pushdown: when set, the contract is
+        * coalesce(agree(a, b), false) ⟺
+        * (key(a) IS NOT NULL AND key(b) IS NOT NULL AND key(a) = key(b))
+        * — i.e. the predicate is an equality on a derived key (lower(),
+        * a normalization, identity). Fields whose agreement is not
+        * equality-shaped (e.g. a similarity threshold) leave it None
+        * and simply disable the pushdown for patterns containing them. */
+      key: Option[Column => Column] = None)
 
   /** Probabilistic record linkage, Fellegi–Sunter (1969) shape:
     * candidate pairs come ONLY from an equi-join on `block` (never a
@@ -127,7 +141,8 @@ object EntityResolution {
     * one row per in-block pair with a_id < b_id. */
   def linkageScores(records: DataFrame, id: String, block: Column,
       fields: Seq[LinkField], subKey: Column = lit(0),
-      blockBudget: Long = Long.MaxValue): DataFrame = {
+      blockBudget: Long = Long.MaxValue,
+      minScore: Option[Double] = None): DataFrame = {
     require(fields.nonEmpty, "linkageScores: at least one field")
     require(blockBudget > 0, "linkageScores: blockBudget must be positive")
     graft.plans.TextExpressions.register(records.sparkSession)
@@ -164,20 +179,72 @@ object EntityResolution {
       (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
         col("_sub").as("_subb") +:
         attrs.map(n => col(n).as(s"_b_$n"))): _*)
-    val pairs = aSide.join(bSide,
-      col("_blk") === col("_blkb") && col("_sub") === col("_subb") &&
-        col("a_id") < col("b_id"))
+    // minScore candidate pushdown (the Bloom/semi-join pre-filter
+    // discipline): the score is a PURE FUNCTION of the agreement
+    // pattern, so linkageScores(minScore = Some(m)) emits exactly
+    // linkageScores().filter(score >= m) — but candidates can come
+    // from EQUI-joins on the minimal satisfying patterns' agreement
+    // keys instead of the full ~budget×n in-block pair stream (at
+    // sf0.1 that stream is ~5M pairs for ~90k qualifying; at 100× it
+    // is ~590M). Enabled when every weight is monotone (wAgree >=
+    // wDisagree, so qualifying patterns are upward-closed) and every
+    // field of every minimal satisfying pattern carries an equality
+    // `key`; otherwise the full pairing + filter runs. Branch i joins
+    // on (block, sub, keys of pattern i) and excludes pairs whose
+    // agreements already cover an earlier pattern, so each qualifying
+    // pair is emitted exactly once — and the join stays an equi-join
+    // (never a theta scan) on both engines' plans.
+    val minimalPatterns: Option[Seq[Seq[LinkField]]] = minScore.flatMap { m =>
+      if (!fields.forall(f => f.wAgree >= f.wDisagree)) None
+      else {
+        val k = fields.size
+        val satisfying = (0 until (1 << k)).filter { mask =>
+          fields.zipWithIndex.map { case (f, i) =>
+            if ((mask & (1 << i)) != 0) f.wAgree else f.wDisagree
+          }.sum >= m
+        }
+        val sat = satisfying.toSet
+        val minimal = satisfying.filter { mask =>
+          fields.indices.forall { i =>
+            (mask & (1 << i)) == 0 || !sat.contains(mask & ~(1 << i))
+          }
+        }
+        val pats = minimal.map(mask =>
+          fields.zipWithIndex.collect {
+            case (f, i) if (mask & (1 << i)) != 0 => f
+          }.toSeq)
+        if (pats.nonEmpty && pats.forall(_.forall(_.key.isDefined)))
+          Some(pats.toSeq)
+        else None
+      }
+    }
+    def agreeOf(f: LinkField): Column =
+      coalesce(f.agree(col(s"_a_${f.attr}"), col(s"_b_${f.attr}")),
+        lit(false))
+    val inBlock = col("_blk") === col("_blkb") &&
+      col("_sub") === col("_subb") && col("a_id") < col("b_id")
+    val pairs = minimalPatterns match {
+      case Some(pats) =>
+        pats.zipWithIndex.map { case (p, i) =>
+          val keyEq = p.map(f =>
+            f.key.get(col(s"_a_${f.attr}")) === f.key.get(col(s"_b_${f.attr}")))
+          val excl = pats.take(i).map(q =>
+            !q.map(agreeOf).reduceLeft(_ && _))
+          aSide.join(bSide, (Seq(inBlock) ++ keyEq ++ excl).reduceLeft(_ && _))
+        }.reduceLeft(_ unionByName _)
+      case None =>
+        aSide.join(bSide, inBlock)
+    }
     val withAgree = fields.foldLeft(pairs) { (df, f) =>
-      df.withColumn(s"agree_${f.attr}",
-        coalesce(f.agree(col(s"_a_${f.attr}"), col(s"_b_${f.attr}")),
-          lit(false)))
+      df.withColumn(s"agree_${f.attr}", agreeOf(f))
     }
     val score = fields.map { f =>
       when(col(s"agree_${f.attr}"), lit(f.wAgree)).otherwise(lit(f.wDisagree))
     }.reduceLeft(_ + _)
-    withAgree.select(
+    val out = withAgree.select(
       (col("a_id") +: col("b_id") +:
         fields.map(f => col(s"agree_${f.attr}")) :+ score.as("score")): _*)
+    minScore.map(m => out.filter(col("score") >= lit(m))).getOrElse(out)
   }
 
   /** Resolve scored pairs into entities: pairs at or above `threshold`

@@ -12,6 +12,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Driver fast-path guard, env-overridable for at-scale measurement:
+    * `SPARK_GRAFT_DRIVER_EDGE_LIMIT=0` forces every graph operator onto
+    * its DISTRIBUTED plan (BenchScale uses this to slope-measure the
+    * plans that would run at 100 TB, where the guards never fire);
+    * unset, each operator keeps its documented default. Pure routing —
+    * driver and distributed paths are parity-pinned
+    * (ParityBoundarySpec), so results are identical either way. */
+  private[operators] def driverLimit(default: Long): Long =
+    sys.env.get("SPARK_GRAFT_DRIVER_EDGE_LIMIT")
+      .map(_.trim.toLong).getOrElse(default)
+
   /** Damped PageRank with proper dangling-mass redistribution, run for
     * a FIXED `iters` power iterations (the deterministic form — a
     * convergence test would make the result depend on float noise).
@@ -34,7 +45,7 @@ object Graph {
     * Output: (`id`, pr) — rank rounded to `roundTo`, summing to ~1. */
   def pageRank(nodes: DataFrame, id: String, edges: DataFrame,
       src: String, dst: String, iters: Int, damping: Double = 0.85,
-      roundTo: Int = 9, driverEdgeLimit: Long = 1L << 23): DataFrame = {
+      roundTo: Int = 9, driverEdgeLimit: Long = driverLimit(1L << 23)): DataFrame = {
     require(iters >= 1, "pageRank: at least one iteration")
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
@@ -165,7 +176,7 @@ object Graph {
     * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     * global_cc = 3·triangles/wedges rounded to `roundTo`). */
   def triangleStats(edges: DataFrame, src: String, dst: String,
-      roundTo: Int = 6, driverEdgeLimit: Long = 1L << 22): DataFrame = {
+      roundTo: Int = 6, driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     val e = edges
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
@@ -247,7 +258,7 @@ object Graph {
     * Spark's Round/Cast semantics with java.math.BigDecimal HALF_UP),
     * pinned bit-identical by HitsParitySpec. */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int,
-      roundTo: Int = 9, driverEdgeLimit: Long = 1L << 23): DataFrame = {
+      roundTo: Int = 9, driverEdgeLimit: Long = driverLimit(1L << 23)): DataFrame = {
     require(iters >= 1 && iters <= 16, "hits: 1 <= iters <= 16")
     import org.apache.spark.sql.types.DecimalType
     def decSum(c: Column) =
@@ -546,7 +557,7 @@ object Graph {
     * Output: (v, core_deg) for surviving nodes — empty when the graph
     * peels away entirely. */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
-      rounds: Int, driverEdgeLimit: Long = 1L << 22): DataFrame = {
+      rounds: Int, driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1 && rounds <= 64, "kCore: 1 <= rounds <= 64")
     var e = edges
@@ -879,7 +890,12 @@ object Graph {
     * Output: (a_id, b_id, common_sampled, est_common, est_jaccard,
     * est_ra, sample_denom) for pairs with at least `minCommonSampled`
     * surviving shared neighbors; est_jaccard's denominator is clamped
-    * at 1 (the estimate can exceed the true union bound). */
+    * at 1 (the estimate can exceed the true union bound).
+    *
+    * Input contract: `right` keys must be NON-NULL — left degrees are
+    * count_distinct(r), which skips NULL right keys, whereas a NULL
+    * right key would still occupy a (l, NULL) row in a distinct-then-
+    * count form; every caller passes FK-derived non-null keys. */
   def linkPredictionSampled(edges: DataFrame, left: String, right: String,
       maxDegree: Int = 256, minCommonSampled: Long = 1,
       sampleDenom: Int = 16): DataFrame = {
@@ -946,7 +962,7 @@ object Graph {
     * Output: (v, hops: int) — one row per reached node, sources at 0. */
   def bfsHops(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, sourceCol: String, maxHops: Int,
-      driverEdgeLimit: Long = 1L << 22): DataFrame = {
+      driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHops: 1 <= maxHops <= 32")
     val e = edges
       .select(col(src).as("s"), col(dst).as("t"))
@@ -997,7 +1013,7 @@ object Graph {
     * Output: (root, v, hops: int) — one row per (root, reached node). */
   def bfsHopsPerRoot(edges: DataFrame, src: String, dst: String,
       roots: DataFrame, rootCol: String, maxHops: Int,
-      driverEdgeLimit: Long = 1L << 22): DataFrame = {
+      driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHopsPerRoot: 1 <= maxHops <= 32")
     val e = edges
       .select(col(src).as("s"), col(dst).as("t"))

@@ -999,7 +999,11 @@ object TextAnalysis {
     require(merges >= 0, "merges must be non-negative")
     graft.plans.TextExpressions.register(docs.sparkSession)
     val spark = docs.sparkSession
-    val sized = docs.agg(coalesce(sum(length(col(text)).cast("long")), lit(0L))).head()
+    // octet_length, not length: the guard is heap-headroom BYTES, and
+    // a multi-byte corpus would route up to ~4x the intended size into
+    // the single-threaded driver loop if sized in characters
+    val sized = docs.agg(coalesce(
+      sum(octet_length(col(text)).cast("long")), lit(0L))).head()
     if (sized.getLong(0) <= driverMaxBytes) {
       import org.apache.spark.sql.types.{StructField, StructType, StringType}
       import scala.jdk.CollectionConverters._

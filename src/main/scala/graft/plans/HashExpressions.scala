@@ -85,9 +85,17 @@ case class KmvMergeStats(left: Expression, right: Expression, k: Int)
     while (kept < k && (i < na || j < nb)) {
       val va = if (i < na) a.getLong(i) else Long.MaxValue
       val vb = if (j < nb) b.getLong(j) else Long.MaxValue
-      if (va < vb) { last = va; i += 1 }
-      else if (vb < va) { last = vb; j += 1 }
-      else { last = va; i += 1; j += 1 }
+      val nxt = if (va < vb) { i += 1; va }
+        else if (vb < va) { j += 1; vb }
+        else { i += 1; j += 1; va }
+      // cheap contract guard: the merge only sees ascending values when
+      // both inputs are sorted-distinct; a violation means a caller fed
+      // an unsorted/duplicated sketch and the (n_kept, hk) would be
+      // silently wrong
+      if (kept > 0 && nxt <= last)
+        throw new IllegalArgumentException(
+          "kmv_merge_stats: inputs must be sorted ascending and distinct")
+      last = nxt
       kept += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(kept, last)

@@ -595,8 +595,54 @@ case class BlocklistScan(child: Expression, patterns: Seq[String],
     copy(child = newChild)
 }
 
+/** Single-pass FastSS deletion-1 neighborhood with positions — the
+  * native form of [[graft.operators.EntityResolution.deletionNeighborhoodPos]]:
+  * element 0 is (the string itself, 0); element i (1-based char index)
+  * is (the string with character i removed, i). Character semantics
+  * match `substr`/`length` (code points), so the output is value-
+  * identical to the declarative transform/sequence/substr form
+  * (EntityGraphSpec pins it).
+  *
+  * Exists because the declarative form evaluates an interpreted
+  * when/concat/substr expression tree per character per row (the
+  * [[ShingleHashes]] pathology — higher-order functions never enter
+  * whole-stage codegen); this walks the string once. */
+case class DeletionVariants(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "deletion_variants"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", StringType, nullable = true),
+      StructField("p", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val out = new Array[Any](n + 1)
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s, 0))
+    var i = 1
+    while (i <= n) {
+      // drop char i (1-based): prefix [0, i-1) ++ suffix [i, n)
+      val v = UTF8String.concat(s.substring(0, i - 1), s.substring(i, n))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v, i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deletion_variants",
+      exprs => DeletionVariants(exprs(0)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs(0),

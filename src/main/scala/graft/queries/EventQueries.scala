@@ -246,18 +246,33 @@ object EventQueries {
         val perBucket = e.groupBy(col("user_id"), col("bucket"))
           .agg(max_by(col("value"), struct(col("ep"), col("event_id"))).as("obs"),
                count(lit(1)).as("n_events"))
-        // per-user hourly grid from first to last bucket (explode is
-        // narrow; grid size = span/hour per user)
-        val grid = e.groupBy(col("user_id"))
-          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-          .select(col("user_id"),
-            explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
+        // gap-fill directly from perBucket instead of joining a
+        // separately-built grid back onto it: the ffill window runs
+        // over the SMALL per-bucket relation (null-safe — last
+        // non-null obs, same skip-null semantics as before), then each
+        // observed bucket explodes the hourly cells up to (but not
+        // including) the next observed bucket, carrying its ffilled
+        // value. Identical rows: the old grid spanned min..max bucket
+        // per user, which is exactly the union of these half-open
+        // spans plus the final observed bucket — and a generated
+        // cell's last-non-null observation IS its predecessor's
+        // ffilled value. Replaces a second full scan+aggregate of the
+        // raw events and the grid⋈perBucket sort-merge join (6
+        // exchanges, 2 scans) with one scan and 3 exchanges.
         val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(perBucket, Seq("user_id", "bucket"), "left")
-          .withColumn("value_ffill", last(col("obs"), ignoreNulls = true).over(w))
-          .select(col("user_id"), col("bucket"),
-            coalesce(col("n_events"), lit(0L)).as("n_events"),
+        perBucket
+          .withColumn("value_ffill",
+            last(col("obs"), ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_b", lead(col("bucket"), 1).over(w))
+          .select(col("user_id"), col("bucket"), col("n_events"),
+            col("value_ffill"),
+            explode(sequence(col("bucket"),
+              coalesce(col("next_b") - 3600L, col("bucket")),
+              lit(3600L))).as("grid_bucket"))
+          .select(col("user_id"), col("grid_bucket").as("bucket"),
+            when(col("grid_bucket") === col("bucket"), col("n_events"))
+              .otherwise(lit(0L)).as("n_events"),
             col("value_ffill"))
           .orderBy(col("user_id"), col("bucket"))
       },

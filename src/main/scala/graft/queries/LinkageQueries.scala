@@ -60,9 +60,15 @@ object LinkageQueries {
     * balance the precise-but-brittle one, segment weak. All dyadic
     * doubles, so the score fold is exact. */
   private def fields = Seq(
-    LinkField("name", (a, b) => lower(a) === lower(b), 3.5, -1.5),
-    LinkField("bal", (a, b) => a === b, 2.5, -0.75),
-    LinkField("segment", (a, b) => a === b, 1.0, -0.5))
+    // each agreement is equality on a derived key, so the minScore
+    // candidate pushdown can turn "all in-block pairs then filter"
+    // into equi-joins on the minimal satisfying patterns
+    LinkField("name", (a, b) => lower(a) === lower(b), 3.5, -1.5,
+      key = Some(c => lower(c))),
+    LinkField("bal", (a, b) => a === b, 2.5, -0.75,
+      key = Some(identity)),
+    LinkField("segment", (a, b) => a === b, 1.0, -0.5,
+      key = Some(identity)))
 
   /** Re-blocking budget: a nation block past this size splits into
     * ceil(size/512) md5-parity sub-blocks on the name's digit tail
@@ -120,12 +126,13 @@ object LinkageQueries {
     "q219_linkage_scores" -> Q(
       (s, d) => EntityResolution.linkageScores(messy(s, d), "rec_id",
           col("nation"), fields, subKey = expr("right(name, 9)"),
-          blockBudget = BlockBudget)
-        // report only candidates at or above the review floor: the
-        // all-pairs relation is scan-and-discard by design — dumping
-        // (and totally ordering) every in-block pair made the DUMP,
-        // not the scoring, the cost
-        .filter(col("score") >= 2.0)
+          blockBudget = BlockBudget,
+          // the review floor, pushed into candidate generation: score
+          // >= 2.0 requires name agreement OR (bal AND segment)
+          // agreement, so candidates come from those two equi-joins
+          // instead of the full in-block pair stream (identical output
+          // — score is a pure function of the agreement pattern)
+          minScore = Some(2.0))
         .orderBy(col("a_id"), col("b_id")),
       Some(s"""
         WITH $sqlScored
@@ -146,9 +153,12 @@ object LinkageQueries {
     "q220_linkage_entities" -> Q(
       (s, d) => {
         val recs = messy(s, d)
+        // entities() keeps only score >= 4.0 edges, so candidate
+        // generation can push that floor down (name AND bal must
+        // agree); the downstream filter is then a no-op
         val scored = EntityResolution.linkageScores(recs, "rec_id",
           col("nation"), fields, subKey = expr("right(name, 9)"),
-          blockBudget = BlockBudget)
+          blockBudget = BlockBudget, minScore = Some(4.0))
         EntityResolution.entities(recs, "rec_id", scored, 4.0)
           .orderBy(col("rec_id"))
       },
@@ -168,9 +178,10 @@ object LinkageQueries {
     "q221_golden_record" -> Q(
       (s, d) => {
         val recs = messy(s, d)
+        // same threshold pushdown as q220 (the entities() floor)
         val scored = EntityResolution.linkageScores(recs, "rec_id",
           col("nation"), fields, subKey = expr("right(name, 9)"),
-          blockBudget = BlockBudget)
+          blockBudget = BlockBudget, minScore = Some(4.0))
         val ent = EntityResolution.entities(recs, "rec_id", scored, 4.0)
         val withEnt = recs.join(ent,
           recs("rec_id") === ent("rec_id"), "inner")

@@ -32,6 +32,60 @@ class EntityGraphSpec extends SparkSuite {
       !got.contains((1L, 4L)))
   }
 
+  test("deletion_variants equals the declarative deletion neighborhood") {
+    import spark.implicits._
+    graft.plans.TextExpressions.register(spark)
+    // ascii, unicode multi-byte, single char, empty, null
+    val df = Seq("carol", "héllo", "日本語", "a", "", null)
+      .toDF("s")
+    val got = df.select(
+      call_function("deletion_variants", $"s").cast("string").as("v"))
+      .collect().map(_.getString(0))
+    val want = df.select(
+      EntityResolution.deletionNeighborhoodPos($"s").cast("string").as("v"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
+  }
+
+  test("linkageScores minScore pushdown equals the post-filter") {
+    import spark.implicits._
+    import EntityResolution.LinkField
+    def d(v: java.lang.Double): java.lang.Double = v
+    val recs = Seq(
+      (1L, 0L, "Ann", d(10.0), "A"), (2L, 0L, "ann", d(10.0), "B"),
+      (3L, 0L, "Bob", d(10.0), "A"), (4L, 0L, "bob", d(20.0), "A"),
+      (5L, 0L, null.asInstanceOf[String], d(10.0), "A"),
+      (6L, 1L, "Ann", d(10.0), "A"), (7L, 1L, "Cat", d(null), "A"),
+      (8L, 1L, "cat", d(null), "A"))
+      .toDF("rec_id", "blk", "name", "bal", "seg")
+    val fields = Seq(
+      LinkField("name", (a, b) => lower(a) === lower(b), 3.5, -1.5,
+        key = Some(c => lower(c))),
+      LinkField("bal", (a, b) => a === b, 2.5, -0.75, key = Some(identity)),
+      LinkField("seg", (a, b) => a === b, 1.0, -0.5, key = Some(identity)))
+    for (m <- Seq(2.0, 4.0, 7.0, -10.0)) {
+      val full = EntityResolution.linkageScores(recs, "rec_id", $"blk",
+          fields)
+        .filter($"score" >= m)
+        .orderBy($"a_id", $"b_id")
+        .collect().toSeq
+      val pushed = EntityResolution.linkageScores(recs, "rec_id", $"blk",
+          fields, minScore = Some(m))
+        .orderBy($"a_id", $"b_id")
+        .collect().toSeq
+      assert(pushed == full, s"minScore=$m pushed=$pushed full=$full")
+    }
+    // an un-keyed field disables the pushdown but keeps the semantics
+    val unkeyed = fields.map(f => f.copy(key = None))
+    val viaFallback = EntityResolution.linkageScores(recs, "rec_id",
+        $"blk", unkeyed, minScore = Some(2.0))
+      .orderBy($"a_id", $"b_id").collect().toSeq
+    val viaPushdown = EntityResolution.linkageScores(recs, "rec_id",
+        $"blk", fields, minScore = Some(2.0))
+      .orderBy($"a_id", $"b_id").collect().toSeq
+    assert(viaFallback == viaPushdown)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
