@@ -166,7 +166,13 @@ object EntityResolution {
               .cast("long") % col("_nsub"))
           .drop("_sk", "_csz", "_nsub")
       }
-    val aSide = base.select(
+    // both self-join sides (and, under the minScore pushdown, every
+    // pattern branch) read this relation: materialize it once instead
+    // of re-running the projection [+ sizes aggregate + sub-block
+    // stamp] per side per branch — the dual-arm convention. Record-
+    // table-sized, so executor-local storage is bounded by the input.
+    val baseCk = base.localCheckpoint()
+    val aSide = baseCk.select(
       (col("_id").as("a_id") +: col("_blk") +: col("_sub") +:
         attrs.map(n => col(n).as(s"_a_$n"))): _*)
       // explicit spread before the per-block pair expansion: the record
@@ -175,7 +181,7 @@ object EntityResolution {
       // stream generates single-threaded. Costs one record-table
       // shuffle; AQE never coalesces a user repartition.
       .repartition(records.sparkSession.sessionState.conf.numShufflePartitions)
-    val bSide = base.select(
+    val bSide = baseCk.select(
       (col("_id").as("b_id") +: col("_blk").as("_blkb") +:
         col("_sub").as("_subb") +:
         attrs.map(n => col(n).as(s"_b_$n"))): _*)

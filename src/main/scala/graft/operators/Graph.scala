@@ -23,6 +23,15 @@ object Graph {
     sys.env.get("SPARK_GRAFT_DRIVER_EDGE_LIMIT")
       .map(_.trim.toLong).getOrElse(default)
 
+  /** Broadcast hint for node-sized relations inside iterative loops —
+    * the hits discipline generalized: below ~2M rows the score/frontier
+    * relation broadcasts so the (much larger, checkpointed) edge
+    * relation is never re-shuffled per pass; above it the planner's
+    * plain shuffle join runs. Strategy only, values identical. */
+  private val BroadcastNodeLimit = 1L << 21
+  private def broadcastBelow(n: Long)(df: DataFrame): DataFrame =
+    if (n <= BroadcastNodeLimit) broadcast(df) else df
+
   /** Damped PageRank with proper dangling-mass redistribution, run for
     * a FIXED `iters` power iterations (the deterministic form — a
     * convergence test would make the result depend on float noise).
@@ -50,8 +59,11 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
     val nD = n.toDouble
+    // outdeg is NOT checkpointed: it folds into the ed materialization
+    // (one job instead of two), and each path re-derives what it needs
+    // from the checkpointed ed — the driver path from the collected
+    // array, the distributed path as a one-column distinct below
     val outdeg = edges.groupBy(col(src).as("v")).agg(count(lit(1)).as("outd"))
-      .localCheckpoint() // one row per distinct source; read every pass
     // the loop-invariant join: (src, dst, outd), reused every pass
     val ed = edges.select(col(src).as("es"), col(dst).as("ed"))
       .join(outdeg, col("es") === col("v"))
@@ -66,21 +78,31 @@ object Graph {
     // set larger than half the guard, the distributed loop runs.
     if (ed.count() <= driverEdgeLimit && n <= (driverEdgeLimit >> 1))
       return pageRankDriver(nodes, id, ed, n, iters, damping, roundTo)
-    val hasOut = outdeg.select(col("v"))
+    // loop-invariant, read every pass by the dangling anti-join; the
+    // distinct es-set of ed IS outdeg's key set (the inner join keeps
+    // every source). Materialized only on the distributed path.
+    val hasOut = ed.select(col("es").as("v")).distinct().localCheckpoint()
+    // node-sized relations (ranks, contrib, hasOut) broadcast below the
+    // hits BroadcastNodeLimit so each iteration is a shuffle-free
+    // broadcast join over the CHECKPOINTED edges + a map-side-combined
+    // aggregate — without the hint the SMJ re-shuffles the full edge
+    // relation every pass. Strategy only: values are bit-identical;
+    // billion-node graphs fall back to the plain shuffle join.
+    val hint = broadcastBelow(n) _
     var ranks = nodes.select(col(id).as("v"),
       round(lit(1.0 / nD), 12).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(ranks, col("es") === col("v"))
+        .join(hint(ranks), col("es") === col("v"))
         .groupBy(col("ed").as("cv"))
         .agg(sum(round(col("r") / col("outd"), 14).cast(DecimalType(28, 14)))
           .cast("double").as("c"))
-      val dangling = ranks.join(hasOut, Seq("v"), "left_anti")
+      val dangling = ranks.join(hint(hasOut), Seq("v"), "left_anti")
         .agg(coalesce(
           sum(round(col("r"), 14).cast(DecimalType(28, 14))).cast("double"),
           lit(0.0)).as("dang"))
       ranks = ranks.select(col("v"))
-        .join(contrib, col("v") === col("cv"), "left")
+        .join(hint(contrib), col("v") === col("cv"), "left")
         .crossJoin(dangling)
         .select(col("v"),
           round(lit((1.0 - damping) / nD) +
@@ -415,16 +437,22 @@ object Graph {
     var labels = nb.select(col("v")).distinct()
       .select(col("v"), col("v").as("lab"))
       .localCheckpoint()
+    val nNodes = labels.count()
     for (_ <- 1 to rounds) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("v"))
-        .orderBy(col("cnt").desc, col("lab"))
+      // argmax as min_by over struct(-cnt, lab) — identical to the
+      // row_number(cnt desc, lab asc) = 1 window it replaces (lab is
+      // unique within a (v, lab) group, so the ordering struct never
+      // ties), but it partially aggregates map-side instead of
+      // shuffling and sorting the full (v, lab, cnt) stream per round.
+      // The label relation broadcasts below the node limit so the
+      // checkpointed neighbor list never re-shuffles.
       labels = nb
-        .join(labels.select(col("v").as("u"), col("lab")), "u")
+        .join(broadcastBelow(nNodes)(
+          labels.select(col("v").as("u"), col("lab"))), "u")
         .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("lab"))
+        .groupBy(col("v"))
+        .agg(min_by(col("lab"),
+          struct((-col("cnt")).as("nc"), col("lab"))).as("lab"))
         .localCheckpoint()
     }
     labels.select(col("v"), col("lab").as("community"))
@@ -981,20 +1009,32 @@ object Graph {
     var dist = sources.select(col(sourceCol).as("v")).distinct()
       .withColumn("hops", lit(0))
       .localCheckpoint()
+    // frontier and visited-set sizes are tracked from the counts the
+    // loop already pays (the isEmpty test becomes a count), so both
+    // node-sized relations broadcast below the limit and the
+    // CHECKPOINTED edge relation is never re-shuffled per round —
+    // strategy only, hop values identical
+    var distN = dist.count()
     var frontier = dist.select(col("v"))
+    var frontierN = distN
     var h = 0
     var done = false
     while (h < maxHops && !done) {
       h += 1
-      val nxt = frontier.join(e, frontier("v") === e("s"))
+      val nxt = broadcastBelow(frontierN)(frontier)
+        .join(e, frontier("v") === e("s"))
         .select(col("t").as("v")).distinct()
-        .join(dist.select(col("v")), Seq("v"), "left_anti")
+        .join(broadcastBelow(distN)(dist.select(col("v"))), Seq("v"),
+          "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint()
-      if (nxt.isEmpty) done = true
+      val nxtN = nxt.count()
+      if (nxtN == 0L) done = true
       else {
         dist = dist.unionByName(nxt).localCheckpoint()
+        distN += nxtN
         frontier = nxt.select(col("v"))
+        frontierN = nxtN
       }
     }
     dist
@@ -1029,21 +1069,29 @@ object Graph {
       .select(col("root"), col("root").as("v"))
       .withColumn("hops", lit(0))
       .localCheckpoint()
+    // same broadcast-below-limit discipline as [[bfsHops]]: (root, v)
+    // state stays panel×nodes-sized, the edge relation never re-shuffles
+    var distN = dist.count()
     var frontier = dist.select(col("root"), col("v"))
+    var frontierN = distN
     var h = 0
     var done = false
     while (h < maxHops && !done) {
       h += 1
-      val nxt = frontier.join(e, frontier("v") === e("s"))
+      val nxt = broadcastBelow(frontierN)(frontier)
+        .join(e, frontier("v") === e("s"))
         .select(col("root"), col("t").as("v")).distinct()
-        .join(dist.select(col("root"), col("v")), Seq("root", "v"),
-          "left_anti")
+        .join(broadcastBelow(distN)(dist.select(col("root"), col("v"))),
+          Seq("root", "v"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint()
-      if (nxt.isEmpty) done = true
+      val nxtN = nxt.count()
+      if (nxtN == 0L) done = true
       else {
         dist = dist.unionByName(nxt).localCheckpoint()
+        distN += nxtN
         frontier = nxt.select(col("root"), col("v"))
+        frontierN = nxtN
       }
     }
     dist

@@ -532,7 +532,12 @@ object DedupTextQueries {
         // re-evaluates element_at per shingle word (measured 3.5 s of
         // q302's 4.8 s at sf0.1); shingle_strings emits the identical
         // distinct 3-shingle set (same space-split tokens, same
-        // short-doc contract as the oracle's range(1, len-1))
+        // short-doc contract as the oracle's range(1, len-1)).
+        // Short-doc contract note: docs under 3 words emit NO shingles
+        // (matching the oracle), unlike the old shinglesFromWords
+        // convenience form which emitted one degenerate all-words
+        // shingle — the fixture has no sub-3-word docs, but the oracle
+        // pins the contract if one ever appears
         graft.plans.TextExpressions.register(s)
         val sh = Tables.documents(s, d).select(col("source"),
           explode(call_function("shingle_strings",

@@ -163,8 +163,10 @@ object BenchScale {
     "q208_ivf_recall", "q209_ivf_tuned", "q210_pq_recall",
     "q211_pq_tuned",
     // iterative centrality (the q111 pageRank class: score relations
-    // shuffle per pass, edges materialize once)
-    "q212_hits", "q213_unseen_mass",
+    // shuffle per pass, edges materialize once). q111 itself joined the
+    // list in r11 for the forced-distributed captures
+    // (SPARK_GRAFT_DRIVER_EDGE_LIMIT=0 → SCALE_SLOPE_DISTGRAPH_*.json)
+    "q111_pagerank", "q212_hits", "q213_unseen_mass",
     // round-9 tier. q219-q221 re-block as of r10: a nation block past
     // the 512-record budget splits into md5-parity sub-blocks on the
     // name's digit tail, so in-block pair work is ~budget × n (linear
