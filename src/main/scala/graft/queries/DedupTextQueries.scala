@@ -1298,9 +1298,13 @@ object DedupTextQueries {
             col("n_x"), col("n_y"),
             ((col("n_xy") * col("n_tokens")).cast("double") /
               (col("n_x") * col("n_y")).cast("double")).as("lift"))
+        // top-30 as a distributed TakeOrderedAndProject FIRST, then the
+        // rank window over the 30 survivors only (the vocabTopV idiom)
+        // — the unpartitioned window previously sorted the full bigram
+        // relation on a single partition, which grows with the corpus
         val rk = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
-        scored.withColumn("rank", row_number().over(rk))
-          .filter(col("rank") <= 30)
+        scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(30)
+          .withColumn("rank", row_number().over(rk))
           .orderBy(col("rank"))
       },
       Some("""
@@ -1370,9 +1374,11 @@ object DedupTextQueries {
           .unionAll(bi.select(col("w2").as("src"), col("w").as("dst")))
         val pr = graft.operators.Graph.pageRank(nodes, "w", edges,
           "src", "dst", iters = 3)
+        // top-20 via TakeOrderedAndProject first, rank window over the
+        // 20 survivors (the vocabTopV idiom — see q261)
         val rk = Window.orderBy(col("pr").desc, col("w"))
-        pr.withColumn("rank", row_number().over(rk))
-          .filter(col("rank") <= 20)
+        pr.orderBy(col("pr").desc, col("w")).limit(20)
+          .withColumn("rank", row_number().over(rk))
           .select(col("rank"), col("w"), col("pr"))
           .orderBy(col("rank"))
       },

@@ -2713,14 +2713,25 @@ object EventQueries {
             count(lit(1)).as("frequency"),
             sum(round(col("value"), 2).cast(DecimalType(27, 6)))
               .cast("double").as("monetary"))
-        // quintile scores; recency INVERTS (smaller = better = 5)
-        val r5 = ntile(5).over(Window.orderBy(col("recency_days").desc,
-          col("user_id")))
-        val f5 = ntile(5).over(Window.orderBy(col("frequency"),
-          col("user_id")))
-        val m5 = ntile(5).over(Window.orderBy(col("monetary"),
-          col("user_id")))
-        rfm.withColumn("r", r5).withColumn("f", f5).withColumn("m", m5)
+        // quintile scores; recency INVERTS (smaller = better = 5).
+        // Each ntile runs as a two-phase ranged rank (Skew.rangedRank)
+        // instead of an unpartitioned window — the user spine GROWS
+        // with the corpus, and the single-partition WindowExec was the
+        // tier's at-scale serialization point. Chained passes: each
+        // range-shuffles the previous output on its own total order;
+        // ntile arithmetic is value-identical (unique tiebreak id).
+        val S = graft.operators.Skew
+        def quintile(df: org.apache.spark.sql.DataFrame, name: String,
+            order: Seq[Column]): org.apache.spark.sql.DataFrame =
+          S.rangedRank(df, order)
+            .withColumn(name, S.ntileFromRank(col("_rank"), col("_n"), 5)
+              .cast("int"))
+            .drop("_rank", "_n")
+        val scored3 = quintile(quintile(quintile(rfm,
+          "r", Seq(col("recency_days").desc, col("user_id"))),
+          "f", Seq(col("frequency"), col("user_id"))),
+          "m", Seq(col("monetary"), col("user_id")))
+        scored3
           .withColumn("segment",
             when(col("r") >= 4 && col("f") >= 4, "champion")
               .when(col("r") >= 4, "recent")

@@ -1525,9 +1525,16 @@ object RelationalQueries {
         val spend = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(moneySum(col("o_totalprice")).as("spend"))
-        val byCust = Window.orderBy(col("spend").desc, col("o_custkey"))
-        val deciles = spend
-          .withColumn("decile", ntile(10).over(byCust))
+        // ntile over the customer spine via the two-phase ranged rank
+        // (Skew.rangedRank): the unpartitioned ntile window previously
+        // single-partitioned a relation that GROWS with the corpus —
+        // rank + NTile arithmetic is value-identical (unique total
+        // order: spend desc, custkey)
+        val ranked = graft.operators.Skew.rangedRank(spend,
+          Seq(col("spend").desc, col("o_custkey")))
+        val deciles = ranked
+          .withColumn("decile",
+            graft.operators.Skew.ntileFromRank(col("_rank"), col("_n"), 10))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_customers"),
             sum(round(col("spend"), 2).cast(DecimalType(27, 6)))
@@ -1734,13 +1741,16 @@ object RelationalQueries {
           .groupBy(col("l_partkey"))
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast(DecimalType(27, 6))).as("rev_dec"))
-        val w = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
-        val wAll = Window.partitionBy()
-        rev
-          .withColumn("cum_dec", sum(col("rev_dec")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
-          .withColumn("rank", row_number().over(w))
+        // two-phase ranged rank (Skew.rangedRank): rank, the exact
+        // DECIMAL prefix sum, and the grand total all come from the
+        // range-partitioned pass + the P-row offset spine — the
+        // previous unpartitioned window single-partitioned the part
+        // relation, which grows with the corpus
+        graft.operators.Skew.rangedRank(rev,
+            Seq(col("rev_dec").desc, col("l_partkey")),
+            prefixSums = Seq("cum_dec" -> col("rev_dec")))
+          .withColumn("tot_dec", col("_tot_cum_dec"))
+          .withColumn("rank", col("_rank").cast("int"))
           .select(col("l_partkey").as("p_partkey"),
             col("rank"),
             col("rev_dec").cast("double").as("revenue"),
