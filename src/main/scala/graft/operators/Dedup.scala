@@ -156,6 +156,10 @@ object Dedup {
             .cast("int"))))
       .select(col("doc"), col("col.shingle").as("shingle"),
         (col("pos") + 1).as("rk"), col("n_sh"))
+    // NOT checkpointed despite feeding both candidate-join sides: the
+    // identical subtrees share their exchanges via ReusedExchange, and
+    // an A/B at sf0.1 measured the eager pin ~1.5x SLOWER (it blocks
+    // on an extra materialization the reuse already avoids)
     // PPJoin positional filter on top of the prefix join: a shared
     // token at ranks (i, j) bounds the pair's possible overlap by
     // 1 + min(|A|−i, |B|−j); if even that best case misses the pair
@@ -429,9 +433,15 @@ object Dedup {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    if (und.count() <= smallGraphEdges) {
+    val undBase = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // counted/collected UNPINNED (the driver path reads the relation
+    // once); the distributed min-label loop, which joins the edges
+    // every pass, pins SERIALIZED ON DISK — a deserialized
+    // localCheckpoint of a 100×-scale symmetrized edge set is the
+    // one-JVM OOM class the forced-distributed graph captures measured
+    if (undBase.count() <= smallGraphEdges) {
+      val und = undBase
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -449,6 +459,7 @@ object Dedup {
       }
       return parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "comp")
     }
+    val und = undBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var labels = und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("comp")).localCheckpoint()
     // convergence rides the label pass itself: a long accumulator counts

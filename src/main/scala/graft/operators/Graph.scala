@@ -199,19 +199,23 @@ object Graph {
     * global_cc = 3·triangles/wedges rounded to `roundTo`). */
   def triangleStats(edges: DataFrame, src: String, dst: String,
       roundTo: Int = 6, driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
-    val e = edges
+    val eBase = edges
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
     // driver fast path: triangle/wedge counts are exact integers and
     // orientation-invariant, so below the guard one collect + a sorted
     // adjacency-intersection count replaces the degree/orientation/
     // adjacency join cascade (ParityBoundarySpec pins equality; the
     // one rounded output, global_cc, replicates Spark round semantics
-    // with BigDecimal HALF_UP).
-    if (e.count() <= driverEdgeLimit) return triangleStatsDriver(e, roundTo)
+    // with BigDecimal HALF_UP). Counted and collected UNPINNED; the
+    // distributed path pins SERIALIZED ON DISK instead of the
+    // deserialized localCheckpoint that made the 100×-scale edge set
+    // this operator's one-JVM memory ceiling (the q212/q199 OOM class).
+    if (eBase.count() <= driverEdgeLimit)
+      return triangleStatsDriver(eBase, roundTo)
+    val e = eBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -285,13 +289,20 @@ object Graph {
     import org.apache.spark.sql.types.DecimalType
     def decSum(c: Column) =
       sum(round(c, 14).cast(DecimalType(28, 14))).cast("double")
-    val e = edges.select(col(src).as("s"), col(dst).as("t"))
+    val eBase = edges.select(col(src).as("s"), col(dst).as("t"))
       .distinct()
-      .localCheckpoint() // read twice per iteration
-    val nEdges = e.count()
+    val nEdges = eBase.count()
     if (nEdges <= driverEdgeLimit &&
-        e.schema("s").dataType == e.schema("t").dataType)
-      return hitsDriver(e, iters, roundTo)
+        eBase.schema("s").dataType == eBase.schema("t").dataType)
+      // the driver path reads the relation exactly once (the collect) —
+      // no pin needed; the count above was its own streaming pass
+      return hitsDriver(eBase, iters, roundTo)
+    // distributed path reads e twice per iteration: pin SERIALIZED ON
+    // DISK, not localCheckpoint — the deserialized checkpoint of a
+    // 100×-scale edge set (~100M rows) starved execution memory and
+    // OOM'd the forced-distributed capture (UNABLE_TO_ACQUIRE_MEMORY);
+    // DISK_ONLY keeps the heap for the per-pass aggregates
+    val e = eBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val srcN = e.select(col("s")).distinct().count()
     val dstN = e.select(col("t")).distinct().count()
     // Score relations are one row per node — tiny next to the edge
@@ -483,7 +494,17 @@ object Graph {
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // feeds the degree agg and the stamped join
+    // NOTHING is checkpointed (the q303 streaming discipline applied
+    // to the exact form): the whole statistic is ONE query, so the
+    // identical e subtrees (deg's union scan, both stamp-join sides)
+    // share the distinct exchange via ReusedExchange, and the three
+    // identical deg aggregates share theirs — zero extra computation,
+    // zero materialized edge relation. The previous edge-relation
+    // localCheckpoint deserialized the full canonical edge set, the
+    // tier's memory shape: 16× at the forced-distributed 10× slope vs
+    // 2.1× without it (and an eager node-sized pin was no better at
+    // sf0.1 — a checkpoint is its OWN query, so the main query
+    // recomputed e without reuse).
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val stamped = e
@@ -588,18 +609,24 @@ object Graph {
       rounds: Int, driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1 && rounds <= 64, "kCore: 1 <= rounds <= 64")
-    var e = edges
+    val eBase = edges
       .select(least(col(src), col(dst)).as("a"),
               greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
     // driver fast path: the peel is pure integer degree arithmetic —
     // no grid to replicate — so below the guard one collect + an
     // in-memory peel replaces per-round degree shuffles + checkpoints
     // (ParityBoundarySpec pins equality). Above it, the distributed
-    // shell-removal loop runs.
-    if (e.count() <= driverEdgeLimit) return kCoreDriver(e, k, rounds)
+    // shell-removal loop runs. Counted and collected UNPINNED: the
+    // driver path reads the relation once, and the distributed path
+    // pins SERIALIZED ON DISK — the deserialized localCheckpoint of a
+    // 100×-scale edge set starved the degree aggregate's execution
+    // memory (AGGREGATE_OUT_OF_MEMORY in the forced-distributed
+    // capture).
+    if (eBase.count() <= driverEdgeLimit) return kCoreDriver(eBase, k, rounds)
+    var e: DataFrame =
+      eBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // early exit at the fixpoint is RESULT-identical to running all
     // `rounds` (post-fixpoint peels are no-ops — the oracle runs them
     // all and agrees). Each round removes the PEELED SHELL (nodes that
@@ -992,20 +1019,24 @@ object Graph {
       sources: DataFrame, sourceCol: String, maxHops: Int,
       driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHops: 1 <= maxHops <= 32")
-    val e = edges
+    val eBase = edges
       .select(col(src).as("s"), col(dst).as("t"))
       .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
       .filter(col("s") =!= col("t")).distinct()
-      .localCheckpoint()
     // driver fast path: hop counts are exact integers (min-hop by BFS
     // order — no arithmetic grid to replicate at all), so below the
     // guard one collect + an in-memory BFS replaces maxHops rounds of
     // join/anti-join/checkpoint. ParityBoundarySpec pins equality.
-    if (e.count() <= driverEdgeLimit) {
+    // Counted/collected UNPINNED; the distributed loop (which reads e
+    // every round) pins SERIALIZED ON DISK — the deserialized
+    // localCheckpoint of a 100×-scale symmetrized edge set is the
+    // one-JVM OOM class the forced-distributed captures measured.
+    if (eBase.count() <= driverEdgeLimit) {
       val roots = sources.select(col(sourceCol).as("v")).distinct()
-      return bfsDriver(e, roots, maxHops, perRoot = false)
+      return bfsDriver(eBase, roots, maxHops, perRoot = false)
         .select(col("v"), col("hops"))
     }
+    val e = eBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var dist = sources.select(col(sourceCol).as("v")).distinct()
       .withColumn("hops", lit(0))
       .localCheckpoint()
@@ -1055,16 +1086,17 @@ object Graph {
       roots: DataFrame, rootCol: String, maxHops: Int,
       driverEdgeLimit: Long = driverLimit(1L << 22)): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "bfsHopsPerRoot: 1 <= maxHops <= 32")
-    val e = edges
+    val eBase = edges
       .select(col(src).as("s"), col(dst).as("t"))
       .unionAll(edges.select(col(dst).as("s"), col(src).as("t")))
       .filter(col("s") =!= col("t")).distinct()
-      .localCheckpoint()
     // driver fast path — see [[bfsHops]]; one BFS per root over the
-    // same collected adjacency
-    if (e.count() <= driverEdgeLimit)
-      return bfsDriver(e, roots.select(col(rootCol).as("v")).distinct(),
+    // same collected adjacency. Same unpinned-count / DISK_ONLY-pin
+    // split as [[bfsHops]].
+    if (eBase.count() <= driverEdgeLimit)
+      return bfsDriver(eBase, roots.select(col(rootCol).as("v")).distinct(),
         maxHops, perRoot = true)
+    val e = eBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var dist = roots.select(col(rootCol).as("root")).distinct()
       .select(col("root"), col("root").as("v"))
       .withColumn("hops", lit(0))

@@ -671,6 +671,73 @@ object Similarity {
     * An emptied cell keeps its previous centroid.
     *
     * @return (cell, n_members, centroid_vec) for the final model. */
+  /** Lloyd's loop over a collected training sample — the shared body
+    * of the [[kMeans]] driver fast path and the [[pqCodebooks]]
+    * one-collect subspace trainer. Arithmetic is bit-identical to the
+    * distributed loop: strict-< argmin over left-assoc squared-L2
+    * folds (as NearestCell), round(x·1e9) HALF_UP exact-integer grid
+    * sums, sum→double / count / 1e9 means; seeds are the first k rows
+    * of the caller's sorted sample. Returns (cell, n_members,
+    * centroid_vec) for cells 0..k-1. */
+  private def lloydDriver(data: Array[Array[Double]], k: Int,
+      iters: Int): Seq[(Int, Long, Seq[Double])] = {
+    var cents: Array[Array[Double]] = data.take(k).map(_.clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = -1; var bestD = Double.PositiveInfinity; var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        if (ct.length == v.length) {
+          var s = 0.0; var i = 0
+          while (i < v.length) { val dd = v(i) - ct(i); s += dd * dd; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+        }
+        c += 1
+      }
+      best
+    }
+    // Spark's round(double, 0) = BigDecimal HALF_UP, then cast(long)
+    // truncates the rounded double — replicated exactly
+    def gridLong(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val asg = new Array[Int](data.length)
+    for (_ <- 1 to iters) {
+      var r = 0
+      while (r < data.length) { asg(r) = nearest(data(r)); r += 1 }
+      val cnts = new Array[Long](k)
+      val dims = new Array[Array[java.math.BigInteger]](k)
+      r = 0
+      while (r < data.length) {
+        val c = asg(r)
+        if (c >= 0) {
+          val v = data(r)
+          if (dims(c) == null)
+            dims(c) = Array.fill(v.length)(java.math.BigInteger.ZERO)
+          val acc = dims(c)
+          var i = 0
+          while (i < v.length) {
+            acc(i) = acc(i).add(java.math.BigInteger.valueOf(gridLong(v(i))))
+            i += 1
+          }
+          cnts(c) += 1
+        }
+        r += 1
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (cnts(c) == 0) prev
+        // Decimal(38,0).cast(double)/count/1e9 left-assoc, mirrored:
+        // exact-integer sum -> double, / n, / 1e9
+        else dims(c).map(bi => bi.doubleValue() / cnts(c) / 1e9)
+      }
+    }
+    var r2 = 0
+    val members = new Array[Long](k)
+    while (r2 < data.length) {
+      val c = nearest(data(r2)); if (c >= 0) members(c) += 1; r2 += 1
+    }
+    cents.toSeq.zipWithIndex.map { case (cv, c) => (c, members(c), cv.toSeq) }
+  }
+
   def kMeans(vecs: DataFrame, id: String, vec: String, k: Int, iters: Int,
       driverRowLimit: Long = 1L << 16): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
@@ -720,63 +787,7 @@ object Similarity {
         s"kMeans: need at least k=$k non-null vectors, got ${rows.length}")
       val data: Array[Array[Double]] =
         rows.map(_.getSeq[Double](1).toArray)
-      var cents: Array[Array[Double]] = data.take(k).map(_.clone())
-      def nearest(v: Array[Double]): Int = {
-        var best = -1; var bestD = Double.PositiveInfinity; var c = 0
-        while (c < cents.length) {
-          val ct = cents(c)
-          if (ct.length == v.length) {
-            var s = 0.0; var i = 0
-            while (i < v.length) { val dd = v(i) - ct(i); s += dd * dd; i += 1 }
-            if (s < bestD) { bestD = s; best = c }
-          }
-          c += 1
-        }
-        best
-      }
-      // Spark's round(double, 0) = BigDecimal HALF_UP, then cast(long)
-      // truncates the rounded double — replicated exactly
-      def gridLong(x: Double): Long =
-        java.math.BigDecimal.valueOf(x * 1e9)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      val asg = new Array[Int](data.length)
-      for (_ <- 1 to iters) {
-        var r = 0
-        while (r < data.length) { asg(r) = nearest(data(r)); r += 1 }
-        val sums = Array.ofDim[java.math.BigInteger](k)
-        val cnts = new Array[Long](k)
-        val dims = new Array[Array[java.math.BigInteger]](k)
-        r = 0
-        while (r < data.length) {
-          val c = asg(r)
-          if (c >= 0) {
-            val v = data(r)
-            if (dims(c) == null)
-              dims(c) = Array.fill(v.length)(java.math.BigInteger.ZERO)
-            val acc = dims(c)
-            var i = 0
-            while (i < v.length) {
-              acc(i) = acc(i).add(java.math.BigInteger.valueOf(gridLong(v(i))))
-              i += 1
-            }
-            cnts(c) += 1
-          }
-          r += 1
-        }
-        cents = cents.zipWithIndex.map { case (prev, c) =>
-          if (cnts(c) == 0) prev
-          // Decimal(38,0).cast(double)/count/1e9 left-assoc, mirrored:
-          // exact-integer sum -> double, / n, / 1e9
-          else dims(c).map(bi => bi.doubleValue() / cnts(c) / 1e9)
-        }
-      }
-      var r2 = 0
-      val members = new Array[Long](k)
-      while (r2 < data.length) {
-        val c = nearest(data(r2)); if (c >= 0) members(c) += 1; r2 += 1
-      }
-      return cents.toSeq.zipWithIndex
-        .map { case (cv, c) => (c, members(c), cv.toSeq) }
+      return lloydDriver(data, k, iters)
         .toDF("cell", "n_members", "centroid_vec")
     }
     var centroids: Seq[(Int, Seq[Double])] =
@@ -1386,6 +1397,30 @@ object Similarity {
     val dim = train.select(size(col(vec))).head.getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
+    // one-collect driver path: the training sample is contract-bounded
+    // (the kMeans driver cutoff), so ONE sorted collect feeds all m
+    // subspace Lloyd loops — the per-subspace kMeans calls each paid
+    // their own persist + count + sort-collect jobs (3×m driver
+    // actions) over the same ≤2^16-row relation. Slicing the collected
+    // vectors driver-side is the same doubles slice(col, s·sub+1, sub)
+    // produced, the null filter matches kMeans' (a slice is null iff
+    // the vector is), and lloydDriver IS the kMeans driver body — so
+    // the trained books, and every oracle hash downstream, are
+    // unchanged (PqSpec/parity pin it).
+    val nonNull = train.filter(col(vec).isNotNull)
+    if (nonNull.count() <= (1L << 16)) {
+      val rows = nonNull.orderBy(col(id)).collect()
+      require(rows.length >= k,
+        s"pqCodebooks: need at least k=$k non-null vectors, got ${rows.length}")
+      val data: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+      val books = (0 until m).flatMap { s =>
+        val sliced = data.map(v =>
+          java.util.Arrays.copyOfRange(v, s * sub, s * sub + sub))
+        lloydDriver(sliced, k, iters)
+          .map { case (c, _, cv) => (s, c, cv) }
+      }
+      return books.toDF("sub", "cell", "c_vec")
+    }
     val books = (0 until m).flatMap { s =>
       val sliced = train.select(col(id), slice(col(vec), s * sub + 1, sub).as("subv"))
       kMeans(sliced, id, "subv", k, iters).collect()

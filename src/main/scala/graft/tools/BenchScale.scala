@@ -429,7 +429,12 @@ object BenchScale {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = if (mult >= 100) Headline100 else Headline
-    val list = only.map(o => all.filter(o)).getOrElse(all)
+    // an explicit subset may name ANY registered query (the forced-
+    // distributed graph captures need guard-excluded queries at 100×);
+    // only the default full run sticks to the curated lists
+    val list = only
+      .map(o => graft.SparkEntry.queries.keys.toSeq.sorted.filter(o))
+      .getOrElse(all)
     val bases = list.map(q => q -> time(q, base))
     spark.range(1000).selectExpr("sum(id)").collect()
     val scaleds = list.map(q => q -> time(q, out)).toMap
